@@ -1,0 +1,95 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Maxwell changelog synthesis from the `orders` testdata
+  * table — the sandbox stand-in for a TiCDC->Kafka topic (the reference's
+  * golden fixture `test/fff.json` was captured the same way: a probe dumping
+  * real topic messages, `/root/reference/test/ko.go:64-75`).
+  *
+  * Event plan (chosen so the materialized state has a closed-form SQL
+  * oracle over `orders` itself):
+  *   - INSERT for every order           at ts = epoch(o_orderdate)
+  *   - UPDATE for o_orderstatus = 'F'   at ts+3600, o_totalprice *= 1.1,
+  *                                      `old` carries only the changed col
+  *                                      (real Maxwell partial-old shape)
+  *   - DELETE for o_orderkey % 10 == 0  at ts+7200, full row image in data
+  *
+  * Expected state = orders where key%10 != 0, totalprice*1.1 for 'F'.
+  */
+object ChangelogGen {
+
+  val Database = "graft_demo"
+  val Table = "orders"
+
+  import org.apache.spark.sql.types._
+
+  val ordersSpec: TableSpec = TableSpec(
+    database = Database,
+    table = Table,
+    primaryKey = Seq("o_orderkey"),
+    schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType))))
+
+  /** Maxwell JSON lines for the synthetic orders changelog, with a `seq`
+    * column for deterministic same-ts ordering. Everything is expression-
+    * level (to_json over structs) — no collect, no UDFs: generation itself
+    * scales like any narrow map over the source table. */
+  def ordersChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    val base = unix_timestamp(col("o_orderdate"))
+    val rowImage = struct(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+
+    def envelope(typ: String, ts: org.apache.spark.sql.Column,
+                 data: org.apache.spark.sql.Column,
+                 old: Option[org.apache.spark.sql.Column]) = {
+      val fields = Seq(
+        lit(Database).as("database"), lit(Table).as("table"),
+        lit(typ).as("type"), ts.as("ts"), data.as("data")) ++
+        old.map(_.as("old")).toSeq
+      to_json(struct(fields: _*))
+    }
+
+    val inserts = orders.select(
+      envelope("insert", base, rowImage, None).as("value"),
+      (col("o_orderkey") * 3).as("seq"))
+
+    val updated = rowImage.withField("o_totalprice", col("o_totalprice") * 1.1)
+    val updates = orders.filter(col("o_orderstatus") === "F").select(
+      envelope("update", base + 3600, updated,
+        Some(struct(col("o_totalprice")))).as("value"),
+      (col("o_orderkey") * 3 + 1).as("seq"))
+
+    val deleted = when(col("o_orderstatus") === "F",
+        updated).otherwise(rowImage)
+    val deletes = orders.filter(col("o_orderkey") % 10 === 0).select(
+      envelope("delete", base + 7200, deleted, None).as("value"),
+      (col("o_orderkey") * 3 + 2).as("seq"))
+
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  /** Full pipeline: synthesize -> parse envelope -> typed change events. */
+  def ordersChangeEvents(spark: SparkSession, sfDir: String,
+                         strictParity: Boolean = false): DataFrame = {
+    val log = ordersChangelog(spark, sfDir)
+    // parse the envelope while carrying the generator's seq column through
+    val parsed = log.select(
+      from_json(col("value"), Maxwell.envelopeSchema).as("e"), col("seq"))
+      .select(col("e.*"), col("seq"))
+    RowDecoder.changeEvents(parsed, ordersSpec, strictParity)
+  }
+
+  /** Materialized current state of the synthetic changelog. */
+  def ordersState(spark: SparkSession, sfDir: String): DataFrame =
+    Materializer.currentState(
+      ordersChangeEvents(spark, sfDir), ordersSpec.primaryKey)
+}

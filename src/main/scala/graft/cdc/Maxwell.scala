@@ -1,0 +1,58 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Maxwell CDC envelope parsing — the Spark-native analogue of the
+  * reference's envelope decode (`/root/reference/cdc_utils.go:14-21`,
+  * `cdc_manager.go:208-218`).
+  *
+  * The envelope is a fixed outer schema; `data` / `old` are kept as RAW JSON
+  * STRINGS at this layer (Spark's JacksonParser returns the raw text of a
+  * JSON object when the target field type is StringType). Per-table typed
+  * decode happens in a second `from_json` pass driven by [[TableSpec]] — the
+  * analogue of the reference's reflective `MaxwellUnmarshal`
+  * (`cdc_utils.go:31-124`), except it runs inside whole-stage codegen
+  * instead of per-row reflection.
+  *
+  * Scale note: envelope parse is a narrow map — no shuffle, fully
+  * codegen'd, linear in input bytes. At 100 TB this is the same shape as
+  * any Kafka->Spark ingest: parallelism = source partitions.
+  */
+object Maxwell {
+
+  /** Maxwell envelope (`cdc_utils.go:14-21`):
+    * {"database","table","type","ts","data":{...},"old":{...}} */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("type", StringType),     // insert | update | delete
+    StructField("ts", LongType),         // commit time, epoch seconds
+    StructField("data", StringType),     // row image after change (raw JSON)
+    StructField("old", StringType)))     // changed cols' old values (update)
+
+  /** Parse a stream/batch of Maxwell JSON lines into envelope columns.
+    * Malformed lines follow the reference's policy of "log and skip"
+    * (`cdc_manager.go:214-218`): PERMISSIVE parse yields a null struct which
+    * we filter out, instead of failing the job.
+    */
+  def parseEnvelope(lines: Dataset[String]): DataFrame = {
+    lines.select(
+        from_json(col("value"), envelopeSchema,
+          Map("mode" -> "PERMISSIVE")).as("e"))
+      .filter(col("e").isNotNull && col("e.type").isNotNull)
+      .select("e.*")
+  }
+
+  /** Same, but starting from a DataFrame with a binary/string `value`
+    * column — the shape `spark.readStream.format("kafka")` produces.
+    * Kafka source is therefore a config swap, not new code
+    * (SURVEY.md §7 stage 3). */
+  def parseEnvelopeCol(df: DataFrame, value: Column): DataFrame = {
+    df.select(from_json(value.cast("string"), envelopeSchema,
+        Map("mode" -> "PERMISSIVE")).as("e"))
+      .filter(col("e").isNotNull && col("e.type").isNotNull)
+      .select("e.*")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed row decode — the Spark analogue of the reference's reflective
+  * `MaxwellUnmarshal` (`/root/reference/cdc_utils.go:31-124`), re-expressed
+  * as `from_json` + per-column cast expressions so the whole decode runs
+  * inside whole-stage codegen (no per-row reflection, no UDFs).
+  *
+  * Coercion rules (§1.2 of SURVEY.md), with the reference's quirks FIXED by
+  * default and reproducible via `strictParity = true`:
+  *
+  *  - timestamps: accept both `"yyyy-MM-dd HH:mm:ss[.SSS]"` strings and
+  *    epoch-millis numbers (`cdc_utils.go:69-94`). Fixed mode parses
+  *    fractional seconds; strict parity reproduces quirk Q1 (fractional
+  *    seconds -> NULL, `tag.go:48-53`).
+  *  - booleans: fixed mode accepts 1/0/true/false; strict parity reproduces
+  *    quirk Q2 (only `1 -> true`, everything else false,
+  *    `cdc_utils.go:98-101`).
+  *  - numerics: JSON numbers cast to the declared integral/floating type
+  *    (`cdc_utils.go:104-107`); decimals/arrays/maps are SUPPORTED here
+  *    rather than silently skipped (`cdc_utils.go:96-123` has no case).
+  *  - NULL / missing key -> SQL NULL (reference leaves Go zero values,
+  *    `cdc_utils.go:64-67`; zero-value parity is a caller-side
+  *    `coalesce(col, zero)` if ever needed).
+  */
+object RowDecoder {
+
+  /** Decode one raw-JSON image column (`data` or `old`) into a typed struct
+    * column named `as`, applying renames/drops/coercions from the spec. */
+  def decodeImage(spec: TableSpec, image: Column, as: String,
+                  strictParity: Boolean = false): Column = {
+    val parsed = from_json(image, spec.jsonSchema, Map("mode" -> "PERMISSIVE"))
+    val inverse = spec.renames.map(_.swap) // columnName -> jsonKey
+    val fields = spec.schema.fields.toSeq
+      .filterNot(f => spec.dropped.contains(f.name))
+      .map { f =>
+        val key = inverse.getOrElse(f.name, f.name)
+        val raw = parsed.getField(key)
+        coerce(raw, f.dataType, strictParity).as(f.name)
+      }
+    struct(fields: _*).as(as)
+  }
+
+  private def coerce(raw: Column, dt: DataType, strict: Boolean): Column =
+    dt match {
+      case TimestampType =>
+        if (strict) {
+          // Quirk Q1: layout "2006-01-02 15:04:05" only — fractional
+          // seconds fail the parse and the field stays unset (NULL here).
+          coalesce(
+            to_timestamp(raw, "yyyy-MM-dd HH:mm:ss"),
+            timestamp_millis(raw.cast(LongType)))
+        } else {
+          // Fixed: try full-precision string forms, then epoch millis.
+          coalesce(
+            to_timestamp(raw), // handles "yyyy-MM-dd HH:mm:ss[.SSSSSS]" & ISO
+            timestamp_millis(raw.cast(LongType)))
+        }
+      case BooleanType =>
+        if (strict) raw === lit("1") // Quirk Q2: only 1 -> true
+        else
+          when(raw.isin("1", "true", "TRUE", "t"), lit(true))
+            .when(raw.isin("0", "false", "FALSE", "f"), lit(false))
+            .otherwise(lit(null).cast(BooleanType))
+      case other => raw.cast(other)
+    }
+
+  /** Envelope -> well-typed change events for one registered table:
+    * `(op, database, table, ts, seq, before, after)`.
+    *
+    * Op routing follows `cdc_manager.go:219-261`:
+    *  - insert: after = data, before = NULL
+    *  - update: after = data, before = old (quirk Q3: Maxwell's `old` holds
+    *    only CHANGED columns; unchanged columns are NULL in `before`.
+    *    `backfillBefore = true` fills them from `after` — the behavior the
+    *    reference prepared but commented out, `cdc_manager.go:263-274`)
+    *  - delete: the row image arrives in `data` and is exposed as `after`
+    *    (quirk Q4, `cdc_manager.go:249-256`) — convenient, since the key is
+    *    then always readable from `after` for every op.
+    *
+    * `seq` is a per-source monotonic sequence used only as a deterministic
+    * tie-break for events sharing the same commit ts.
+    */
+  def changeEvents(envelope: DataFrame, spec: TableSpec,
+                   strictParity: Boolean = false,
+                   backfillBefore: Boolean = false): DataFrame = {
+    val forTable = envelope.filter(
+      col("database") === spec.database && col("table") === spec.table)
+    val after = decodeImage(spec, col("data"), "after", strictParity)
+    val beforeRaw = decodeImage(spec, col("old"), "before_raw", strictParity)
+    val withImages = forTable
+      .withColumn("after", after)
+      .withColumn("before_raw",
+        when(col("type") === "update", beforeRaw)
+          .otherwise(lit(null).cast(spec.decodedStructType)))
+    val before =
+      if (!backfillBefore) col("before_raw")
+      else {
+        // fill unchanged (NULL) columns of `old` from the after-image
+        val cols = spec.schema.fields.toSeq
+          .filterNot(f => spec.dropped.contains(f.name))
+          .map(f => coalesce(col(s"before_raw.${f.name}"),
+                             col(s"after.${f.name}")).as(f.name))
+        when(col("type") === "update", struct(cols: _*))
+          .otherwise(lit(null).cast(spec.decodedStructType))
+      }
+    val seq = if (envelope.columns.contains("seq")) col("seq") else lit(0L)
+    withImages.select(
+      col("type").as("op"),
+      col("database"), col("table"),
+      col("ts"), seq.as("seq"),
+      before.as("before"), col("after"))
+  }
+
+  implicit private class SpecOps(spec: TableSpec) {
+    def decodedStructType: StructType =
+      StructType(spec.schema.fields.filterNot(f => spec.dropped.contains(f.name)))
+  }
+}

@@ -1,0 +1,343 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Relational operator inventory (SURVEY.md §2.2): scans/filter/project,
+  * joins (broadcast/semi/anti/outer/theta), aggregations (incl. distinct,
+  * rollup, cube), window functions (ranking/analytic/frames), sort/limit,
+  * set ops. All Catalyst built-ins — filters and projections push into the
+  * parquet scan; small dimension tables are explicitly `broadcast()` so the
+  * plan at 100 TB has no shuffle on the dimension side.
+  *
+  * Determinism conventions (driver hash-compares against DuckDB):
+  *  - every query ends in a total-order ORDER BY;
+  *  - float AGGREGATES are rounded (summation order differs between
+  *    engines); per-row float arithmetic is left exact (same IEEE ops).
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- scan / filter / project (predicate + projection pushed to parquet)
+    "q_filter_project" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+                col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // -- aggregation: TPC-H Q1 shape (map-side partial agg, 1 shuffle)
+    "q_agg_basic" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+             round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+               .as("sum_disc_price"),
+             round(avg(col("l_quantity")), 6).as("avg_qty"),
+             round(avg(col("l_discount")), 6).as("avg_disc"),
+             count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // -- distinct aggregation
+    "q_agg_distinct" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))),
+
+    // -- rollup (coalesce the grouping nulls away for stable compare)
+    "q_agg_rollup" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val n = load(s, dir, "nation")
+      val r = load(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+                coalesce(col("n_name"), lit("ALL")).as("n_name"),
+                col("n_cust"), col("sum_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // -- cube
+    "q_agg_cube" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("o_totalprice")), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+                coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+                col("n"), col("total"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+
+    // -- broadcast equi-join (dimension side never shuffles)
+    "q_join_broadcast" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val n = load(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             round(avg(col("c_acctbal")), 4).as("avg_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    // -- multi-way join: revenue per nation (TPC-H Q5 shape).
+    //    Fact-fact join shuffles on the key; all dims broadcast.
+    "q_join_multi" -> ((s, dir) => {
+      val cu = load(s, dir, "customer"); val o = load(s, dir, "orders")
+      val l = load(s, dir, "lineitem"); val su = load(s, dir, "supplier")
+      val n = load(s, dir, "nation"); val r = load(s, dir, "region")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(cu), o("o_custkey") === cu("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), cu("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+               .as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // -- semi join: customers that have at least one order
+    "q_join_semi" -> ((s, dir) => {
+      val c = load(s, dir, "customer"); val o = load(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // -- anti join: customers with no orders
+    "q_join_anti" -> ((s, dir) => {
+      val c = load(s, dir, "customer"); val o = load(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // -- left outer join + agg: order count per customer, zeros included
+    "q_join_outer" -> ((s, dir) => {
+      val c = load(s, dir, "customer"); val o = load(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // -- theta join: equi key + range residual (ship lag > 60 days)
+    "q_join_range" -> ((s, dir) => {
+      val o = load(s, dir, "orders"); val l = load(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+                l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_late_lines"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // -- window: top-3 orders per customer (ranking, deterministic ties)
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      load(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+                col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    // -- window: cumulative sum per user over event time
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, dir, "events")
+        .withColumn("running_value", round(sum(col("value")).over(w), 4))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // -- window: lag/lead analytic
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+                lag(col("value"), 1).over(w).as("prev_value"),
+                lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    // -- window: sliding row frame (moving average of 3)
+    "q_window_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      load(s, dir, "events")
+        .select(col("event_id"),
+                round(avg(col("value")).over(w), 4).as("moving_avg"))
+        .orderBy(col("event_id"))
+    }),
+
+    // -- global sort + limit (Spark runs TakeOrderedAndProject: no full sort)
+    "q_sort_limit" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // -- set ops over derived key sets
+    "q_set_intersect" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val y97 = o.filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_custkey"))
+      val y98 = o.filter(year(col("o_orderdate")) === 1998)
+        .select(col("o_custkey"))
+      y97.intersect(y98).orderBy(col("o_custkey"))
+    }),
+
+    "q_set_except" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val y97 = o.filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_custkey"))
+      val y98 = o.filter(year(col("o_orderdate")) === 1998)
+        .select(col("o_custkey"))
+      y97.except(y98).orderBy(col("o_custkey"))
+    }),
+
+    "q_set_union" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val hi = c.filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+      val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey"))
+      hi.union(auto).distinct().orderBy(col("c_custkey"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name,
+        |  coalesce(n_name, 'ALL') AS n_name,
+        |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_name, count(*) AS n_cust,
+        |  round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_join_multi" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_cust
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT o_orderstatus, count(*) AS n_late_lines
+        |FROM orders JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        | AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |    AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_window_frame" ->
+      """SELECT event_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |ORDER BY o_custkey""".stripMargin,
+    "q_set_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |ORDER BY o_custkey""".stripMargin,
+    "q_set_union" ->
+      """SELECT DISTINCT c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        |  UNION ALL
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |ORDER BY c_custkey""".stripMargin)
+}
