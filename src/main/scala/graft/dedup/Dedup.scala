@@ -1,0 +1,155 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for LLM training-data pipelines, each designed
+  * around its shuffle profile at 100 TB:
+  *
+  *  - exact / fingerprint dedup: one hash-partitioned `groupBy` on a
+  *    16-byte digest — shuffle carries (digest, id), never the text.
+  *  - MinHash+LSH near-dup: signatures are computed scan-side with
+  *    higher-order functions (NO shuffle, no explode of shingles); only
+  *    the (band, bandHash, docId) triples — b rows per doc — shuffle for
+  *    bucketing. Candidate pairs come from same-bucket grouping, i.e.
+  *    the classic band-join, avoiding the O(n²) cross join entirely.
+  *  - SimHash: 64-bit signature per doc, again scan-side; near-dup = low
+  *    Hamming distance within LSH buckets of signature chunks.
+  *  - n-gram Jaccard: exact verification on CANDIDATE pairs only.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact dedup on a normalized-content fingerprint. `keepFirst` keeps
+    * the lowest id per group deterministically (min_by = map-side partial
+    * agg, same scale shape as Materializer). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    docs.withColumn("__fp", fp)
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** Word n-gram shingles as an array column (scan-side, no explode). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** k MinHash values per document: min over shingles of xxhash64(shingle,
+    * seed_i). Each hash is one `aggregate` HOF over the shingle array —
+    * k×|shingles| hash evaluations per row, all inside codegen. */
+  def minhashSignature(text: Column, k: Int, nGram: Int = 5): Column = {
+    val sh = shingles(text, nGram)
+    val mins = (0 until k).map { seed =>
+      aggregate(sh, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(s, lit(seed))))
+    }
+    array(mins: _*)
+  }
+
+  /** (bandId, bandHash) pairs for LSH banding: b bands of r rows each
+    * (k = b*r). Docs sharing any band hash are near-dup candidates. */
+  def bands(signature: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)),
+      i => struct(i.as("band"),
+                  // xxhash64 hashes the bigint array slice directly
+                  xxhash64(slice(signature, i * lit(r) + lit(1), lit(r)), i)
+                    .as("bandHash")))
+
+  /** Candidate near-dup pairs via LSH bucketing. Returns distinct
+    * (id_a, id_b) with id_a < id_b. Bucket explosion guard: buckets larger
+    * than `maxBucket` (degenerate content) are dropped — at scale a single
+    * hot bucket would otherwise produce a quadratic pair blowup. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        b: Int = 16, r: Int = 4, nGram: Int = 5,
+                        maxBucket: Int = 1000): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), b * r, nGram).as("sig"))
+    val bucketed = sig
+      .select(col("id"), explode(bands(col("sig"), b, r)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bandHash"))
+    val buckets = bucketed.groupBy(col("band"), col("bandHash"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    // pairs within bucket: flatten the small sorted id list (bucket sizes
+    // are bounded, so this nested transform is cheap and local)
+    buckets.select(explode(flatten(
+        transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            bVal => struct(a.as("id_a"), bVal.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard similarity for verifying candidate pairs. */
+  def jaccard(a: Column, b: Column): Column = {
+    val sa = array_distinct(TextAnalysis.tokens(a))
+    val sb = array_distinct(TextAnalysis.tokens(b))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+
+  /** n-gram (shingle) set Jaccard — stricter than token Jaccard. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = array_distinct(shingles(a, n))
+    val sb = array_distinct(shingles(b, n))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash computed scan-side: one aggregate over tokens keeps a
+    * 64-slot counter array (+1/-1 per bit of each token hash), then the
+    * sign pattern packs into a long. No shuffle, no explode. */
+  def simhash64(text: Column): Column = {
+    val counters = aggregate(
+      TextAnalysis.tokens(text),
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1L)
+                          .otherwise(-1L))
+      })
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: bucket by 16-bit signature chunks (a
+    * signature pair within Hamming distance 3 shares at least one of 4
+    * chunks — pigeonhole), verify with full Hamming distance. */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+                          simhash64(col(textCol)).as("sig"))
+    val chunks = sig.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        i => struct(i.as("chunk"),
+          call_function("shiftright", col("sig"), i * lit(16)).bitwiseAND(0xFFFFL)
+            .as("chunkVal")))).as("c"))
+      .select(col("id"), col("sig"), col("c.chunk"), col("c.chunkVal"))
+    val a = chunks.as("a"); val bSide = chunks.as("b")
+    a.join(bSide,
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunkVal") === col("b.chunkVal") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

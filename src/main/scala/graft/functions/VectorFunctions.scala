@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built entirely from
+  * Spark's higher-order functions (`zip_with`/`aggregate`/`transform`) so
+  * everything stays inside whole-stage codegen — no UDFs, no serialization
+  * of the array to JVM objects per row.
+  *
+  * All arithmetic is promoted to double FIRST (`asDouble`): float
+  * accumulation drifts ~1e-4 relative over 64 dims, which is enough to
+  * flip top-k rankings between engines.
+  */
+object VectorFunctions {
+
+  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Sequential-order dot product — same accumulation order as DuckDB's
+    * list_* kernels, so cross-engine results agree to the last ulp. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+                   lit(0.0), (acc, x) => acc + x))
+}

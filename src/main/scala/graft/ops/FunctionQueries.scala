@@ -1,10 +1,153 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.functions.VectorFunctions
 
-/** Scalar-function inventory (string/date/math/json/array) — filled in
-  * stage 2. */
+/** Scalar-function inventory (SURVEY.md §2.2): string, date, math, JSON,
+  * array (higher-order), conditional — all `org.apache.spark.sql.functions`
+  * built-ins (codegen'd), each checked against the DuckDB dialect
+  * equivalent. Per-row computations stay exact; only cross-row float
+  * aggregates are rounded.
+  */
 object FunctionQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_str_funcs" -> ((s, dir) =>
+      load(s, dir, "part")
+        .select(col("p_partkey"),
+                upper(col("p_name")).as("up_name"),
+                length(col("p_name")).as("name_len"),
+                substring(col("p_name"), 1, 8).as("name_prefix"),
+                concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+                regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+                reverse(col("p_brand")).as("rev_brand"),
+                lpad(col("p_brand"), 12, "*").as("pad_brand"),
+                replace(col("p_type"), lit(" "), lit("_")).as("type_us"))
+        .orderBy(col("p_partkey"))),
+
+    "q_date_funcs" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .select(col("o_orderkey"),
+                year(col("o_orderdate")).as("yr"),
+                month(col("o_orderdate")).as("mo"),
+                dayofmonth(col("o_orderdate")).as("dom"),
+                date_trunc("month", col("o_orderdate")).as("month_start"),
+                datediff(col("o_orderdate"),
+                         lit("1995-01-01").cast("date")).as("days_since"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_math_funcs" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                abs(col("l_discount") - 0.05).as("disc_dev"),
+                floor(col("l_extendedprice")).as("price_floor"),
+                ceil(col("l_extendedprice")).as("price_ceil"),
+                sqrt(col("l_quantity")).as("qty_sqrt"),
+                (col("l_orderkey") % 7).as("key_mod"),
+                greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+                least(col("l_tax"), col("l_discount")).as("min_rate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_json_funcs" -> ((s, dir) =>
+      load(s, dir, "events")
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+                get_json_object(col("props"), "$.missing").as("missing_val"))
+        .orderBy(col("event_id"))),
+
+    "q_array_funcs" -> ((s, dir) =>
+      load(s, dir, "embeddings")
+        .select(col("vec_id"),
+                size(col("embedding")).as("dim"),
+                element_at(col("embedding"), 1).as("first_val"),
+                round(VectorFunctions.dot(col("embedding"), col("embedding")), 6)
+                  .as("sq_norm"),
+                round(aggregate(VectorFunctions.asDouble(col("embedding")),
+                        lit(0.0), (acc, x) => acc + x), 6).as("vec_sum"),
+                round(array_max(col("embedding")).cast("double"), 6)
+                  .as("max_val"))
+        .orderBy(col("vec_id"))),
+
+    "q_case_null" -> ((s, dir) =>
+      load(s, dir, "customer")
+        .select(col("c_custkey"),
+                when(col("c_acctbal") < 0, "negative")
+                  .when(col("c_acctbal") < 5000, "low")
+                  .otherwise("high").as("bal_bucket"),
+                coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")),
+                         lit("OTHER")).as("seg_or_other"),
+                (col("c_acctbal") > 0).as("in_credit"))
+        .orderBy(col("c_custkey"))),
+
+    // tumbling event-time window (batch form of the streaming agg)
+    "q_time_window" -> ((s, dir) =>
+      load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("value")), 4).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+                col("n"), col("sum_value"))
+        .orderBy(col("ws"), col("event_type"))))
+
+  val oracle: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up_name,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  substring(p_name, 1, 8) AS name_prefix,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  reverse(p_brand) AS rev_brand,
+        |  lpad(p_brand, 12, '*') AS pad_brand,
+        |  replace(p_type, ' ', '_') AS type_us
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(date_diff('day', DATE '1995-01-01',
+        |       CAST(o_orderdate AS DATE)) AS INT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  l_orderkey % 7 AS key_mod,
+        |  greatest(l_tax, l_discount) AS max_rate,
+        |  least(l_tax, l_discount) AS min_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS INT) AS k_val,
+        |  props->>'$.missing' AS missing_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  embedding[1] AS first_val,
+        |  round(list_aggregate(list_transform(embedding::DOUBLE[],
+        |        x -> x * x), 'sum'), 6) AS sq_norm,
+        |  round(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS vec_sum,
+        |  round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6)
+        |    AS max_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_case_null" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'negative'
+        |       WHEN c_acctbal < 5000 THEN 'low'
+        |       ELSE 'high' END AS bal_bucket,
+        |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER')
+        |    AS seg_or_other,
+        |  c_acctbal > 0 AS in_credit
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_time_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)
 }

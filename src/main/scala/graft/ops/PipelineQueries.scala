@@ -1,10 +1,231 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
 
-/** North-star LLM-data-pipeline operators (dedup, similarity, text
-  * analysis) — filled in stage 4. */
+/** North-star LLM-data-pipeline operators (dedup, similarity search, text
+  * analysis) over `documents` / `embeddings`. SQL-expressible variants get
+  * DuckDB oracles; the hash-family ops (MinHash/SimHash/LSH — xxhash64 is
+  * Spark-specific) are rows-only checked here and exactness-tested in the
+  * ScalaTest specs instead.
+  */
 object PipelineQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- dedup ----
+
+    // exact dedup via normalized-content fingerprint, per-language stats
+    "q_dedup_exact" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(TextAnalysis.fingerprint(col("text")))
+               .as("n_uniq"))
+        .orderBy(col("lang"))),
+
+    // per-document fingerprints (md5 content hash — engine-portable)
+    "q_fingerprint" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+                TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // order-sensitive rolling token hash (no oracle: arithmetic signature)
+    "q_fingerprint_rolling" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+                TextAnalysis.rollingTokenHash(col("text")).as("rh"))
+        .orderBy(col("doc_id"))),
+
+    // MinHash+LSH near-dup detection, verified with exact 5-gram Jaccard.
+    // The corpus has no natural near-dups (500/500 distinct random docs),
+    // so the query plants them: every 5th document reappears with its
+    // first two tokens dropped (id + 1_000_000). LSH must recover those
+    // planted pairs — a real recall check, not an empty result.
+    // (rows-only: xxhash64 signatures are Spark-specific)
+    "q_dedup_minhash" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select("doc_id", "text")
+      val perturbed = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+                concat_ws(" ", slice(TextAnalysis.tokens(col("text")),
+                  lit(3), size(TextAnalysis.tokens(col("text"))))).as("text"))
+      val corpus = docs.unionByName(perturbed)
+      val cand = Dedup.lshCandidatePairs(corpus, "doc_id", "text",
+                                         b = 16, r = 4, nGram = 5)
+      val a = corpus.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = corpus.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      cand.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"),
+                round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 5), 4)
+                  .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup candidate pairs (rows-only)
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(load(s, dir, "documents"), "doc_id", "text",
+                              maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // embedding-cosine near-dup pairs above a threshold (oracle-checked)
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+                round(graft.functions.VectorFunctions
+                  .cosine(col("va"), col("vb")), 6).as("cos"))
+        .filter(col("cos") > 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search ----
+
+    // brute-force exact cosine top-3 (the ANN baseline; oracle-checked)
+    "q_sim_topk" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(e, queries, k = 3)
+        .select(col("q_id"), col("rk"), col("neighbor_id"),
+                round(col("cos"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // LSH-bucketed ANN (rows-only; recall vs brute force tested in specs)
+    "q_sim_lsh" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(e, queries, k = 3, dim = 64, planes = 4)
+        .select(col("q_id"), col("rk"), col("neighbor_id"),
+                round(col("cos"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // IVF ANN (rows-only; the 100 TB scale path)
+    "q_sim_ivf" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val assigned = Similarity.ivfAssign(e, centroids)
+      Similarity.ivfTopK(assigned, centroids, queries, k = 3, nprobe = 3)
+        .select(col("q_id"), col("rk"), col("neighbor_id"),
+                round(col("cos"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // ---- text analysis ----
+
+    "q_text_stats" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+                TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+                TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+                round(TextAnalysis.avgTokenLen(col("text")), 6)
+                  .as("avg_tok_len"),
+                round(TextAnalysis.alphaRatio(col("text")), 6)
+                  .as("alpha_ratio"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_lang" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .groupBy(col("lang"),
+                 TextAnalysis.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+                TextAnalysis.qualityScore(col("text")).as("quality"),
+                round(TextAnalysis.stopwordRatio(col("text")), 6)
+                  .as("stopword_ratio"))
+        .orderBy(col("doc_id"))))
+
+  private val normText =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  // DuckDB mirror of TextAnalysis.wordHits
+  private def hitsSql(word: String): String = {
+    val needle = s" $word "
+    s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$needle', ''))) / ${needle.length} AS INT)"
+  }
+  private def langScoreSql(lang: String): String =
+    TextAnalysis.langMarkers(lang).map(hitsSql).mkString("(", " + ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT md5($normText)) AS n_uniq
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5($normText) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM c a, c b WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.v, b.v), 6) > 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT q_id, vec_id AS neighbor_id,
+        |        list_cosine_similarity(qv, v) AS cos,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY list_cosine_similarity(qv, v) DESC, vec_id)
+        |          AS rk
+        |      FROM q, c WHERE vec_id <> q_id)
+        |SELECT q_id, CAST(rk AS INT) AS rk, neighbor_id,
+        |  round(cos, 6) AS cos
+        |FROM s WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+        |  CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe,
+        |  round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+        |    / nullif(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')), 0), 6) AS avg_tok_len,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |    / nullif(length(text), 0), 6) AS alpha_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_lang" -> {
+      val en = langScoreSql("en"); val de = langScoreSql("de")
+      val es = langScoreSql("es"); val fr = langScoreSql("fr")
+      s"""WITH scored AS (
+        |  SELECT lang, $en AS s_en, $de AS s_de, $es AS s_es, $fr AS s_fr,
+        |    greatest($en, $de, $es, $fr) AS best
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN best > 0 AND s_en = best THEN 'en'
+        |       WHEN best > 0 AND s_de = best THEN 'de'
+        |       WHEN best > 0 AND s_es = best THEN 'es'
+        |       WHEN best > 0 AND s_fr = best THEN 'fr'
+        |       ELSE 'und' END AS lang_pred,
+        |  count(*) AS n
+        |FROM scored GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+    },
+    "q_text_quality" -> {
+      val ntok = "len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))"
+      val stopHits = Seq("the", "a", "and", "of", "to", "in", "is", "that")
+        .map(hitsSql).mkString("(", " + ", ")")
+      s"""SELECT doc_id,
+        |  round(least(CAST($ntok AS DOUBLE) / 50.0, 1.0) * 0.4 +
+        |    coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |      / nullif(length(text), 0), 0.0) * 0.4 +
+        |    least(coalesce(CAST($stopHits AS DOUBLE) / nullif($ntok, 0), 0.0)
+        |      * 4.0, 1.0) * 0.2, 6) AS quality,
+        |  round(CAST($stopHits AS DOUBLE) / nullif($ntok, 0), 6)
+        |    AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin
+    })
 }

@@ -117,9 +117,11 @@ object RelationalQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
-    // -- anti join: customers with no orders
+    // -- anti join: customers with no orders in 1998
     "q_join_anti" -> ((s, dir) => {
-      val c = load(s, dir, "customer"); val o = load(s, dir, "orders")
+      val c = load(s, dir, "customer")
+      val o = load(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1998)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
@@ -284,7 +286,8 @@ object RelationalQueries {
     "q_join_anti" ->
       """SELECT c_custkey, c_mktsegment
         |FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1998)
         |ORDER BY c_custkey""".stripMargin,
     "q_join_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders

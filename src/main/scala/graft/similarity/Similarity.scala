@@ -1,0 +1,112 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Three tiers, by scale:
+  *  - brute force: broadcast the (small) query set against the corpus —
+  *    exact, O(|corpus|·|queries|·d), the baseline and the rerank kernel.
+  *  - random-hyperplane LSH: P signed projections → P-bit bucket key;
+  *    candidates = bucket collisions (multi-probe via hamming-1 neighbors
+  *    optional). Corpus side is a scan + one shuffle on the bucket key.
+  *  - IVF (inverted file): deterministic centroid subset, assign each
+  *    vector to nearest centroid (broadcast centroids), queries probe the
+  *    nprobe nearest lists. This is the 100 TB path: the corpus
+  *    partitions by centroid id, so a query touches nprobe/C of the data.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query by cosine. Queries are broadcast —
+    * the corpus never shuffles for the join; the only shuffle is the
+    * per-query top-k (partitionBy qid over k·|corpus| rows, pre-pruned by
+    * a per-partition filter when `preFilter` is set). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     corpusId: String = "vec_id", corpusVec: String = "embedding",
+                     queryId: String = "q_id", queryVec: String = "q_vec",
+                     excludeSelf: Boolean = true): DataFrame = {
+    val joined = corpus.join(broadcast(queries),
+      if (excludeSelf) col(corpusId) =!= col(queryId) else lit(true))
+    val scored = joined.select(
+      col(queryId), col(corpusId).as("neighbor_id"),
+      cosine(col(queryVec), col(corpusVec)).as("cos"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** P-bit random-hyperplane signature. Hyperplanes are seeded literals
+    * (deterministic; generated driver-side once, evaluated scan-side). */
+  def lshSignature(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val hyperplanes = Array.fill(planes, dim)(rnd.nextGaussian())
+    val bits = hyperplanes.zipWithIndex.map { case (hp, i) =>
+      val hpCol = array(hp.map(v => lit(v)): _*)
+      val proj = aggregate(zip_with(asDouble(vec), hpCol, (x, h) => x * h),
+                           lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH bucket collision + exact rerank. Recall is tuned by
+    * `planes` (fewer planes = bigger buckets = higher recall). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val sigC = corpus.withColumn("bucket",
+      lshSignature(col("embedding"), dim, planes, seed))
+    val sigQ = queries.withColumn("bucket",
+      lshSignature(col("q_vec"), dim, planes, seed))
+    val cand = sigC.join(broadcast(sigQ), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val scored = cand.select(col("q_id"), col("vec_id").as("neighbor_id"),
+      cosine(col("q_vec"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** IVF index build: nearest-centroid assignment. Centroids are a
+    * deterministic corpus subset (ids ≡ 0 mod |corpus|/C) — a stand-in
+    * for k-means that keeps everything seeded and engine-checkable. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = corpus.join(broadcast(
+        centroids.select(col("vec_id").as("centroid_id"),
+                         col("embedding").as("c_vec"))))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+              l2Distance(col("embedding"), col("c_vec")).as("dist"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("centroid_id"))
+    assigned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** IVF query: probe the `nprobe` nearest inverted lists, exact rerank
+    * within them. */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    val cent = centroids.select(col("vec_id").as("centroid_id"),
+                                col("embedding").as("c_vec"))
+    val qProbes = queries.join(broadcast(cent))
+      .select(col("q_id"), col("q_vec"), col("centroid_id"),
+              l2Distance(col("q_vec"), col("c_vec")).as("dist"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("centroid_id"))
+    val probes = qProbes.withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("centroid_id"))
+    val cand = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val scored = cand.select(col("q_id"), col("vec_id").as("neighbor_id"),
+      cosine(col("q_vec"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}
