@@ -47,17 +47,20 @@ object RowDecoder {
   private def coerce(raw: Column, dt: DataType, strict: Boolean): Column =
     dt match {
       case TimestampType =>
+        // try_* variants: a malformed value degrades to NULL instead of
+        // failing the job under ANSI mode — the analogue of the
+        // reference's recover-and-skip-field policy (cdc_utils.go:50-54).
         if (strict) {
           // Quirk Q1: layout "2006-01-02 15:04:05" only — fractional
           // seconds fail the parse and the field stays unset (NULL here).
           coalesce(
-            to_timestamp(raw, "yyyy-MM-dd HH:mm:ss"),
-            timestamp_millis(raw.cast(LongType)))
+            try_to_timestamp(raw, lit("yyyy-MM-dd HH:mm:ss")),
+            timestamp_millis(raw.try_cast(LongType)))
         } else {
           // Fixed: try full-precision string forms, then epoch millis.
           coalesce(
-            to_timestamp(raw), // handles "yyyy-MM-dd HH:mm:ss[.SSSSSS]" & ISO
-            timestamp_millis(raw.cast(LongType)))
+            try_to_timestamp(raw), // "yyyy-MM-dd HH:mm:ss[.SSSSSS]" & ISO
+            timestamp_millis(raw.try_cast(LongType)))
         }
       case BooleanType =>
         if (strict) raw === lit("1") // Quirk Q2: only 1 -> true
@@ -65,7 +68,7 @@ object RowDecoder {
           when(raw.isin("1", "true", "TRUE", "t"), lit(true))
             .when(raw.isin("0", "false", "FALSE", "f"), lit(false))
             .otherwise(lit(null).cast(BooleanType))
-      case other => raw.cast(other)
+      case other => raw.try_cast(other)
     }
 
   /** Envelope -> well-typed change events for one registered table:

@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for training-data pipelines: media payloads
+  * travel as opaque `binary` columns with a typed metadata struct, and the
+  * expensive per-item work (decode / feature-extract / resize / frame
+  * sample) runs as partition-local batch functions.
+  *
+  * The Spark-side plumbing — schema, partitioning, batch iteration shape —
+  * is real and tested. The actual codec call is STUBBED (this container
+  * has no image/audio libraries): `fakeDecodeFeatures` derives
+  * deterministic pseudo-features from the bytes so the pipeline shape is
+  * verifiable end-to-end. In production the stub body is replaced by the
+  * real codec (JNI/javacv), or the column is exported to a Python stage
+  * (`mapInPandas`/`mapInArrow`) — the schema and batching contract here
+  * are exactly what that stage consumes.
+  *
+  * Scale notes: binaries never participate in shuffles here — metadata
+  * extraction and feature stubs are narrow maps; size bucketing uses the
+  * LENGTH of the payload, not the payload. `repartitionForDecode` sizes
+  * partitions by total payload bytes (not row count) so a 100 TB media
+  * table decodes with even executor memory pressure.
+  */
+object Multimodal {
+
+  /** Media row schema: id + modality + opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("modality", StringType),       // image | audio | video
+    StructField("content", BinaryType),        // opaque payload
+    StructField("meta", StructType(Seq(        // typed sidecar metadata
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType),
+      StructField("width", IntegerType),       // images/video
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType)))))) // audio/video
+
+  /** Derive a deterministic media table from `documents` (the sandbox has
+    * no real media): payload = utf8 bytes of the text, modality assigned
+    * round-robin, metadata filled from payload length. This is test
+    * scaffolding, not a data generator — every byte traces back to the
+    * driver-provided table. */
+  def syntheticMediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        (col("n_chars") % 640 + 1).cast("int").as("width"),
+        (col("n_chars") % 480 + 1).cast("int").as("height"),
+        (col("n_chars") * 100).as("duration_ms")).as("meta"))
+
+  /** Partition by cumulative payload size so each decode task sees roughly
+    * `targetBytesPerPartition` of binary data regardless of row skew. */
+  def repartitionForDecode(media: DataFrame, targetBytesPerPartition: Long): DataFrame = {
+    val totalBytes = media.select(sum(length(col("content")))).head.getLong(0)
+    val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
+    media.repartition(parts, col("media_id"))
+  }
+
+  /** ======== STUB: replace with a real codec in production ========
+    * Deterministic pseudo-decode: 8 "features" from byte statistics.
+    * Runs partition-local over an iterator — the exact shape a real
+    * decoder (or an Arrow-batched Python UDF stage) plugs into. */
+  def fakeDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
+    if (bytes == null || bytes.isEmpty) return Array.fill(8)(0.0f)
+    var sum = 0L; var min = 255; var max = 0; var alt = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      sum += b; if (b < min) min = b; if (b > max) max = b
+      alt += (if (i % 2 == 0) b else -b)
+      i += 1
+    }
+    val n = bytes.length.toFloat
+    Array(n, sum / n, min.toFloat, max.toFloat, alt / n,
+          bytes(0) & 0xFF, bytes(bytes.length - 1) & 0xFF,
+          (sum % 251).toFloat)
+  }
+
+  /** Feature extraction over the media table: mapPartitions keeps the
+    * decode batched per task (amortizing any codec init cost) and returns
+    * (media_id, features array) — binaries are dropped before any
+    * downstream shuffle. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init would go here (codec handles, model weights)
+        rows.map { case (id, bytes) => (id, fakeDecodeFeatures(bytes)) }
+      }
+      .toDF("media_id", "features")
+  }
+
+  /** "Resize": deterministic payload truncation standing in for a pixel
+    * resize — demonstrates binary-in/binary-out transforms staying
+    * partition-local. */
+  def resizePayload(media: DataFrame, maxBytes: Int): DataFrame =
+    media.withColumn("content",
+      when(length(col("content")) > maxBytes,
+           substring(col("content"), 1, maxBytes))
+        .otherwise(col("content")))
+      .withColumn("meta", col("meta").withField("n_bytes",
+        least(col("meta.n_bytes"), lit(maxBytes.toLong))))
+
+  /** "Frame sampling": cut the payload into fixed-size frames and keep
+    * every k-th — the video-pipeline shape (explode is the only row
+    * multiplier, bounded by frames/k per item). */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame =
+    media
+      .withColumn("n_frames",
+        ceil(length(col("content")).cast("double") / frameBytes).cast("int"))
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), col("n_frames") - 1),
+                       i => i % everyK === 0)))
+      .select(col("media_id"), col("frame_idx"),
+              substring_index_bytes(col("content"),
+                col("frame_idx") * frameBytes, frameBytes).as("frame"))
+
+  // substring over binary with column offsets (substring() needs literals)
+  private def substring_index_bytes(content: org.apache.spark.sql.Column,
+                                    start: org.apache.spark.sql.Column,
+                                    len: Int): org.apache.spark.sql.Column =
+    call_function("substring", content, start + 1, lit(len))
+}

@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+import graft.cdc.{Materializer, Maxwell, RowDecoder, TableSpec}
+
+/** Structured-Streaming CDC pipeline — the streaming analogue of the
+  * reference's consume loop (`/root/reference/cdc_manager.go:109-299`),
+  * re-expressed as: source -> Maxwell parse -> typed decode -> op routing
+  * -> `foreachBatch` upsert into materialized state.
+  *
+  * Source is pluggable by config, not code: `fileChangelog` reads JSON
+  * lines from a directory (sandbox- and test-friendly), and the same
+  * pipeline runs off `spark.readStream.format("kafka")` by swapping the
+  * source DataFrame (the reference's Kafka consumer group, R1/R15).
+  * Offsets/exactly-once: Spark's checkpoint WAL replaces the reference's
+  * manual `MarkMessage` at-least-once commit (R14) — with an idempotent
+  * upsert the state table is effectively-once.
+  *
+  * Scale notes: the per-batch merge shuffles only the BATCH by key after
+  * `currentState` compaction (events-per-key collapse map-side); state is
+  * re-written per batch here (parquet has no upsert) — on a cluster the
+  * state table would be bucketed by pk so the merge join is shuffle-free,
+  * or held in an upsert-capable sink (Delta/Iceberg MERGE, JDBC upsert per
+  * BASELINE.json's `spark_approach`).
+  */
+object CdcStream {
+
+  /** Streaming Maxwell envelope from a directory of JSON-line files. */
+  def fileChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val lines = spark.readStream
+      .schema("value STRING")
+      .format("text")
+      .load(dir)
+    Maxwell.parseEnvelopeCol(lines, col("value"))
+  }
+
+  /** Kafka variant — identical downstream pipeline, different source line
+    * (not runnable in this sandbox; kept as the production entry point). */
+  def kafkaChangelog(spark: SparkSession, bootstrap: String,
+                     topic: String, startingOffsets: String = "earliest"): DataFrame = {
+    val raw = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+    Maxwell.parseEnvelopeCol(raw, col("value"))
+  }
+
+  /** Typed change events for one registered table (streaming-safe: all
+    * narrow ops). `seq` falls back to 0 — file/Kafka ordering within a
+    * commit ts is then non-deterministic, exactly like the reference. */
+  def changeEvents(envelope: DataFrame, spec: TableSpec): DataFrame =
+    RowDecoder.changeEvents(envelope, spec)
+
+  /** Run the full pipeline into a parquet state table via foreachBatch
+    * merge. Returns the started query (AvailableNow: drains then stops —
+    * the test/replay trigger; swap for ProcessingTime in production). */
+  def materializeToParquet(envelope: DataFrame, spec: TableSpec,
+                           statePath: String,
+                           checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val events = changeEvents(envelope, spec)
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val compacted = Materializer.currentState(batch.toDF(), spec.primaryKey)
+        val deletedKeys = batch.filter(col("op") === "delete")
+          .select(spec.primaryKey.map(k => col(s"after.$k").as(k)): _*)
+        val merged = {
+          val exists = scala.util.Try(spark.read.parquet(statePath)).toOption
+          exists match {
+            case Some(prior) =>
+              // last-writer-wins: batch rows replace prior rows per key;
+              // keys deleted in this batch leave the state.
+              val keep = prior
+                .join(compacted.select(spec.primaryKey.map(col): _*),
+                      spec.primaryKey, "left_anti")
+                .join(deletedKeys, spec.primaryKey, "left_anti")
+              keep.unionByName(compacted)
+            case None => compacted
+          }
+        }
+        // overwrite via temp dir to avoid read/write-same-path conflicts
+        val tmp = statePath + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(statePath)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .start()
+  }
+
+  /** Event-time windowed aggregation with watermark (late data beyond the
+    * watermark is dropped — the event-time reasoning the reference never
+    * had, SURVEY.md §2.2 streaming row). */
+  def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
+                     window_ : String, keyCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col(keyCol), col("n"),
+              col("sum_value"))
+
+  /** Sliding + session window variants. */
+  def slidingCounts(events: DataFrame, tsCol: String, watermark: String,
+                    window_ : String, slide: String, keyCol: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col(keyCol), col("n"))
+
+  def sessionCounts(events: DataFrame, tsCol: String, watermark: String,
+                    gap: String, keyCol: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ws"),
+              col("session_window.end").as("we"), col(keyCol), col("n"))
+
+  /** Streaming dedup within a watermark (`dropDuplicatesWithinWatermark`):
+    * state is bounded by the watermark horizon instead of growing forever. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           watermark: String, keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Last change-event image per key via explicit state
+    * (`flatMapGroupsWithState`) — the arbitrary-stateful alternative to
+    * foreachBatch merge, analogous to a handler keeping its own map. Kept
+    * deliberately simple: emits the latest (ts, seq, op) row per key on
+    * every trigger. */
+  def lastImagePerKey(events: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    case class Ev(key: Long, ts: Long, seq: Long, op: String)
+    val typed = events.select(
+        col("after.o_orderkey").as("key"), col("ts"), col("seq"), col("op"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, String), (Long, Long, String)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, Long, String)]) =>
+          val candidates = rows ++ state.getOption.iterator
+          if (candidates.isEmpty) Iterator.empty
+          else {
+            val latest = candidates.maxBy(r => (r._2, r._3))
+            state.update(latest)
+            Iterator.single((key, latest._2, latest._4))
+          }
+      }
+      .toDF("key", "ts", "op")
+  }
+}

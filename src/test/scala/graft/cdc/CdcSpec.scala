@@ -1,0 +1,143 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Golden-envelope tests (SURVEY.md §5 test plan #1): Maxwell JSON in,
+  * typed rows out — modeled on the reference's only fixture
+  * (`/root/reference/test/fff.json`) plus the update/delete variants it
+  * lacks, with the §1.2 quirks Q1-Q4 as explicit cases. */
+class CdcSpec extends SparkSpec {
+
+  val dealsSpec = TableSpec(
+    database = "deal_test", table = "deals",
+    primaryKey = Seq("id"),
+    schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("created_at", TimestampType),
+      StructField("name", StringType),       // renamed from entity_name
+      StructField("entity_type", IntegerType),
+      StructField("active", BooleanType),
+      StructField("score", DoubleType))),
+    renames = Map("entity_name" -> "name"),
+    dropped = Set.empty)
+
+  // modeled on test/fff.json: insert with fractional-second timestamp
+  val insertJson =
+    """{"database":"deal_test","table":"deals","type":"insert","ts":1644822217,
+      |"data":{"id":7,"created_at":"2022-02-14 15:03:37.423","entity_name":"widget A",
+      |"entity_type":0,"active":1,"score":3.5}}""".stripMargin.replace("\n", "")
+  val updateJson =
+    """{"database":"deal_test","table":"deals","type":"update","ts":1644822300,
+      |"data":{"id":7,"created_at":"2022-02-14 15:03:37.423","entity_name":"widget B",
+      |"entity_type":0,"active":1,"score":4.5},
+      |"old":{"entity_name":"widget A","score":3.5}}""".stripMargin.replace("\n", "")
+  val deleteJson =
+    """{"database":"deal_test","table":"deals","type":"delete","ts":1644822400,
+      |"data":{"id":7,"created_at":"2022-02-14 15:03:37.423","entity_name":"widget B",
+      |"entity_type":0,"active":1,"score":4.5}}""".stripMargin.replace("\n", "")
+
+  def parse(lines: String*) = {
+    val ds = spark.createDataset(lines)(Encoders.STRING)
+    Maxwell.parseEnvelope(ds)
+  }
+
+  test("envelope parse extracts outer fields, keeps data as raw JSON") {
+    val env = parse(insertJson).collect()(0)
+    assert(env.getAs[String]("database") == "deal_test")
+    assert(env.getAs[String]("type") == "insert")
+    assert(env.getAs[Long]("ts") == 1644822217L)
+    assert(env.getAs[String]("data").contains("\"entity_name\""))
+    assert(env.getAs[String]("old") == null)
+  }
+
+  test("insert decode: rename, types, fractional-second timestamp (fixed mode)") {
+    val ev = RowDecoder.changeEvents(parse(insertJson), dealsSpec).collect()(0)
+    val after = ev.getAs[org.apache.spark.sql.Row]("after")
+    assert(ev.getAs[String]("op") == "insert")
+    assert(after.getAs[Long]("id") == 7L)
+    assert(after.getAs[String]("name") == "widget A") // column: rename applied
+    assert(after.getAs[Int]("entity_type") == 0)
+    assert(after.getAs[Boolean]("active"))
+    assert(after.getAs[Double]("score") == 3.5)
+    // FIXED semantics: fractional seconds survive (reference drops them, Q1)
+    val ts = after.getAs[java.sql.Timestamp]("created_at")
+    assert(ts != null && ts.toInstant.toString == "2022-02-14T15:03:37.423Z")
+    assert(ev.getAs[org.apache.spark.sql.Row]("before") == null)
+  }
+
+  test("quirk Q1 strict parity: fractional-second timestamps are dropped") {
+    val ev = RowDecoder.changeEvents(parse(insertJson), dealsSpec,
+      strictParity = true).collect()(0)
+    val after = ev.getAs[org.apache.spark.sql.Row]("after")
+    assert(after.getAs[java.sql.Timestamp]("created_at") == null)
+  }
+
+  test("quirk Q2: boolean decode — fixed accepts 0/false, strict only 1") {
+    val zero = insertJson.replace("\"active\":1", "\"active\":0")
+    val fixed = RowDecoder.changeEvents(parse(zero), dealsSpec).collect()(0)
+    assert(!fixed.getAs[org.apache.spark.sql.Row]("after").getAs[Boolean]("active"))
+    val strict = RowDecoder.changeEvents(parse(zero), dealsSpec,
+      strictParity = true).collect()(0)
+    assert(!strict.getAs[org.apache.spark.sql.Row]("after").getAs[Boolean]("active"))
+    val asTrue = RowDecoder.changeEvents(parse(insertJson), dealsSpec,
+      strictParity = true).collect()(0)
+    assert(asTrue.getAs[org.apache.spark.sql.Row]("after").getAs[Boolean]("active"))
+  }
+
+  test("quirk Q3: update exposes partial before; backfill option fills it") {
+    val ev = RowDecoder.changeEvents(parse(updateJson), dealsSpec).collect()(0)
+    val before = ev.getAs[org.apache.spark.sql.Row]("before")
+    assert(before.getAs[String]("name") == "widget A")   // changed col present
+    assert(before.getAs[Double]("score") == 3.5)
+    assert(before.isNullAt(before.fieldIndex("id")))     // unchanged col NULL
+    val filled = RowDecoder.changeEvents(parse(updateJson), dealsSpec,
+      backfillBefore = true).collect()(0)
+    val b2 = filled.getAs[org.apache.spark.sql.Row]("before")
+    assert(b2.getAs[Long]("id") == 7L)                   // backfilled from after
+    assert(b2.getAs[String]("name") == "widget A")       // old value kept
+  }
+
+  test("quirk Q4: delete carries the row image in after") {
+    val ev = RowDecoder.changeEvents(parse(deleteJson), dealsSpec).collect()(0)
+    assert(ev.getAs[String]("op") == "delete")
+    val after = ev.getAs[org.apache.spark.sql.Row]("after")
+    assert(after.getAs[Long]("id") == 7L)
+    assert(after.getAs[String]("name") == "widget B")
+    assert(ev.getAs[org.apache.spark.sql.Row]("before") == null)
+  }
+
+  test("epoch-millis timestamps decode via the numeric path") {
+    val ms = insertJson.replace("\"created_at\":\"2022-02-14 15:03:37.423\"",
+                                "\"created_at\":1644822217423")
+    val ev = RowDecoder.changeEvents(parse(ms), dealsSpec).collect()(0)
+    val ts = ev.getAs[org.apache.spark.sql.Row]("after")
+      .getAs[java.sql.Timestamp]("created_at")
+    assert(ts.toInstant.toEpochMilli == 1644822217423L)
+  }
+
+  test("null and missing columns decode to SQL NULL (not zero values)") {
+    val nulls =
+      """{"database":"deal_test","table":"deals","type":"insert","ts":1,
+        |"data":{"id":9,"entity_name":null}}""".stripMargin.replace("\n", "")
+    val after = RowDecoder.changeEvents(parse(nulls), dealsSpec).collect()(0)
+      .getAs[org.apache.spark.sql.Row]("after")
+    assert(after.getAs[Long]("id") == 9L)
+    assert(after.isNullAt(after.fieldIndex("name")))
+    assert(after.isNullAt(after.fieldIndex("score")))
+  }
+
+  test("registry: topic naming parity and duplicate rejection") {
+    val reg = TableRegistry().register(dealsSpec)
+    assert(dealsSpec.topic("tidb0") == "tidb0.deal_test.deals")
+    assert(reg.get("deal_test", "deals").contains(dealsSpec))
+    intercept[IllegalArgumentException] { reg.register(dealsSpec) }
+  }
+
+  test("events for other tables are filtered out") {
+    val other = insertJson.replace("\"table\":\"deals\"", "\"table\":\"other\"")
+    assert(RowDecoder.changeEvents(parse(other), dealsSpec).count() == 0)
+  }
+}

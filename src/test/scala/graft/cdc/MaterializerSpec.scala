@@ -1,0 +1,75 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5 #2): materialized state over random
+  * op-sequences equals a naive in-memory fold. (Plain scalacheck Gen —
+  * the scalatestplus bridge isn't in the offline cache.) */
+class MaterializerSpec extends SparkSpec {
+
+  case class Op(key: Long, ts: Long, seq: Long, op: String, value: Double)
+
+  val genOp: Gen[Op] = for {
+    key <- Gen.choose(0L, 9L)
+    ts <- Gen.choose(0L, 20L)
+    seq <- Gen.choose(0L, 1000L)
+    op <- Gen.oneOf("insert", "update", "delete")
+    v <- Gen.choose(0, 10000).map(_ / 100.0)
+  } yield Op(key, ts, seq, op, v)
+
+  def naiveFold(ops: List[Op]): Map[Long, Op] =
+    ops.sortBy(o => (o.ts, o.seq))
+      .foldLeft(Map.empty[Long, Op]) { (st, o) =>
+        if (o.op == "delete") st - o.key else st + (o.key -> o)
+      }
+
+  test("currentState equals naive last-writer-wins fold (scalacheck)") {
+    (0 until 20).foreach { trial =>
+      val ops = Gen.listOfN(60, genOp)
+        .apply(Gen.Parameters.default, Seed(42L + trial)).get
+      // deterministic tie-break requires unique (key, ts, seq)
+      val uniq = ops.groupBy(o => (o.key, o.ts, o.seq)).values.map(_.head).toList
+      val df = spark.createDataFrame(uniq)
+        .select(col("op"), col("ts"), col("seq"),
+          struct(col("key"), col("value")).as("after"))
+      val got = Materializer.currentState(df, Seq("key"))
+        .collect().map(r => r.getAs[Long]("key") -> r.getAs[Double]("value"))
+        .toMap
+      val want = naiveFold(uniq).map { case (k, o) => k -> o.value }
+      assert(got == want, s"trial $trial diverged")
+    }
+  }
+
+  test("merge(state, events) equals currentState over the full log") {
+    val ops = List(
+      Op(1, 1, 0, "insert", 1.0), Op(2, 1, 1, "insert", 2.0),
+      Op(1, 2, 2, "update", 1.5), Op(3, 2, 3, "insert", 3.0))
+    val later = List(
+      Op(2, 5, 4, "delete", 0.0), Op(3, 5, 5, "update", 3.5),
+      Op(4, 6, 6, "insert", 4.0))
+    def toDf(l: List[Op]) = spark.createDataFrame(l)
+      .select(col("op"), col("ts"), col("seq"),
+        struct(col("key"), col("value")).as("after"))
+    val state1 = Materializer.currentState(toDf(ops), Seq("key"))
+    val merged = Materializer.merge(state1, stateTs = 4L, toDf(later), Seq("key"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Double]("value")).toMap
+    val full = Materializer.currentState(toDf(ops ++ later), Seq("key"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Double]("value")).toMap
+    assert(merged == full)
+    assert(merged == Map(1L -> 1.5, 3L -> 3.5, 4L -> 4.0))
+  }
+
+  test("changelog replay at sf0.001 matches the closed-form expected state") {
+    val got = ChangelogGen.ordersState(spark, sfDir)
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    val want = orders.filter(col("o_orderkey") % 10 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderstatus") === "F", col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want.select(got.columns.map(col): _*)).count() == 0)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity + text operators: recall against planted/exact
+  * ground truth. */
+class PipelineSpec extends SparkSpec {
+
+  lazy val docs = graft.Tables.load(spark, sfDir, "documents").cache()
+  lazy val emb = graft.Tables.load(spark, sfDir, "embeddings").cache()
+
+  test("exact dedup groups identical normalized content") {
+    val dup = docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + 10000, // same text, different id
+                         concat(col("text"), lit("  ")))) // whitespace-only change
+    val groups = Dedup.exactDedup(dup, "doc_id", "text")
+    assert(groups.count() == docs.count())            // one group per content
+    assert(groups.filter(col("n_copies") === 2).count() == docs.count())
+    assert(groups.filter(col("keep_id") >= 10000).count() == 0) // keeps originals
+  }
+
+  test("minhash LSH recovers planted near-duplicates (full recall here)") {
+    val planted = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), lit(3),
+          size(TextAnalysis.tokens(col("text"))))).as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(planted)
+    val cand = Dedup.lshCandidatePairs(corpus, "doc_id", "text", b = 16, r = 4)
+    val plantedFound = cand
+      .filter(col("id_b") === col("id_a") + 10000 && col("id_a") % 5 === 0)
+      .count()
+    assert(plantedFound == planted.count(),
+      s"found $plantedFound of ${planted.count()} planted pairs")
+  }
+
+  test("ngram jaccard: identical=1, disjoint=0, planted pair high") {
+    val df = spark.sql(
+      """SELECT 'a b c d e f g' AS ta, 'a b c d e f g' AS tb
+        |UNION ALL SELECT 'a b c d e f g', 'q r s t u v w'
+        |UNION ALL SELECT 'a b c d e f g h i j', 'c d e f g h i j'""".stripMargin)
+    val j = df.select(round(Dedup.ngramJaccard(col("ta"), col("tb"), 3), 4)
+      .as("j")).collect().map(_.getDouble(0))
+    assert(j(0) == 1.0)
+    assert(j(1) == 0.0)
+    assert(j(2) > 0.7)
+  }
+
+  test("simhash: identical texts collide, perturbed texts are close") {
+    val sig = docs.limit(50).select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("s1"),
+      Dedup.simhash64(concat_ws(" ",
+        slice(TextAnalysis.tokens(col("text")), lit(2),
+          size(TextAnalysis.tokens(col("text")))))).as("s2"))
+    val self = sig.select(Dedup.hamming64(col("s1"), col("s1")).as("h"))
+    assert(self.filter(col("h") =!= 0).count() == 0)
+    val near = sig.select(Dedup.hamming64(col("s1"), col("s2")).as("h"))
+    // dropping one token should flip few bits on average
+    assert(near.agg(avg(col("h"))).head().getDouble(0) < 16.0)
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force top-10") {
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = Similarity.lshTopK(emb, queries, k = 10, dim = 64, planes = 2)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("q_id", "neighbor_id")).count()
+    val recall = hits.toDouble / exact.count()
+    // 2 planes ≈ 1/4 of the corpus probed; cosine-correlated buckets push
+    // recall well above the 25% random-probe floor
+    assert(recall > 0.25, s"LSH recall $recall too low")
+  }
+
+  test("IVF ANN achieves reasonable recall vs brute force top-10") {
+    val centroids = emb.filter(col("vec_id") % 25 === 0)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val assigned = Similarity.ivfAssign(emb, centroids)
+    assert(assigned.count() == emb.count()) // every vector lands in one list
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopK(assigned, centroids, queries,
+      k = 10, nprobe = 5)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("q_id", "neighbor_id")).count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall > 0.3, s"IVF recall $recall too low")
+  }
+
+  test("brute-force top-k: self excluded, scores sorted, k respected") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val topk = Similarity.bruteForceTopK(emb, queries, k = 5).cache()
+    assert(topk.count() == 15)
+    assert(topk.filter(col("q_id") === col("neighbor_id")).count() == 0)
+    val monotone = topk.withColumn("prev",
+      lag(col("cos"), 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy("rk")))
+    assert(monotone.filter(col("prev") < col("cos")).count() == 0)
+  }
+
+  test("language id picks the language whose markers dominate") {
+    val df = spark.sql(
+      """SELECT 'the cat and the dog of the house' AS t
+        |UNION ALL SELECT 'der hund und die katze ist hier und der vogel'
+        |UNION ALL SELECT 'el gato que la casa el perro que la'
+        |UNION ALL SELECT 'xyz abc qrs'""".stripMargin)
+    val got = df.select(TextAnalysis.langId(col("t")).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "de", "es", "und"))
+  }
+
+  test("token counts and fingerprints are whitespace-normalization invariant") {
+    val df = spark.sql("SELECT 'a  b\tc' AS t UNION ALL SELECT ' a b c '")
+    val n = df.select(TextAnalysis.tokenCount(col("t")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(n == Seq(3, 3))
+    val fps = df.select(TextAnalysis.fingerprint(col("t")).as("f"))
+      .collect().map(_.getString(0)).toSet
+    assert(fps.size == 1)
+  }
+
+  test("rolling token hash is order-sensitive, fingerprint is not") {
+    val df = spark.sql("SELECT 'alpha beta gamma' AS t UNION ALL SELECT 'gamma beta alpha'")
+    val rh = df.select(TextAnalysis.rollingTokenHash(col("t")).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rh.size == 2)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc.{ChangelogGen, Materializer}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Replay-correctness E2E (SURVEY.md §5 #3): stream the synthetic Maxwell
+  * changelog with Trigger.AvailableNow, assert the materialized state
+  * equals the batch-computed expected state; plus event-time windows,
+  * watermark late-data handling, and streaming dedup. */
+class StreamingSpec extends SparkSpec {
+
+  def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming replay materializes the same state as batch") {
+    val logDir = tmpDir("cdclog")
+    val stateDir = tmpDir("cdcstate") + "/state"
+    val ckptDir = tmpDir("cdcckpt")
+    // write the changelog as JSON-line files (two chunks = two batches
+    // would need two AvailableNow runs; one file set is fine here)
+    ChangelogGen.ordersChangelog(spark, sfDir)
+      .select("value").coalesce(2)
+      .write.mode("overwrite").text(logDir)
+
+    val envelope = CdcStream.fileChangelog(spark, logDir)
+      .withColumn("seq", lit(0L)) // file source: no generator seq; ts-only ordering
+    val q = CdcStream.materializeToParquet(
+      envelope, ChangelogGen.ordersSpec, stateDir, ckptDir)
+    q.awaitTermination()
+
+    val got = spark.read.parquet(stateDir)
+    val want = ChangelogGen.ordersState(spark, sfDir)
+    assert(got.count() == want.count())
+    assert(got.select(want.columns.map(col): _*)
+      .exceptAll(want).count() == 0)
+  }
+
+  test("incremental restart: second AvailableNow run with new files merges") {
+    val logDir = tmpDir("cdclog2")
+    val stateDir = tmpDir("cdcstate2") + "/state"
+    val ckptDir = tmpDir("cdcckpt2")
+    val log = ChangelogGen.ordersChangelog(spark, sfDir).cache()
+    // batch 1: inserts only
+    log.filter(col("value").contains("\"insert\"")).select("value")
+      .coalesce(1).write.mode("overwrite").text(logDir)
+    val env1 = CdcStream.fileChangelog(spark, logDir).withColumn("seq", lit(0L))
+    CdcStream.materializeToParquet(env1, ChangelogGen.ordersSpec,
+      stateDir, ckptDir).awaitTermination()
+    val afterInserts = spark.read.parquet(stateDir).count()
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    assert(afterInserts == orders.count())
+
+    // batch 2: updates + deletes appended as new files; checkpoint ensures
+    // the insert files are not reprocessed
+    log.filter(!col("value").contains("\"insert\"")).select("value")
+      .coalesce(1).write.mode("append").text(logDir)
+    val env2 = CdcStream.fileChangelog(spark, logDir).withColumn("seq", lit(0L))
+    CdcStream.materializeToParquet(env2, ChangelogGen.ordersSpec,
+      stateDir, ckptDir).awaitTermination()
+
+    val got = spark.read.parquet(stateDir)
+    val want = ChangelogGen.ordersState(spark, sfDir)
+    assert(got.count() == want.count())
+    assert(got.select(want.columns.map(col): _*).exceptAll(want).count() == 0)
+  }
+
+  test("windowed aggregation with watermark over events (AvailableNow)") {
+    val evDir = tmpDir("events")
+    graft.Tables.load(spark, sfDir, "events")
+      .write.mode("overwrite").parquet(evDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(evDir).schema)
+      .parquet(evDir)
+    val agg = CdcStream.windowedCounts(stream, "ts", "10 minutes",
+      "1 hour", "event_type")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("win")
+      .groupBy("ws", "event_type").agg(sum("n").as("n"))
+    val want = graft.Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // append mode emits only windows closed by the final watermark; every
+    // emitted window must match batch, and most windows must have closed
+    assert(got.join(want, Seq("ws", "event_type"))
+      .filter(got("n") =!= want("n")).count() == 0)
+    assert(got.count() >= want.count() - 1)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed keys") {
+    val evDir = tmpDir("eventsdup")
+    val ev = graft.Tables.load(spark, sfDir, "events").limit(200)
+    ev.union(ev).write.mode("overwrite").parquet(evDir) // each event twice
+    val stream = spark.readStream
+      .schema(spark.read.parquet(evDir).schema).parquet(evDir)
+    val dedup = CdcStream.dedupWithinWatermark(stream, "ts", "1 day",
+      Seq("event_id"))
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("dedup").count() == 200)
+    assert(spark.table("dedup").select("event_id").distinct().count() == 200)
+  }
+
+  test("session windows group events by inactivity gap") {
+    val evDir = tmpDir("eventsess")
+    graft.Tables.load(spark, sfDir, "events")
+      .write.mode("overwrite").parquet(evDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(evDir).schema).parquet(evDir)
+    val sess = CdcStream.sessionCounts(stream, "ts", "10 minutes",
+      "5 minutes", "user_id")
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("sess")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sess")
+    assert(got.count() > 0)
+    // session windows: start <= end, counts positive
+    assert(got.filter(col("ws") > col("we")).count() == 0)
+    assert(got.filter(col("n") <= 0).count() == 0)
+  }
+}
