@@ -15,6 +15,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Spread `df` across at least the session's default parallelism — used
+    * in front of CPU-bound kernels (JSON synthesis, shingle hashing) where
+    * the input is a small single-partition file that would otherwise pin
+    * the whole pipeline to one core. No-op when the input is already
+    * partitioned at least that wide (so a production-scale input with
+    * thousands of partitions is never reshuffled). */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized

@@ -43,16 +43,38 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
-  /** k MinHash values per document: min over shingles of xxhash64(shingle,
-    * seed_i). Each hash is one `aggregate` HOF over the shingle array —
-    * k×|shingles| hash evaluations per row, all inside codegen. */
-  def minhashSignature(text: Column, k: Int, nGram: Int = 5): Column = {
-    val sh = shingles(text, nGram)
-    val mins = (0 until k).map { seed =>
-      aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, lit(seed))))
-    }
-    array(mins: _*)
+  /** Mersenne prime 2^31-1 for the universal hash family
+    * h_i(x) = (a_i·x + b_i) mod p — products stay < 2^62, safe under
+    * ANSI overflow checking. */
+  private val P = 2147483647L
+  private def hashFamily(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    (Array.fill(k)(1L + rnd.nextInt(Int.MaxValue - 2)),
+     Array.fill(k)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** k-wide MinHash signatures per document: `(id, sig: array<bigint>)`.
+    *
+    * Shape chosen for codegen + scale: explode shingles once, hash each
+    * shingle string ONCE (xxhash64), derive the k family members
+    * arithmetically (2 mul-add-mods each), take k `min` aggregates. The
+    * whole pipeline is whole-stage-codegen'd; the shuffle carries only the
+    * map-side partially-aggregated k longs per (partition, doc) — never
+    * the shingle strings. (A per-row HOF formulation avoids the shuffle
+    * entirely but runs interpreted: measured 60x slower at sf0.1.) */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, nGram: Int, seed: Long = 42L): DataFrame = {
+    val (as, bs) = hashFamily(k, seed)
+    val spread = graft.Tables.ensureParallelism(docs)
+    val exploded = spread.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), nGram)).as("sh"))
+      .select(col("id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
+    val minCols = (0 until k).map(i =>
+      min(pmod(col("h") * as(i) + bs(i), lit(P))).as(s"m$i"))
+    exploded.groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+              array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** (bandId, bandHash) pairs for LSH banding: b bands of r rows each
@@ -71,8 +93,7 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                         b: Int = 16, r: Int = 4, nGram: Int = 5,
                         maxBucket: Int = 1000): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), b * r, nGram).as("sig"))
+    val sig = minhashSignatures(docs, idCol, textCol, b * r, nGram)
     val bucketed = sig
       .select(col("id"), explode(bands(col("sig"), b, r)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bandHash"))
@@ -107,9 +128,11 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash computed scan-side: one aggregate over tokens keeps a
-    * 64-slot counter array (+1/-1 per bit of each token hash), then the
-    * sign pattern packs into a long. No shuffle, no explode. */
+  /** 64-bit SimHash per row (interpreted HOF form — fine for ad-hoc column
+    * use on small inputs; [[simhashSignatures]] is the codegen'd bulk
+    * path). One aggregate over tokens keeps a 64-slot counter array
+    * (+1/-1 per bit of each token hash); the sign pattern packs into a
+    * long. */
   def simhash64(text: Column): Column = {
     val counters = aggregate(
       TextAnalysis.tokens(text),
@@ -126,6 +149,25 @@ object Dedup {
       lit(0L), (acc, bit) => acc.bitwiseOR(bit))
   }
 
+  /** Bulk SimHash signatures `(id, sig)` via explode + 64 codegen'd
+    * conditional-sum aggregates (map-side partial agg; the shuffle carries
+    * 64 longs per doc, not tokens). Same value as [[simhash64]]. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spread = graft.Tables.ensureParallelism(docs)
+    val exploded = spread.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val sums = (0 until 64).map(i =>
+      sum(when(call_function("shiftright", col("h"), lit(i))
+            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"c$i"))
+    val packed = (0 until 64).map(i =>
+      when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    exploded.groupBy(col("id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"), packed.as("sig"))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -134,8 +176,7 @@ object Dedup {
     * chunks — pigeonhole), verify with full Hamming distance. */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"),
-                          simhash64(col(textCol)).as("sig"))
+    val sig = simhashSignatures(docs, idCol, textCol)
     val chunks = sig.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         i => struct(i.as("chunk"),

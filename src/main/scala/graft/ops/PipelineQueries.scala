@@ -15,13 +15,20 @@ import graft.text.TextAnalysis
   */
 object PipelineQueries {
 
+  // single-file tables read as one partition; these kernels are CPU-bound,
+  // so spread them across the session parallelism first (no-op at scale)
+  private def docs(s: SparkSession, dir: String) =
+    graft.Tables.ensureParallelism(load(s, dir, "documents"))
+  private def emb(s: SparkSession, dir: String) =
+    graft.Tables.ensureParallelism(load(s, dir, "embeddings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- dedup ----
 
     // exact dedup via normalized-content fingerprint, per-language stats
     "q_dedup_exact" -> ((s, dir) =>
-      load(s, dir, "documents")
+      docs(s, dir)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
              countDistinct(TextAnalysis.fingerprint(col("text")))
@@ -30,14 +37,14 @@ object PipelineQueries {
 
     // per-document fingerprints (md5 content hash — engine-portable)
     "q_fingerprint" -> ((s, dir) =>
-      load(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
                 TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
     // order-sensitive rolling token hash (no oracle: arithmetic signature)
     "q_fingerprint_rolling" -> ((s, dir) =>
-      load(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
                 TextAnalysis.rollingTokenHash(col("text")).as("rh"))
         .orderBy(col("doc_id"))),
@@ -49,12 +56,12 @@ object PipelineQueries {
     // planted pairs — a real recall check, not an empty result.
     // (rows-only: xxhash64 signatures are Spark-specific)
     "q_dedup_minhash" -> ((s, dir) => {
-      val docs = load(s, dir, "documents").select("doc_id", "text")
-      val perturbed = docs.filter(col("doc_id") % 5 === 0)
+      val base = docs(s, dir).select("doc_id", "text")
+      val perturbed = base.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
                 concat_ws(" ", slice(TextAnalysis.tokens(col("text")),
                   lit(3), size(TextAnalysis.tokens(col("text"))))).as("text"))
-      val corpus = docs.unionByName(perturbed)
+      val corpus = base.unionByName(perturbed)
       val cand = Dedup.lshCandidatePairs(corpus, "doc_id", "text",
                                          b = 16, r = 4, nGram = 5)
       val a = corpus.select(col("doc_id").as("id_a"), col("text").as("text_a"))
@@ -69,13 +76,13 @@ object PipelineQueries {
 
     // SimHash near-dup candidate pairs (rows-only)
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashCandidates(load(s, dir, "documents"), "doc_id", "text",
+      Dedup.simhashCandidates(docs(s, dir), "doc_id", "text",
                               maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))),
 
     // embedding-cosine near-dup pairs above a threshold (oracle-checked)
     "q_dedup_embedding" -> ((s, dir) => {
-      val e = load(s, dir, "embeddings")
+      val e = emb(s, dir)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, col("id_a") < col("id_b"))
@@ -90,7 +97,7 @@ object PipelineQueries {
 
     // brute-force exact cosine top-3 (the ANN baseline; oracle-checked)
     "q_sim_topk" -> ((s, dir) => {
-      val e = load(s, dir, "embeddings")
+      val e = emb(s, dir)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.bruteForceTopK(e, queries, k = 3)
@@ -101,7 +108,7 @@ object PipelineQueries {
 
     // LSH-bucketed ANN (rows-only; recall vs brute force tested in specs)
     "q_sim_lsh" -> ((s, dir) => {
-      val e = load(s, dir, "embeddings")
+      val e = emb(s, dir)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.lshTopK(e, queries, k = 3, dim = 64, planes = 4)
@@ -112,7 +119,7 @@ object PipelineQueries {
 
     // IVF ANN (rows-only; the 100 TB scale path)
     "q_sim_ivf" -> ((s, dir) => {
-      val e = load(s, dir, "embeddings")
+      val e = emb(s, dir)
       val centroids = e.filter(col("vec_id") % 50 === 0)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -126,7 +133,7 @@ object PipelineQueries {
     // ---- text analysis ----
 
     "q_text_stats" -> ((s, dir) =>
-      load(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
                 TextAnalysis.tokenCount(col("text")).as("n_tokens"),
                 TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
@@ -137,14 +144,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))),
 
     "q_text_lang" -> ((s, dir) =>
-      load(s, dir, "documents")
+      docs(s, dir)
         .groupBy(col("lang"),
                  TextAnalysis.langId(col("text")).as("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))),
 
     "q_text_quality" -> ((s, dir) =>
-      load(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
                 TextAnalysis.qualityScore(col("text")).as("quality"),
                 round(TextAnalysis.stopwordRatio(col("text")), 6)
