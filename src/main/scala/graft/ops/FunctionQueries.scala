@@ -82,6 +82,21 @@ object FunctionQueries {
                 (col("c_acctbal") > 0).as("in_credit"))
         .orderBy(col("c_custkey"))),
 
+    // typed UDAF surface: exact top-k Aggregator (buffer holds ≤k pairs,
+    // map-side partial agg — the shuffle carries O(k·partitions), vs the
+    // window form's full partition sort). Same answer as row_number()<=k.
+    "q_udaf_topk" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.Encoders.product[(Double, Long)])
+      load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("ids"))
+        .select(col("o_orderstatus"), posexplode(col("ids")))
+        .select(col("o_orderstatus"), (col("pos") + 1).cast("int").as("rk"),
+                col("col").as("o_orderkey"))
+        .orderBy(col("o_orderstatus"), col("rk"))
+    }),
+
     // tumbling event-time window (batch form of the streaming agg)
     "q_time_window" -> ((s, dir) =>
       load(s, dir, "events")
@@ -146,6 +161,13 @@ object FunctionQueries {
         |    AS seg_or_other,
         |  c_acctbal > 0 AS in_credit
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_udaf_topk" ->
+      """SELECT o_orderstatus, CAST(rk AS INT) AS rk, o_orderkey FROM (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_orderstatus, rk""".stripMargin,
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value

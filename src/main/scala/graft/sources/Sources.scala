@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2.2 scans/sources + sinks rows).
+  *
+  * The reference's only source is a Kafka consumer group (R1) and its only
+  * "sinks" are handler callbacks (R13). The engine generalizes both:
+  * batch + streaming readers over the formats a data platform actually
+  * has, and writer builders for the materialization targets. Everything is
+  * a thin, typed veneer over `spark.read`/`readStream` — Catalyst keeps
+  * pushdown/pruning; nothing here adds an abstraction penalty.
+  */
+object Sources {
+
+  // ---- batch readers ----
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def jdbc(spark: SparkSession, url: String, table: String,
+           props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  // ---- streaming readers ----
+
+  def streamParquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  def streamJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
+  def streamText(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema("value STRING").format("text").load(path)
+
+  /** Kafka topic stream (config swap for the file sources; the CDC
+    * pipeline downstream is identical — see CdcStream.kafkaChangelog). */
+  def streamKafka(spark: SparkSession, bootstrap: String, subscribe: String,
+                  startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", subscribe)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Synthetic rate source (events/sec) for replay/load testing. */
+  def streamRate(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+
+  // ---- sinks ----
+
+  /** Partitioned parquet writer — the materialized-state table shape.
+    * `partitionBy` keys become directory partitions (partition pruning on
+    * read); `bucketBy` (via saveAsTable) co-locates join keys. */
+  def parquetSink(df: DataFrame, path: String,
+                  partitionBy: Seq[String] = Nil,
+                  mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** JDBC upsert-style sink per BASELINE.json `spark_approach` — append
+    * or overwrite into an RDBMS table (true MERGE needs the target DB's
+    * dialect; at-least-once append + idempotent key handling is the
+    * portable form). */
+  def jdbcSink(df: DataFrame, url: String, table: String,
+               mode: String = "append",
+               props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
+}

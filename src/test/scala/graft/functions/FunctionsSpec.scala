@@ -1,0 +1,86 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Custom expression + UDF/UDAF surface. */
+class FunctionsSpec extends SparkSpec {
+
+  test("VecDot matches the HOF formulation exactly (codegen path)") {
+    val e = graft.Tables.load(spark, sfDir, "embeddings").limit(100)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("ia") < col("ib")).limit(500)
+    val hof = aggregate(
+      zip_with(VectorFunctions.asDouble(col("va")),
+               VectorFunctions.asDouble(col("vb")), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = pairs.select(
+        VecDot.vec_dot(col("va"), col("vb")).as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0) // bit-exact, not just approximate
+  }
+
+  test("VecDot handles double arrays and mixed float/double") {
+    val df = spark.sql(
+      "SELECT array(1.0D, 2.0D, 3.0D) AS d, array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS f")
+    val r = df.select(
+      VecDot.vec_dot(col("d"), col("d")).as("dd"),
+      VecDot.vec_dot(col("d"), col("f")).as("df"),
+      VecDot.vec_dot(col("f"), col("f")).as("ff")).head()
+    assert(r.getDouble(0) == 14.0)
+    assert(r.getDouble(1) == 20.0)
+    assert(r.getDouble(2) == 29.0)
+  }
+
+  test("VecDot rejects non-array inputs at analysis time") {
+    val df = spark.sql("SELECT 1 AS x")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VecDot.vec_dot(col("x"), col("x"))).collect()
+    }
+  }
+
+  test("VecDot null semantics: null array -> null, null elements -> 0") {
+    val df = spark.sql(
+      """SELECT CAST(NULL AS ARRAY<DOUBLE>) AS n,
+        |array(1.0D, CAST(NULL AS DOUBLE), 3.0D) AS withNull,
+        |array(1.0D, 1.0D, 1.0D) AS ones""".stripMargin)
+    val r = df.select(
+      VecDot.vec_dot(col("n"), col("ones")).as("nullRes"),
+      VecDot.vec_dot(col("withNull"), col("ones")).as("partial")).head()
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) == 4.0)
+  }
+
+  test("TopKAggregator equals the window top-k") {
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new TopKAggregator(3), Encoders.product[(Double, Long)])
+    val o = graft.Tables.load(spark, sfDir, "orders")
+    val viaAgg = o.groupBy(col("o_orderstatus"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("ids"))
+      .select(col("o_orderstatus"), posexplode(col("ids")))
+      .select(col("o_orderstatus"), col("pos"), col("col").as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWin = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderstatus"), (col("rn") - 1).cast("int").as("pos"),
+              col("o_orderkey").as("k"))
+    assert(viaAgg.exceptAll(viaWin).count() == 0)
+    assert(viaWin.exceptAll(viaAgg).count() == 0)
+  }
+
+  test("scalar UDF registration surface (handler-parity escape hatch)") {
+    spark.udf.register("graft_tok", (s: String) =>
+      if (s == null) 0 else s.trim.split("\\s+").length)
+    val got = spark.sql("SELECT graft_tok('a b  c') AS n").head().getInt(0)
+    assert(got == 3)
+    // built-in stays the preferred (codegen) path; both agree
+    val doc = graft.Tables.load(spark, sfDir, "documents").limit(50)
+    val both = doc.select(
+      expr("graft_tok(text)").as("viaUdf"),
+      graft.text.TextAnalysis.tokenCount(col("text")).as("viaExpr"))
+    assert(both.filter(col("viaUdf") =!= col("viaExpr")).count() == 0)
+  }
+}
