@@ -20,6 +20,11 @@ import org.apache.spark.sql.types._
   * codegen'd, linear in input bytes. At 100 TB this is the same shape as
   * any Kafka->Spark ingest: parallelism = source partitions.
   */
+/** Typed envelope row (`op` = Maxwell `type`); `data`/`old` are raw JSON
+  * strings at this layer. */
+final case class CdcEnvelope(database: String, table: String, op: String,
+                             ts: Long, data: String, old: Option[String])
+
 object Maxwell {
 
   /** Maxwell envelope (`cdc_utils.go:14-21`):
@@ -43,6 +48,18 @@ object Maxwell {
           Map("mode" -> "PERMISSIVE")).as("e"))
       .filter(col("e").isNotNull && col("e.type").isNotNull)
       .select("e.*")
+  }
+
+  /** Typed surface: `Dataset[CdcEnvelope]` via the case-class Encoder —
+    * the analogue of the reference's user-facing `CDCSchema` struct
+    * (`cdc_utils.go:14-21`). */
+  def typedEnvelope(lines: Dataset[String]): Dataset[CdcEnvelope] = {
+    implicit val enc: org.apache.spark.sql.Encoder[CdcEnvelope] =
+      org.apache.spark.sql.Encoders.product[CdcEnvelope]
+    parseEnvelope(lines)
+      .select(col("database"), col("table"), col("type").as("op"),
+              col("ts"), col("data"), col("old"))
+      .as[CdcEnvelope]
   }
 
   /** Same, but starting from a DataFrame with a binary/string `value`

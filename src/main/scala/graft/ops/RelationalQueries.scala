@@ -191,6 +191,54 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // -- window: full ranking family over one frame
+    "q_window_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+                rank().over(w).as("rnk"),
+                dense_rank().over(w).as("drnk"),
+                ntile(4).over(w).as("quartile"),
+                round(percent_rank().over(w), 6).as("prank"))
+        .filter(col("rnk") <= 20)
+        .orderBy(col("o_orderstatus"), col("rnk"), col("o_orderkey"))
+    }),
+
+    // -- multiset difference (duplicates preserved)
+    "q_set_except_all" -> ((s, dir) => {
+      val l = load(s, dir, "lineitem")
+      val a = l.filter(col("l_quantity") > 10).select(col("l_orderkey"))
+      val b = l.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      a.exceptAll(b)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // -- sketch aggregation (rows-only: HLL impls differ across engines;
+    //    accuracy asserted in specs against the exact count)
+    "q_agg_approx" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+             approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))),
+
+    // -- map-typed columns (rows-only: map construction is engine-local;
+    //    value correctness asserted in specs)
+    "q_map_funcs" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .select(col("o_orderkey"),
+                map_from_arrays(
+                  array(lit("status"), lit("priority")),
+                  array(col("o_orderstatus"), col("o_orderpriority")))
+                  .as("m"))
+        .select(col("o_orderkey"),
+                map_keys(col("m")).as("ks"),
+                element_at(col("m"), "status").as("status"),
+                size(map_values(col("m"))).as("n_vals"))
+        .orderBy(col("o_orderkey"))),
+
     // -- global sort + limit (Spark runs TakeOrderedAndProject: no full sort)
     "q_sort_limit" -> ((s, dir) =>
       load(s, dir, "orders")
@@ -324,6 +372,25 @@ object RelationalQueries {
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_ranks" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk,
+        |  CAST(quartile AS INT) AS quartile, round(prank, 6) AS prank
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |    ntile(4) OVER w AS quartile, percent_rank() OVER w AS prank
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus
+        |               ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE rnk <= 20
+        |ORDER BY o_orderstatus, rnk, o_orderkey""".stripMargin,
+    "q_set_except_all" ->
+      """SELECT l_orderkey, count(*) AS n FROM (
+        |  SELECT l_orderkey FROM lineitem WHERE l_quantity > 10
+        |  EXCEPT ALL
+        |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

@@ -126,6 +126,15 @@ object CdcStream {
       .select(col("session_window.start").as("ws"),
               col("session_window.end").as("we"), col(keyCol), col("n"))
 
+  /** Stream-static join: enrich streaming change events with a static
+    * dimension table (SURVEY.md §2.2 joins row). The static side is
+    * re-planned per micro-batch (picking up dimension updates between
+    * batches) and broadcast when small — no state, no watermark needed
+    * for this join type. */
+  def enrichWithDimension(events: DataFrame, dim: DataFrame,
+                          eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left_outer")
+
   /** Streaming dedup within a watermark (`dropDuplicatesWithinWatermark`):
     * state is bounded by the watermark horizon instead of growing forever. */
   def dedupWithinWatermark(events: DataFrame, tsCol: String,

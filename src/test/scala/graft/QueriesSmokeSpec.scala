@@ -16,6 +16,25 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("approx_count_distinct lands within 10% of the exact count") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val both = li.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_orderkey")).as("approx"),
+      countDistinct(col("l_orderkey")).as("exact"))
+    val bad = both.filter(
+      abs(col("approx") - col("exact")) > col("exact") * 0.1)
+    assert(bad.count() == 0)
+  }
+
+  test("map functions produce consistent keys/values") {
+    import org.apache.spark.sql.functions._
+    val m = SparkEntry.queries("q_map_funcs")(spark, sfDir)
+    assert(m.filter(size(col("ks")) =!= 2 || col("n_vals") =!= 2).count() == 0)
+    val joined = m.join(Tables.load(spark, sfDir, "orders"), "o_orderkey")
+    assert(joined.filter(col("status") =!= col("o_orderstatus")).count() == 0)
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
       val df = fn(spark, sfDir)

@@ -110,6 +110,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").select("event_id").distinct().count() == 200)
   }
 
+  test("stream-static join enriches change events with a dimension table") {
+    val logDir = tmpDir("enrichlog")
+    ChangelogGen.ordersChangelog(spark, sfDir).select("value")
+      .coalesce(1).write.mode("overwrite").text(logDir)
+    val envelope = CdcStream.fileChangelog(spark, logDir)
+      .withColumn("seq", lit(0L))
+    val events = CdcStream.changeEvents(envelope, ChangelogGen.ordersSpec)
+      .select(col("op"), col("after.o_orderkey").as("o_orderkey"),
+              col("after.o_custkey").as("o_custkey"))
+    val dim = graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = CdcStream.enrichWithDimension(events, dim,
+      "o_custkey", "c_custkey")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enriched")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("enriched")
+    val nEvents = ChangelogGen.ordersChangeEvents(spark, sfDir).count()
+    assert(got.count() == nEvents)                      // left join keeps all
+    assert(got.filter(col("c_mktsegment").isNull).count() == 0) // all enriched
+  }
+
+  test("typed envelope surface decodes into Dataset[CdcEnvelope]") {
+    import graft.cdc.{CdcEnvelope, Maxwell}
+    val lines = ChangelogGen.ordersChangelog(spark, sfDir)
+      .select("value").as[String](org.apache.spark.sql.Encoders.STRING)
+    val typed: org.apache.spark.sql.Dataset[CdcEnvelope] =
+      Maxwell.typedEnvelope(lines)
+    val e = typed.filter(_.op == "update").head()
+    assert(e.database == "graft_demo" && e.table == "orders")
+    assert(e.old.isDefined && e.old.get.contains("o_totalprice"))
+  }
+
   test("session windows group events by inactivity gap") {
     val evDir = tmpDir("eventsess")
     graft.Tables.load(spark, sfDir, "events")
