@@ -47,8 +47,7 @@ object Similarity {
     val hyperplanes = Array.fill(planes, dim)(rnd.nextGaussian())
     val bits = hyperplanes.zipWithIndex.map { case (hp, i) =>
       val hpCol = array(hp.map(v => lit(v)): _*)
-      val proj = aggregate(zip_with(asDouble(vec), hpCol, (x, h) => x * h),
-                           lit(0.0), (acc, x) => acc + x)
+      val proj = graft.functions.VecDot.vec_dot(vec, hpCol) // codegen'd
       when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))

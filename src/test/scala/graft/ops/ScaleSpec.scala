@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Scale-design mechanisms: salted aggregation/join equivalence and
+  * bucketed (shuffle-free) joins. */
+class ScaleSpec extends SparkSpec {
+
+  test("saltedAgg equals direct groupBy (sum/count/min/max)") {
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("q"),
+           count(col("l_orderkey")).as("n"),
+           min(col("l_extendedprice")).as("mn"),
+           max(col("l_extendedprice")).as("mx"))
+    val salted = Skew.saltedAgg(li, Seq("l_returnflag"), saltBuckets = 8,
+      Map("q" -> (col("l_quantity"), "sum"),
+          "n" -> (col("l_orderkey"), "count"),
+          "mn" -> (col("l_extendedprice"), "min"),
+          "mx" -> (col("l_extendedprice"), "max")))
+    val cols = Seq("l_returnflag", "n", "mn", "mx")
+    // float sums: compare rounded (partial-order differs by design)
+    val d2 = direct.select(col("l_returnflag"), round(col("q"), 2).as("q"),
+      col("n"), col("mn"), col("mx"))
+    val s2 = salted.select(col("l_returnflag"), round(col("q"), 2).as("q"),
+      col("n"), col("mn"), col("mx"))
+    assert(d2.exceptAll(s2).count() == 0 && s2.exceptAll(d2).count() == 0)
+  }
+
+  test("saltedJoin equals plain join") {
+    val o = graft.Tables.load(spark, sfDir, "orders")
+    val c = graft.Tables.load(spark, sfDir, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = o.join(c, Seq("o_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"))
+    val salted = Skew.saltedJoin(o, c, "o_custkey", saltBuckets = 4)
+      .select(col("o_orderkey"), col("c_mktsegment"))
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse.dir is a static conf — the suite session's default
+    // (./spark-warehouse, gitignored) is used; isolate runtime confs only
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val o = graft.Tables.load(s2, sfDir, "orders")
+    val c = graft.Tables.load(s2, sfDir, "customer")
+    o.write.mode("overwrite").bucketBy(4, "o_custkey")
+      .sortBy("o_custkey").saveAsTable("orders_b")
+    c.write.mode("overwrite").bucketBy(4, "c_custkey")
+      .sortBy("c_custkey").saveAsTable("customer_b")
+    val joined = s2.table("orders_b")
+      .join(s2.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    // and it is still correct
+    val n = joined.count()
+    val expect = graft.Tables.load(s2, sfDir, "orders")
+      .join(graft.Tables.load(s2, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(n == expect)
+  }
+}
