@@ -46,6 +46,14 @@ class ScaleSpec extends SparkSpec {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
     s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // the in-memory catalog forgets tables between JVM runs but the
+    // warehouse directories survive — clear both sides first
+    Seq("orders_b", "customer_b").foreach { t =>
+      s2.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(
+        s2.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
     val o = graft.Tables.load(s2, sfDir, "orders")
     val c = graft.Tables.load(s2, sfDir, "customer")
     o.write.mode("overwrite").bucketBy(4, "o_custkey")
