@@ -79,6 +79,65 @@ class ConnectorSpec extends SparkSpec {
     assert(found._3 == firstF.getDouble(1) * 1.1)    // new price
   }
 
+  test("multi-table multiplexing: each registration sees only its table") {
+    import org.apache.spark.sql.types._
+    // second table riding the same envelope stream (R15: one consumer
+    // group registry, N tables)
+    val userSpec = TableSpec(
+      database = "graft_demo", table = "users",
+      primaryKey = Seq("id"),
+      schema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType))))
+    val usersJson = spark.createDataFrame(
+        Seq((1L, "ada"), (2L, "grace"))).toDF("id", "name")
+      .select(to_json(struct(
+        lit("graft_demo").as("database"), lit("users").as("table"),
+        lit("insert").as("type"), lit(100L).as("ts"),
+        struct(col("id"), col("name")).as("data"))).as("value"),
+        lit(0L).as("seq"))
+    val mixed = ChangelogGen.ordersChangelog(spark, sfDir)
+      .unionByName(usersJson)
+    val envelope = mixed.select(
+        from_json(col("value"), Maxwell.envelopeSchema).as("e"), col("seq"))
+      .select(col("e.*"), col("seq"))
+    val hOrders = new Capture
+    var userNames = Set.empty[String]
+    val hUsers = new CdcHandler {
+      override def onCreate(after: DataFrame): Unit =
+        userNames ++= after.collect().map(_.getAs[String]("name"))
+    }
+    new Connector(spark)
+      .register(ChangelogGen.ordersSpec, hOrders)
+      .register(userSpec, hUsers)
+      .replayBatch(envelope)
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    assert(hOrders.creates == orders.count())   // no cross-table bleed
+    assert(userNames == Set("ada", "grace"))
+  }
+
+  test("decimal/array/map payload columns decode (reference drops them)") {
+    import org.apache.spark.sql.types._
+    val richSpec = TableSpec(
+      database = "d", table = "rich", primaryKey = Seq("id"),
+      schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("price", DecimalType(10, 2)),
+        StructField("tags", ArrayType(StringType)),
+        StructField("attrs", MapType(StringType, LongType)))))
+    val json =
+      """{"database":"d","table":"rich","type":"insert","ts":1,
+        |"data":{"id":1,"price":12.34,"tags":["a","b"],"attrs":{"x":7}}}"""
+        .stripMargin.replace("\n", "")
+    val ds = spark.createDataset(Seq(json))(
+      org.apache.spark.sql.Encoders.STRING)
+    val after = RowDecoder.changeEvents(Maxwell.parseEnvelope(ds), richSpec)
+      .select("after.*").collect()(0)
+    assert(after.getAs[java.math.BigDecimal]("price")
+      .compareTo(new java.math.BigDecimal("12.34")) == 0)
+    assert(after.getSeq[String](after.fieldIndex("tags")) == Seq("a", "b"))
+    assert(after.getAs[Map[String, Long]]("attrs") == Map("x" -> 7L))
+  }
+
   test("duplicate registration rejected; topic naming matches reference") {
     val conn = new Connector(spark, serverName = "tidb0")
       .register(ChangelogGen.ordersSpec)
