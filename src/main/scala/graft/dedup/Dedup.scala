@@ -91,7 +91,7 @@ object Dedup {
     * than `maxBucket` (degenerate content) are dropped — at scale a single
     * hot bucket would otherwise produce a quadratic pair blowup. */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                        b: Int = 16, r: Int = 4, nGram: Int = 5,
+                        b: Int = 16, r: Int = 2, nGram: Int = 5,
                         maxBucket: Int = 1000): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, b * r, nGram)
     val bucketed = sig

@@ -63,7 +63,7 @@ object PipelineQueries {
                   lit(3), size(TextAnalysis.tokens(col("text"))))).as("text"))
       val corpus = base.unionByName(perturbed)
       val cand = Dedup.lshCandidatePairs(corpus, "doc_id", "text",
-                                         b = 16, r = 4, nGram = 5)
+                                         b = 16, r = 2, nGram = 5)
       val a = corpus.select(col("doc_id").as("id_a"), col("text").as("text_a"))
       val b = corpus.select(col("doc_id").as("id_b"), col("text").as("text_b"))
       cand.join(a, "id_a").join(b, "id_b")

@@ -29,7 +29,7 @@ class PipelineSpec extends SparkSpec {
         concat_ws(" ", slice(TextAnalysis.tokens(col("text")), lit(3),
           size(TextAnalysis.tokens(col("text"))))).as("text"))
     val corpus = docs.select("doc_id", "text").unionByName(planted)
-    val cand = Dedup.lshCandidatePairs(corpus, "doc_id", "text", b = 16, r = 4)
+    val cand = Dedup.lshCandidatePairs(corpus, "doc_id", "text", b = 16, r = 2)
     val plantedFound = cand
       .filter(col("id_b") === col("id_a") + 10000 && col("id_a") % 5 === 0)
       .count()
