@@ -98,6 +98,48 @@ object CdcStream {
       .start()
   }
 
+  /** JDBC variant of the materialized-state sink (BASELINE.json
+    * `spark_approach`: "Structured Streaming + JDBC sink"). Per batch:
+    * compact the batch, merge against the current table image, overwrite.
+    * Spark's JDBC writer has no MERGE; production points this at a
+    * dialect with upsert (or wraps foreachPartition INSERT ... ON
+    * CONFLICT) — the per-batch merge logic is identical either way. */
+  def materializeToJdbc(envelope: DataFrame, spec: TableSpec,
+                        url: String, table: String, checkpointPath: String,
+                        props: java.util.Properties = new java.util.Properties())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val events = changeEvents(envelope, spec)
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val compacted = Materializer.currentState(batch.toDF(), spec.primaryKey)
+        val deletedKeys = batch.filter(col("op") === "delete")
+          .select(spec.primaryKey.map(k => col(s"after.$k").as(k)): _*)
+        val merged = scala.util.Try(spark.read.jdbc(url, table, props)) match {
+          case scala.util.Success(prior) =>
+            prior
+              .join(compacted.select(spec.primaryKey.map(col): _*),
+                    spec.primaryKey, "left_anti")
+              .join(deletedKeys, spec.primaryKey, "left_anti")
+              .unionByName(compacted)
+          case scala.util.Failure(_) => compacted // first batch: no table yet
+        }
+        // JDBC reads are lazy: pin the merge in the cache BEFORE the
+        // overwrite truncates the table it reads from (production: write
+        // to a staging table and swap, like the parquet path's tmp+rename)
+        merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          merged.count() // force full materialization
+          merged.write.mode("overwrite").jdbc(url, table, props)
+        } finally merged.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Event-time windowed aggregation with watermark (late data beyond the
     * watermark is dropped — the event-time reasoning the reference never
     * had, SURVEY.md §2.2 streaming row). */

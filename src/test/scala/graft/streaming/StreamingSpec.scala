@@ -145,6 +145,49 @@ class StreamingSpec extends SparkSpec {
     assert(e.old.isDefined && e.old.get.contains("o_totalprice"))
   }
 
+  test("late data beyond the watermark is dropped across restarts") {
+    val evDir = tmpDir("eventslate")
+    val ckpt = tmpDir("lateckpt")
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    ev.write.mode("overwrite").parquet(evDir)
+    val schema = spark.read.parquet(evDir).schema
+    def runOnce() = {
+      // memory sink can't recover from a checkpoint; collect via
+      // foreachBatch (which can) into a driver-side buffer
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+      val stream = spark.readStream.schema(schema).parquet(evDir)
+      val agg = CdcStream.windowedCounts(stream, "ts", "10 minutes",
+        "1 hour", "event_type")
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.collect().foreach(buf.add); ()
+        }
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(buf.asScala.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(
+          agg.schema.fields.map(_.copy(nullable = true))))
+    }
+    runOnce() // advances the checkpointed watermark to max(ts)-10min
+
+    // second batch: one VERY late event (at the corpus minimum, hours
+    // behind the watermark) plus nothing newer — it must be dropped, and
+    // its already-emitted window must not re-emit
+    val lateTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+    val lateHour = new java.sql.Timestamp(lateTs.getTime / 3600000 * 3600000)
+    ev.limit(1)
+      .withColumn("ts", lit(lateTs))
+      .withColumn("event_type", lit("LATE_MARKER"))
+      .write.mode("append").parquet(evDir)
+    val out2 = runOnce()
+    assert(out2.filter(col("event_type") === "LATE_MARKER").count() == 0)
+    assert(out2.filter(col("ws") === lateHour).count() == 0)
+  }
+
   test("session windows group events by inactivity gap") {
     val evDir = tmpDir("eventsess")
     graft.Tables.load(spark, sfDir, "events")
