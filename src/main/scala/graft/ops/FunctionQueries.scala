@@ -82,6 +82,47 @@ object FunctionQueries {
                 (col("c_acctbal") > 0).as("in_credit"))
         .orderBy(col("c_custkey"))),
 
+    // pivot: rows -> columns (one shuffle; values list pinned so the plan
+    // needs no extra distinct-values job)
+    "q_pivot" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .orderBy(col("o_orderpriority"))),
+
+    // exact interpolating percentiles
+    "q_percentile" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("med"),
+             round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+        .orderBy(col("o_orderstatus"))),
+
+    // statistical aggregates
+    "q_stats_agg" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("c"),
+             round(stddev_samp(col("l_quantity")), 6).as("sd"),
+             round(var_samp(col("l_discount")), 6).as("v"))
+        .orderBy(col("l_returnflag"))),
+
+    // ordered collect (sort_array makes collect_list deterministic)
+    "q_collect_list" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(slice(sort_array(collect_list(col("o_custkey"))), 1, 5).as("ks"))
+        .orderBy(col("o_orderstatus"))),
+
+    // generator / UDTF shape: explode tokens into rows
+    "q_explode_tokens" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+                explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+        .orderBy(col("doc_id"), col("tok"))),
+
     // typed UDAF surface: exact top-k Aggregator (buffer holds ≤k pairs,
     // map-side partial agg — the shuffle carries O(k·partitions), vs the
     // window form's full partition sort). Same answer as row_number()<=k.
@@ -161,6 +202,34 @@ object FunctionQueries {
         |    AS seg_or_other,
         |  c_acctbal > 0 AS in_credit
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS F,
+        |  count(*) FILTER (o_orderstatus = 'O') AS O,
+        |  count(*) FILTER (o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS med,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS c,
+        |  round(stddev_samp(l_quantity), 6) AS sd,
+        |  round(var_samp(l_discount), 6) AS v
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_collect_list" ->
+      """SELECT o_orderstatus,
+        |  list(o_custkey ORDER BY o_custkey)[1:5] AS ks
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_explode_tokens" ->
+      """SELECT doc_id,
+        |  unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+        |    AS tok
+        |FROM documents WHERE doc_id < 20
+        |ORDER BY doc_id, tok""".stripMargin,
     "q_udaf_topk" ->
       """SELECT o_orderstatus, CAST(rk AS INT) AS rk, o_orderkey FROM (
         |  SELECT o_orderstatus, o_orderkey,
