@@ -146,6 +146,22 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // -- as-of join: each click enriched with the user's most recent
+    //    purchase value at-or-before the click (point-in-time semantics)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))   // unique per (key, ts)
+        .agg(max_by(col("value"), col("event_id")).as("pval"))
+      graft.operators.AsOfJoin.asOf(
+          clicks, purchases, key = "user_id",
+          leftTs = "ts", rightTs = "ts", payload = Seq("pval"))
+        .select(col("event_id"), col("user_id"), col("pval"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- window: top-3 orders per customer (ranking, deterministic ties)
     "q_window_topk" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -347,6 +363,16 @@ object RelationalQueries {
         |  ON o_orderkey = l_orderkey
         | AND l_shipdate > o_orderdate + INTERVAL 60 DAY
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS pval
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, p.pval
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     "q_window_topk" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
