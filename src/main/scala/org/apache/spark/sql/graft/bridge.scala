@@ -11,4 +11,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Install graft's SQL function + optimizer rule into an EXISTING
+    * session (extensions only apply at session build time). */
+  def installGraft(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      exprs => graft.functions.VecDot(exprs(0), exprs(1)),
+      "built-in")
+    val sc = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!sc.experimental.extraOptimizations.contains(graft.plans.VecDotRewrite))
+      sc.experimental.extraOptimizations =
+        sc.experimental.extraOptimizations :+ graft.plans.VecDotRewrite
+  }
 }
