@@ -50,6 +50,21 @@ object Maxwell {
       .select("e.*")
   }
 
+  /** Envelope parse with a corrupt-record sidecar (R18 error-policy
+    * surface): malformed lines land in `_corrupt_record` instead of being
+    * silently dropped, so a dead-letter sink can keep them — the
+    * observability the reference's log-and-skip never had. Returns the
+    * envelope columns plus `_corrupt_record` (NULL for good rows). */
+  def parseEnvelopeWithCorrupt(lines: Dataset[String]): DataFrame = {
+    val schemaWithCorrupt = StructType(
+      envelopeSchema.fields :+ StructField("_corrupt_record", StringType))
+    lines.select(
+        from_json(col("value"), schemaWithCorrupt,
+          Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_corrupt_record")).as("e"))
+      .select("e.*")
+  }
+
   /** Typed surface: `Dataset[CdcEnvelope]` via the case-class Encoder —
     * the analogue of the reference's user-facing `CDCSchema` struct
     * (`cdc_utils.go:14-21`). */

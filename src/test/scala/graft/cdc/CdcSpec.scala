@@ -136,6 +136,20 @@ class CdcSpec extends SparkSpec {
     intercept[IllegalArgumentException] { reg.register(dealsSpec) }
   }
 
+  test("corrupt-record sidecar captures malformed lines") {
+    val lines = spark.createDataset(Seq(
+      insertJson, "{{{not json", """{"type": 7}"""))(Encoders.STRING)
+    val parsed = Maxwell.parseEnvelopeWithCorrupt(lines)
+    assert(parsed.count() == 3)
+    val corrupt = parsed.filter(col("_corrupt_record").isNotNull)
+    assert(corrupt.count() >= 1) // the unparseable line is preserved
+    assert(corrupt.filter(col("_corrupt_record").contains("not json"))
+      .count() == 1)
+    val good = parsed.filter(col("_corrupt_record").isNull &&
+                             col("type") === "insert")
+    assert(good.count() == 1)
+  }
+
   test("events for other tables are filtered out") {
     val other = insertJson.replace("\"table\":\"deals\"", "\"table\":\"other\"")
     assert(RowDecoder.changeEvents(parse(other), dealsSpec).count() == 0)

@@ -188,6 +188,31 @@ class StreamingSpec extends SparkSpec {
     assert(out2.filter(col("ws") === lateHour).count() == 0)
   }
 
+  test("flatMapGroupsWithState emits the latest image per key") {
+    val logDir = tmpDir("statelog")
+    ChangelogGen.ordersChangelog(spark, sfDir).select("value")
+      .coalesce(1).write.mode("overwrite").text(logDir)
+    val envelope = CdcStream.fileChangelog(spark, logDir)
+      .withColumn("seq", lit(0L))
+    val events = CdcStream.changeEvents(envelope, ChangelogGen.ordersSpec)
+    val latest = CdcStream.lastImagePerKey(events, spark)
+    val q = latest.writeStream.outputMode("update")
+      .format("memory").queryName("lastimg")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("lastimg")
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    assert(got.select("key").distinct().count() == orders.count())
+    // deleted keys end on op=delete (highest ts in their sequence)
+    val delKeys = got.filter(col("op") === "delete")
+    assert(delKeys.count() == orders.filter(col("o_orderkey") % 10 === 0).count())
+    // 'F' keys not divisible by 10 end on their update
+    val fKeys = got.filter(col("op") === "update").count()
+    assert(fKeys == orders.filter(col("o_orderstatus") === "F" &&
+                                  col("o_orderkey") % 10 =!= 0).count())
+  }
+
   test("session windows group events by inactivity gap") {
     val evDir = tmpDir("eventsess")
     graft.Tables.load(spark, sfDir, "events")
