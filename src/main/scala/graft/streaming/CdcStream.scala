@@ -177,6 +177,21 @@ object CdcStream {
                           eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left_outer")
 
+  /** Stream-stream interval join: match rows of two event streams on a
+    * key within a time window (`leftTs` in [rightTs, rightTs + interval]).
+    * Both sides are watermarked so the join state is bounded — Spark
+    * evicts buffered rows once the watermark passes the interval. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   watermark: String, interval: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        l.col(leftTs) >= r.col(rightTs) &&
+        l.col(leftTs) <= r.col(rightTs) + expr(s"INTERVAL $interval"))
+  }
+
   /** Streaming dedup within a watermark (`dropDuplicatesWithinWatermark`):
     * state is bounded by the watermark horizon instead of growing forever. */
   def dedupWithinWatermark(events: DataFrame, tsCol: String,

@@ -188,6 +188,48 @@ class StreamingSpec extends SparkSpec {
     assert(out2.filter(col("ws") === lateHour).count() == 0)
   }
 
+  test("stream-stream interval join matches events within the window") {
+    val evDir = tmpDir("ssjoin")
+    graft.Tables.load(spark, sfDir, "events")
+      .write.mode("overwrite").parquet(evDir)
+    val schema = spark.read.parquet(evDir).schema
+    def stream() = spark.readStream.schema(schema).parquet(evDir)
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"),
+              col("ts").as("c_ts"))
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"),
+              col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val joined = CdcStream.intervalJoin(
+      clicks.withColumnRenamed("user_id", "key"),
+      purchases.withColumnRenamed("p_user", "key"),
+      "key", "c_ts", "p_ts", watermark = "1 hour", interval = "2 HOURS")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ssjoin")
+    // batch equivalent as ground truth
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("key"),
+              col("ts").as("c_ts"))
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("key2"),
+              col("ts").as("p_ts"))
+    val want = bc.join(bp, col("key") === col("key2") &&
+      col("c_ts") >= col("p_ts") &&
+      col("c_ts") <= col("p_ts") + expr("INTERVAL 2 HOURS"))
+    // streaming may withhold pairs still inside the final watermark, but
+    // everything it emits must be correct and most pairs must appear
+    assert(got.count() > 0)
+    val wrong = got.select("c_id", "p_id")
+      .exceptAll(want.select("c_id", "p_id"))
+    assert(wrong.count() == 0)
+    assert(got.count() >= (want.count() * 0.8).toLong)
+  }
+
   test("flatMapGroupsWithState emits the latest image per key") {
     val logDir = tmpDir("statelog")
     ChangelogGen.ordersChangelog(spark, sfDir).select("value")
