@@ -25,37 +25,64 @@ import org.apache.spark.sql.functions._
   */
 object Materializer {
 
-  /** Fold a batch of change events `(op, ts, seq, before, after)` into the
-    * current state: one row per key, deletes removed. The key is read from
+  /** Meta columns carried by tombstone-aware state tables. */
+  val MetaCols: Seq[String] = Seq("__op", "__ts", "__seq")
+
+  /** Fold change events `(op, ts, seq, after)` into a tombstone-RETAINING
+    * state: one row per key — including deleted keys, which keep their
+    * row image plus `__op = 'delete'`. Retained tombstones are what make
+    * incremental merges correct under out-of-order arrival: a stale event
+    * older than the delete cannot resurrect the key. The key is read from
     * `after` — valid for every op because deletes carry the row image in
     * `after` (quirk Q4, `cdc_manager.go:249-256`). */
-  def currentState(events: DataFrame, primaryKey: Seq[String]): DataFrame = {
+  def compact(events: DataFrame, primaryKey: Seq[String]): DataFrame = {
     val keyCols = primaryKey.map(k => col(s"after.$k").as(s"__k_$k"))
-    val last = events
+    events
       .groupBy(keyCols: _*)
-      .agg(max_by(struct(col("op"), col("after")),
+      .agg(max_by(struct(col("op"), col("ts"), col("seq"), col("after")),
                   struct(col("ts"), col("seq"))).as("last"))
-    last.filter(col("last.op") =!= "delete").select("last.after.*")
+      .select(col("last.after.*"), col("last.op").as("__op"),
+              col("last.ts").as("__ts"), col("last.seq").as("__seq"))
   }
 
-  /** Merge a (small) batch of change events into existing state — the
-    * `foreachBatch` upsert body for streaming (SURVEY.md §7 stage 3).
-    * Semantics: events win over prior state at equal ts via the `seq`
-    * offset; prior state is replayed as ts = its materialization watermark.
+  /** Live view of a tombstone-aware state frame. */
+  def liveView(state: DataFrame): DataFrame =
+    state.filter(col("__op") =!= "delete").drop(MetaCols: _*)
+
+  /** Tombstone-aware state back into event form for re-merging. */
+  def stateAsEvents(state: DataFrame): DataFrame = {
+    val imageCols = state.columns.filterNot(MetaCols.contains)
+    state.select(col("__op").as("op"), col("__ts").as("ts"),
+      col("__seq").as("seq"),
+      struct(imageCols.map(col).toSeq: _*).as("after"))
+  }
+
+  /** Fold a batch of change events into the current state: one row per
+    * key, deletes removed. */
+  def currentState(events: DataFrame, primaryKey: Seq[String]): DataFrame =
+    liveView(compact(events, primaryKey))
+
+  /** Merge a batch of change events into existing tombstone-aware state —
+    * the `foreachBatch` upsert body for streaming (SURVEY.md §7 stage 3).
+    * TRUE last-writer-wins by (ts, seq): a late-arriving event older than
+    * what the state already holds for its key (including a tombstone)
+    * loses, so streaming materialization converges to the same answer as
+    * a batch fold over the full log regardless of arrival order.
     *
     * At scale: `state` is the big side (partitioned on pk by the previous
     * write); the per-batch `events` side is small. The union+agg re-shuffle
     * is avoided in production by writing state bucketed by pk so AQE can
-    * plan a shuffle-free merge; in this sandbox we keep the plain agg. */
-  def merge(state: DataFrame, stateTs: Long, events: DataFrame,
-            primaryKey: Seq[String]): DataFrame = {
-    val stateAsEvents = state.select(
-      lit("insert").as("op"),
-      lit(stateTs).as("ts"), lit(-1L).as("seq"),
-      struct(state.columns.map(col): _*).as("after"))
-    currentState(
-      stateAsEvents.unionByName(
+    * plan a shuffle-free merge; in this sandbox we keep the plain agg.
+    * Tombstones older than `tombstoneRetentionTs` are dropped (state-size
+    * control; safe once the source cannot deliver events older than it). */
+  def merge(state: DataFrame, events: DataFrame, primaryKey: Seq[String],
+            tombstoneRetentionTs: Long = Long.MinValue): DataFrame = {
+    val merged = compact(
+      stateAsEvents(state).unionByName(
         events.select("op", "ts", "seq", "after")),
       primaryKey)
+    if (tombstoneRetentionTs == Long.MinValue) merged
+    else merged.filter(col("__op") =!= "delete" ||
+                       col("__ts") >= tombstoneRetentionTs)
   }
 }

@@ -89,6 +89,84 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared-L2 distance Σ(x-y)² over two numeric arrays — same
+  * structure and promotion rules as [[VecDot]] (double-promote first,
+  * sequential accumulation). `sqrt` applied by the caller. */
+case class VecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(
+      s"vec_l2sq expects array inputs, got ${other.sql}")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_l2sq requires array<float|double> inputs, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  private def get(a: ArrayData, dt: DataType, i: Int): Double = dt match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val d = get(a, lt, i) - get(b, rt, i)
+        s += d * d
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def accessor(v: String, dt: DataType, i: String): String = dt match {
+      case FloatType => s"((double) $v.getFloat($i))"
+      case _ => s"$v.getDouble($i)"
+    }
+    val (lt, rt) = (elemType(left), elemType(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $d = ${accessor(a, lt, i)} - ${accessor(b, rt, i)};
+         |    $s += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecDot {
   import org.apache.spark.sql.graft.bridge
   /** Column-level entry point, mirroring `functions._` style (Spark 4
@@ -96,4 +174,7 @@ object VecDot {
     * expressions). */
   def vec_dot(a: Column, b: Column): Column =
     bridge.column(VecDot(bridge.expression(a), bridge.expression(b)))
+
+  def vec_l2sq(a: Column, b: Column): Column =
+    bridge.column(VecL2Sq(bridge.expression(a), bridge.expression(b)))
 }

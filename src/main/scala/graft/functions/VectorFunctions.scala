@@ -28,9 +28,8 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
-  /** ||a-b||₂ via the polarization identity: one codegen'd dot per term
-    * (a·a - 2a·b + b·b would lose ulp-exactness; keep the direct form). */
+  /** ||a-b||₂ via the codegen'd Σ(x-y)² kernel — direct form (not the
+    * polarization identity a·a-2a·b+b·b, which loses ulp-exactness). */
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-                   lit(0.0), (acc, x) => acc + x))
+    sqrt(VecDot.vec_l2sq(a, b))
 }

@@ -56,8 +56,13 @@ object Multimodal {
         (col("n_chars") % 480 + 1).cast("int").as("height"),
         (col("n_chars") * 100).as("duration_ms")).as("meta"))
 
-  /** Partition by cumulative payload size so each decode task sees roughly
-    * `targetBytesPerPartition` of binary data regardless of row skew. */
+  /** Size the decode-stage partition COUNT from total payload bytes, so
+    * the AVERAGE task sees ~`targetBytesPerPartition`. Rows are hash-
+    * distributed by id — balanced in expectation, but a single payload
+    * far above the target still lands whole in one task (binary rows
+    * can't be split). The full fix at scale is range-partitioning on
+    * cumulative byte offset computed from metadata; this helper keeps the
+    * common case cheap. */
   def repartitionForDecode(media: DataFrame, targetBytesPerPartition: Long): DataFrame = {
     val totalBytes = media.select(sum(length(col("content")))).head.getLong(0)
     val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)

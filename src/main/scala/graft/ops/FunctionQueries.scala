@@ -89,6 +89,8 @@ object FunctionQueries {
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .count()
+        // empty combos: Spark pivot yields NULL, count(*) FILTER yields 0
+        .na.fill(0L, Seq("F", "O", "P"))
         .orderBy(col("o_orderpriority"))),
 
     // exact interpolating percentiles

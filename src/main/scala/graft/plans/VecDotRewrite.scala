@@ -44,25 +44,27 @@ object VecDotRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case ArrayAggregate(
+      case orig @ ArrayAggregate(
             ZipWith(la, ra,
-              LambdaFunction(Multiply(mx, my, _),
+              LambdaFunction(mul @ Multiply(mx, my, _),
                 Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
             Literal(0.0, DoubleType),
             LambdaFunction(Add(aAcc, aVal, _),
               Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
             LambdaFunction(fin, Seq(fAcc: NamedLambdaVariable), _))
-          if ((isVar(mx, x) && isVar(my, y)) || (isVar(mx, y) && isVar(my, x))) &&
+          if mul.dataType == DoubleType &&
+             ((isVar(mx, x) && isVar(my, y)) || (isVar(mx, y) && isVar(my, x))) &&
              ((isVar(aAcc, acc) && isVar(aVal, v)) ||
               (isVar(aAcc, v) && isVar(aVal, acc))) &&
              isVar(fin, fAcc) => {
+        // mul.dataType == DoubleType is the value-preservation guard: it
+        // means each element reaches the multiply already promoted to
+        // double (double arrays, or explicit casts) — exactly VecDot's
+        // semantics. A FLOAT-precision multiply (raw float arrays, cast
+        // only at the accumulate) would round differently and must NOT
+        // be rewritten.
         val (l, r) = (unwrapDoubleCast(la), unwrapDoubleCast(ra))
-        if (isNumericArray(l) && isNumericArray(r)) VecDot(l, r)
-        else ArrayAggregate(
-          ZipWith(la, ra, LambdaFunction(Multiply(mx, my), Seq(x, y))),
-          Literal(0.0, DoubleType),
-          LambdaFunction(Add(aAcc, aVal), Seq(acc, v)),
-          LambdaFunction(fin, Seq(fAcc)))
+        if (isNumericArray(l) && isNumericArray(r)) VecDot(l, r) else orig
       }
     }
 }

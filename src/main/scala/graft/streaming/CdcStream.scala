@@ -55,9 +55,29 @@ object CdcStream {
   def changeEvents(envelope: DataFrame, spec: TableSpec): DataFrame =
     RowDecoder.changeEvents(envelope, spec)
 
+  /** Read a tombstone-aware state table, tolerating the crash window of
+    * the generation swap in [[materializeToParquet]]: the previous
+    * generation (`.old`) is the fallback, and the replayed batch (Spark's
+    * checkpoint did not commit if we crashed mid-swap) re-derives the
+    * lost generation. */
+  private def readState(spark: SparkSession, statePath: String): Option[DataFrame] =
+    scala.util.Try(spark.read.parquet(statePath)).toOption
+      .orElse(scala.util.Try(spark.read.parquet(statePath + ".old")).toOption)
+
+  /** Live (tombstone-filtered) view of a materialized state table. */
+  def readCurrentState(spark: SparkSession, statePath: String): DataFrame =
+    Materializer.liveView(readState(spark, statePath).getOrElse(
+      throw new IllegalStateException(s"no state at $statePath")))
+
   /** Run the full pipeline into a parquet state table via foreachBatch
-    * merge. Returns the started query (AvailableNow: drains then stops —
-    * the test/replay trigger; swap for ProcessingTime in production). */
+    * merge. Event-time correct (true last-writer-wins by (ts, seq) with
+    * retained tombstones — see Materializer.merge) and crash-tolerant:
+    * state is swapped generation-wise (write new, demote current to
+    * `.old`, promote new), so at every instant one complete generation is
+    * readable; a crash mid-swap replays the uncommitted batch against the
+    * `.old` generation. Returns the started query (AvailableNow: drains
+    * then stops — the test/replay trigger; swap for ProcessingTime in
+    * production). */
   def materializeToParquet(envelope: DataFrame, spec: TableSpec,
                            statePath: String,
                            checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -68,42 +88,34 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val compacted = Materializer.currentState(batch.toDF(), spec.primaryKey)
-        val deletedKeys = batch.filter(col("op") === "delete")
-          .select(spec.primaryKey.map(k => col(s"after.$k").as(k)): _*)
-        val merged = {
-          val exists = scala.util.Try(spark.read.parquet(statePath)).toOption
-          exists match {
-            case Some(prior) =>
-              // last-writer-wins: batch rows replace prior rows per key;
-              // keys deleted in this batch leave the state.
-              val keep = prior
-                .join(compacted.select(spec.primaryKey.map(col): _*),
-                      spec.primaryKey, "left_anti")
-                .join(deletedKeys, spec.primaryKey, "left_anti")
-              keep.unionByName(compacted)
-            case None => compacted
-          }
+        val batchEvents = batch.select("op", "ts", "seq", "after")
+        val merged = readState(spark, statePath) match {
+          case Some(prior) =>
+            Materializer.merge(prior, batchEvents, spec.primaryKey)
+          case None => Materializer.compact(batchEvents, spec.primaryKey)
         }
-        // overwrite via temp dir to avoid read/write-same-path conflicts
-        val tmp = statePath + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        // generation swap: tmp -> (current -> .old) -> current
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(statePath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        val old = new org.apache.hadoop.fs.Path(statePath + ".old")
+        val tmp = new org.apache.hadoop.fs.Path(statePath + ".tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(old, true)
+        if (fs.exists(dst)) fs.rename(dst, old)
+        fs.rename(tmp, dst)
         ()
       }
       .start()
   }
 
   /** JDBC variant of the materialized-state sink (BASELINE.json
-    * `spark_approach`: "Structured Streaming + JDBC sink"). Per batch:
-    * compact the batch, merge against the current table image, overwrite.
-    * Spark's JDBC writer has no MERGE; production points this at a
-    * dialect with upsert (or wraps foreachPartition INSERT ... ON
-    * CONFLICT) — the per-batch merge logic is identical either way. */
+    * `spark_approach`: "Structured Streaming + JDBC sink"). Same
+    * event-time-correct merge as the parquet path (Materializer.merge with
+    * retained tombstones); the write is a table overwrite because Spark's
+    * JDBC writer has no MERGE — production points this at a dialect with
+    * upsert (INSERT ... ON CONFLICT per partition) for both atomicity and
+    * incrementality. */
   def materializeToJdbc(envelope: DataFrame, spec: TableSpec,
                         url: String, table: String, checkpointPath: String,
                         props: java.util.Properties = new java.util.Properties())
@@ -115,17 +127,12 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
-        val compacted = Materializer.currentState(batch.toDF(), spec.primaryKey)
-        val deletedKeys = batch.filter(col("op") === "delete")
-          .select(spec.primaryKey.map(k => col(s"after.$k").as(k)): _*)
+        val batchEvents = batch.select("op", "ts", "seq", "after")
         val merged = scala.util.Try(spark.read.jdbc(url, table, props)) match {
           case scala.util.Success(prior) =>
-            prior
-              .join(compacted.select(spec.primaryKey.map(col): _*),
-                    spec.primaryKey, "left_anti")
-              .join(deletedKeys, spec.primaryKey, "left_anti")
-              .unionByName(compacted)
-          case scala.util.Failure(_) => compacted // first batch: no table yet
+            Materializer.merge(prior, batchEvents, spec.primaryKey)
+          case scala.util.Failure(_) =>
+            Materializer.compact(batchEvents, spec.primaryKey)
         }
         // JDBC reads are lazy: pin the merge in the cache BEFORE the
         // overwrite truncates the table it reads from (production: write
@@ -133,7 +140,11 @@ object CdcStream {
         merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           merged.count() // force full materialization
-          merged.write.mode("overwrite").jdbc(url, table, props)
+          merged.write.mode("overwrite")
+            // __op must be comparable to literals on read-back; some
+            // dialects (Derby) map StringType to CLOB which is not
+            .option("createTableColumnTypes", "__op VARCHAR(16)")
+            .jdbc(url, table, props)
         } finally merged.unpersist()
         ()
       }
@@ -204,11 +215,11 @@ object CdcStream {
     * foreachBatch merge, analogous to a handler keeping its own map. Kept
     * deliberately simple: emits the latest (ts, seq, op) row per key on
     * every trigger. */
-  def lastImagePerKey(events: DataFrame, spark: SparkSession): DataFrame = {
+  def lastImagePerKey(events: DataFrame, spark: SparkSession,
+                      keyCol: String = "after.o_orderkey"): DataFrame = {
     import spark.implicits._
-    case class Ev(key: Long, ts: Long, seq: Long, op: String)
     val typed = events.select(
-        col("after.o_orderkey").as("key"), col("ts"), col("seq"), col("op"))
+        col(keyCol).cast("long").as("key"), col("ts"), col("seq"), col("op"))
       .as[(Long, Long, Long, String)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long, String), (Long, Long, String)](

@@ -53,8 +53,9 @@ class MaterializerSpec extends SparkSpec {
     def toDf(l: List[Op]) = spark.createDataFrame(l)
       .select(col("op"), col("ts"), col("seq"),
         struct(col("key"), col("value")).as("after"))
-    val state1 = Materializer.currentState(toDf(ops), Seq("key"))
-    val merged = Materializer.merge(state1, stateTs = 4L, toDf(later), Seq("key"))
+    val state1 = Materializer.compact(toDf(ops), Seq("key"))
+    val merged = Materializer.liveView(
+        Materializer.merge(state1, toDf(later), Seq("key")))
       .collect().map(r => r.getAs[Long]("key") -> r.getAs[Double]("value")).toMap
     val full = Materializer.currentState(toDf(ops ++ later), Seq("key"))
       .collect().map(r => r.getAs[Long]("key") -> r.getAs[Double]("value")).toMap

@@ -24,7 +24,8 @@ class JdbcSinkSpec extends SparkSpec {
     CdcStream.materializeToJdbc(envelope, ChangelogGen.ordersSpec,
       url, "orders_state", ckpt, props).awaitTermination()
 
-    val got = spark.read.jdbc(url, "orders_state", props)
+    val got = graft.cdc.Materializer.liveView(
+      spark.read.jdbc(url, "orders_state", props))
     val want = ChangelogGen.ordersState(spark, sfDir)
     assert(got.count() == want.count())
     // Derby TIMESTAMP round-trips at micros; compare on a stable subset

@@ -30,7 +30,7 @@ class StreamingSpec extends SparkSpec {
       envelope, ChangelogGen.ordersSpec, stateDir, ckptDir)
     q.awaitTermination()
 
-    val got = spark.read.parquet(stateDir)
+    val got = CdcStream.readCurrentState(spark, stateDir)
     val want = ChangelogGen.ordersState(spark, sfDir)
     assert(got.count() == want.count())
     assert(got.select(want.columns.map(col): _*)
@@ -48,7 +48,7 @@ class StreamingSpec extends SparkSpec {
     val env1 = CdcStream.fileChangelog(spark, logDir).withColumn("seq", lit(0L))
     CdcStream.materializeToParquet(env1, ChangelogGen.ordersSpec,
       stateDir, ckptDir).awaitTermination()
-    val afterInserts = spark.read.parquet(stateDir).count()
+    val afterInserts = CdcStream.readCurrentState(spark, stateDir).count()
     val orders = graft.Tables.load(spark, sfDir, "orders")
     assert(afterInserts == orders.count())
 
@@ -60,7 +60,32 @@ class StreamingSpec extends SparkSpec {
     CdcStream.materializeToParquet(env2, ChangelogGen.ordersSpec,
       stateDir, ckptDir).awaitTermination()
 
-    val got = spark.read.parquet(stateDir)
+    val got = CdcStream.readCurrentState(spark, stateDir)
+    val want = ChangelogGen.ordersState(spark, sfDir)
+    assert(got.count() == want.count())
+    assert(got.select(want.columns.map(col): _*).exceptAll(want).count() == 0)
+  }
+
+  test("out-of-order arrival: stale events cannot overwrite or resurrect") {
+    val logDir = tmpDir("cdclog3")
+    val stateDir = tmpDir("cdcstate3") + "/state"
+    val ckptDir = tmpDir("cdcckpt3")
+    val log = ChangelogGen.ordersChangelog(spark, sfDir).cache()
+    // batch 1: the FUTURE half of the log (updates + deletes, higher ts)
+    log.filter(!col("value").contains("\"insert\"")).select("value")
+      .coalesce(1).write.mode("overwrite").text(logDir)
+    val env1 = CdcStream.fileChangelog(spark, logDir).withColumn("seq", lit(0L))
+    CdcStream.materializeToParquet(env1, ChangelogGen.ordersSpec,
+      stateDir, ckptDir).awaitTermination()
+    // batch 2: the EARLIER inserts arrive late
+    log.filter(col("value").contains("\"insert\"")).select("value")
+      .coalesce(1).write.mode("append").text(logDir)
+    val env2 = CdcStream.fileChangelog(spark, logDir).withColumn("seq", lit(0L))
+    CdcStream.materializeToParquet(env2, ChangelogGen.ordersSpec,
+      stateDir, ckptDir).awaitTermination()
+    // stale inserts must not overwrite newer updates nor resurrect
+    // tombstoned keys: final state == in-order replay of the full log
+    val got = CdcStream.readCurrentState(spark, stateDir)
     val want = ChangelogGen.ordersState(spark, sfDir)
     assert(got.count() == want.count())
     assert(got.select(want.columns.map(col): _*).exceptAll(want).count() == 0)
