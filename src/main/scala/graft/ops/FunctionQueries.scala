@@ -82,6 +82,39 @@ object FunctionQueries {
                 (col("c_acctbal") > 0).as("in_credit"))
         .orderBy(col("c_custkey"))),
 
+    // edit-distance scalar (fuzzy matching primitive)
+    "q_str_distance" -> ((s, dir) =>
+      load(s, dir, "part")
+        .select(col("p_partkey"),
+                levenshtein(col("p_brand"), col("p_type")).as("dist"),
+                levenshtein(col("p_name"),
+                            reverse(col("p_name"))).as("self_rev_dist"))
+        .orderBy(col("p_partkey"))),
+
+    // more date functions: quarter / last_day / ISO week
+    "q_date_funcs2" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .select(col("o_orderkey"),
+                quarter(col("o_orderdate")).as("q"),
+                last_day(col("o_orderdate")).as("month_end"),
+                weekofyear(col("o_orderdate")).as("iso_week"))
+        .orderBy(col("o_orderkey"))),
+
+    // window value functions: first/last/nth over ordered frames
+    "q_window_firstlast" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wFull = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      load(s, dir, "events")
+        .select(col("event_id"),
+                first(col("value")).over(w).as("fv"),
+                last(col("value")).over(wFull).as("lv"),
+                nth_value(col("value"), 3).over(w).as("nv"))
+        .orderBy(col("event_id"))
+    }),
+
     // pivot: rows -> columns (one shuffle; values list pinned so the plan
     // needs no extra distinct-values job)
     "q_pivot" -> ((s, dir) =>
@@ -204,6 +237,29 @@ object FunctionQueries {
         |    AS seg_or_other,
         |  c_acctbal > 0 AS in_credit
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_str_distance" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_brand, p_type) AS INT) AS dist,
+        |  CAST(levenshtein(p_name, reverse(p_name)) AS INT)
+        |    AS self_rev_dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs2" ->
+      """SELECT o_orderkey,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_window_firstlast" ->
+      """SELECT event_id,
+        |  first_value(value) OVER w AS fv,
+        |  last_value(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS lv,
+        |  nth_value(value, 3) OVER w AS nv
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (o_orderstatus = 'F') AS F,
