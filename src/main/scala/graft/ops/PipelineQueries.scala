@@ -130,6 +130,37 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ---- corpus statistics / data mixing ----
+
+    // vocabulary frequency table (the tokenizer-training precursor):
+    // top-50 tokens by document frequency and total count
+    "q_token_freq" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+                explode(array_distinct(TextAnalysis.tokens(col("text"))))
+                  .as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("tok"))
+        .limit(50)),
+
+    // deterministic stratified sample by language (data-mixing primitive;
+    // rows-only: sampling algorithms are engine-specific — fraction
+    // accuracy asserted in specs). Hash-based, not RNG-based, so the
+    // sample is stable across runs AND cluster layouts.
+    "q_sample_stratified" -> ((s, dir) => {
+      val fractions = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25,
+                          "zh" -> 0.1, "fr" -> 0.1)
+      val frac = fractions.foldLeft(lit(0.05)) { case (acc, (l, f)) =>
+        when(col("lang") === l, f).otherwise(acc)
+      }
+      docs(s, dir)
+        .filter(pmod(xxhash64(col("doc_id"), lit(42)), lit(10000L)) <
+                frac * 10000)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- text analysis ----
 
     "q_text_stats" -> ((s, dir) =>
@@ -169,6 +200,13 @@ object PipelineQueries {
     TextAnalysis.langMarkers(lang).map(hitsSql).mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "q_token_freq" ->
+      """SELECT tok, count(*) AS doc_freq FROM (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+        |      AS tok
+        |  FROM documents)
+        |GROUP BY tok ORDER BY doc_freq DESC, tok LIMIT 50""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT lang, count(*) AS n_docs,
         |  count(DISTINCT md5($normText)) AS n_uniq

@@ -104,6 +104,19 @@ class PipelineSpec extends SparkSpec {
     assert(monotone.filter(col("prev") < col("cos")).count() == 0)
   }
 
+  test("stratified sample is deterministic and hits target fractions") {
+    val q = graft.ops.PipelineQueries.queries("q_sample_stratified")
+    val s1 = q(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    val s2 = q(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2) // hash-based: identical across runs
+    val sampled = q(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enFrac = sampled.getOrElse("en", 0L).toDouble / totals("en")
+    assert(math.abs(enFrac - 0.5) < 0.2, s"en fraction $enFrac far from 0.5")
+  }
+
   test("language id picks the language whose markers dominate") {
     val df = spark.sql(
       """SELECT 'the cat and the dog of the house' AS t
