@@ -52,6 +52,22 @@ final case class TableSpec(
   }
 }
 
+object TableSpec {
+  /** Derive a spec from a case class — the analogue of the reference
+    * registering a Go struct's `reflect.Type` as the table schema
+    * (`cdc_manager.go:388`). Field names become column names; use
+    * `renames` for payload keys that differ (gorm `column:` tags) and
+    * `dropped` for excluded fields (gorm:"-"). */
+  def fromCaseClass[T <: Product : scala.reflect.runtime.universe.TypeTag](
+      database: String, table: String, primaryKey: Seq[String],
+      renames: Map[String, String] = Map.empty,
+      dropped: Set[String] = Set.empty): TableSpec = {
+    val schema = org.apache.spark.sql.catalyst.ScalaReflection
+      .schemaFor[T].dataType.asInstanceOf[StructType]
+    TableSpec(database, table, primaryKey, schema, renames, dropped)
+  }
+}
+
 /** Registry of table specs — `Map[topic -> spec]`, the engine's whole
   * "plan" object, mirroring the reference's `map[string]*ConsumerGroup`
   * (`cdc_manager.go:402`). Duplicate registration fails fast like the

@@ -5,6 +5,12 @@ import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+object CdcSpec {
+  // top-level for TypeTag availability (reflect.TypeOf-parity test)
+  case class Deal(id: Long, name: String, entity_type: Int,
+                  active: Boolean, score: Double)
+}
+
 /** Golden-envelope tests (SURVEY.md §5 test plan #1): Maxwell JSON in,
   * typed rows out — modeled on the reference's only fixture
   * (`/root/reference/test/fff.json`) plus the update/delete variants it
@@ -134,6 +140,36 @@ class CdcSpec extends SparkSpec {
     assert(dealsSpec.topic("tidb0") == "tidb0.deal_test.deals")
     assert(reg.get("deal_test", "deals").contains(dealsSpec))
     intercept[IllegalArgumentException] { reg.register(dealsSpec) }
+  }
+
+  test("schema evolution: unknown payload keys ignored, new columns NULL") {
+    // forward compat: producer added a column the consumer doesn't know
+    val extra = insertJson.replace("\"score\":3.5",
+      "\"score\":3.5,\"brand_new_col\":\"surprise\"")
+    val ev = RowDecoder.changeEvents(parse(extra), dealsSpec).collect()(0)
+    assert(ev.getAs[org.apache.spark.sql.Row]("after")
+      .getAs[Double]("score") == 3.5)
+    // backward compat: consumer declared a column old events lack
+    import org.apache.spark.sql.types._
+    val widened = dealsSpec.copy(schema = StructType(
+      dealsSpec.schema.fields :+ StructField("added_later", StringType)))
+    val ev2 = RowDecoder.changeEvents(parse(insertJson), widened).collect()(0)
+    val after2 = ev2.getAs[org.apache.spark.sql.Row]("after")
+    assert(after2.isNullAt(after2.fieldIndex("added_later")))
+    assert(after2.getAs[String]("name") == "widget A")
+  }
+
+  test("case-class registration derives the schema (reflect.TypeOf parity)") {
+    val spec = TableSpec.fromCaseClass[CdcSpec.Deal](
+      "deal_test", "deals", primaryKey = Seq("id"),
+      renames = Map("entity_name" -> "name"))
+    assert(spec.schema.fieldNames.toSeq ==
+      Seq("id", "name", "entity_type", "active", "score"))
+    val ev = RowDecoder.changeEvents(parse(insertJson), spec).collect()(0)
+    val after = ev.getAs[org.apache.spark.sql.Row]("after")
+    assert(after.getAs[Long]("id") == 7L)
+    assert(after.getAs[String]("name") == "widget A")
+    assert(after.getAs[Double]("score") == 3.5)
   }
 
   test("corrupt-record sidecar captures malformed lines") {
