@@ -9,22 +9,24 @@ import graft.text.TextAnalysis
   *
   *  - exact / fingerprint dedup: one hash-partitioned `groupBy` on a
   *    16-byte digest — shuffle carries (digest, id), never the text.
-  *  - MinHash+LSH near-dup: signatures are computed scan-side with
-  *    higher-order functions (NO shuffle, no explode of shingles); only
-  *    the (band, bandHash, docId) triples — b rows per doc — shuffle for
-  *    bucketing. Candidate pairs come from same-bucket grouping, i.e.
-  *    the classic band-join, avoiding the O(n²) cross join entirely.
-  *  - SimHash: 64-bit signature per doc, again scan-side; near-dup = low
-  *    Hamming distance within LSH buckets of signature chunks.
+  *  - MinHash+LSH near-dup: one codegen'd hash per shingle, k family
+  *    members derived arithmetically, k map-side-partial min aggregates —
+  *    the shuffle carries k longs per (partition, doc), never shingle
+  *    text. Candidate pairs come from same-bucket grouping on band
+  *    hashes, i.e. the classic band-join, avoiding the O(n²) cross join
+  *    entirely.
+  *  - SimHash: 64-bit signature per doc via the same explode+partial-agg
+  *    shape; near-dup = low Hamming distance within buckets of 16-bit
+  *    signature chunks (pigeonhole).
   *  - n-gram Jaccard: exact verification on CANDIDATE pairs only.
   */
 object Dedup {
 
   // ---------- exact ----------
 
-  /** Exact dedup on a normalized-content fingerprint. `keepFirst` keeps
-    * the lowest id per group deterministically (min_by = map-side partial
-    * agg, same scale shape as Materializer). */
+  /** Exact dedup on a normalized-content fingerprint: one row per distinct
+    * content, keeping the lowest id deterministically (min/count are
+    * map-side partial aggs — same scale shape as Materializer). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = TextAnalysis.fingerprint(col(textCol))
     docs.withColumn("__fp", fp)
