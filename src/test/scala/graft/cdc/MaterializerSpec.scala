@@ -63,6 +63,41 @@ class MaterializerSpec extends SparkSpec {
     assert(merged == Map(1L -> 1.5, 3L -> 3.5, 4L -> 4.0))
   }
 
+  test("row round-trip: typed row -> Maxwell JSON -> decode -> same row") {
+    import org.apache.spark.sql.functions._
+    val genRow = for {
+      id <- Gen.choose(0L, 1000000L)
+      name <- Gen.oneOf(Gen.alphaNumStr.map(_.take(20)),
+                        Gen.const(null: String),
+                        Gen.oneOf("大元金库", "emoji🙂", "\"quoted\"", "a\\b"))
+      et <- Gen.choose(-100, 100)
+      active <- Gen.oneOf(true, false)
+      score <- Gen.choose(-1e6, 1e6).map(d => math.rint(d * 100) / 100)
+    } yield (id, name, et, active, score)
+    val rows = Gen.listOfN(200, genRow)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+      .distinctBy(_._1)
+    val df = spark.createDataFrame(rows)
+      .toDF("id", "name", "entity_type", "active", "score")
+    val spec = TableSpec.fromCaseClass[CdcSpec.Deal](
+      "d", "t", Seq("id"))
+    // serialize: booleans as 1/0 like Maxwell/TiCDC emits tinyint(1)
+    val json = df.select(to_json(struct(
+      lit("d").as("database"), lit("t").as("table"),
+      lit("insert").as("type"), lit(1L).as("ts"),
+      struct(col("id"), col("name"), col("entity_type"),
+        when(col("active"), 1).otherwise(0).as("active"),
+        col("score")).as("data"))).as("value"))
+    val decoded = RowDecoder.changeEvents(
+        Maxwell.parseEnvelope(json.as[String](
+          org.apache.spark.sql.Encoders.STRING)), spec)
+      .select("after.*")
+    val back = decoded.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+       r.getInt(2), r.getBoolean(3), r.getDouble(4))).toSet
+    assert(back == rows.toSet)
+  }
+
   test("changelog replay at sf0.001 matches the closed-form expected state") {
     val got = ChangelogGen.ordersState(spark, sfDir)
     val orders = graft.Tables.load(spark, sfDir, "orders")
