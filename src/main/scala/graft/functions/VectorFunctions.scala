@@ -20,7 +20,8 @@ object VectorFunctions {
     * list_* kernels, so cross-engine results agree to the last ulp.
     * Backed by the codegen'd [[VecDot]] expression (the HOF equivalent,
     * `aggregate(zip_with(..))`, is interpreted and ~50x slower in
-    * similarity scans). */
+    * similarity scans). float/double arrays only; NULL on NULL elements
+    * or length mismatch — exactly the HOF semantics. */
   def dot(a: Column, b: Column): Column = VecDot.vec_dot(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
@@ -29,7 +30,8 @@ object VectorFunctions {
     dot(a, b) / (norm2(a) * norm2(b))
 
   /** ||a-b||₂ via the codegen'd Σ(x-y)² kernel — direct form (not the
-    * polarization identity a·a-2a·b+b·b, which loses ulp-exactness). */
+    * polarization identity a·a-2a·b+b·b, which loses ulp-exactness).
+    * Same input/NULL contract as [[dot]]. */
   def l2Distance(a: Column, b: Column): Column =
     sqrt(VecDot.vec_l2sq(a, b))
 }

@@ -35,22 +35,30 @@ object AsOfJoin {
            leftTs: String, rightTs: String,
            payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val paySchema = right.select(payload.map(col): _*).schema
     val pay = struct(payload.map(col): _*)
-    val l = left.select(
+    // join (not window-grouping) semantics for NULL keys: a NULL-key left
+    // row matches nothing; NULL-key right rows match no one. Segregate
+    // them so the window partition can't pair NULL with NULL.
+    val l = left.filter(col(key).isNotNull).select(
       col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
       struct(leftCols.map(col): _*).as("__l"),
-      lit(null).cast(right.select(payload.map(col): _*).schema).as("__r"))
-    val r = right.select(
+      lit(null).cast(paySchema).as("__r"))
+    val r = right.filter(col(key).isNotNull).select(
       col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
       lit(null).cast(left.select(leftCols.map(col): _*).schema).as("__l"),
       pay.as("__r"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val matched = l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
               payload.map(c => col(s"__match.$c").as(c)): _*)
+    val nullKeyLeft = left.filter(col(key).isNull).select(
+      leftCols.map(col) ++ payload.zipWithIndex.map { case (c, i) =>
+        lit(null).cast(paySchema.fields(i).dataType).as(c) }: _*)
+    matched.unionByName(nullKeyLeft)
   }
 }

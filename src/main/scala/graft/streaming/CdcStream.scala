@@ -56,13 +56,22 @@ object CdcStream {
     RowDecoder.changeEvents(envelope, spec)
 
   /** Read a tombstone-aware state table, tolerating the crash window of
-    * the generation swap in [[materializeToParquet]]: the previous
-    * generation (`.old`) is the fallback, and the replayed batch (Spark's
-    * checkpoint did not commit if we crashed mid-swap) re-derives the
-    * lost generation. */
-  private def readState(spark: SparkSession, statePath: String): Option[DataFrame] =
-    scala.util.Try(spark.read.parquet(statePath)).toOption
-      .orElse(scala.util.Try(spark.read.parquet(statePath + ".old")).toOption)
+    * the generation swap in [[materializeToParquet]]: if the current
+    * generation directory is ABSENT (crash mid-swap), fall back to the
+    * demoted `.old` generation; the replayed batch (Spark's checkpoint
+    * did not commit) re-derives the lost one. Existence is checked
+    * explicitly — a transient READ failure of an existing generation must
+    * propagate and fail the batch (so the checkpoint retries), never
+    * silently fall back to stale state. */
+  private def readState(spark: SparkSession, statePath: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(statePath)
+    val old = new org.apache.hadoop.fs.Path(statePath + ".old")
+    if (fs.exists(dst)) Some(spark.read.parquet(statePath))
+    else if (fs.exists(old)) Some(spark.read.parquet(statePath + ".old"))
+    else None
+  }
 
   /** Live (tombstone-filtered) view of a materialized state table. */
   def readCurrentState(spark: SparkSession, statePath: String): DataFrame =
@@ -94,16 +103,22 @@ object CdcStream {
             Materializer.merge(prior, batchEvents, spec.primaryKey)
           case None => Materializer.compact(batchEvents, spec.primaryKey)
         }
-        // generation swap: tmp -> (current -> .old) -> current
+        // generation swap. Invariant: at every instant at least one
+        // COMPLETE generation (dst or .old) exists — the stale .old is
+        // only deleted when a current dst is present to demote, so even a
+        // crash while recovering from a previous crash keeps a readable
+        // generation for the next replay.
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(statePath)
         val old = new org.apache.hadoop.fs.Path(statePath + ".old")
         val tmp = new org.apache.hadoop.fs.Path(statePath + ".tmp")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(old, true)
-        if (fs.exists(dst)) fs.rename(dst, old)
-        fs.rename(tmp, dst)
+        if (fs.exists(dst)) {
+          fs.delete(old, true)   // safe: dst still readable
+          fs.rename(dst, old)    // crash here -> .old readable
+        }
+        fs.rename(tmp, dst)      // crash before -> .old (or dst) readable
         ()
       }
       .start()
@@ -128,12 +143,15 @@ object CdcStream {
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
         val batchEvents = batch.select("op", "ts", "seq", "after")
-        val merged = scala.util.Try(spark.read.jdbc(url, table, props)) match {
-          case scala.util.Success(prior) =>
-            Materializer.merge(prior, batchEvents, spec.primaryKey)
-          case scala.util.Failure(_) =>
-            Materializer.compact(batchEvents, spec.primaryKey)
-        }
+        // distinguish "table does not exist yet" (first batch) from
+        // transient JDBC failures: the latter must propagate and fail the
+        // batch so the checkpoint retries — treating them as first-batch
+        // would overwrite the whole table with this batch alone
+        val merged =
+          if (jdbcTableExists(url, table, props))
+            Materializer.merge(spark.read.jdbc(url, table, props),
+                               batchEvents, spec.primaryKey)
+          else Materializer.compact(batchEvents, spec.primaryKey)
         // JDBC reads are lazy: pin the merge in the cache BEFORE the
         // overwrite truncates the table it reads from (production: write
         // to a staging table and swap, like the parquet path's tmp+rename)
@@ -149,6 +167,22 @@ object CdcStream {
         ()
       }
       .start()
+  }
+
+  /** Table-existence probe via JDBC metadata (connection failures
+    * propagate — only a definitive "no such table" selects the
+    * first-batch path in [[materializeToJdbc]]). */
+  private def jdbcTableExists(url: String, table: String,
+                              props: java.util.Properties): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val md = conn.getMetaData
+      def probe(name: String): Boolean = {
+        val rs = md.getTables(null, null, name, null)
+        try rs.next() finally rs.close()
+      }
+      probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase)
+    } finally conn.close()
   }
 
   /** Event-time windowed aggregation with watermark (late data beyond the
@@ -218,6 +252,11 @@ object CdcStream {
   def lastImagePerKey(events: DataFrame, spark: SparkSession,
                       keyCol: String = "after.o_orderkey"): DataFrame = {
     import spark.implicits._
+    val keyType = events.select(col(keyCol)).schema.head.dataType
+    require(Seq("bigint", "int", "smallint", "tinyint")
+              .contains(keyType.simpleString),
+      s"lastImagePerKey needs an integral key column; $keyCol is " +
+        s"${keyType.sql} (a silent cast would collapse all keys to NULL)")
     val typed = events.select(
         col(keyCol).cast("long").as("key"), col("ts"), col("seq"), col("op"))
       .as[(Long, Long, Long, String)]

@@ -17,7 +17,10 @@ object bridge {
   def installGraft(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
-      exprs => graft.functions.VecDot(exprs(0), exprs(1)),
+      exprs => {
+        require(exprs.length == 2, "vec_dot takes exactly 2 arguments")
+        graft.functions.VecDot(exprs(0), exprs(1))
+      },
       "built-in")
     val sc = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!sc.experimental.extraOptimizations.contains(graft.plans.VecDotRewrite))

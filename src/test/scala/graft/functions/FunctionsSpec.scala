@@ -40,16 +40,26 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
-  test("VecDot null semantics: null array -> null, null elements -> 0") {
+  test("VecDot null semantics match the HOF: null array/element/ragged -> null") {
     val df = spark.sql(
       """SELECT CAST(NULL AS ARRAY<DOUBLE>) AS n,
         |array(1.0D, CAST(NULL AS DOUBLE), 3.0D) AS withNull,
-        |array(1.0D, 1.0D, 1.0D) AS ones""".stripMargin)
+        |array(1.0D, 1.0D, 1.0D) AS ones,
+        |array(1.0D, 1.0D) AS two""".stripMargin)
     val r = df.select(
-      VecDot.vec_dot(col("n"), col("ones")).as("nullRes"),
-      VecDot.vec_dot(col("withNull"), col("ones")).as("partial")).head()
+      VecDot.vec_dot(col("n"), col("ones")).as("nullArr"),
+      VecDot.vec_dot(col("withNull"), col("ones")).as("nullElem"),
+      VecDot.vec_dot(col("two"), col("ones")).as("ragged"),
+      VecDot.vec_dot(col("ones"), col("ones")).as("ok")).head()
     assert(r.isNullAt(0))
-    assert(r.getDouble(1) == 4.0)
+    assert(r.isNullAt(1)) // HOF parity: null element poisons the sum
+    assert(r.isNullAt(2)) // HOF parity: zip_with pads -> null sum
+    assert(r.getDouble(3) == 3.0)
+    // and the HOF itself agrees on the null-element case
+    val hof = df.select(aggregate(
+      zip_with(col("withNull"), col("ones"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x).as("h")).head()
+    assert(hof.isNullAt(0))
   }
 
   test("TopKAggregator equals the window top-k") {

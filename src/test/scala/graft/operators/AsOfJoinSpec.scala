@@ -24,6 +24,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("e5").isEmpty)         // key 3 has no state yet -> NULL
   }
 
+  test("asOf NULL keys: left NULL-key rows kept unmatched, right ignored") {
+    val left = spark.sql(
+      """SELECT * FROM VALUES (CAST(NULL AS BIGINT), 10L, 'ln'),
+        |(1L, 10L, 'l1') AS t(k, lts, tag)""".stripMargin)
+    val right = spark.sql(
+      """SELECT * FROM VALUES (CAST(NULL AS BIGINT), 5L, 100.0D),
+        |(1L, 5L, 200.0D) AS t(k, rts, pval)""".stripMargin)
+    val got = AsOfJoin.asOf(left, right, "k", "lts", "rts", Seq("pval"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(got("ln").isEmpty)          // NULL key never matches NULL key
+    assert(got("l1").contains(200.0))
+  }
+
   test("asOf keeps every left row and all left columns") {
     val ev = graft.Tables.load(spark, sfDir, "events")
     val clicks = ev.filter(col("event_type") === "click")
