@@ -38,6 +38,17 @@ object CdcQueries {
              round(sum(col("o_totalprice")), 2).as("total_price"))
         .orderBy(col("o_orderstatus"))),
 
+    // Incremental aggregate maintenance: revenue per status maintained
+    // from changelog deltas alone — the base table is never re-read.
+    "cdc_incr_agg" -> ((s, dir) =>
+      graft.cdc.IncrementalAgg.sumCount(
+          ChangelogGen.ordersChangeEvents(s, dir),
+          groupCol = "o_orderstatus", valueCol = "o_totalprice")
+        .select(col("o_orderstatus"),
+                round(col("sum_o_totalprice"), 2).as("total_price"),
+                col("n_rows"))
+        .orderBy(col("o_orderstatus"))),
+
     // Update events expose partial `before` (quirk Q3): the only non-null
     // column of `before` is the changed one. Verify its value relation.
     "cdc_update_before" -> ((s, dir) =>
@@ -62,6 +73,12 @@ object CdcQueries {
     "cdc_state_agg" ->
       s"""SELECT o_orderstatus, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS total_price
+        |FROM ($expectedStateSql)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "cdc_incr_agg" ->
+      s"""SELECT o_orderstatus,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  count(*) AS n_rows
         |FROM ($expectedStateSql)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "cdc_update_before" ->

@@ -98,6 +98,20 @@ class MaterializerSpec extends SparkSpec {
     assert(back == rows.toSet)
   }
 
+  test("incremental aggregate equals recompute over materialized state") {
+    import org.apache.spark.sql.functions._
+    val events = ChangelogGen.ordersChangeEvents(spark, sfDir)
+    val incr = IncrementalAgg.sumCount(events, "o_orderstatus", "o_totalprice")
+      .select(col("o_orderstatus"),
+              round(col("sum_o_totalprice"), 2).as("s"), col("n_rows"))
+    val recompute = ChangelogGen.ordersState(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(round(sum(col("o_totalprice")), 2).as("s"),
+           count(lit(1)).as("n_rows"))
+    assert(incr.exceptAll(recompute).count() == 0)
+    assert(recompute.exceptAll(incr).count() == 0)
+  }
+
   test("changelog replay at sf0.001 matches the closed-form expected state") {
     val got = ChangelogGen.ordersState(spark, sfDir)
     val orders = graft.Tables.load(spark, sfDir, "orders")
