@@ -82,6 +82,45 @@ object FunctionQueries {
                 (col("c_acctbal") > 0).as("in_credit"))
         .orderBy(col("c_custkey"))),
 
+    // more string functions: split_part/translate/repeat/instr/contains
+    "q_str_funcs2" -> ((s, dir) =>
+      load(s, dir, "part")
+        .select(col("p_partkey"),
+                split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+                translate(col("p_brand"), "#", "_").as("brand_us"),
+                repeat(lit("ab"), 3).as("rep"),
+                instr(col("p_name"), "a").as("a_pos"),
+                col("p_name").contains("red").as("has_red"))
+        .orderBy(col("p_partkey"))),
+
+    // transcendental math (rounded: libm implementations differ in the
+    // last ulps across engines)
+    "q_math_funcs2" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                round(log(col("l_extendedprice")), 8).as("ln_price"),
+                round(log10(col("l_extendedprice")), 8).as("log10_price"),
+                round(exp(col("l_discount")), 8).as("exp_disc"),
+                round(pow(col("l_quantity"), 1.5), 6).as("qty_pow"),
+                signum(col("l_discount") - 0.05).cast("int").as("disc_sign"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // array higher-order functions + sort/position
+    "q_array_funcs2" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.asDouble
+      load(s, dir, "embeddings")
+        .select(col("vec_id"),
+                round(aggregate(transform(asDouble(col("embedding")),
+                        x => x * 2), lit(0.0), (a, x) => a + x), 6)
+                  .as("doubled_sum"),
+                size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+                element_at(array_sort(asDouble(col("embedding"))), 1)
+                  .as("mn"),
+                array_position(col("embedding"), array_max(col("embedding")))
+                  .cast("int").as("argmax1"))
+        .orderBy(col("vec_id"))
+    }),
+
     // edit-distance scalar (fuzzy matching primitive)
     "q_str_distance" -> ((s, dir) =>
       load(s, dir, "part")
@@ -237,6 +276,31 @@ object FunctionQueries {
         |    AS seg_or_other,
         |  c_acctbal > 0 AS in_credit
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_str_funcs2" ->
+      """SELECT p_partkey,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  translate(p_brand, '#', '_') AS brand_us,
+        |  repeat('ab', 3) AS rep,
+        |  CAST(strpos(p_name, 'a') AS INT) AS a_pos,
+        |  contains(p_name, 'red') AS has_red
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_math_funcs2" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(ln(l_extendedprice), 8) AS ln_price,
+        |  round(log10(l_extendedprice), 8) AS log10_price,
+        |  round(exp(l_discount), 8) AS exp_disc,
+        |  round(power(l_quantity, 1.5), 6) AS qty_pow,
+        |  CAST(sign(l_discount - 0.05) AS INT) AS disc_sign
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_array_funcs2" ->
+      """SELECT vec_id,
+        |  round(list_aggregate(list_transform(embedding::DOUBLE[],
+        |        x -> x * 2), 'sum'), 6) AS doubled_sum,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  list_sort(embedding::DOUBLE[])[1] AS mn,
+        |  CAST(list_position(embedding, list_aggregate(embedding, 'max'))
+        |       AS INT) AS argmax1
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_str_distance" ->
       """SELECT p_partkey,
         |  CAST(levenshtein(p_brand, p_type) AS INT) AS dist,
