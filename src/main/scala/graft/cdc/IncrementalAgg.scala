@@ -13,40 +13,51 @@ import org.apache.spark.sql.functions._
   *              quirk Q4)
   *   update  -> (-old value, -1) at before's group, (+new value, +1) at
   *              after's group — two deltas, so group-moving updates are
-  *              handled; unchanged columns of the partial `before` (quirk
-  *              Q3) are backfilled from `after`.
+  *              handled.
   *
-  * Scale shape: one narrow map producing ≤2 delta rows per event, then a
+  * Partial-`before` handling (quirk Q3): Maxwell's `old` carries only
+  * CHANGED columns, so a NULL in `before` is backfilled from `after`
+  * (unchanged). KNOWN PROTOCOL AMBIGUITY: a column whose old value was
+  * SQL NULL is encoded as `"col": null` in `old` — indistinguishable
+  * after decode from "not present"; such updates misattribute the old
+  * delta. Resolving it requires key-presence inspection of the raw `old`
+  * JSON (`json_object_keys`) before decode; pipelines where the
+  * aggregated columns are NOT NULL (the common case for measures and
+  * grouping keys) are unaffected.
+  *
+  * Scale shape: ONE pass over the decoded events (a single projection
+  * producing 1-2 delta structs per event via inline explode), then a
   * map-side-partial SUM aggregation — shuffle bounded by |groups|, never
   * |events| or |base table|. This is what makes 100 TB-scale "revenue per
   * status, updated continuously" tractable: the base table is never read.
   *
-  * Float caveat: incremental sums accumulate in event order, so they can
-  * differ from a recompute in the last ulps (and a fully-deleted group
-  * retains a ±1e-9 residue); compare rounded, and use `prune = true` to
-  * drop groups whose live row count reached zero.
+  * Exactness: pass `valueCast` (e.g. `_.cast("decimal(25,10)")`) to make
+  * sums order-independent and exactly equal to a recompute; raw double
+  * sums accumulate in event order and can differ from a recompute in the
+  * last ulps.
   */
 object IncrementalAgg {
 
   /** SUM(valueCol) + COUNT(*) per groupCol, from change events alone. */
   def sumCount(events: DataFrame, groupCol: String, valueCol: String,
-               prune: Boolean = true): DataFrame = {
-    def img(side: String, c: String): Column =
-      if (side == "before") coalesce(col(s"before.$c"), col(s"after.$c"))
-      else col(s"after.$c")
-    val ins = events.filter(col("op") === "insert").select(
-      img("after", groupCol).as("g"),
-      img("after", valueCol).as("dv"), lit(1L).as("dc"))
-    val del = events.filter(col("op") === "delete").select(
-      img("after", groupCol).as("g"),
-      (-img("after", valueCol)).as("dv"), lit(-1L).as("dc"))
-    val updNew = events.filter(col("op") === "update").select(
-      img("after", groupCol).as("g"),
-      img("after", valueCol).as("dv"), lit(1L).as("dc"))
-    val updOld = events.filter(col("op") === "update").select(
-      img("before", groupCol).as("g"),
-      (-img("before", valueCol)).as("dv"), lit(-1L).as("dc"))
-    val agg = ins.unionByName(del).unionByName(updNew).unionByName(updOld)
+               prune: Boolean = true,
+               valueCast: Column => Column = identity): DataFrame = {
+    def after(c: String): Column = col(s"after.$c")
+    def before(c: String): Column =
+      coalesce(col(s"before.$c"), col(s"after.$c")) // Q3 backfill
+    def delta(g: Column, v: Column, sign: Int): Column =
+      struct(g.as("g"), (valueCast(v) * sign).as("dv"),
+             lit(sign.toLong).as("dc"))
+    val deltas = events.select(explode(
+        when(col("op") === "insert",
+          array(delta(after(groupCol), after(valueCol), 1)))
+        .when(col("op") === "delete",
+          array(delta(after(groupCol), after(valueCol), -1)))
+        .otherwise( // update: retract old, apply new
+          array(delta(before(groupCol), before(valueCol), -1),
+                delta(after(groupCol), after(valueCol), 1)))).as("d"))
+      .select(col("d.*"))
+    val agg = deltas
       .groupBy(col("g").as(groupCol))
       .agg(sum(col("dv")).as(s"sum_$valueCol"), sum(col("dc")).as("n_rows"))
     if (prune) agg.filter(col("n_rows") > 0) else agg

@@ -40,12 +40,16 @@ object CdcQueries {
 
     // Incremental aggregate maintenance: revenue per status maintained
     // from changelog deltas alone — the base table is never re-read.
+    // Deltas cast to decimal so the incremental sum is order-independent
+    // and EXACTLY equals a recompute (no float-rounding boundary risk).
     "cdc_incr_agg" -> ((s, dir) =>
       graft.cdc.IncrementalAgg.sumCount(
           ChangelogGen.ordersChangeEvents(s, dir),
-          groupCol = "o_orderstatus", valueCol = "o_totalprice")
+          groupCol = "o_orderstatus", valueCol = "o_totalprice",
+          valueCast = _.cast("decimal(25,10)"))
         .select(col("o_orderstatus"),
-                round(col("sum_o_totalprice"), 2).as("total_price"),
+                round(col("sum_o_totalprice"), 2).cast("double")
+                  .as("total_price"),
                 col("n_rows"))
         .orderBy(col("o_orderstatus"))),
 
@@ -77,7 +81,8 @@ object CdcQueries {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "cdc_incr_agg" ->
       s"""SELECT o_orderstatus,
-        |  round(sum(o_totalprice), 2) AS total_price,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,10))), 2)
+        |       AS DOUBLE) AS total_price,
         |  count(*) AS n_rows
         |FROM ($expectedStateSql)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

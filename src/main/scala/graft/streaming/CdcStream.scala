@@ -64,9 +64,10 @@ object CdcStream {
     * propagate and fail the batch (so the checkpoint retries), never
     * silently fall back to stale state. */
   private def readState(spark: SparkSession, statePath: String): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(statePath)
+    // resolve the filesystem FROM the path (statePath may live on a
+    // different scheme than fs.defaultFS — s3a state with hdfs default)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(statePath + ".old")
     if (fs.exists(dst)) Some(spark.read.parquet(statePath))
     else if (fs.exists(old)) Some(spark.read.parquet(statePath + ".old"))
@@ -108,9 +109,8 @@ object CdcStream {
         // only deleted when a current dst is present to demote, so even a
         // crash while recovering from a previous crash keeps a readable
         // generation for the next replay.
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(statePath)
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val old = new org.apache.hadoop.fs.Path(statePath + ".old")
         val tmp = new org.apache.hadoop.fs.Path(statePath + ".tmp")
         merged.write.mode("overwrite").parquet(tmp.toString)
@@ -171,17 +171,35 @@ object CdcStream {
 
   /** Table-existence probe via JDBC metadata (connection failures
     * propagate — only a definitive "no such table" selects the
-    * first-batch path in [[materializeToJdbc]]). */
+    * first-batch path in [[materializeToJdbc]]). Handles schema-qualified
+    * names, honors the `driver` property (DriverManager's ServiceLoader
+    * can't see jars on Spark's mutable classloader), and escapes LIKE
+    * wildcards (`_`/`%`) in the name so `orders_state` can't match an
+    * unrelated `ordersXstate`. */
   private def jdbcTableExists(url: String, table: String,
                               props: java.util.Properties): Boolean = {
+    Option(props.getProperty("driver"))
+      .foreach(c => Class.forName(c)) // registers with DriverManager
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val md = conn.getMetaData
-      def probe(name: String): Boolean = {
-        val rs = md.getTables(null, null, name, null)
+      val (schemaPart, tablePart) = table.lastIndexOf('.') match {
+        case -1 => (null: String, table)
+        case i  => (table.substring(0, i), table.substring(i + 1))
+      }
+      val esc = md.getSearchStringEscape
+      def escape(s: String): String =
+        if (s == null) null
+        else s.replace(esc, esc + esc)
+          .replace("_", esc + "_").replace("%", esc + "%")
+      def probe(schema: String, name: String): Boolean = {
+        val rs = md.getTables(null, escape(schema), escape(name), null)
         try rs.next() finally rs.close()
       }
-      probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase)
+      def variants(s: String): Seq[String] =
+        if (s == null) Seq(null) else Seq(s, s.toUpperCase, s.toLowerCase)
+      variants(schemaPart).exists(sc => variants(tablePart)
+        .exists(t => probe(sc, t)))
     } finally conn.close()
   }
 

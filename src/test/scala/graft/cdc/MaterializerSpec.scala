@@ -101,12 +101,15 @@ class MaterializerSpec extends SparkSpec {
   test("incremental aggregate equals recompute over materialized state") {
     import org.apache.spark.sql.functions._
     val events = ChangelogGen.ordersChangeEvents(spark, sfDir)
-    val incr = IncrementalAgg.sumCount(events, "o_orderstatus", "o_totalprice")
+    // decimal deltas -> order-independent sums, EXACT equality with the
+    // recompute (raw double sums would differ in the last ulps)
+    val incr = IncrementalAgg.sumCount(events, "o_orderstatus", "o_totalprice",
+        valueCast = _.cast("decimal(25,10)"))
       .select(col("o_orderstatus"),
-              round(col("sum_o_totalprice"), 2).as("s"), col("n_rows"))
+              col("sum_o_totalprice").as("s"), col("n_rows"))
     val recompute = ChangelogGen.ordersState(spark, sfDir)
       .groupBy(col("o_orderstatus"))
-      .agg(round(sum(col("o_totalprice")), 2).as("s"),
+      .agg(sum(col("o_totalprice").cast("decimal(25,10)")).as("s"),
            count(lit(1)).as("n_rows"))
     assert(incr.exceptAll(recompute).count() == 0)
     assert(recompute.exceptAll(incr).count() == 0)
