@@ -115,6 +115,34 @@ class MaterializerSpec extends SparkSpec {
     assert(recompute.exceptAll(incr).count() == 0)
   }
 
+  test("tombstone retention horizon drops only old-enough tombstones") {
+    val ops = List(
+      Op(1, 1, 0, "insert", 1.0), Op(1, 2, 1, "delete", 1.0),   // old tombstone
+      Op(2, 1, 2, "insert", 2.0), Op(2, 9, 3, "delete", 2.0),   // recent tombstone
+      Op(3, 9, 4, "insert", 3.0))                               // live row
+    def toDf(l: List[Op]) = spark.createDataFrame(l)
+      .select(col("op"), col("ts"), col("seq"),
+        struct(col("key"), col("value")).as("after"))
+    val state = Materializer.compact(toDf(ops), Seq("key"))
+    val pruned = Materializer.merge(state,
+      toDf(Nil).limit(0), Seq("key"), tombstoneRetentionTs = 5L)
+    val byKey = pruned.collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[String]("__op")).toMap
+    assert(!byKey.contains(1L))            // tombstone older than horizon: gone
+    assert(byKey.get(2L).contains("delete")) // recent tombstone retained
+    assert(byKey.get(3L).contains("insert")) // live rows never pruned
+  }
+
+  test("strict parity at pipeline level loses the ISO timestamps (Q1)") {
+    val strict = ChangelogGen.ordersChangeEvents(spark, sfDir,
+      strictParity = true)
+    // to_json writes ISO-8601 ('T' separator); the reference's fixed
+    // layout "2006-01-02 15:04:05" cannot parse it -> all NULL
+    assert(strict.filter(col("after.o_orderdate").isNotNull).count() == 0)
+    val fixed = ChangelogGen.ordersChangeEvents(spark, sfDir)
+    assert(fixed.filter(col("after.o_orderdate").isNull).count() == 0)
+  }
+
   test("changelog replay at sf0.001 matches the closed-form expected state") {
     val got = ChangelogGen.ordersState(spark, sfDir)
     val orders = graft.Tables.load(spark, sfDir, "orders")

@@ -71,6 +71,22 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(col("media_id") === 0).count() == expect0)
   }
 
+  test("media features feed similarity search end-to-end") {
+    // decode-stub features -> cosine ANN: the full multimodal pipeline
+    // shape (binary in, ranked neighbors out) with everything but the
+    // codec real
+    val feats = Multimodal.extractFeatures(spark, media)
+      .select(col("media_id").as("vec_id"),
+              col("features").as("embedding"))
+    val queries = feats.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val topk = graft.similarity.Similarity
+      .bruteForceTopK(feats, queries, k = 5)
+    assert(topk.count() == 15)
+    assert(topk.filter(col("cos").isNull).count() == 0)
+    assert(topk.filter(col("q_id") === col("neighbor_id")).count() == 0)
+  }
+
   test("byte-balanced repartitioning yields the requested granularity") {
     val parts = Multimodal.repartitionForDecode(media, 10000L)
       .rdd.getNumPartitions
