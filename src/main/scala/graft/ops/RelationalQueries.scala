@@ -79,6 +79,41 @@ object RelationalQueries {
                 col("n"), col("total"))
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
 
+    // -- arbitrary grouping sets (beyond rollup/cube lattices)
+    "q_agg_grouping_sets" -> ((s, dir) =>
+      load(s, dir, "customer")
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey")), Seq()),
+          col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("c_acctbal")), 2).as("bal"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+                coalesce(col("c_nationkey").cast("string"), lit("ALL"))
+                  .as("nk"),
+                col("n"), col("bal"))
+        .orderBy(col("seg"), col("nk"))),
+
+    // -- value-based RANGE window frame (peers included by value, so the
+    //    result is deterministic even with order-by ties)
+    "q_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-10000L, Window.currentRow)
+      load(s, dir, "orders")
+        .select(col("o_orderkey"),
+                round(sum(col("o_totalprice")).over(w), 2).as("rsum"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // -- boolean + conditional aggregates
+    "q_bool_agg" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(bool_and(col("l_quantity") > 0).as("all_pos_qty"),
+             bool_or(col("l_discount") > 0.09).as("any_big_disc"),
+             count_if(col("l_tax") > 0.05).as("n_tax"))
+        .orderBy(col("l_returnflag"))),
+
     // -- broadcast equi-join (dimension side never shuffles)
     "q_join_broadcast" -> ((s, dir) => {
       val c = load(s, dir, "customer")
@@ -326,6 +361,25 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |  coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nk,
+        |  count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY seg, nk""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW), 2) AS rsum
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_bool_agg" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_pos_qty,
+        |  bool_or(l_discount > 0.09) AS any_big_disc,
+        |  count(*) FILTER (l_tax > 0.05) AS n_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_join_broadcast" ->
       """SELECT n_name, count(*) AS n_cust,
         |  round(avg(c_acctbal), 4) AS avg_bal
