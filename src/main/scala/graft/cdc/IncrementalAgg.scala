@@ -48,7 +48,10 @@ object IncrementalAgg {
     def delta(g: Column, v: Column, sign: Int): Column =
       struct(g.as("g"), (valueCast(v) * sign).as("dv"),
              lit(sign.toLong).as("dc"))
-    val deltas = events.select(explode(
+    // unknown op types (Maxwell bootstrap-* rows etc.) carry no delta —
+    // drop them rather than letting them fall into the update branch
+    val known = events.filter(col("op").isin("insert", "delete", "update"))
+    val deltas = known.select(explode(
         when(col("op") === "insert",
           array(delta(after(groupCol), after(valueCol), 1)))
         .when(col("op") === "delete",

@@ -109,16 +109,26 @@ object CdcStream {
         // only deleted when a current dst is present to demote, so even a
         // crash while recovering from a previous crash keeps a readable
         // generation for the next replay.
+        // NOTE: requires a filesystem with atomic directory rename
+        // (HDFS/local). On object stores (s3a) rename is a non-atomic
+        // copy — point statePath at HDFS, or swap this sink for a
+        // transactional table format there.
         val dst = new org.apache.hadoop.fs.Path(statePath)
         val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val old = new org.apache.hadoop.fs.Path(statePath + ".old")
         val tmp = new org.apache.hadoop.fs.Path(statePath + ".tmp")
+        // rename/delete return false on several failure modes instead of
+        // throwing; a swallowed false here would let the checkpoint commit
+        // a batch whose state was never promoted
+        def must(ok: Boolean, what: String): Unit =
+          if (!ok) throw new java.io.IOException(s"state swap failed: $what")
         merged.write.mode("overwrite").parquet(tmp.toString)
         if (fs.exists(dst)) {
-          fs.delete(old, true)   // safe: dst still readable
-          fs.rename(dst, old)    // crash here -> .old readable
+          if (fs.exists(old))
+            must(fs.delete(old, true), s"delete $old") // dst still readable
+          must(fs.rename(dst, old), s"rename $dst -> $old") // crash -> .old
         }
-        fs.rename(tmp, dst)      // crash before -> .old (or dst) readable
+        must(fs.rename(tmp, dst), s"rename $tmp -> $dst")
         ()
       }
       .start()
@@ -171,19 +181,40 @@ object CdcStream {
 
   /** Table-existence probe via JDBC metadata (connection failures
     * propagate — only a definitive "no such table" selects the
-    * first-batch path in [[materializeToJdbc]]). Handles schema-qualified
-    * names, honors the `driver` property (DriverManager's ServiceLoader
-    * can't see jars on Spark's mutable classloader), and escapes LIKE
-    * wildcards (`_`/`%`) in the name so `orders_state` can't match an
-    * unrelated `ordersXstate`. */
+    * first-batch path in [[materializeToJdbc]]). Handles:
+    *  - schema-qualified names, probing the prefix as BOTH schema and
+    *    catalog (MySQL-family drivers expose databases as catalogs);
+    *  - unqualified names scoped to the CONNECTION'S current
+    *    schema/catalog (not any-schema, which would false-positive on a
+    *    same-named table owned by another schema);
+    *  - the `driver` property, loaded via the context classloader and
+    *    used directly when DriverManager can't see it (--jars live on
+    *    Spark's mutable classloader, invisible to DriverManager's caller
+    *    check — same reason Spark has DriverRegistry);
+    *  - LIKE-wildcard escaping (`_`/`%`) so `orders_state` can't match an
+    *    unrelated `ordersXstate`. */
+  private def jdbcConnect(url: String,
+                          props: java.util.Properties): java.sql.Connection =
+    Option(props.getProperty("driver")) match {
+      case None => java.sql.DriverManager.getConnection(url, props)
+      case Some(cls) =>
+        val driver = Class.forName(cls, true,
+            Thread.currentThread().getContextClassLoader)
+          .getDeclaredConstructor().newInstance()
+          .asInstanceOf[java.sql.Driver]
+        // direct connect bypasses DriverManager's caller-classloader check
+        val conn = driver.connect(url, props)
+        if (conn == null) throw new java.sql.SQLException(
+          s"driver $cls rejected url $url")
+        conn
+    }
+
   private def jdbcTableExists(url: String, table: String,
                               props: java.util.Properties): Boolean = {
-    Option(props.getProperty("driver"))
-      .foreach(c => Class.forName(c)) // registers with DriverManager
-    val conn = java.sql.DriverManager.getConnection(url, props)
+    val conn = jdbcConnect(url, props)
     try {
       val md = conn.getMetaData
-      val (schemaPart, tablePart) = table.lastIndexOf('.') match {
+      val (prefix, tablePart) = table.lastIndexOf('.') match {
         case -1 => (null: String, table)
         case i  => (table.substring(0, i), table.substring(i + 1))
       }
@@ -192,14 +223,25 @@ object CdcStream {
         if (s == null) null
         else s.replace(esc, esc + esc)
           .replace("_", esc + "_").replace("%", esc + "%")
-      def probe(schema: String, name: String): Boolean = {
-        val rs = md.getTables(null, escape(schema), escape(name), null)
+      def probe(catalog: String, schema: String, name: String): Boolean = {
+        val rs = md.getTables(catalog, escape(schema), escape(name), null)
         try rs.next() finally rs.close()
       }
       def variants(s: String): Seq[String] =
         if (s == null) Seq(null) else Seq(s, s.toUpperCase, s.toLowerCase)
-      variants(schemaPart).exists(sc => variants(tablePart)
-        .exists(t => probe(sc, t)))
+      val scopes: Seq[(String, String)] =
+        if (prefix != null)
+          // qualified: prefix as schema (Postgres/Derby) or catalog (MySQL)
+          variants(prefix).flatMap(p => Seq((null, p), (p, null)))
+        else {
+          // unqualified: the connection's own scope
+          val cat = scala.util.Try(conn.getCatalog).toOption.flatMap(Option(_))
+          val sch = scala.util.Try(conn.getSchema).toOption.flatMap(Option(_))
+          Seq((cat.orNull, sch.orNull))
+        }
+      scopes.exists { case (c, s) =>
+        variants(tablePart).exists(t => probe(c, s, t))
+      }
     } finally conn.close()
   }
 
