@@ -290,6 +290,22 @@ object RelationalQueries {
                 size(map_values(col("m"))).as("n_vals"))
         .orderBy(col("o_orderkey"))),
 
+    // -- cumulative distribution + null-safe equality
+    "q_window_cumedist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"))
+      load(s, dir, "orders")
+        .select(col("o_orderkey"),
+                round(cume_dist().over(w), 6).as("cd"),
+                // null-safe equality over synthesized NULLs
+                (nullif(col("o_orderpriority"), lit("5-LOW")) <=>
+                 nullif(col("o_orderpriority"), lit("5-LOW")))
+                  .as("self_nse"),
+                (nullif(col("o_orderpriority"), lit("5-LOW")) <=>
+                 lit("1-URGENT")).as("urgent_nse"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // -- global sort + limit (Spark runs TakeOrderedAndProject: no full sort)
     "q_sort_limit" -> ((s, dir) =>
       load(s, dir, "orders")
@@ -471,6 +487,15 @@ object RelationalQueries {
         |  EXCEPT ALL
         |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_window_cumedist" ->
+      """SELECT o_orderkey,
+        |  round(cume_dist() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice), 6) AS cd,
+        |  nullif(o_orderpriority, '5-LOW') IS NOT DISTINCT FROM
+        |    nullif(o_orderpriority, '5-LOW') AS self_nse,
+        |  nullif(o_orderpriority, '5-LOW') IS NOT DISTINCT FROM
+        |    '1-URGENT' AS urgent_nse
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
