@@ -171,6 +171,25 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // -- explicit cross join (bounded: 5 regions x 25 nations)
+    "q_join_cross" -> ((s, dir) => {
+      val r = load(s, dir, "region").select(col("r_name"))
+      val n = load(s, dir, "nation").select(col("n_name"))
+      r.crossJoin(n)
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("r_name"))
+    }),
+
+    // -- histogram bucketing (portable floor-division form)
+    "q_histogram" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+             round(min(col("o_totalprice")), 2).as("lo"),
+             round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("bucket"))),
+
     // -- theta join: equi key + range residual (ship lag > 60 days)
     "q_join_range" -> ((s, dir) => {
       val o = load(s, dir, "orders"); val l = load(s, dir, "lineitem")
@@ -427,6 +446,16 @@ object RelationalQueries {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_name, count(*) AS n_pairs
+        |FROM region CROSS JOIN nation
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_join_range" ->
       """SELECT o_orderstatus, count(*) AS n_late_lines
         |FROM orders JOIN lineitem
