@@ -16,14 +16,15 @@ import org.apache.spark.sql.functions._
   *              handled.
   *
   * Partial-`before` handling (quirk Q3): Maxwell's `old` carries only
-  * CHANGED columns, so a NULL in `before` is backfilled from `after`
-  * (unchanged). KNOWN PROTOCOL AMBIGUITY: a column whose old value was
-  * SQL NULL is encoded as `"col": null` in `old` — indistinguishable
-  * after decode from "not present"; such updates misattribute the old
-  * delta. Resolving it requires key-presence inspection of the raw `old`
-  * JSON (`json_object_keys`) before decode; pipelines where the
-  * aggregated columns are NOT NULL (the common case for measures and
-  * grouping keys) are unaffected.
+  * CHANGED columns. When the events carry `changed_cols` (key-presence
+  * inspection of the raw `old` JSON — RowDecoder.changeEvents emits it),
+  * the old value is taken from `before` EXACTLY when its key was present
+  * in `old` (even if the old value was SQL NULL) and from `after`
+  * otherwise — no ambiguity, nullable columns included. Events lacking
+  * `changed_cols` fall back to coalesce-backfill, which cannot
+  * distinguish "old value was SQL NULL" from "unchanged"; that fallback
+  * is only sound when the grouped/aggregated columns are NOT NULL, so it
+  * is rejected unless the caller passes `allowNullableFallback = true`.
   *
   * Scale shape: ONE pass over the decoded events (a single projection
   * producing 1-2 delta structs per event via inline explode), then a
@@ -41,10 +42,22 @@ object IncrementalAgg {
   /** SUM(valueCol) + COUNT(*) per groupCol, from change events alone. */
   def sumCount(events: DataFrame, groupCol: String, valueCol: String,
                prune: Boolean = true,
-               valueCast: Column => Column = identity): DataFrame = {
+               valueCast: Column => Column = identity,
+               allowNullableFallback: Boolean = false): DataFrame = {
+    val hasChangedCols = events.columns.contains("changed_cols")
+    require(hasChangedCols || allowNullableFallback,
+      "sumCount: events carry no `changed_cols` column; the coalesce " +
+        "backfill for partial `before` images misattributes retract " +
+        "deltas when the grouped/aggregated columns are nullable. Decode " +
+        "with RowDecoder.changeEvents (which emits changed_cols), or opt " +
+        "in with allowNullableFallback = true for NOT NULL columns.")
     def after(c: String): Column = col(s"after.$c")
     def before(c: String): Column =
-      coalesce(col(s"before.$c"), col(s"after.$c")) // Q3 backfill
+      if (hasChangedCols)
+        // Q3, exact: key present in raw `old` -> old value (even NULL)
+        when(array_contains(col("changed_cols"), c), col(s"before.$c"))
+          .otherwise(col(s"after.$c"))
+      else coalesce(col(s"before.$c"), col(s"after.$c")) // NOT NULL only
     def delta(g: Column, v: Column, sign: Int): Column =
       struct(g.as("g"), (valueCast(v) * sign).as("dv"),
              lit(sign.toLong).as("dc"))

@@ -86,6 +86,13 @@ object RowDecoder {
     *
     * `seq` is a per-source monotonic sequence used only as a deterministic
     * tie-break for events sharing the same commit ts.
+    *
+    * `changed_cols` (update events only) lists the decoded column names
+    * whose keys are PRESENT in the raw `old` JSON — this disambiguates
+    * "old value was SQL NULL" (key present, value null) from "column
+    * unchanged" (key absent), which decode alone cannot distinguish after
+    * `old` becomes a typed struct. Downstream delta logic (IncrementalAgg)
+    * keys off it instead of guessing via coalesce.
     */
   def changeEvents(envelope: DataFrame, spec: TableSpec,
                    strictParity: Boolean = false,
@@ -111,11 +118,19 @@ object RowDecoder {
           .otherwise(lit(null).cast(spec.decodedStructType))
       }
     val seq = if (envelope.columns.contains("seq")) col("seq") else lit(0L)
+    // decoded column names present in the raw `old` JSON (renames applied)
+    val renameLit = typedLit(spec.renames) // jsonKey -> columnName
+    val changedCols =
+      when(col("type") === "update",
+        transform(json_object_keys(col("old")),
+          k => coalesce(element_at(renameLit, k), k)))
+        .otherwise(lit(null).cast("array<string>"))
     withImages.select(
       col("type").as("op"),
       col("database"), col("table"),
       col("ts"), seq.as("seq"),
-      before.as("before"), col("after"))
+      before.as("before"), col("after"),
+      changedCols.as("changed_cols"))
   }
 
   implicit private class SpecOps(spec: TableSpec) {

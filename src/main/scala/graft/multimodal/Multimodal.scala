@@ -122,6 +122,9 @@ object Multimodal {
     media
       .withColumn("n_frames",
         ceil(length(col("content")).cast("double") / frameBytes).cast("int"))
+      // empty/NULL payloads have no frames; without this, sequence(0, -1)
+      // would emit a DESCENDING [0, -1] and produce phantom frame rows
+      .filter(col("n_frames") > 0)
       .withColumn("frame_idx",
         explode(filter(sequence(lit(0), col("n_frames") - 1),
                        i => i % everyK === 0)))

@@ -34,6 +34,11 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
            payload: Seq[String]): DataFrame = {
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"asOf: payload columns ${collisions.mkString(", ")} collide with " +
+        "left columns — the result would carry duplicate names, breaking " +
+        "by-name access; rename or suffix them on the right side first")
     val leftCols = left.columns.toSeq
     val paySchema = right.select(payload.map(col): _*).schema
     val pay = struct(payload.map(col): _*)

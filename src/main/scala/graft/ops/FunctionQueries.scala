@@ -182,11 +182,16 @@ object FunctionQueries {
              round(var_samp(col("l_discount")), 6).as("v"))
         .orderBy(col("l_returnflag"))),
 
-    // ordered collect (sort_array makes collect_list deterministic)
+    // ordered collect (sort_array makes collect_list deterministic; joined
+    // to a string because the driver's pandas compare can't hash arrays)
     "q_collect_list" -> ((s, dir) =>
       load(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(slice(sort_array(collect_list(col("o_custkey"))), 1, 5).as("ks"))
+        .agg(array_join(
+               transform(
+                 slice(sort_array(collect_list(col("o_custkey"))), 1, 5),
+                 x => x.cast("string")),
+               ",").as("ks"))
         .orderBy(col("o_orderstatus"))),
 
     // generator / UDTF shape: explode tokens into rows
@@ -344,7 +349,7 @@ object FunctionQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_collect_list" ->
       """SELECT o_orderstatus,
-        |  list(o_custkey ORDER BY o_custkey)[1:5] AS ks
+        |  array_to_string(list(o_custkey ORDER BY o_custkey)[1:5], ',') AS ks
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_explode_tokens" ->
       """SELECT doc_id,

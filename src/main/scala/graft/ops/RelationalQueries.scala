@@ -294,8 +294,8 @@ object RelationalQueries {
              approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy(col("l_returnflag"))),
 
-    // -- map-typed columns (rows-only: map construction is engine-local;
-    //    value correctness asserted in specs)
+    // -- map-typed columns (keys joined to a string: the driver's pandas
+    //    compare can't hash array cells; DuckDB MAP mirrors the semantics)
     "q_map_funcs" -> ((s, dir) =>
       load(s, dir, "orders")
         .select(col("o_orderkey"),
@@ -304,7 +304,7 @@ object RelationalQueries {
                   array(col("o_orderstatus"), col("o_orderpriority")))
                   .as("m"))
         .select(col("o_orderkey"),
-                map_keys(col("m")).as("ks"),
+                array_join(map_keys(col("m")), ",").as("ks"),
                 element_at(col("m"), "status").as("status"),
                 size(map_values(col("m"))).as("n_vals"))
         .orderBy(col("o_orderkey"))),
@@ -360,6 +360,15 @@ object RelationalQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_map_funcs" ->
+      """SELECT o_orderkey,
+        |  array_to_string(map_keys(map(['status','priority'],
+        |    [o_orderstatus, o_orderpriority])), ',') AS ks,
+        |  map(['status','priority'],
+        |    [o_orderstatus, o_orderpriority])['status'][1] AS status,
+        |  CAST(len(map_values(map(['status','priority'],
+        |    [o_orderstatus, o_orderpriority]))) AS INT) AS n_vals
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

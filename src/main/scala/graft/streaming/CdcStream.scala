@@ -137,15 +137,21 @@ object CdcStream {
   /** JDBC variant of the materialized-state sink (BASELINE.json
     * `spark_approach`: "Structured Streaming + JDBC sink"). Same
     * event-time-correct merge as the parquet path (Materializer.merge with
-    * retained tombstones); the write is a table overwrite because Spark's
-    * JDBC writer has no MERGE — production points this at a dialect with
-    * upsert (INSERT ... ON CONFLICT per partition) for both atomicity and
-    * incrementality. */
+    * retained tombstones), and the same generation discipline: the merged
+    * state is written to a STAGING table (`<table>__stage`) — never to the
+    * table the merge is reading from — then promoted with table renames
+    * (demote live to `<table>__old`, promote stage to live). A failed
+    * write leaves the live table untouched; a crash mid-swap leaves
+    * `__old` for the replayed batch to fall back to. Spark's JDBC writer
+    * has no MERGE — production points this at a dialect with upsert
+    * (INSERT ... ON CONFLICT per partition) for incrementality. */
   def materializeToJdbc(envelope: DataFrame, spec: TableSpec,
                         url: String, table: String, checkpointPath: String,
                         props: java.util.Properties = new java.util.Properties())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val events = changeEvents(envelope, spec)
+    val stage = table + "__stage"
+    val oldT = table + "__old"
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointPath)
@@ -156,28 +162,52 @@ object CdcStream {
         // distinguish "table does not exist yet" (first batch) from
         // transient JDBC failures: the latter must propagate and fail the
         // batch so the checkpoint retries — treating them as first-batch
-        // would overwrite the whole table with this batch alone
+        // would overwrite the whole table with this batch alone. A live
+        // table missing but `__old` present = crash mid-swap: replay the
+        // batch against the demoted generation (parquet readState analogue)
         val merged =
           if (jdbcTableExists(url, table, props))
             Materializer.merge(spark.read.jdbc(url, table, props),
                                batchEvents, spec.primaryKey)
+          else if (jdbcTableExists(url, oldT, props))
+            Materializer.merge(spark.read.jdbc(url, oldT, props),
+                               batchEvents, spec.primaryKey)
           else Materializer.compact(batchEvents, spec.primaryKey)
-        // JDBC reads are lazy: pin the merge in the cache BEFORE the
-        // overwrite truncates the table it reads from (production: write
-        // to a staging table and swap, like the parquet path's tmp+rename)
-        merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // stage write: reads the live generation, writes elsewhere — no
+        // read-own-truncation lineage hazard, no persist needed, and a
+        // mid-write executor failure leaves the live table complete
+        merged.write.mode("overwrite")
+          // __op must be comparable to literals on read-back; some
+          // dialects (Derby) map StringType to CLOB which is not
+          .option("createTableColumnTypes", "__op VARCHAR(16)")
+          .jdbc(url, stage, props)
+        // promote. Invariant (same as the parquet swap): at every instant
+        // at least one COMPLETE generation (live, or __old + a committed
+        // checkpoint replay) exists.
+        val conn = jdbcConnect(url, props)
         try {
-          merged.count() // force full materialization
-          merged.write.mode("overwrite")
-            // __op must be comparable to literals on read-back; some
-            // dialects (Derby) map StringType to CLOB which is not
-            .option("createTableColumnTypes", "__op VARCHAR(16)")
-            .jdbc(url, table, props)
-        } finally merged.unpersist()
+          val st = conn.createStatement()
+          try {
+            if (jdbcTableExists(url, oldT, props))
+              st.executeUpdate(s"DROP TABLE $oldT") // stage is complete
+            if (jdbcTableExists(url, table, props))
+              renameTable(st, table, oldT)
+            renameTable(st, stage, table)
+          } finally st.close()
+        } finally conn.close()
         ()
       }
       .start()
   }
+
+  /** Dialect-portable table rename: `RENAME TABLE a TO b` (Derby, MySQL),
+    * falling back to `ALTER TABLE a RENAME TO b` (Postgres, SQLite). */
+  private def renameTable(st: java.sql.Statement,
+                          from: String, to: String): Unit =
+    try st.executeUpdate(s"RENAME TABLE $from TO $to")
+    catch { case _: java.sql.SQLException =>
+      st.executeUpdate(s"ALTER TABLE $from RENAME TO $to")
+    }
 
   /** Table-existence probe via JDBC metadata (connection failures
     * propagate — only a definitive "no such table" selects the

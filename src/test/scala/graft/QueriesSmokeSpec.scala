@@ -30,7 +30,8 @@ class QueriesSmokeSpec extends SparkSpec {
   test("map functions produce consistent keys/values") {
     import org.apache.spark.sql.functions._
     val m = SparkEntry.queries("q_map_funcs")(spark, sfDir)
-    assert(m.filter(size(col("ks")) =!= 2 || col("n_vals") =!= 2).count() == 0)
+    assert(m.filter(col("ks") =!= "status,priority" ||
+                    col("n_vals") =!= 2).count() == 0)
     val joined = m.join(Tables.load(spark, sfDir, "orders"), "o_orderkey")
     assert(joined.filter(col("status") =!= col("o_orderstatus")).count() == 0)
   }

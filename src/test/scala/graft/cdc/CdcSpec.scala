@@ -106,6 +106,50 @@ class CdcSpec extends SparkSpec {
     assert(b2.getAs[String]("name") == "widget A")       // old value kept
   }
 
+  test("quirk Q3 exact: changed_cols distinguishes old-was-NULL from unchanged") {
+    // `old` carries `"score": null` (old value was SQL NULL) and omits
+    // `entity_name` (unchanged). After decode both are NULL in `before`;
+    // only key presence in the raw JSON can tell them apart.
+    val nullOld = updateJson.replace(
+      """"old":{"entity_name":"widget A","score":3.5}""",
+      """"old":{"score":null}""")
+    val ev = RowDecoder.changeEvents(parse(nullOld), dealsSpec).collect()(0)
+    val changed = ev.getSeq[String](ev.fieldIndex("changed_cols"))
+    assert(changed == Seq("score"))
+    // rename applied: old key entity_name surfaces as decoded name
+    val ev2 = RowDecoder.changeEvents(parse(updateJson), dealsSpec).collect()(0)
+    assert(ev2.getSeq[String](ev2.fieldIndex("changed_cols")).sorted ==
+      Seq("name", "score"))
+    // non-update events carry no changed_cols
+    val ins = RowDecoder.changeEvents(parse(insertJson), dealsSpec).collect()(0)
+    assert(ins.isNullAt(ins.fieldIndex("changed_cols")))
+  }
+
+  test("IncrementalAgg retracts NULL-group deltas exactly via changed_cols") {
+    // key 7 moves from group NULL -> 'g1': the retract must hit the NULL
+    // group (coalesce-backfill would wrongly retract from 'g1')
+    val insert =
+      """{"database":"deal_test","table":"deals","type":"insert","ts":1,
+        |"data":{"id":7,"entity_name":null,"score":2.0}}"""
+        .stripMargin.replace("\n", "")
+    val update =
+      """{"database":"deal_test","table":"deals","type":"update","ts":2,
+        |"data":{"id":7,"entity_name":"g1","score":2.0},
+        |"old":{"entity_name":null}}""".stripMargin.replace("\n", "")
+    val events = RowDecoder.changeEvents(parse(insert, update), dealsSpec)
+    val out = IncrementalAgg.sumCount(events, "name", "score")
+      .collect().map(r => (r.getAs[String]("name"),
+                           Option(r.getAs[Any]("sum_score")),
+                           r.getAs[Long]("n_rows"))).toSet
+    // NULL group: +2 (insert) then -2 (retract) -> pruned (n_rows == 0);
+    // g1 group: +2
+    assert(out == Set(("g1", Some(2.0), 1L)))
+    // the fallback path without changed_cols is rejected for safety
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.sumCount(events.drop("changed_cols"), "name", "score")
+    }
+  }
+
   test("quirk Q4: delete carries the row image in after") {
     val ev = RowDecoder.changeEvents(parse(deleteJson), dealsSpec).collect()(0)
     assert(ev.getAs[String]("op") == "delete")
