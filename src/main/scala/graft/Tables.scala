@@ -32,8 +32,14 @@ object Tables {
       // reader rejects outright. Read nanos as raw long and convert to the
       // native microsecond TimestampType (integer `div`, not double
       // division — epoch-nanos exceed 2^53 and would lose precision).
+      // Conditional on the read type so an events table written with
+      // ordinary micros timestamps loads unchanged.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 }

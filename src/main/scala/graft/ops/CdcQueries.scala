@@ -61,7 +61,39 @@ object CdcQueries {
         .select(col("after.o_orderkey").as("o_orderkey"),
                 col("before.o_totalprice").as("old_price"),
                 col("after.o_totalprice").as("new_price"))
-        .orderBy(col("o_orderkey"))))
+        .orderBy(col("o_orderkey"))),
+
+    // Time-travel snapshot diff: replay the changelog to two cut times and
+    // diff the states (added / removed / changed keys). Scale shape: each
+    // snapshot is ONE ts-filtered max_by aggregation (the filter prunes
+    // events before the shuffle), then a single full-outer join on the key
+    // — both snapshots share the key partitioning, so the join is
+    // co-partitioned after the aggregates.
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      val ev = ChangelogGen.ordersChangeEvents(s, dir)
+      def stateAt(t: Long) = graft.cdc.Materializer.currentState(
+        ev.filter(col("ts") <= t), ChangelogGen.ordersSpec.primaryKey)
+      val s1 = stateAt(SnapT1)
+        .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+      val s2 = stateAt(SnapT2)
+        .select(col("o_orderkey"), col("o_totalprice").as("new_price"))
+      s1.join(s2, Seq("o_orderkey"), "full_outer")
+        .withColumn("change",
+          when(col("old_price").isNull, "added")
+            .when(col("new_price").isNull, "removed")
+            .otherwise("changed"))
+        .filter(col("old_price").isNull || col("new_price").isNull ||
+                col("old_price") =!= col("new_price"))
+        .select(col("o_orderkey"), col("change"),
+                col("old_price"), col("new_price"))
+        .orderBy(col("o_orderkey"))
+    }))
+
+  /** Snapshot cut times (epoch seconds, UTC): 1995-01-01 and 1997-01-01 —
+    * inside the orders date range at every sf, so all three diff classes
+    * (added / removed / changed) are populated. */
+  private val SnapT1 = 788918400L
+  private val SnapT2 = 852076800L
 
   val oracle: Map[String, String] = Map(
     "cdc_materialize" ->
@@ -90,5 +122,29 @@ object CdcQueries {
       """SELECT o_orderkey, o_totalprice AS old_price,
         |  o_totalprice * 1.1 AS new_price
         |FROM orders WHERE o_orderstatus = 'F'
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "cdc_snapshot_diff" -> {
+      // closed-form snapshot at cut time T, straight from the event plan:
+      // present iff insert(ts=base) <= T and no delete(ts=base+7200) <= T;
+      // price updated iff the 'F' update (ts=base+3600) <= T
+      def stateSql(t: Long, priceAlias: String) =
+        s"""SELECT o_orderkey,
+           |  CASE WHEN o_orderstatus = 'F' AND epoch(o_orderdate) + 3600 <= $t
+           |       THEN o_totalprice * 1.1 ELSE o_totalprice END AS $priceAlias
+           |FROM orders
+           |WHERE epoch(o_orderdate) <= $t
+           |  AND NOT (o_orderkey % 10 = 0 AND epoch(o_orderdate) + 7200 <= $t)"""
+          .stripMargin
+      s"""WITH s1 AS (${stateSql(788918400L, "old_price")}),
+        |s2 AS (${stateSql(852076800L, "new_price")})
+        |SELECT coalesce(s1.o_orderkey, s2.o_orderkey) AS o_orderkey,
+        |  CASE WHEN s1.o_orderkey IS NULL THEN 'added'
+        |       WHEN s2.o_orderkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  old_price, new_price
+        |FROM s1 FULL JOIN s2 ON s1.o_orderkey = s2.o_orderkey
+        |WHERE s1.o_orderkey IS NULL OR s2.o_orderkey IS NULL
+        |   OR old_price <> new_price
+        |ORDER BY o_orderkey""".stripMargin
+    })
 }

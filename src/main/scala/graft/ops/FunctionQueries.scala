@@ -225,7 +225,35 @@ object FunctionQueries {
              round(sum(col("value")), 4).as("sum_value"))
         .select(col("window.start").as("ws"), col("event_type"),
                 col("n"), col("sum_value"))
-        .orderBy(col("ws"), col("event_type"))))
+        .orderBy(col("ws"), col("event_type"))),
+
+    // gap-based sessionization (batch form of session_window): a session
+    // breaks after >30 min of user inactivity. lag + running sum is the
+    // classic two-window formulation; both windows share the same
+    // (user_id, ts) partitioning+sort, so Catalyst plans ONE shuffle and
+    // ONE sort for the pair. Gap compare in integer microseconds — exact
+    // on both engines.
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapUs = 1800L * 1000000L
+      val newSess = when(
+        lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            > gapUs, 1).otherwise(0)
+      load(s, dir, "events")
+        .withColumn("sess_id",
+          sum(newSess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id").cast("int").as("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("sess_start"),
+             round((max(unix_micros(col("ts"))) -
+                    min(unix_micros(col("ts")))) / 1000000.0, 3)
+               .as("dur_sec"))
+        .orderBy(col("user_id"), col("sess_id"))
+    }))
 
   val oracle: Map[String, String] = Map(
     "q_str_funcs" ->
@@ -367,5 +395,24 @@ object FunctionQueries {
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM e)
+        |SELECT user_id, CAST(sess_id AS INT) AS sess_id,
+        |  count(*) AS n_events, CAST(min(ts) AS TIMESTAMP) AS sess_start,
+        |  round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 3)
+        |    AS dur_sec
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin)
 }

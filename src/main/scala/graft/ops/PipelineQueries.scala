@@ -22,6 +22,13 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String) =
     graft.Tables.ensureParallelism(load(s, dir, "embeddings"))
 
+  /** Engine-portable 32-bit hash of a key + seed (md5 hex prefix parsed as
+    * an integer). Slower than xxhash64 but bit-identical across engines —
+    * used where the SAMPLE itself must be reproducible outside Spark. */
+  private def portableHash(key: org.apache.spark.sql.Column, seed: Int) =
+    conv(substring(md5(concat(key.cast("string"), lit(s":$seed"))), 1, 8),
+         16, 10).cast("long")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- dedup ----
@@ -79,6 +86,23 @@ object PipelineQueries {
       Dedup.simhashCandidates(docs(s, dir), "doc_id", "text",
                               maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // exact n-gram + token-set Jaccard similarity (the verifier behind the
+    // LSH candidates, here oracle-checked end-to-end): every 5th document
+    // vs itself with the first two tokens dropped — known-high overlap, so
+    // the values are non-trivial.
+    "q_dedup_ngram" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val pert = concat_ws(" ", slice(toks, lit(3), size(toks)))
+      docs(s, dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+                round(Dedup.ngramJaccard(col("text"), pert, 5), 6)
+                  .as("jaccard5"),
+                round(Dedup.jaccard(col("text"), pert), 6)
+                  .as("jaccard_tok"))
+        .orderBy(col("doc_id"))
+    }),
 
     // embedding-cosine near-dup pairs above a threshold (oracle-checked)
     "q_dedup_embedding" -> ((s, dir) => {
@@ -144,10 +168,10 @@ object PipelineQueries {
         .orderBy(col("doc_freq").desc, col("tok"))
         .limit(50)),
 
-    // deterministic stratified sample by language (data-mixing primitive;
-    // rows-only: sampling algorithms are engine-specific — fraction
-    // accuracy asserted in specs). Hash-based, not RNG-based, so the
-    // sample is stable across runs AND cluster layouts.
+    // deterministic stratified sample by language (data-mixing primitive).
+    // Hash-based, not RNG-based, so the sample is stable across runs AND
+    // cluster layouts; the hash is md5-derived (not xxhash64) so it is
+    // engine-portable and the sample itself is oracle-exact vs DuckDB.
     "q_sample_stratified" -> ((s, dir) => {
       val fractions = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25,
                           "zh" -> 0.1, "fr" -> 0.1)
@@ -155,10 +179,24 @@ object PipelineQueries {
         when(col("lang") === l, f).otherwise(acc)
       }
       docs(s, dir)
-        .filter(pmod(xxhash64(col("doc_id"), lit(42)), lit(10000L)) <
+        .filter(pmod(portableHash(col("doc_id"), 42), lit(10000L)) <
                 frac * 10000)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // weighted upsampling (data-mixing: repeat docs by per-language weight
+    // before training-shard assembly). explode(sequence) is a narrow
+    // generator — no shuffle; at 100 TB the repeat factor multiplies
+    // output partitions, not input reads.
+    "q_mix_upsample" -> ((s, dir) => {
+      val w = when(col("lang") === "en", 3)
+        .when(col("lang") === "de", 2).otherwise(1)
+      docs(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang"),
+                explode(sequence(lit(1), w)).as("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
     }),
 
     // ---- text analysis ----
@@ -187,7 +225,58 @@ object PipelineQueries {
                 TextAnalysis.qualityScore(col("text")).as("quality"),
                 round(TextAnalysis.stopwordRatio(col("text")), 6)
                   .as("stopword_ratio"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // TF-IDF top terms per document (retrieval / relevance primitive).
+    // Scale shape: tf = one shuffle on (doc, term) with map-side partial
+    // counts; df joins on term (vocabulary-sized — broadcastable); the
+    // per-doc top-k window sorts only each doc's own terms.
+    "q_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val tf = d.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("tok"))
+      tf.filter(col("doc_id") < 10)
+        .join(dfreq, "tok")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") *
+            (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1),
+            4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("rk"), col("tok"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // PII scrubbing (contamination/compliance pass): detect + redact
+    // emails and URLs. Pure regexp expressions — a narrow scan-side map
+    // with zero shuffle at any scale. The testdata corpus carries no PII,
+    // so the query plants a deterministic email+URL per doc first.
+    "q_text_scrub" -> ((s, dir) => {
+      val dirty = concat(lit("contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or http://ex"), col("doc_id").cast("string"),
+        lit(".com/x "), col("text"))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val urlRe = "https?://[^ ]+"
+      docs(s, dir)
+        .select(col("doc_id"),
+                size(regexp_extract_all(dirty, lit(emailRe), lit(0)))
+                  .as("n_emails"),
+                size(regexp_extract_all(dirty, lit(urlRe), lit(0)))
+                  .as("n_urls"),
+                substring(
+                  regexp_replace(regexp_replace(dirty, urlRe, "<URL>"),
+                                 emailRe, "<EMAIL>"),
+                  1, 60).as("scrubbed_head"))
+        .orderBy(col("doc_id"))
+    }))
 
   private val normText =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -199,7 +288,95 @@ object PipelineQueries {
   private def langScoreSql(lang: String): String =
     TextAnalysis.langMarkers(lang).map(hitsSql).mkString("(", " + ", ")")
 
+  // shared DuckDB fragments for the token/shingle oracles
+  private val toksSql =
+    "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+  private def shingleSql(toksExpr: String): String =
+    s"""CASE WHEN len($toksExpr) < 5 THEN [array_to_string($toksExpr, ' ')]
+       |     ELSE list_transform(generate_series(1, len($toksExpr) - 4),
+       |            i -> array_to_string(($toksExpr)[i:i+4], ' ')) END"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+        |        % 10000 <
+        |      (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |                 WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1
+        |                 WHEN 'fr' THEN 0.1 ELSE 0.05 END) * 10000
+        |ORDER BY doc_id""".stripMargin,
+    "q_mix_upsample" ->
+      """SELECT doc_id, lang,
+        |  CAST(unnest(generate_series(1,
+        |    CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 ELSE 1 END))
+        |    AS INT) AS copy_idx
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id, copy_idx""".stripMargin,
+    "q_fingerprint_rolling" ->
+      s"""SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform($toksSql,
+        |        t -> (ascii(t) * 131 + length(t)) % 1000000007)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rh
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH t AS (
+        |  -- toks2 round-trips through join+split (mirroring the Spark
+        |  -- side, where the perturbed text is re-tokenized): a <3-token
+        |  -- doc yields [''] on both engines, not []
+        |  SELECT doc_id, $toksSql AS toks,
+        |    string_split(array_to_string(($toksSql)[3:], ' '), ' ') AS toks2
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |s AS (
+        |  SELECT doc_id, toks, toks2,
+        |    ${shingleSql("toks")} AS sh1,
+        |    ${shingleSql("toks2")} AS sh2
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(CAST(len(list_intersect(list_distinct(sh1),
+        |                                list_distinct(sh2))) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sh1, sh2))), 6) AS jaccard5,
+        |  round(CAST(len(list_intersect(list_distinct(toks),
+        |                                list_distinct(toks2))) AS DOUBLE)
+        |        / len(list_distinct(list_concat(toks, toks2))), 6)
+        |    AS jaccard_tok
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok,
+        |    round(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1), 4)
+        |      AS tfidf
+        |  FROM tf JOIN df USING (tok), n
+        |  WHERE doc_id < 10),
+        |r AS (
+        |  SELECT doc_id, tok, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, tok) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, tok, tfidf
+        |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    "q_text_scrub" -> {
+      val dirty = "concat('contact user', doc_id::VARCHAR, " +
+        "'@mail.example.com or http://ex', doc_id::VARCHAR, '.com/x ', text)"
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val urlRe = "https?://[^ ]+"
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all($dirty, '$emailRe')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all($dirty, '$urlRe')) AS INT) AS n_urls,
+        |  substr(regexp_replace(regexp_replace($dirty, '$urlRe', '<URL>',
+        |           'g'), '$emailRe', '<EMAIL>', 'g'), 1, 60)
+        |    AS scrubbed_head
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q_token_freq" ->
       """SELECT tok, count(*) AS doc_freq FROM (
         |  SELECT DISTINCT doc_id,

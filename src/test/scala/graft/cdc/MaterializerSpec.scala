@@ -153,4 +153,31 @@ class MaterializerSpec extends SparkSpec {
     assert(got.count() == want.count())
     assert(got.exceptAll(want.select(got.columns.map(col): _*)).count() == 0)
   }
+
+  test("snapshot diff classifies added/removed/changed per the event plan") {
+    val out = graft.ops.CdcQueries.queries("cdc_snapshot_diff")(spark, sfDir)
+      .cache()
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .withColumn("base", unix_timestamp(col("o_orderdate"))).cache()
+    val (t1, t2) = (788918400L, 852076800L)
+    // added: inserted in (t1, t2], not yet deleted by t2
+    val added = orders.filter(col("base") > t1 && col("base") <= t2 &&
+      !(col("o_orderkey") % 10 === 0 && col("base") + 7200 <= t2)).count()
+    // removed: present at t1, delete ts in (t1, t2]
+    val removed = orders.filter(col("o_orderkey") % 10 === 0 &&
+      col("base") <= t1 && col("base") + 7200 > t1 &&
+      col("base") + 7200 <= t2).count()
+    // changed: present at both cuts, 'F' update crossing the interval
+    val changed = orders.filter(col("o_orderstatus") === "F" &&
+      col("base") + 3600 > t1 && col("base") + 3600 <= t2 &&
+      col("base") <= t1 &&
+      !(col("o_orderkey") % 10 === 0 && col("base") + 7200 <= t2)).count()
+    val byClass = out.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byClass.getOrElse("added", 0L) == added)
+    assert(byClass.getOrElse("removed", 0L) == removed)
+    assert(byClass.getOrElse("changed", 0L) == changed)
+    assert(out.filter(col("change") === "changed" &&
+      col("new_price") <= col("old_price")).count() == 0) // 1.1x only
+  }
 }

@@ -144,4 +144,60 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(rh.size == 2)
   }
+
+  test("tfidf: 5 ranked terms per doc, scores non-increasing, rare beats common") {
+    val out = graft.ops.PipelineQueries.queries("q_tfidf")(spark, sfDir).cache()
+    val perDoc = out.groupBy("doc_id").count().collect()
+    assert(perDoc.nonEmpty && perDoc.forall(_.getLong(1) == 5))
+    val bad = out.withColumn("prev", lag(col("tfidf"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("rk")))
+      .filter(col("prev") < col("tfidf"))
+    assert(bad.count() == 0)
+    // idf direction: a corpus-unique term must outscore a same-tf term
+    // that appears in every doc
+    val probe = spark.createDataFrame(Seq(
+      (1L, "unique_xyzzy common"), (2L, "common"), (3L, "common"))).toDF("doc_id", "text")
+    val toks = probe.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = toks.join(dfreq, "tok")
+      .withColumn("tfidf", col("tf") * (log(lit(4.0) / (col("df") + 1)) + 1))
+      .filter(col("doc_id") === 1)
+      .collect().map(r => r.getAs[String]("tok") -> r.getAs[Double]("tfidf")).toMap
+    assert(scored("unique_xyzzy") > scored("common"))
+  }
+
+  test("mix upsample: copies match per-language weights") {
+    val out = graft.ops.PipelineQueries.queries("q_mix_upsample")(spark, sfDir)
+    val copies = out.groupBy("doc_id", "lang").count()
+    assert(copies.filter(col("lang") === "en" && col("count") =!= 3).count() == 0)
+    assert(copies.filter(col("lang") === "de" && col("count") =!= 2).count() == 0)
+    assert(copies.filter(!col("lang").isin("en", "de") && col("count") =!= 1)
+      .count() == 0)
+  }
+
+  test("text scrub redacts planted email and url") {
+    val out = graft.ops.PipelineQueries.queries("q_text_scrub")(spark, sfDir)
+      .cache()
+    assert(out.filter(col("n_emails") < 1 || col("n_urls") < 1).count() == 0)
+    assert(out.filter(!col("scrubbed_head").contains("<EMAIL>")).count() == 0)
+    assert(out.filter(col("scrubbed_head").rlike("https?://")).count() == 0)
+    assert(out.filter(col("scrubbed_head")
+      .rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() == 0)
+  }
+
+  test("q_dedup_ngram: perturbed-self pairs keep high, in-range jaccard") {
+    val out = graft.ops.PipelineQueries.queries("q_dedup_ngram")(spark, sfDir)
+      .cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("jaccard5") <= 0 || col("jaccard5") > 1 ||
+                      col("jaccard_tok") <= 0 || col("jaccard_tok") > 1)
+      .count() == 0)
+    // a doc minus its first two tokens overlaps itself heavily
+    val avg = out.agg(org.apache.spark.sql.functions.avg("jaccard5"))
+      .collect()(0).getDouble(0)
+    assert(avg > 0.5, s"mean shingle jaccard $avg unexpectedly low")
+  }
 }
