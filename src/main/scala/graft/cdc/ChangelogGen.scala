@@ -108,6 +108,25 @@ object ChangelogGen {
         .cache()
     })
 
+  /** Unpersist and drop all memoized changelogs/envelopes for a session
+    * (all scale factors) — the release hook the memo otherwise lacks;
+    * long-lived sessions that iterate over many sfDirs call this between
+    * them instead of accumulating cached generations. */
+  def clearCache(spark: SparkSession): Unit = {
+    def drain(m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq spark) {
+          e.getValue.unpersist()
+          it.remove()
+        }
+      }
+    }
+    drain(envCache)
+    drain(logCache)
+  }
+
   /** Full pipeline: synthesize -> parse envelope -> typed change events. */
   def ordersChangeEvents(spark: SparkSession, sfDir: String,
                          strictParity: Boolean = false): DataFrame =

@@ -34,18 +34,22 @@ trait CdcHandler extends Serializable {
 }
 
 /** Row-at-a-time adapter (literal parity with the reference's callback
-  * shape). Collects per batch — only for small/side-effect handlers. */
+  * shape) — for small driver-side side-effect handlers only; the batch
+  * `CdcHandler` is the scale surface. Rows stream through the driver one
+  * partition at a time (`toLocalIterator`), so driver memory holds at
+  * most one partition, never the whole batch. */
 abstract class RowCdcHandler extends CdcHandler {
+  import scala.jdk.CollectionConverters._
   def createRow(after: Row): Unit = ()
   def updateRow(before: Row, after: Row): Unit = ()
   def deleteRow(image: Row): Unit = ()
   final override def onCreate(after: DataFrame): Unit =
-    after.collect().foreach(createRow)
+    after.toLocalIterator().asScala.foreach(createRow)
   final override def onUpdate(ba: DataFrame): Unit =
-    ba.collect().foreach(r => updateRow(
+    ba.toLocalIterator().asScala.foreach(r => updateRow(
       r.getAs[Row]("before"), r.getAs[Row]("after")))
   final override def onDelete(image: DataFrame): Unit =
-    image.collect().foreach(deleteRow)
+    image.toLocalIterator().asScala.foreach(deleteRow)
 }
 
 /** Registration entry: one table spec + its handlers (R15). */

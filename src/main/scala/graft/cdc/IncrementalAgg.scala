@@ -54,8 +54,20 @@ object IncrementalAgg {
     def after(c: String): Column = col(s"after.$c")
     def before(c: String): Column =
       if (hasChangedCols)
-        // Q3, exact: key present in raw `old` -> old value (even NULL)
-        when(array_contains(col("changed_cols"), c), col(s"before.$c"))
+        // An update whose raw `old` was NULL or malformed JSON decodes to
+        // NULL changed_cols (json_object_keys returns NULL) — on the
+        // exact path that must FAIL, not silently evaluate as "no column
+        // changed" (before := after, a wrong retraction). raise_error is
+        // inside the update-only CASE branch, so it fires only for rows
+        // that actually take it.
+        when(col("changed_cols").isNull,
+             raise_error(concat(
+               lit("IncrementalAgg.sumCount: update event with NULL " +
+                   "changed_cols (raw `old` missing or malformed JSON) — " +
+                   "exact retraction impossible; event ts="),
+               col("ts").cast("string"))))
+          // Q3, exact: key present in raw `old` -> old value (even NULL)
+          .when(array_contains(col("changed_cols"), c), col(s"before.$c"))
           .otherwise(col(s"after.$c"))
       else coalesce(col(s"before.$c"), col(s"after.$c")) // NOT NULL only
     def delta(g: Column, v: Column, sign: Int): Column =

@@ -57,15 +57,42 @@ object TableSpec {
     * registering a Go struct's `reflect.Type` as the table schema
     * (`cdc_manager.go:388`). Field names become column names; use
     * `renames` for payload keys that differ (gorm `column:` tags) and
-    * `dropped` for excluded fields (gorm:"-"). */
+    * `dropped` for excluded fields (gorm:"-").
+    *
+    * Embedded case classes are recursively FLATTENED into the parent
+    * column list — parity with the reference's embedded-struct handling
+    * (`GetModelFields`, `cdc_utils.go:126-156`), which is how gorm's
+    * common `Model{ID, CreatedAt, UpdatedAt, DeletedAt}` base registers
+    * as flat columns (`cdc_utils_test.go:17-29`). Timestamps need no
+    * exemption here (the reference exempts `time.Time` because it IS a
+    * struct in Go; Spark maps it to a scalar TimestampType). Duplicate
+    * column names after flattening fail fast — silent last-wins would
+    * decode the wrong field. */
   def fromCaseClass[T <: Product : scala.reflect.runtime.universe.TypeTag](
       database: String, table: String, primaryKey: Seq[String],
       renames: Map[String, String] = Map.empty,
       dropped: Set[String] = Set.empty): TableSpec = {
-    val schema = org.apache.spark.sql.catalyst.ScalaReflection
+    val raw = org.apache.spark.sql.catalyst.ScalaReflection
       .schemaFor[T].dataType.asInstanceOf[StructType]
+    val schema = flatten(raw)
+    val dups = schema.fieldNames.groupBy(identity).collect {
+      case (n, occ) if occ.length > 1 => n
+    }
+    require(dups.isEmpty,
+      s"fromCaseClass: duplicate column name(s) after flattening " +
+        s"embedded case classes: ${dups.mkString(", ")}")
     TableSpec(database, table, primaryKey, schema, renames, dropped)
   }
+
+  /** Recursively flatten nested StructType fields into the parent list
+    * (embedded-base-model shape; `cdc_utils.go:126-156`). */
+  private[cdc] def flatten(st: StructType): StructType =
+    StructType(st.fields.flatMap { f =>
+      f.dataType match {
+        case nested: StructType => flatten(nested).fields
+        case _                  => Array(f)
+      }
+    })
 }
 
 /** Registry of table specs — `Map[topic -> spec]`, the engine's whole

@@ -173,17 +173,40 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates: bucket by 16-bit signature chunks (a
-    * signature pair within Hamming distance 3 shares at least one of 4
-    * chunks — pigeonhole), verify with full Hamming distance. */
+  /** SimHash near-dup candidates with FULL recall for the requested
+    * radius: the 64-bit signature is split into `maxHamming + 1` chunks,
+    * so by pigeonhole any pair within Hamming distance `maxHamming`
+    * differs in at most `maxHamming` chunks and therefore shares at least
+    * one — bucketing on (chunkIdx, chunkVal) misses nothing. Candidates
+    * are then verified with the exact Hamming distance. (A fixed 4-chunk
+    * split guarantees recall only up to distance 3; deriving the chunk
+    * count from the radius keeps the guarantee for any `maxHamming`.) */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(docs, idCol, textCol)
+                        maxHamming: Int = 3): DataFrame =
+    simhashCandidatesFromSigs(
+      simhashSignatures(docs, idCol, textCol), maxHamming)
+
+  /** Candidate-pair generation from precomputed `(id, sig)` signatures —
+    * the bucketed self-join, factored out so recall can be spec-tested on
+    * signatures with planted exact Hamming distances. Narrower chunks
+    * (radius 6 -> 7 chunks of ~9 bits) mean more bucket collisions than
+    * the 16-bit split, but the exact-Hamming verify bounds false
+    * positives; the join still shuffles (id, sig, chunk) only. */
+  def simhashCandidatesFromSigs(sig: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val nChunks = maxHamming + 1
+    // chunk i covers bits [bounds(i), bounds(i+1)) — an even split of 64
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
+    val chunkStructs = (0 until nChunks).map { i =>
+      val lo = bounds(i); val width = bounds(i + 1) - bounds(i)
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("chunk"),
+        call_function("shiftright", col("sig"), lit(lo))
+          .bitwiseAND(lit(mask)).as("chunkVal"))
+    }
     val chunks = sig.select(col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(3)),
-        i => struct(i.as("chunk"),
-          call_function("shiftright", col("sig"), i * lit(16)).bitwiseAND(0xFFFFL)
-            .as("chunkVal")))).as("c"))
+        explode(array(chunkStructs: _*)).as("c"))
       .select(col("id"), col("sig"), col("c.chunk"), col("c.chunkVal"))
     val a = chunks.as("a"); val bSide = chunks.as("b")
     a.join(bSide,
@@ -194,5 +217,58 @@ object Dedup {
               hamming64(col("a.sig"), col("b.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  // ---------- embedding near-dup (bucketed LSH — the 100 TB path) ----------
+
+  /** Corpus-wide embedding near-dup candidate pairs via multi-table
+    * random-hyperplane LSH — the scale path that replaces the O(n²)
+    * all-pairs theta join for production dedup. Shape mirrors
+    * [[lshCandidatePairs]]: signatures are a narrow scan-side map
+    * (codegen'd dot products per hyperplane, `Similarity.lshSignature`),
+    * one shuffle on (table, bucket) carrying only (id, bucket), pair
+    * generation within buckets bounded by `maxBucket` against hot-bucket
+    * quadratic blowup. Recall is tuned by (tables, planes): each of the
+    * `tables` hash tables uses `planes` hyperplanes, P(candidate) =
+    * 1 - (1 - (1 - θ/π)^planes)^tables — for genuinely-near pairs
+    * (cos ≥ 0.9) the defaults give recall > 0.99. */
+  def embeddingLshCandidates(corpus: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, tables: Int = 8, planes: Int = 12,
+                             seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    import graft.similarity.Similarity.lshSignature
+    val sigCols = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+             lshSignature(col(vecCol), dim, planes, seed + t).as("bucket")))
+    val bucketed = corpus.select(col(idCol).as("id"),
+        explode(array(sigCols: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl"), col("tb.bucket"))
+    val buckets = bucketed.groupBy(col("tbl"), col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets.select(explode(flatten(
+        transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            bVal => struct(a.as("id_a"), bVal.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold, bucketed: LSH
+    * candidates + exact-cosine rerank on candidates only. The exact
+    * all-pairs variant (`q_dedup_embedding`) stays as the oracle baseline;
+    * this is the one to run corpus-wide. */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, minCosine: Double,
+                        tables: Int = 8, planes: Int = 12,
+                        seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    val cand = embeddingLshCandidates(corpus, idCol, vecCol, dim,
+                                      tables, planes, seed, maxBucket)
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+              graft.functions.VectorFunctions.cosine(col("va"), col("vb"))
+                .as("cos"))
+      .filter(col("cos") >= minCosine)
   }
 }

@@ -117,6 +117,26 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // embedding near-dup, BUCKETED (the 100 TB path; rows-only — random-
+    // hyperplane signatures are engine-specific; recall vs the exact
+    // all-pairs baseline is asserted in PipelineSpec). The raw corpus has
+    // no high-cosine pairs, so the query plants them: every 10th vector
+    // reappears (id + 1_000_000) with its first component zeroed — cosine
+    // vs the original ≈ sqrt(1 - v0²/‖v‖²) ≈ 0.99. LSH must recover those
+    // pairs through bucket collisions, not an all-pairs join.
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val perturbed = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+                concat(array(lit(0.0f)),
+                       slice(col("embedding"), 2, 10000)).as("embedding"))
+      val corpus = e.select("vec_id", "embedding").unionByName(perturbed)
+      Dedup.embeddingNearDups(corpus, "vec_id", "embedding",
+                              dim = 64, minCosine = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- similarity search ----
 
     // brute-force exact cosine top-3 (the ANN baseline; oracle-checked)
@@ -235,10 +255,13 @@ object PipelineQueries {
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
       val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      // cache: tf feeds BOTH the df branch and the filtered scoring
+      // branch — without it the explode+count subtree runs twice
       val tf = d.select(col("doc_id"),
           explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
+        .cache()
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("tok"))

@@ -126,14 +126,18 @@ object RelationalQueries {
     }),
 
     // -- multi-way join: revenue per nation (TPC-H Q5 shape).
-    //    Fact-fact join shuffles on the key; all dims broadcast.
+    //    Fact-fact join shuffles on the key. Broadcast hints ONLY on the
+    //    genuinely-constant dims (nation: 25 rows, region: 5 — fixed at
+    //    every scale factor); customer/supplier GROW with SF (multi-GB at
+    //    SF100), so AQE sizes those joins at runtime instead of a hint
+    //    forcing an OOM-prone broadcast at 100x.
     "q_join_multi" -> ((s, dir) => {
       val cu = load(s, dir, "customer"); val o = load(s, dir, "orders")
       val l = load(s, dir, "lineitem"); val su = load(s, dir, "supplier")
       val n = load(s, dir, "nation"); val r = load(s, dir, "region")
       o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .join(broadcast(cu), o("o_custkey") === cu("c_custkey"))
-        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(cu, o("o_custkey") === cu("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
         .join(broadcast(n), cu("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .filter(r("r_name") === "ASIA")

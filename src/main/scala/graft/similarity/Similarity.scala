@@ -72,18 +72,26 @@ object Similarity {
 
   /** IVF index build: nearest-centroid assignment. Centroids are a
     * deterministic corpus subset (ids ≡ 0 mod |corpus|/C) — a stand-in
-    * for k-means that keeps everything seeded and engine-checkable. */
+    * for k-means that keeps everything seeded and engine-checkable.
+    *
+    * Scale shape: the corpus×C broadcast-NL join is narrow; the argmin is
+    * a hash aggregate with `min_by` over a (dist, centroid_id) ordering
+    * struct — map-side partials collapse each vector's C candidate rows
+    * to ONE before the shuffle, so the exchange is bounded by |corpus|
+    * (one row per vector), never corpus×C. (A `row_number` window here
+    * would shuffle AND sort all corpus×C rows, embeddings included.)
+    * The (dist, centroid_id) struct ordering makes ties deterministic. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val assigned = corpus.join(broadcast(
         centroids.select(col("vec_id").as("centroid_id"),
                          col("embedding").as("c_vec"))))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
               l2Distance(col("embedding"), col("c_vec")).as("dist"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("centroid_id"))
-    assigned.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    assigned.groupBy(col("vec_id"))
+      .agg(min_by(struct(col("centroid_id"), col("embedding")),
+                  struct(col("dist"), col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+              col("best.centroid_id").as("centroid_id"))
   }
 
   /** IVF query: probe the `nprobe` nearest inverted lists, exact rerank

@@ -45,14 +45,32 @@ object Sources {
     spark.readStream.schema("value STRING").format("text").load(path)
 
   /** Kafka topic stream (config swap for the file sources; the CDC
-    * pipeline downstream is identical — see CdcStream.kafkaChangelog). */
+    * pipeline downstream is identical — see CdcStream.kafkaChangelog).
+    *
+    * `options` passes arbitrary reader/consumer options through — SASL
+    * (`kafka.sasl.jaas.config`, `kafka.security.protocol`),
+    * `minPartitions`, `kafka.isolation.level`, etc. The reference declares
+    * SASL fields it never wires (`/root/reference/config.go:22-27`) and a
+    * protocol-version parse (`cdc_manager.go:116-126`); here a secured or
+    * tuned cluster is reachable by config alone, no engine edit. Core keys
+    * (servers/subscribe/offsets) are set from the named parameters and
+    * win over duplicates in `options`. */
   def streamKafka(spark: SparkSession, bootstrap: String, subscribe: String,
-                  startingOffsets: String = "earliest"): DataFrame =
+                  startingOffsets: String = "earliest",
+                  options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", subscribe)
-      .option("startingOffsets", startingOffsets)
+      .options(kafkaReaderOptions(bootstrap, subscribe, startingOffsets, options))
       .load()
+
+  /** The effective Kafka reader option map (named params win over extras).
+    * Factored out so option plumbing is unit-testable without a broker. */
+  def kafkaReaderOptions(bootstrap: String, subscribe: String,
+                         startingOffsets: String,
+                         extra: Map[String, String]): Map[String, String] =
+    extra ++ Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> subscribe,
+      "startingOffsets" -> startingOffsets)
 
   /** Synthetic rate source (events/sec) for replay/load testing. */
   def streamRate(spark: SparkSession, rowsPerSecond: Int): DataFrame =

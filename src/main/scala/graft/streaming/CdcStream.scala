@@ -38,14 +38,14 @@ object CdcStream {
   }
 
   /** Kafka variant — identical downstream pipeline, different source line
-    * (not runnable in this sandbox; kept as the production entry point). */
+    * (not runnable in this sandbox; kept as the production entry point).
+    * `options` passes consumer/reader extras through (SASL, minPartitions,
+    * isolation level — see Sources.streamKafka). */
   def kafkaChangelog(spark: SparkSession, bootstrap: String,
-                     topic: String, startingOffsets: String = "earliest"): DataFrame = {
-    val raw = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .load()
+                     topic: String, startingOffsets: String = "earliest",
+                     options: Map[String, String] = Map.empty): DataFrame = {
+    val raw = graft.sources.Sources.streamKafka(
+      spark, bootstrap, topic, startingOffsets, options)
     Maxwell.parseEnvelopeCol(raw, col("value"))
   }
 
@@ -182,16 +182,24 @@ object CdcStream {
           .option("createTableColumnTypes", "__op VARCHAR(16)")
           .jdbc(url, stage, props)
         // promote. Invariant (same as the parquet swap): at every instant
-        // at least one COMPLETE generation (live, or __old + a committed
-        // checkpoint replay) exists.
+        // at least one COMPLETE generation (live or __old) is READABLE by
+        // the recovery path. Mirroring the parquet swap, the stale __old
+        // is dropped ONLY while a live table still exists to demote: on
+        // the crash-recovery path (live absent, state merged from __old),
+        // dropping __old before promoting stage would open a window where
+        // a second crash leaves no generation the read path consults —
+        // the replayed batch would silently rebuild state from one batch.
+        // Instead the stale __old survives until the next successful
+        // promote reaps it.
         val conn = jdbcConnect(url, props)
         try {
           val st = conn.createStatement()
           try {
-            if (jdbcTableExists(url, oldT, props))
-              st.executeUpdate(s"DROP TABLE $oldT") // stage is complete
-            if (jdbcTableExists(url, table, props))
-              renameTable(st, table, oldT)
+            if (jdbcTableExists(url, table, props)) {
+              if (jdbcTableExists(url, oldT, props))
+                st.executeUpdate(s"DROP TABLE $oldT") // live still readable
+              renameTable(st, table, oldT) // crash here -> __old readable
+            }
             renameTable(st, stage, table)
           } finally st.close()
         } finally conn.close()
@@ -201,13 +209,26 @@ object CdcStream {
   }
 
   /** Dialect-portable table rename: `RENAME TABLE a TO b` (Derby, MySQL),
-    * falling back to `ALTER TABLE a RENAME TO b` (Postgres, SQLite). */
+    * falling back to `ALTER TABLE a RENAME TO b` (Postgres, SQLite).
+    * The fallback fires ONLY when the first form is rejected as
+    * unsupported syntax (SQLState class 42 = syntax/access-rule, 0A =
+    * feature not supported, or SQLFeatureNotSupportedException) — a
+    * non-syntax failure (target exists, lock timeout, permission) is a
+    * REAL failed promote and must surface as itself, not be masked by the
+    * fallback's unrelated error. */
   private def renameTable(st: java.sql.Statement,
                           from: String, to: String): Unit =
     try st.executeUpdate(s"RENAME TABLE $from TO $to")
-    catch { case _: java.sql.SQLException =>
-      st.executeUpdate(s"ALTER TABLE $from RENAME TO $to")
+    catch {
+      case e: java.sql.SQLException if isSyntaxOrUnsupported(e) =>
+        st.executeUpdate(s"ALTER TABLE $from RENAME TO $to")
     }
+
+  private def isSyntaxOrUnsupported(e: java.sql.SQLException): Boolean = {
+    val state = Option(e.getSQLState).getOrElse("")
+    e.isInstanceOf[java.sql.SQLFeatureNotSupportedException] ||
+      state.startsWith("42") || state.startsWith("0A")
+  }
 
   /** Table-existence probe via JDBC metadata (connection failures
     * propagate — only a definitive "no such table" selects the

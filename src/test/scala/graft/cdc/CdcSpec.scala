@@ -9,6 +9,12 @@ object CdcSpec {
   // top-level for TypeTag availability (reflect.TypeOf-parity test)
   case class Deal(id: Long, name: String, entity_type: Int,
                   active: Boolean, score: Double)
+  // embedded-base shape (gorm's Model in cdc_utils_test.go:17-29): the
+  // base's fields must flatten into the parent column list (R10)
+  case class Base(id: Long, created_at: java.sql.Timestamp)
+  case class DealWithBase(base: Base, name: String, entity_type: Int,
+                          active: Boolean, score: Double)
+  case class Clash(base: Base, id: Long) // `id` collides after flattening
 }
 
 /** Golden-envelope tests (SURVEY.md §5 test plan #1): Maxwell JSON in,
@@ -214,6 +220,45 @@ class CdcSpec extends SparkSpec {
     assert(after.getAs[Long]("id") == 7L)
     assert(after.getAs[String]("name") == "widget A")
     assert(after.getAs[Double]("score") == 3.5)
+  }
+
+  test("R10: embedded case-class base flattens to flat columns (gorm Model shape)") {
+    val spec = TableSpec.fromCaseClass[CdcSpec.DealWithBase](
+      "deal_test", "deals", primaryKey = Seq("id"),
+      renames = Map("entity_name" -> "name"))
+    // base's fields surface as top-level columns, in declaration order
+    assert(spec.schema.fieldNames.toSeq ==
+      Seq("id", "created_at", "name", "entity_type", "active", "score"))
+    // and the golden fixture decodes straight into the flat columns
+    val ev = RowDecoder.changeEvents(parse(insertJson), spec).collect()(0)
+    val after = ev.getAs[org.apache.spark.sql.Row]("after")
+    assert(after.getAs[Long]("id") == 7L)
+    assert(after.getAs[java.sql.Timestamp]("created_at") != null)
+    assert(after.getAs[String]("name") == "widget A")
+    assert(after.getAs[Boolean]("active"))
+    // colliding names after flattening fail fast, not silently last-wins
+    val e = intercept[IllegalArgumentException] {
+      TableSpec.fromCaseClass[CdcSpec.Clash]("d", "t", Seq("id"))
+    }
+    assert(e.getMessage.contains("id"))
+  }
+
+  test("exact path REJECTS updates whose `old` is missing or malformed JSON") {
+    // a NULL changed_cols on an update must raise, not silently evaluate
+    // as "nothing changed" (before := after — a wrong retraction)
+    val malformed =
+      """{"database":"deal_test","table":"deals","type":"update","ts":2,
+        |"data":{"id":7,"entity_name":"g1","score":2.0},
+        |"old":"{{{not json"}""".stripMargin.replace("\n", "")
+    val events = RowDecoder.changeEvents(parse(malformed), dealsSpec)
+    val e = intercept[Exception] {
+      IncrementalAgg.sumCount(events, "name", "score").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("NULL changed_cols")),
+      s"expected the NULL-changed_cols guard to fire, got: ${messages(e)}")
   }
 
   test("corrupt-record sidecar captures malformed lines") {

@@ -62,6 +62,106 @@ class PipelineSpec extends SparkSpec {
     assert(near.agg(avg(col("h"))).head().getDouble(0) < 16.0)
   }
 
+  test("simhash candidates: FULL recall at the requested radius (planted Hamming 1..6)") {
+    // planted pairs at exact Hamming distances 1..6, with flipped bits
+    // SPREAD across the old 4x16-bit chunks — distance-4..6 pairs sharing
+    // no 16-bit chunk are exactly the ones a fixed 4-chunk split drops.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(20)(rnd.nextLong())
+    // distance d pair for base(i): flip d bits at positions spread over
+    // the full 64-bit range (17*k mod 64 visits all four 16-bit chunks)
+    val rows = base.zipWithIndex.flatMap { case (sig, i) =>
+      val d = (i % 6) + 1
+      val flipped = (0 until d).foldLeft(sig)((s, k) => s ^ (1L << ((17 * k + i) % 64)))
+      Seq((i.toLong * 2, sig), (i.toLong * 2 + 1, flipped))
+    }
+    val sigs = spark.createDataFrame(rows.toSeq).toDF("id", "sig")
+    val got = Dedup.simhashCandidatesFromSigs(sigs, maxHamming = 6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair must be found (pigeonhole guarantees it)
+    base.indices.foreach { i =>
+      assert(got.contains((i.toLong * 2, i.toLong * 2 + 1)),
+        s"planted pair at distance ${(i % 6) + 1} (ids ${i * 2},${i * 2 + 1}) missed")
+    }
+    // and nothing beyond the radius: verify against brute force
+    val a = sigs.as("a"); val b = sigs.as("b")
+    val brute = a.join(b, col("a.id") < col("b.id"))
+      .filter(Dedup.hamming64(col("a.sig"), col("b.sig")) <= 6)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, "candidates != brute-force pairs within radius")
+  }
+
+  test("q_dedup_simhash finds every pair within Hamming 6 (vs brute force on real sigs)") {
+    val sig = Dedup.simhashSignatures(docs, "doc_id", "text").cache()
+    val a = sig.as("a"); val b = sig.as("b")
+    val brute = a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              Dedup.hamming64(col("a.sig"), col("b.sig")).as("h"))
+      .filter(col("h") <= 6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.simhashCandidatesFromSigs(sig, maxHamming = 6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"bucketed candidates (${got.size}) != brute force (${brute.size})")
+  }
+
+  test("embedding LSH near-dup: full recall on planted pairs vs exact baseline") {
+    // plant near-dups the same way q_dedup_embedding_lsh does
+    val perturbed = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+              concat(array(lit(0.0f)),
+                     slice(col("embedding"), 2, 10000)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(perturbed).cache()
+    // exact baseline: all-pairs cosine >= 0.9
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb")) >= 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "no planted pairs above 0.9 — test corpus broken")
+    val got = Dedup.embeddingNearDups(corpus, "vec_id", "embedding",
+        dim = 64, minCosine = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no false positives possible (exact rerank); recall from 8x12 LSH
+    assert(got.subsetOf(exact))
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH embedding dedup recall $recall < 0.95 " +
+      s"(${got.size}/${exact.size})")
+  }
+
+  test("ivfAssign: argmin matches a window-ranked reference and plans without Window") {
+    import graft.functions.VectorFunctions.l2Distance
+    val centroids = emb.filter(col("vec_id") % 25 === 0)
+    val assigned = Similarity.ivfAssign(emb, centroids).cache()
+    // reference: explicit row_number ranking (the shape we replaced)
+    val cross = emb.join(
+        broadcast(centroids.select(col("vec_id").as("centroid_id"),
+                                   col("embedding").as("c_vec"))))
+      .select(col("vec_id"), col("centroid_id"),
+              l2Distance(col("embedding"), col("c_vec")).as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("centroid_id"))
+    val ref = cross.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).select("vec_id", "centroid_id")
+    assert(assigned.select("vec_id", "centroid_id")
+      .exceptAll(ref).count() == 0)
+    assert(ref.exceptAll(assigned.select("vec_id", "centroid_id"))
+      .count() == 0)
+    // the production plan must be an aggregate with MAP-SIDE PARTIALS
+    // (shuffle bounded by |corpus|), not a window sort of corpus x C rows
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"ivfAssign plan contains a Window node:\n$plan")
+    assert(plan.contains("partial_min_by"),
+      s"ivfAssign plan has no partial (map-side) min_by aggregate:\n$plan")
+  }
+
   test("LSH ANN achieves reasonable recall vs brute force top-10") {
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))

@@ -48,6 +48,23 @@ class SourcesSpec extends SparkSpec {
     assert(r.schema.fieldNames.toSeq == Seq("timestamp", "value"))
   }
 
+  test("kafka reader options: extras (SASL/minPartitions) pass through, core keys win") {
+    val extras = Map(
+      "kafka.security.protocol" -> "SASL_SSL",
+      "kafka.sasl.mechanism" -> "SCRAM-SHA-512",
+      "kafka.sasl.jaas.config" -> "org.apache.kafka.common.security.scram.ScramLoginModule required;",
+      "minPartitions" -> "64",
+      "subscribe" -> "evil-override") // must NOT win over the named param
+    val opts = Sources.kafkaReaderOptions(
+      "broker:9092", "srv.db.tbl", "earliest", extras)
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("subscribe") == "srv.db.tbl")
+    assert(opts("startingOffsets") == "earliest")
+    assert(opts("kafka.security.protocol") == "SASL_SSL")
+    assert(opts("kafka.sasl.mechanism") == "SCRAM-SHA-512")
+    assert(opts("minPartitions") == "64")
+  }
+
   test("parquet sink partitions by the requested keys") {
     val dir = Files.createTempDirectory("psink").toString + "/docs"
     Sources.parquetSink(docs, dir, partitionBy = Seq("lang"))
