@@ -174,49 +174,133 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup candidates with FULL recall for the requested
-    * radius: the 64-bit signature is split into `maxHamming + 1` chunks,
-    * so by pigeonhole any pair within Hamming distance `maxHamming`
-    * differs in at most `maxHamming` chunks and therefore shares at least
-    * one — bucketing on (chunkIdx, chunkVal) misses nothing. Candidates
-    * are then verified with the exact Hamming distance. (A fixed 4-chunk
-    * split guarantees recall only up to distance 3; deriving the chunk
-    * count from the radius keeps the guarantee for any `maxHamming`.) */
+    * radius, bucketed (never all-pairs) — see
+    * [[simhashCandidatesFromSigs]] for the chunk/variant plan. */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3): DataFrame =
     simhashCandidatesFromSigs(
       simhashSignatures(docs, idCol, textCol), maxHamming)
 
   /** Candidate-pair generation from precomputed `(id, sig)` signatures —
-    * the bucketed self-join, factored out so recall can be spec-tested on
-    * signatures with planted exact Hamming distances. Narrower chunks
-    * (radius 6 -> 7 chunks of ~9 bits) mean more bucket collisions than
-    * the 16-bit split, but the exact-Hamming verify bounds false
-    * positives; the join still shuffles (id, sig, chunk) only. */
+    * factored out so recall can be spec-tested on signatures with planted
+    * exact Hamming distances.
+    *
+    * Chunk plan (the Manku/HmSearch multi-index shape): split the 64-bit
+    * signature into `m` chunks with a per-chunk error budget `e`, chosen
+    * so `m * (e + 1) > maxHamming` — then by pigeonhole every pair within
+    * the radius has SOME chunk where the two values differ by at most `e`
+    * bits, and bucketing misses nothing. For small radii (width ≥ 16 bits
+    * at m = r+1 chunks, i.e. r ≤ 3) exact chunk match (e = 0) suffices.
+    * For larger radii, m = ⌈(r+1)/2⌉ wide chunks with e = 1: the probe
+    * side emits each chunk value plus its single-bit flips, and a chunk
+    * pair within 1 bit collides on some probe row. This keeps the bucket
+    * key space at 2^16 for r = 6 — an e = 0 split into r+1 chunks would
+    * leave ~9-bit chunks (512 buckets), whose occupancy grows as N²/2^9
+    * per chunk: near-quadratic candidate blowup at corpus scale. The
+    * variant expansion costs m·(width+1) probe rows per doc (68 at r = 6)
+    * but each carries only (id, sig, chunk, v); candidates are verified
+    * with the exact Hamming distance, so false positives cost compute,
+    * never recall. */
   def simhashCandidatesFromSigs(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
-    val nChunks = maxHamming + 1
+    // e = 0 while chunks stay ≥ 16 bits wide; else e = 1, m = ⌈(r+1)/2⌉
+    // (if every chunk had ≥ 2 errors the total would be ≥ 2m ≥ r+1 > r)
+    val (m, e) =
+      if (64 / (maxHamming + 1) >= 16) (maxHamming + 1, 0)
+      else ((maxHamming + 2) / 2, 1)
     // chunk i covers bits [bounds(i), bounds(i+1)) — an even split of 64
-    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
-    val chunkStructs = (0 until nChunks).map { i =>
+    val bounds = (0 to m).map(i => i * 64 / m)
+    def chunkVal(i: Int): Column = {
       val lo = bounds(i); val width = bounds(i + 1) - bounds(i)
       val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(i).as("chunk"),
-        call_function("shiftright", col("sig"), lit(lo))
-          .bitwiseAND(lit(mask)).as("chunkVal"))
+      call_function("shiftright", col("sig"), lit(lo))
+        .bitwiseAND(lit(mask))
     }
-    val chunks = sig.select(col("id"), col("sig"),
-        explode(array(chunkStructs: _*)).as("c"))
-      .select(col("id"), col("sig"), col("c.chunk"), col("c.chunkVal"))
-    val a = chunks.as("a"); val bSide = chunks.as("b")
-    a.join(bSide,
+    def emit(structs: Seq[Column]): DataFrame =
+      sig.select(col("id"), col("sig"),
+          explode(array(structs: _*)).as("c"))
+        .select(col("id"), col("sig"), col("c.chunk"), col("c.v"))
+    val exact = emit((0 until m).map(i =>
+      struct(lit(i).as("chunk"), chunkVal(i).as("v"))))
+    val probe = if (e == 0) exact else emit((0 until m).flatMap { i =>
+      val width = bounds(i + 1) - bounds(i)
+      struct(lit(i).as("chunk"), chunkVal(i).as("v")) +:
+        (0 until width).map(j =>
+          struct(lit(i).as("chunk"),
+                 chunkVal(i).bitwiseXOR(lit(1L << j)).as("v")))
+    })
+    val a = exact.as("a"); val b = probe.as("b")
+    a.join(b,
         col("a.chunk") === col("b.chunk") &&
-        col("a.chunkVal") === col("b.chunkVal") &&
+        col("a.v") === col("b.v") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               hamming64(col("a.sig"), col("b.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  // ---------- near-dup clustering (connected components) ----------
+
+  /** Connected components over an undirected edge list — the step AFTER
+    * candidate-pair generation in a corpus dedup pipeline: near-dup PAIRS
+    * become near-dup CLUSTERS (keep one doc per component, drop the rest).
+    *
+    * Algorithm: iterative min-label propagation. Each node starts labeled
+    * with its own id; every round each node takes the min of its own label
+    * and its neighbors' labels, until no label changes. Per round: ONE
+    * shuffle to join labels onto edges + ONE map-side-partial min
+    * aggregate — both hash-partitioned on node id, so AQE coalesces and
+    * co-partitions them. `localCheckpoint` truncates the lineage each
+    * round (a driver loop would otherwise stack N joins deep and blow the
+    * optimizer); at 100 TB on a real cluster use reliable `checkpoint`
+    * instead so a lost executor doesn't recompute the whole chain.
+    *
+    * Rounds needed = graph diameter. Dedup clusters are shallow (near-dup
+    * similarity is nearly transitive), so diameter is small; for
+    * adversarial long-chain graphs the large-star/small-star variant
+    * (Kiveris et al., "Connected Components in MapReduce") converges in
+    * O(log n) rounds — same per-round shuffle shape, so it can be swapped
+    * in without changing callers. `maxIter` bounds the loop; hitting it
+    * raises rather than returning a silently-unconverged labeling.
+    *
+    * Returns `(id, component)` where `component` is the min node id in the
+    * component, for every node that appears in `edges`. Isolated nodes
+    * (no edges) are the caller's to add — `coalesce(component, id)` after
+    * a left join, as `q_dedup_clusters` does. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("a"),
+                           col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"),
+                          col(srcCol).cast("long").as("b")))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = sym.join(labels, col("a") === col("id"))
+        .select(col("b").as("id"), col("component"))
+        .union(labels)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("l"), col("n.id") === col("l.id"))
+        .filter(col("n.component") < col("l.component"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents: not converged after $maxIter rounds — " +
+        "graph diameter exceeds maxIter; raise it or switch to the " +
+        "large-star/small-star variant")
+    labels
   }
 
   // ---------- embedding near-dup (bucketed LSH — the 100 TB path) ----------

@@ -137,6 +137,75 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // near-dup CLUSTERS via connected components (oracle: recursive CTE).
+    // Pipeline shape: candidate pairs -> exact-verify -> edges ->
+    // components -> keep min-id doc per component. Planted chains: every
+    // 10th doc gets two derived variants (drop 2 / drop 4 leading tokens);
+    // edges are exact 5-gram Jaccard >= 0.5 WITHIN each family, so some
+    // families chain 0-1-2 transitively even when 0-2 alone falls below
+    // the threshold — exactly what component-finding is for. The edge set
+    // is deliberately oracle-expressible (per-family pairwise Jaccard);
+    // the operator under test is the distributed min-label propagation.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      def dropN(n: Int) = concat_ws(" ", slice(toks, lit(n + 1), size(toks)))
+      val fam = docs(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text").as("t0"),
+                dropN(2).as("t1"), dropN(4).as("t2"))
+        .cache()
+      def jac(a: String, b: String) =
+        round(Dedup.ngramJaccard(col(a), col(b), 5), 6) >= 0.5
+      val edges =
+        fam.filter(jac("t0", "t1")).select(col("doc_id").as("src"),
+            (col("doc_id") + 1000000L).as("dst"))
+          .union(fam.filter(jac("t1", "t2"))
+            .select((col("doc_id") + 1000000L).as("src"),
+                    (col("doc_id") + 2000000L).as("dst")))
+          .union(fam.filter(jac("t0", "t2")).select(col("doc_id").as("src"),
+            (col("doc_id") + 2000000L).as("dst")))
+      val nodes = fam.select(explode(array(col("doc_id"),
+          col("doc_id") + 1000000L, col("doc_id") + 2000000L)).as("doc_id"))
+      val comps = Dedup.connectedComponents(edges, "src", "dst")
+      nodes.join(comps, nodes("doc_id") === comps("id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // train/eval decontamination: flag corpus docs sharing any 5-gram with
+    // a benchmark set (doc_id < 20 plays the eval set). Known contamination
+    // is planted — every 7th corpus doc gets the first 8 tokens of
+    // benchmark doc (doc_id % 20) appended — and the synthetic corpus also
+    // carries a few NATURAL phrase overlaps, both of which belong flagged.
+    // Scale shape: benchmark n-grams are a SMALL distinct set -> the join
+    // broadcasts; the corpus side is scan+explode with map-side distinct,
+    // so the only wide exchange is the final per-doc count.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("b_id"), col("text").as("b_text"))
+      val benchGrams = bench
+        .select(explode(array_distinct(Dedup.shingles(col("b_text"), 5)))
+          .as("gram"))
+        .distinct()
+      val planted = d.filter(col("doc_id") >= 20 && col("doc_id") % 7 === 0)
+        .join(broadcast(bench), col("doc_id") % 20 === col("b_id"))
+        .select(col("doc_id"),
+                concat(col("text"), lit(" "),
+                  concat_ws(" ",
+                    slice(TextAnalysis.tokens(col("b_text")), 1, 8)))
+                  .as("text"))
+      val corpus = d.filter(col("doc_id") >= 20 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      corpus.select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(col("text"), 5))).as("gram"))
+        .join(benchGrams, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- similarity search ----
 
     // brute-force exact cosine top-3 (the ANN baseline; oracle-checked)
@@ -203,6 +272,24 @@ object PipelineQueries {
                 frac * 10000)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // deterministic per-group k-sample (reservoir-equivalent): rank docs
+    // within each language by a portable hash and keep the first k — a
+    // uniform-without-replacement sample that is stable across runs,
+    // cluster layouts, and engines (hence oracle-exact). One shuffle on
+    // the group key; at 100 TB swap the full per-group sort for the
+    // TopKAggregator (per-partition heaps + merge) — same answer, the
+    // shuffle then carries k rows per partition instead of all of them.
+    "q_sample_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(portableHash(col("doc_id"), 7), col("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
     }),
 
     // weighted upsampling (data-mixing: repeat docs by per-language weight
@@ -320,7 +407,84 @@ object PipelineQueries {
        |            i -> array_to_string(($toksExpr)[i:i+4], ' ')) END"""
       .stripMargin
 
+  // DuckDB mirror of Dedup.ngramJaccard on two precomputed shingle lists
+  private def jacSql(s1: String, s2: String): String =
+    s"""round(CAST(len(list_intersect(list_distinct($s1),
+       |                              list_distinct($s2))) AS DOUBLE)
+       |      / len(list_distinct(list_concat($s1, $s2))), 6)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE
+        |fam AS (
+        |  SELECT doc_id, $toksSql AS toks,
+        |    string_split(array_to_string(($toksSql)[3:], ' '), ' ')
+        |      AS toks1,
+        |    string_split(array_to_string(($toksSql)[5:], ' '), ' ')
+        |      AS toks2
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    ${shingleSql("toks")} AS s0,
+        |    ${shingleSql("toks1")} AS s1,
+        |    ${shingleSql("toks2")} AS s2
+        |  FROM fam),
+        |j AS (
+        |  SELECT doc_id,
+        |    ${jacSql("s0", "s1")} AS j01,
+        |    ${jacSql("s1", "s2")} AS j12,
+        |    ${jacSql("s0", "s2")} AS j02
+        |  FROM sh),
+        |edges AS (
+        |  SELECT doc_id AS src, doc_id + 1000000 AS dst FROM j
+        |  WHERE j01 >= 0.5
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id + 2000000 FROM j WHERE j12 >= 0.5
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 2000000 FROM j WHERE j02 >= 0.5),
+        |sym AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges),
+        |nodes AS (
+        |  SELECT unnest([doc_id, doc_id + 1000000, doc_id + 2000000]) AS id
+        |  FROM fam),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id)
+        |SELECT id AS doc_id, min(r) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH bench AS (
+        |  SELECT doc_id AS b_id, $toksSql AS b_toks
+        |  FROM documents WHERE doc_id < 20),
+        |bgrams AS (
+        |  SELECT DISTINCT unnest(${shingleSql("b_toks")}) AS gram
+        |  FROM bench),
+        |corpus AS (
+        |  SELECT c.doc_id,
+        |    c.text || ' ' || array_to_string(b.b_toks[1:8], ' ') AS text
+        |  FROM documents c JOIN bench b ON b.b_id = c.doc_id % 20
+        |  WHERE c.doc_id >= 20 AND c.doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id >= 20 AND doc_id % 7 <> 0),
+        |cg AS (
+        |  SELECT doc_id, unnest(list_distinct(${shingleSql(toksSql)}))
+        |    AS gram
+        |  FROM corpus)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM cg JOIN bgrams USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_sample_group" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT,
+        |      doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM r WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT

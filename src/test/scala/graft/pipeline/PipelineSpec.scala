@@ -135,6 +135,53 @@ class PipelineSpec extends SparkSpec {
       s"(${got.size}/${exact.size})")
   }
 
+  test("connected components: chains merge, separate components stay apart") {
+    // graph: chain 1-2-3-4, pair 10-11, triangle 20-21-22 (+ redundant edge)
+    val edges = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))).toDF("src", "dst")
+    val comps = Dedup.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L).forall(comps(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(comps(_) == 20L))
+    assert(comps.size == 9)
+    // unconverged loops must raise, not return garbage
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edges, "src", "dst", maxIter = 1).collect()
+    }
+  }
+
+  test("q_dedup_clusters: transitive chains collapse into one component") {
+    val out = graft.ops.PipelineQueries.queries("q_dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byComp = out.groupBy(_._2)
+    // every family member got a component, component is the min member id
+    assert(out.forall { case (id, comp) => comp <= id })
+    // at least one family chained 0-1-2 into a single 3-node component
+    assert(byComp.values.exists(_.length >= 3),
+      "no 3-node component — planted chains failed to merge")
+    // components never span families (edges are within-family only)
+    assert(out.forall { case (id, comp) => id % 1000000 == comp % 1000000 })
+  }
+
+  test("q_decontaminate flags every planted doc (plus any natural overlap)") {
+    val out = graft.ops.PipelineQueries.queries("q_decontaminate")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = docs.filter(col("doc_id") >= 20 && col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every planted doc is flagged; the corpus also contains a handful of
+    // NATURAL 5-gram overlaps with the benchmark slice (synthetic docs
+    // reuse phrases) — those are genuine contamination and belong in the
+    // result too, so containment, not equality
+    assert(planted.subsetOf(out.keySet),
+      s"missed planted docs: ${planted -- out.keySet}")
+    // an 8-token planted snippet carries >= 3 distinct benchmark 5-grams
+    assert(planted.forall(out(_) >= 3L),
+      s"planted doc with suspiciously few hits")
+  }
+
   test("ivfAssign: argmin matches a window-ranked reference and plans without Window") {
     import graft.functions.VectorFunctions.l2Distance
     val centroids = emb.filter(col("vec_id") % 25 === 0)
