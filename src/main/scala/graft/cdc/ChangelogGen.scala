@@ -137,4 +137,79 @@ object ChangelogGen {
   def ordersState(spark: SparkSession, sfDir: String): DataFrame =
     Materializer.currentState(
       ordersChangeEvents(spark, sfDir), ordersSpec.primaryKey)
+
+  // ---------- customer changelog (second topic, for join views) ----------
+
+  val customerSpec: TableSpec = TableSpec(
+    database = Database,
+    table = "customer",
+    primaryKey = Seq("c_custkey"),
+    schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType))))
+
+  /** Deterministic customer changelog — the SECOND topic, so that join
+    * views have two independently-evolving sides. Event plan (closed-form
+    * final state: custkey % 25 != 0 survives, acctbal +100 when
+    * custkey % 4 == 0):
+    *   - INSERT every customer at ts = 757382400 + (custkey % 3) * 5e7 —
+    *     the stagger lands inserts in all three replay windows used by
+    *     `cdc_join_view`, so dimension rows ARRIVE LATE relative to the
+    *     orders that reference them (the hard case for view maintenance)
+    *   - UPDATE c_acctbal += 100 for custkey % 4 == 0 at ts+3600
+    *     (`old` carries only the changed column)
+    *   - DELETE custkey % 25 == 0 at ts+7200 (full row image) */
+  def customerChangelog(spark: SparkSession, sfDir: String): DataFrame =
+    logCache.computeIfAbsent((spark, s"customer:$sfDir"),
+      _ => buildCustomerChangelog(spark, sfDir).cache())
+
+  private def buildCustomerChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = graft.Tables.ensureParallelism(
+        graft.Tables.load(spark, sfDir, "customer"))
+      .select(col("c_custkey"), col("c_name"),
+              col("c_nationkey"), col("c_acctbal"))
+    val base = lit(757382400L) + (col("c_custkey") % 3) * 50000000L
+    val rowImage = struct(col("c_custkey"), col("c_name"),
+                          col("c_nationkey"), col("c_acctbal"))
+    def envelope(typ: String, ts: org.apache.spark.sql.Column,
+                 data: org.apache.spark.sql.Column,
+                 old: Option[org.apache.spark.sql.Column]) = {
+      val fields = Seq(
+        lit(Database).as("database"), lit("customer").as("table"),
+        lit(typ).as("type"), ts.as("ts"), data.as("data")) ++
+        old.map(_.as("old")).toSeq
+      to_json(struct(fields: _*))
+    }
+    val inserts = cust.select(
+      envelope("insert", base, rowImage, None).as("value"),
+      (col("c_custkey") * 3).as("seq"))
+    val updated = rowImage.withField("c_acctbal", col("c_acctbal") + 100.0)
+    val updates = cust.filter(col("c_custkey") % 4 === 0).select(
+      envelope("update", base + 3600, updated,
+        Some(struct(col("c_acctbal")))).as("value"),
+      (col("c_custkey") * 3 + 1).as("seq"))
+    val deleted = when(col("c_custkey") % 4 === 0, updated).otherwise(rowImage)
+    val deletes = cust.filter(col("c_custkey") % 25 === 0).select(
+      envelope("delete", base + 7200, deleted, None).as("value"),
+      (col("c_custkey") * 3 + 2).as("seq"))
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  def customerChangeEvents(spark: SparkSession, sfDir: String): DataFrame =
+    envCache.computeIfAbsent((spark, s"customer:$sfDir"), _ => {
+      val log = customerChangelog(spark, sfDir)
+      RowDecoder.changeEvents(
+        log.select(
+            from_json(col("value"), Maxwell.envelopeSchema).as("e"),
+            col("seq"))
+          .select(col("e.*"), col("seq")),
+        customerSpec).cache()
+    })
+
+  /** Materialized current state of the customer changelog. */
+  def customerState(spark: SparkSession, sfDir: String): DataFrame =
+    Materializer.currentState(
+      customerChangeEvents(spark, sfDir), customerSpec.primaryKey)
 }

@@ -200,8 +200,17 @@ object Dedup {
     * variant expansion costs m·(width+1) probe rows per doc (68 at r = 6)
     * but each carries only (id, sig, chunk, v); candidates are verified
     * with the exact Hamming distance, so false positives cost compute,
-    * never recall. */
-  def simhashCandidatesFromSigs(sig: DataFrame, maxHamming: Int): DataFrame = {
+    * never recall.
+    *
+    * `maxBucket` is the hot-bucket blowup guard (same contract as
+    * [[lshCandidatePairs]]): bucket keys whose EXACT-side occupancy
+    * exceeds it — degenerate near-identical content at corpus scale —
+    * are dropped from both sides before the join, trading bounded recall
+    * loss on pathological keys for a hard cap on the quadratic pair
+    * explosion. A pair can still surface through any of its other
+    * chunks. */
+  def simhashCandidatesFromSigs(sig: DataFrame, maxHamming: Int,
+                                maxBucket: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     // e = 0 while chunks stay ≥ 16 bits wide; else e = 1, m = ⌈(r+1)/2⌉
@@ -221,15 +230,21 @@ object Dedup {
       sig.select(col("id"), col("sig"),
           explode(array(structs: _*)).as("c"))
         .select(col("id"), col("sig"), col("c.chunk"), col("c.v"))
-    val exact = emit((0 until m).map(i =>
+    val exactAll = emit((0 until m).map(i =>
       struct(lit(i).as("chunk"), chunkVal(i).as("v"))))
-    val probe = if (e == 0) exact else emit((0 until m).flatMap { i =>
+    val hot = exactAll.groupBy(col("chunk"), col("v"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select(col("chunk"), col("v"))
+    val exact = exactAll.join(broadcast(hot), Seq("chunk", "v"), "left_anti")
+    val probeAll = if (e == 0) exact else emit((0 until m).flatMap { i =>
       val width = bounds(i + 1) - bounds(i)
       struct(lit(i).as("chunk"), chunkVal(i).as("v")) +:
         (0 until width).map(j =>
           struct(lit(i).as("chunk"),
                  chunkVal(i).bitwiseXOR(lit(1L << j)).as("v")))
     })
+    val probe = if (e == 0) exact
+                else probeAll.join(broadcast(hot), Seq("chunk", "v"), "left_anti")
     val a = exact.as("a"); val b = probe.as("b")
     a.join(b,
         col("a.chunk") === col("b.chunk") &&

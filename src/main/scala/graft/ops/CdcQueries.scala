@@ -63,6 +63,22 @@ object CdcQueries {
                 col("after.o_totalprice").as("new_price"))
         .orderBy(col("o_orderkey"))),
 
+    // Incremental JOIN-view maintenance: orders ⋈ customer kept current
+    // from the two changelogs' deltas alone (JoinView delta-join formula),
+    // replayed in three time windows. The customer inserts are staggered
+    // across the windows, so dimension rows arrive LATE relative to facts
+    // referencing them — the view must converge anyway. Oracle: closed-form
+    // final states of both tables, joined.
+    "cdc_join_view" -> ((s, dir) =>
+      graft.cdc.JoinView.replay(
+          ChangelogGen.ordersChangeEvents(s, dir),
+          ChangelogGen.customerChangeEvents(s, dir),
+          cuts = Seq(SnapT1, SnapT2),
+          lPk = "o_orderkey", rPk = "c_custkey", lJoinCol = "o_custkey",
+          viewCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice", "c_name", "c_acctbal"))
+        .view.orderBy(col("o_orderkey"))),
+
     // Time-travel snapshot diff: replay the changelog to two cut times and
     // diff the states (added / removed / changed keys). Scale shape: each
     // snapshot is ONE ts-filtered max_by aggregation (the filter prunes
@@ -118,6 +134,17 @@ object CdcQueries {
         |  count(*) AS n_rows
         |FROM ($expectedStateSql)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "cdc_join_view" ->
+      s"""WITH ostate AS ($expectedStateSql),
+        |cstate AS (
+        |  SELECT c_custkey, c_name,
+        |    c_acctbal + CASE WHEN c_custkey % 4 = 0 THEN 100.0
+        |                     ELSE 0.0 END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 25 <> 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  c_name, c_acctbal
+        |FROM ostate JOIN cstate ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "cdc_update_before" ->
       """SELECT o_orderkey, o_totalprice AS old_price,
         |  o_totalprice * 1.1 AS new_price

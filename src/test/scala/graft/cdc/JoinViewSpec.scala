@@ -1,0 +1,101 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental join-view maintenance: stepwise semantics on a handcrafted
+  * two-topic sequence, and convergence to a full recompute on the
+  * synthesized changelogs. */
+class JoinViewSpec extends SparkSpec {
+
+  private val viewCols = Seq("k", "fk", "price", "ck", "name")
+
+  private def lEvents(rows: (String, Long, Long, (Long, Long, Double))*) = {
+    import spark.implicits._
+    rows.toSeq.map { case (op, ts, seq, (k, fk, price)) =>
+      (op, ts, seq, k, fk, price)
+    }.toDF("op", "ts", "seq", "k", "fk", "price")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("k"), col("fk"), col("price")).as("after"))
+  }
+
+  private def rEvents(rows: (String, Long, Long, (Long, String))*) = {
+    import spark.implicits._
+    rows.toSeq.map { case (op, ts, seq, (ck, name)) =>
+      (op, ts, seq, ck, name)
+    }.toDF("op", "ts", "seq", "ck", "name")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("ck"), col("name")).as("after"))
+  }
+
+  private def viewRows(st: JoinView.State) =
+    st.view.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                 r.getLong(3), r.getString(4))).toSet
+
+  test("stepwise: inserts, late dimension arrival, updates, deletes") {
+    val l = lEvents(
+      ("insert", 1L, 1L, (1L, 10L, 5.0)),
+      ("insert", 1L, 2L, (2L, 20L, 7.0)),
+      ("update", 5L, 3L, (1L, 10L, 6.0)),
+      ("delete", 9L, 4L, (2L, 20L, 7.0)))
+    val r = rEvents(
+      ("insert", 2L, 1L, (20L, "c20")),
+      ("insert", 4L, 2L, (10L, "c10")), // LATE: fact referenced it at ts=1
+      ("delete", 8L, 3L, (10L, "c10")))
+    def slice(ev: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) =
+      ev.filter(col("ts") > lo && col("ts") <= hi)
+    val emptyL = Materializer.compact(l.limit(0), Seq("k"))
+    val emptyR = Materializer.compact(r.limit(0), Seq("ck"))
+    val emptyView = emptyL.drop(Materializer.MetaCols: _*)
+      .join(emptyR.drop(Materializer.MetaCols: _*), col("fk") === col("ck"))
+      .select(viewCols.map(col): _*)
+    val st0 = JoinView.State(emptyL, emptyR, emptyView)
+    // batch 1 (ts <= 3): both facts + c20 only -> view has just k=2
+    val st1 = JoinView.applyBatch(st0,
+      slice(l, Long.MinValue, 3), slice(r, Long.MinValue, 3),
+      "k", "ck", "fk", viewCols)
+    assert(viewRows(st1) == Set((2L, 20L, 7.0, 20L, "c20")),
+      "late dimension must NOT appear before its insert arrives")
+    // batch 2 (3 < ts <= 6): c10 arrives + k=1 price update -> both rows
+    val st2 = JoinView.applyBatch(st1,
+      slice(l, 3, 6), slice(r, 3, 6), "k", "ck", "fk", viewCols)
+    assert(viewRows(st2) == Set(
+      (1L, 10L, 6.0, 10L, "c10"), (2L, 20L, 7.0, 20L, "c20")),
+      "late dim row must join retroactively with the updated fact")
+    // batch 3 (ts > 6): delete c10 and fact k=2 -> empty view
+    val st3 = JoinView.applyBatch(st2,
+      slice(l, 6, Long.MaxValue), slice(r, 6, Long.MaxValue),
+      "k", "ck", "fk", viewCols)
+    assert(viewRows(st3).isEmpty,
+      "deletes on either side must remove their view rows")
+  }
+
+  test("replayed view equals full recompute of the two final states") {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_totalprice", "c_name", "c_acctbal")
+    val incr = JoinView.replay(
+      ChangelogGen.ordersChangeEvents(spark, sfDir),
+      ChangelogGen.customerChangeEvents(spark, sfDir),
+      cuts = Seq(788918400L, 852076800L),
+      lPk = "o_orderkey", rPk = "c_custkey", lJoinCol = "o_custkey",
+      viewCols = cols).view
+    val full = ChangelogGen.ordersState(spark, sfDir)
+      .join(ChangelogGen.customerState(spark, sfDir),
+            col("o_custkey") === col("c_custkey"))
+      .select(cols.map(col): _*)
+    assert(incr.count() > 0, "view is empty — test data broken")
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty,
+      "incremental view diverges from full recompute")
+  }
+
+  test("customer inserts really are staggered across the replay windows") {
+    val ts = ChangelogGen.customerChangeEvents(spark, sfDir)
+      .filter(col("op") === "insert").select("ts")
+      .collect().map(_.getLong(0))
+    assert(ts.exists(_ <= 788918400L))
+    assert(ts.exists(t => t > 788918400L && t <= 852076800L))
+    assert(ts.exists(_ > 852076800L),
+      "no customer arrives in the last window — late-arrival path untested")
+  }
+}
