@@ -365,6 +365,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // ---- multimodal ----
+
+    // the binary-column pipeline end-to-end: documents -> synthetic media
+    // payloads (utf8 bytes; the sandbox has no codecs) -> resize cap ->
+    // frame sampling -> per-frame digest. Exercises the REAL plumbing
+    // (binary columns, payload-local transforms, explode-bounded row
+    // growth); the corpus is ASCII so the byte-level frames are
+    // oracle-exact against DuckDB character substrings.
+    "q_multimodal_frames" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.syntheticMediaFromDocuments(docs(s, dir))
+      val sized = Multimodal.resizePayload(media, maxBytes = 2048)
+      Multimodal.sampleFrames(sized, frameBytes = 256, everyK = 4)
+        .select(col("media_id"), col("frame_idx"),
+                length(col("frame")).as("frame_len"),
+                md5(col("frame")).as("frame_md5"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // PII scrubbing (contamination/compliance pass): detect + redact
     // emails and URLs. Pure regexp expressions — a narrow scan-side map
     // with zero shuffle at any scale. The testdata corpus carries no PII,
@@ -476,6 +495,26 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_hits
         |FROM cg JOIN bgrams USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN strlen(text) > 2048 THEN substr(text, 1, 2048)
+        |         ELSE text END AS content
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, content,
+        |    CAST(ceil(strlen(content) / 256.0) AS INT) AS n_frames
+        |  FROM media WHERE strlen(content) > 0),
+        |fx AS (
+        |  SELECT media_id, content,
+        |    CAST(unnest(list_filter(generate_series(0, n_frames - 1),
+        |                            i -> i % 4 = 0)) AS INT) AS frame_idx
+        |  FROM f)
+        |SELECT media_id, frame_idx,
+        |  CAST(strlen(substr(content, frame_idx * 256 + 1, 256))
+        |       AS INT) AS frame_len,
+        |  md5(substr(content, frame_idx * 256 + 1, 256)) AS frame_md5
+        |FROM fx ORDER BY media_id, frame_idx""".stripMargin,
     "q_sample_group" ->
       """WITH r AS (
         |  SELECT lang, doc_id,
