@@ -77,12 +77,12 @@ object Materializer {
     * control; safe once the source cannot deliver events older than it). */
   def merge(state: DataFrame, events: DataFrame, primaryKey: Seq[String],
             tombstoneRetentionTs: Long = Long.MinValue): DataFrame = {
-    val merged = compact(
+    val all = compact(
       stateAsEvents(state).unionByName(
         events.select("op", "ts", "seq", "after")),
       primaryKey)
-    if (tombstoneRetentionTs == Long.MinValue) merged
-    else merged.filter(col("__op") =!= "delete" ||
-                       col("__ts") >= tombstoneRetentionTs)
+    if (tombstoneRetentionTs == Long.MinValue) all
+    else all.filter(col("__op") =!= "delete" ||
+                    col("__ts") >= tombstoneRetentionTs)
   }
 }

@@ -151,23 +151,41 @@ object Dedup {
       lit(0L), (acc, bit) => acc.bitwiseOR(bit))
   }
 
-  /** Bulk SimHash signatures `(id, sig)` via explode + 64 codegen'd
-    * conditional-sum aggregates (map-side partial agg; the shuffle carries
-    * 64 longs per doc, not tokens). Same value as [[simhash64]]. */
+  /** Bulk SimHash signatures `(id, sig)` via explode + LANE-PACKED bit
+    * counting (map-side partial agg; the shuffle carries 16 longs + a
+    * count per doc, not tokens). Same value as [[simhash64]].
+    *
+    * Bit-slicing: lane-sum k aggregates `(h >> k) & 0x0001000100010001`,
+    * so ONE long sum accumulates the set-bit counts of bits {k, k+16,
+    * k+32, k+48} in four independent 16-bit lanes — 16 sums instead of 64
+    * conditional aggregates (~4x less per-row aggregate work). Bit i of
+    * the signature is set iff its set-bit count exceeds half the token
+    * count (identical sign rule to the ±1 counter form: 2·cnt − n > 0).
+    * Lanes are exact while every doc has < 65536 tokens; beyond that a
+    * lane would overflow into its neighbor, so that is checked per doc
+    * (raise_error), not silently mis-signed. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spread = graft.Tables.ensureParallelism(docs)
     val exploded = spread.select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
-    val sums = (0 until 64).map(i =>
-      sum(when(call_function("shiftright", col("h"), lit(i))
-            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"c$i"))
-    val packed = (0 until 64).map(i =>
-      when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
+    val laneMask = lit(0x0001000100010001L)
+    val sums = (0 until 16).map(k =>
+      sum(call_function("shiftright", col("h"), lit(k))
+            .bitwiseAND(laneMask)).as(s"s$k")) :+
+      count(lit(1)).as("n")
+    val guarded = when(col("n") >= 65536L, raise_error(concat(
+        lit("simhashSignatures: doc with >= 65536 tokens overflows the " +
+            "16-bit count lanes; doc id="), col("id").cast("string"))))
+    val packed = (0 until 64).map { i =>
+      val k = i % 16; val j = i / 16
+      val cnt = call_function("shiftright", col(s"s$k"), lit(16 * j))
+        .bitwiseAND(lit(0xFFFFL))
+      when(cnt * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
     exploded.groupBy(col("id"))
       .agg(sums.head, sums.tail: _*)
-      .select(col("id"), packed.as("sig"))
+      .select(col("id"), coalesce(guarded, packed).as("sig"))
   }
 
   /** Hamming distance between two 64-bit signatures. */

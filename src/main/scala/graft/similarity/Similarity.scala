@@ -70,6 +70,38 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** K-means centroid training for the IVF index (Lloyd's iterations via
+    * `org.apache.spark.ml.clustering.KMeans` — public Spark MLlib API).
+    * Deterministic under `seed`. Returns `(vec_id, embedding)` shaped like
+    * a centroid table consumable by [[ivfAssign]]/[[ivfTopK]] (centroid
+    * ids are 0..k-1).
+    *
+    * Scale shape: each Lloyd iteration is one broadcast of k centers +
+    * one map-side-partial aggregation over the corpus (MLlib's
+    * implementation) — the same per-pass cost as [[ivfAssign]] itself, so
+    * training k ~ sqrt(N) centers on a sample (pass `trainFraction`) is
+    * the standard 100 TB recipe: sample -> train -> assign full corpus. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, maxIter: Int = 10,
+                      seed: Long = 42L, vecCol: String = "embedding",
+                      trainFraction: Double = 1.0): DataFrame = {
+    val sampled =
+      if (trainFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, trainFraction, seed)
+    val features = sampled.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        col(vecCol).cast("array<double>")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setMaxIter(maxIter).setSeed(seed)
+      .fit(features)
+    val rows = model.clusterCenters.toSeq.zipWithIndex.map {
+      case (c, i) => (i.toLong, c.toArray.map(_.toFloat).toSeq)
+    }
+    corpus.sparkSession.createDataFrame(rows)
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+  }
+
   /** IVF index build: nearest-centroid assignment. Centroids are a
     * deterministic corpus subset (ids ≡ 0 mod |corpus|/C) — a stand-in
     * for k-means that keeps everything seeded and engine-checkable.
