@@ -230,6 +230,22 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // IVF with TRAINED centroids: k-means (Lloyd's via Spark MLlib) over
+    // the corpus replaces the deterministic-subset stand-in — the real
+    // index-build path. rows-only (centroids are iterative/FP-order
+    // dependent); recall vs brute force is asserted in PipelineSpec.
+    "q_sim_ivf_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = Similarity.kmeansCentroids(e, k = 16, maxIter = 5)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val assigned = Similarity.ivfAssign(e, centroids)
+      Similarity.ivfTopK(assigned, centroids, queries, k = 3, nprobe = 4)
+        .select(col("q_id"), col("rk"), col("neighbor_id"),
+                round(col("cos"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // IVF ANN (rows-only; the 100 TB scale path)
     "q_sim_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -304,6 +320,49 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
                 explode(sequence(lit(1), w)).as("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
+    // embedding normalization + int8 quantization (the storage/serving
+    // compression step of an embedding pipeline). Pure scan-side array
+    // expressions — zero shuffle at any scale; doubles throughout so the
+    // arithmetic is bit-identical to the DuckDB oracle.
+    "q_embed_quantize" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      val norm = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+      val maxAbs = array_max(transform(v, x => abs(x)))
+      // scale by 127/max|x|; a zero vector (max|x| = 0) quantizes to zeros
+      // instead of dividing by zero (ANSI cast of Inf would fail the job)
+      val q8 = transform(v, x =>
+        when(maxAbs === 0.0d, lit(0.0d))
+          .otherwise(round(x * 127.0d / maxAbs)).cast("tinyint"))
+      emb(s, dir).select(
+          col("vec_id"),
+          round(norm, 4).as("l2_norm"),
+          round(maxAbs, 6).as("max_abs"),
+          q8.as("q8"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // sequence packing (pretraining-shard assembly): concatenate docs in
+    // deterministic order within hash shards, chunk the token stream into
+    // fixed-size packs; each doc reports its pack and offset. Scale shape:
+    // ONE window (running sum) per shard partition — shards bound the
+    // sort, so no global ordering is ever materialized; at 100 TB shards
+    // map 1:1 to output training files.
+    "q_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val seqLen = 2048L
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"),
+                TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+                pmod(portableHash(col("doc_id"), 13), lit(8L)).as("shard"))
+        .withColumn("start_off",
+          coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+        .select(col("shard"), col("doc_id"), col("n_tokens"),
+                floor(col("start_off") / seqLen).as("pack_id"),
+                pmod(col("start_off"), lit(seqLen)).as("offset_in_pack"))
+        .orderBy(col("shard"), col("doc_id"))
     }),
 
     // ---- text analysis ----
@@ -524,6 +583,39 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM r WHERE rk <= 20
         |ORDER BY lang, rk""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+        |  round(ma, 6) AS max_abs,
+        |  list_transform(embedding,
+        |    x -> CAST(CASE WHEN ma = 0 THEN 0
+        |                   ELSE round(CAST(x AS DOUBLE) * 127 / ma)
+        |              END AS TINYINT)) AS q8
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "q_pack_sequences" -> {
+      val ntok =
+        "len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))"
+      s"""WITH t AS (
+        |  SELECT doc_id, $ntok AS n_tokens,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':13'), 1, 8))::BIGINT
+        |      % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens, 0) AS start_off
+        |  FROM t)
+        |SELECT shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(floor(start_off / 2048) AS BIGINT) AS pack_id,
+        |  CAST(start_off % 2048 AS BIGINT) AS offset_in_pack
+        |FROM c ORDER BY shard, doc_id""".stripMargin
+    },
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT

@@ -147,6 +147,33 @@ object RelationalQueries {
         .orderBy(col("n_name"))
     }),
 
+    // -- bucketed co-located join: both sides written bucketBy(custkey)
+    //    once per (session, sf), then joined WITHOUT any shuffle — the
+    //    bucket layout IS the partitioning, so the exchange disappears
+    //    from the plan (asserted in ScaleSpec). This is the 100 TB recipe
+    //    for repeated fact-dim joins on a stable key: pay the layout once
+    //    at write time, join shuffle-free forever after.
+    "q_join_bucketed" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val bo = s"b_orders_$tag"; val bc = s"b_customer_$tag"
+      val base = new java.io.File("target/bucketed").getAbsolutePath
+      if (!s.catalog.tableExists(bo)) {
+        load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").option("path", s"$base/$bo")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(bo)
+        load(s, dir, "customer").select("c_custkey", "c_nationkey")
+          .write.mode("overwrite").option("path", s"$base/$bc")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(bc)
+      }
+      val o = s.table(bo); val c = s.table(bc)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // -- semi join: customers that have at least one order
     "q_join_semi" -> ((s, dir) => {
       val c = load(s, dir, "customer"); val o = load(s, dir, "orders")
@@ -444,6 +471,11 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_join_semi" ->
       """SELECT c_mktsegment, count(*) AS n_cust
         |FROM customer c

@@ -335,6 +335,31 @@ class PipelineSpec extends SparkSpec {
       .rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() == 0)
   }
 
+  test("k-means IVF: deterministic centroids, full assignment, recall vs brute force") {
+    import graft.similarity.Similarity
+    val centroids = Similarity.kmeansCentroids(emb, k = 8, maxIter = 5)
+    assert(centroids.count() == 8)
+    // same seed + same data -> identical centers (Lloyd's is deterministic
+    // given init, and kmeans|| init is seeded)
+    val again = Similarity.kmeansCentroids(emb, k = 8, maxIter = 5)
+    assert(centroids.exceptAll(again).count() == 0 &&
+           again.exceptAll(centroids).count() == 0)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val assigned = Similarity.ivfAssign(emb, centroids)
+    assert(assigned.count() == emb.count()) // every vector in exactly one list
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("q_id", "neighbor_id")
+    val approx = Similarity.ivfTopK(assigned, centroids, queries,
+        k = 10, nprobe = 3)
+      .select("q_id", "neighbor_id")
+    val recall = exact.join(approx, Seq("q_id", "neighbor_id")).count()
+      .toDouble / exact.count()
+    // nprobe 3 of 8 trained lists; cosine-correlated assignment must beat
+    // the 3/8 random-probe floor
+    assert(recall > 0.375, s"k-means IVF recall $recall too low")
+  }
+
   test("q_dedup_ngram: perturbed-self pairs keep high, in-range jaccard") {
     val out = graft.ops.PipelineQueries.queries("q_dedup_ngram")(spark, sfDir)
       .cache()
