@@ -304,36 +304,54 @@ object Dedup {
     * a left join, as `q_dedup_clusters` does. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).cast("long").as("a"),
-                           col(dstCol).cast("long").as("b"))
-      .union(edges.select(col(dstCol).cast("long").as("a"),
-                          col(srcCol).cast("long").as("b")))
-      .filter(col("a") =!= col("b"))
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint()
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val next = sym.join(labels, col("a") === col("id"))
-        .select(col("b").as("id"), col("component"))
-        .union(labels)
-        .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
+    // AQE off for the propagation loop (same rationale as JoinView.replay:
+    // small known-shape per-round plans over pinned inputs; Structured
+    // Streaming-style micro-batches gain nothing from adaptive re-planning
+    // and pay its stage-by-stage latency). Restored on exit.
+    val conf = edges.sparkSession.conf
+    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sym = edges.select(col(srcCol).cast("long").as("a"),
+                             col(dstCol).cast("long").as("b"))
+        .union(edges.select(col(dstCol).cast("long").as("a"),
+                            col(srcCol).cast("long").as("b")))
+        .filter(col("a") =!= col("b"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("l"), col("n.id") === col("l.id"))
-        .filter(col("n.component") < col("l.component"))
-        .isEmpty
-      labels = next
-      iter += 1
-    }
-    require(converged,
-      s"connectedComponents: not converged after $maxIter rounds — " +
-        "graph diameter exceeds maxIter; raise it or switch to the " +
-        "large-star/small-star variant")
-    labels
+      var labels = sym.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("component"))
+        .localCheckpoint()
+      var iter = 0
+      var converged = false
+      // Convergence witness: labels are monotone NON-INCREASING per round
+      // (new label = min of own + neighbors'), so "no label changed" is
+      // exactly "sum of labels unchanged" — one scalar aggregate over the
+      // freshly-checkpointed labels instead of a self-join per round.
+      // decimal(38,0): exact at any node count / id magnitude.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("component").cast("decimal(38,0)")))
+          .collect()(0).getDecimal(0)
+      var prevSum = labelSum(labels)
+      while (!converged && iter < maxIter) {
+        val next = sym.join(labels, col("a") === col("id"))
+          .select(col("b").as("id"), col("component"))
+          .union(labels)
+          .groupBy(col("id"))
+          .agg(min(col("component")).as("component"))
+          .localCheckpoint()
+        val s = labelSum(next)
+        converged = (if (s == null) prevSum == null
+                     else prevSum != null && s.compareTo(prevSum) == 0)
+        prevSum = s
+        labels = next
+        iter += 1
+      }
+      require(converged,
+        s"connectedComponents: not converged after $maxIter rounds — " +
+          "graph diameter exceeds maxIter; raise it or switch to the " +
+          "large-star/small-star variant")
+      labels
+    } finally conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   // ---------- embedding near-dup (bucketed LSH — the 100 TB path) ----------
