@@ -206,6 +206,67 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // decontamination at 100 TB: the benchmark gram set travels as a
+    // BLOOM FILTER (a few KB of bytes, built by one aggregate) instead of
+    // a broadcast distinct-gram table — constant-size no matter how many
+    // benchmarks are registered, and the corpus-side probe is a pure
+    // scan-side `might_contain` with NO join at all. False positives are
+    // possible by construction, so this is rows-only gated; the spec
+    // asserts it flags a superset of the exact operator's hits with a
+    // bounded FP overhead. Same planted-contamination corpus as
+    // `q_decontaminate`, so the two operators are directly comparable.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("b_id"), col("text").as("b_text"))
+      // build once, collect the ~10 KB filter to the driver, embed as a
+      // binary literal — the same ship-to-tasks shape Spark's own runtime
+      // join pruning uses (might_contain requires a constant/subquery
+      // filter side, not an arbitrary column)
+      val bfBytes = bench
+        .select(explode(array_distinct(Dedup.shingles(col("b_text"), 5)))
+          .as("gram"))
+        .agg(graft.functions.SketchFunctions.bloomFilterAgg(
+          xxhash64(col("gram")), 5000L, 80000L).as("bf"))
+        .collect()(0).getAs[Array[Byte]]("bf")
+      val planted = d.filter(col("doc_id") >= 20 && col("doc_id") % 7 === 0)
+        .join(broadcast(bench), col("doc_id") % 20 === col("b_id"))
+        .select(col("doc_id"),
+                concat(col("text"), lit(" "),
+                  concat_ws(" ",
+                    slice(TextAnalysis.tokens(col("b_text")), 1, 8)))
+                  .as("text"))
+      val corpus = d.filter(col("doc_id") >= 20 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      corpus.select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(col("text"), 5))).as("gram"))
+        .filter(graft.functions.SketchFunctions.mightContain(
+          lit(bfBytes), xxhash64(col("gram"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // mergeable distinct-count sketches (Datasketches HLL): per-month
+    // sketches of the customer set, re-aggregated per status by sketch
+    // UNION — the pre-aggregation/streaming COUNT DISTINCT path. At
+    // 100 TB the monthly sketch table is what you persist; any rollup
+    // (per status, per year, global) is a union over a few KB of sketch
+    // bytes, never a rescan of raw orders. rows-only (estimates are
+    // engine-specific); the spec asserts union-merge equals a direct
+    // one-pass sketch and tracks exact countDistinct within HLL error.
+    "q_hll_mergeable" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val monthly = o.groupBy(col("o_orderstatus"),
+                              month(col("o_orderdate")).as("m"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      monthly.groupBy(col("o_orderstatus"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("approx_cust"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- similarity search ----
 
     // brute-force exact cosine top-3 (the ANN baseline; oracle-checked)

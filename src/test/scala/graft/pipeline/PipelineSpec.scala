@@ -335,6 +335,42 @@ class PipelineSpec extends SparkSpec {
       .rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() == 0)
   }
 
+  test("bloom decontamination: superset of exact hits, bounded FP overhead") {
+    val exact = graft.ops.PipelineQueries.queries("q_decontaminate")(spark, sfDir)
+      .withColumnRenamed("n_hits", "exact_hits").cache()
+    val bloom = graft.ops.PipelineQueries.queries("q_decontaminate_bloom")(spark, sfDir)
+      .withColumnRenamed("n_hits", "bloom_hits").cache()
+    // no false negatives: every exactly-contaminated doc is flagged, and
+    // the probabilistic hit count can only exceed the exact one
+    val missed = exact.join(bloom, Seq("doc_id"), "left")
+      .filter(col("bloom_hits").isNull ||
+              col("bloom_hits") < col("exact_hits"))
+    assert(missed.count() == 0,
+      "bloom decontamination dropped exact hits (impossible for a bloom filter)")
+    // false-positive overhead bounded (80k bits / ~5k grams -> tiny FP rate)
+    assert(bloom.count() <= 2 * exact.count(),
+      s"bloom flagged ${bloom.count()} docs vs ${exact.count()} exact — FP blowup")
+  }
+
+  test("HLL sketch union-merge equals one-pass sketch and tracks exact distinct") {
+    val o = graft.Tables.load(spark, sfDir, "orders")
+    val merged = graft.ops.PipelineQueries.queries("q_hll_mergeable")(spark, sfDir)
+    val direct = o.groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey")))
+        .as("direct_est"))
+    // sketch union is lossless re-aggregation: merged == one-pass
+    val diff = merged.join(direct, "o_orderstatus")
+      .filter(col("approx_cust") =!= col("direct_est"))
+    assert(diff.count() == 0,
+      "per-month sketch union diverged from the one-pass sketch")
+    val exact = o.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val off = merged.join(exact, "o_orderstatus")
+      .filter(abs(col("approx_cust") - col("n_exact")) >
+              col("n_exact") * 0.05)
+    assert(off.count() == 0, "HLL estimate off by more than 5%")
+  }
+
   test("k-means IVF: deterministic centroids, full assignment, recall vs brute force") {
     import graft.similarity.Similarity
     val centroids = Similarity.kmeansCentroids(emb, k = 8, maxIter = 5)
