@@ -33,6 +33,11 @@ object Sources {
            props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** ORC (the other columnar format a lakehouse actually has lying
+    * around) — same pushdown/pruning guarantees as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   // ---- streaming readers ----
 
   def streamParquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
@@ -88,6 +93,15 @@ object Sources {
     val w = df.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
+  }
+
+  /** ORC writer, mirroring [[parquetSink]]. */
+  def orcSink(df: DataFrame, path: String,
+              partitionBy: Seq[String] = Nil,
+              mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .orc(path)
   }
 
   /** JDBC upsert-style sink per BASELINE.json `spark_approach` — append

@@ -355,6 +355,59 @@ object CdcStream {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** [[lastImagePerKey]] re-expressed on the `transformWithState` API
+    * (Spark 4's `StatefulProcessor`: typed named state with explicit
+    * lifecycle — the successor to flatMapGroupsWithState, with TTL,
+    * timers, and multiple state variables when needed). Identical
+    * semantics; requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`), which is the provider a
+    * large-state production job runs anyway. */
+  def lastImagePerKeyTws(events: DataFrame, spark: SparkSession,
+                         keyCol: String = "after.o_orderkey"): DataFrame = {
+    import spark.implicits._
+    val keyType = events.select(col(keyCol)).schema.head.dataType
+    require(Seq("bigint", "int", "smallint", "tinyint")
+              .contains(keyType.simpleString),
+      s"lastImagePerKeyTws needs an integral key column; $keyCol is " +
+        s"${keyType.sql}")
+    val typed = events.select(
+        col(keyCol).cast("long").as("key"), col("ts"), col("seq"), col("op"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .transformWithState(new LastImageProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("key", "ts", "op")
+  }
+
+  /** Keeps the max-(ts, seq) event per key in a ValueState; emits the
+    * key's current latest (ts, op) whenever the key sees input. */
+  private class LastImageProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String), (Long, Long, String)] {
+    @transient private var last:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, String)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[(Long, Long, Long, String)]("last",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, String)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, String)] = {
+      val candidates = rows ++ (if (last.exists()) Iterator.single(last.get())
+                                else Iterator.empty)
+      if (candidates.isEmpty) Iterator.empty
+      else {
+        val latest = candidates.maxBy(r => (r._2, r._3))
+        last.update(latest)
+        Iterator.single((key, latest._2, latest._4))
+      }
+    }
+  }
+
   /** Last change-event image per key via explicit state
     * (`flatMapGroupsWithState`) — the arbitrary-stateful alternative to
     * foreachBatch merge, analogous to a handler keeping its own map. Kept

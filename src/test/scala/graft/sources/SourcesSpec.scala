@@ -65,6 +65,20 @@ class SourcesSpec extends SparkSpec {
     assert(opts("minPartitions") == "64")
   }
 
+  test("orc round-trip with partition pruning") {
+    val dir = Files.createTempDirectory("osink").toString + "/docs"
+    Sources.orcSink(docs, dir, partitionBy = Seq("lang"))
+    val back = Sources.orc(spark, dir)
+    assert(back.count() == docs.count())
+    // values survive the format round-trip exactly
+    val a = docs.select("doc_id", "text").orderBy("doc_id")
+    val b = back.select("doc_id", "text").orderBy("doc_id")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("lang=")))
+  }
+
   test("parquet sink partitions by the requested keys") {
     val dir = Files.createTempDirectory("psink").toString + "/docs"
     Sources.parquetSink(docs, dir, partitionBy = Seq("lang"))

@@ -280,6 +280,35 @@ class StreamingSpec extends SparkSpec {
                                   col("o_orderkey") % 10 =!= 0).count())
   }
 
+  test("transformWithState (StatefulProcessor) matches flatMapGroupsWithState semantics") {
+    // transformWithState requires the RocksDB state store provider —
+    // isolate it in a child session so the suite's other streams keep
+    // the default HDFS-backed provider
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val logDir = tmpDir("twslog")
+    ChangelogGen.ordersChangelog(spark, sfDir).select("value")
+      .coalesce(1).write.mode("overwrite").text(logDir)
+    val envelope = CdcStream.fileChangelog(s2, logDir)
+      .withColumn("seq", lit(0L))
+    val events = CdcStream.changeEvents(envelope, ChangelogGen.ordersSpec)
+    val latest = CdcStream.lastImagePerKeyTws(events, s2)
+    val q = latest.writeStream.outputMode("update")
+      .format("memory").queryName("lastimg_tws")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = s2.table("lastimg_tws")
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    assert(got.select("key").distinct().count() == orders.count())
+    val delKeys = got.filter(col("op") === "delete")
+    assert(delKeys.count() == orders.filter(col("o_orderkey") % 10 === 0).count())
+    val fKeys = got.filter(col("op") === "update").count()
+    assert(fKeys == orders.filter(col("o_orderstatus") === "F" &&
+                                  col("o_orderkey") % 10 =!= 0).count())
+  }
+
   test("session windows group events by inactivity gap") {
     val evDir = tmpDir("eventsess")
     graft.Tables.load(spark, sfDir, "events")
