@@ -98,7 +98,10 @@ object ChangelogGen {
   private val envCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Envelope parse, carrying the generator's seq column through. */
+  /** Envelope parse, carrying the generator's seq column through.
+    * (from_json path: measured faster than the VARIANT alternative on
+    * this narrow 6-field envelope — see Maxwell.parseEnvelopeVariantCol's
+    * scaladoc for when each wins.) */
   def ordersEnvelope(spark: SparkSession, sfDir: String): DataFrame =
     envCache.computeIfAbsent((spark, sfDir), _ => {
       val log = ordersChangelog(spark, sfDir)

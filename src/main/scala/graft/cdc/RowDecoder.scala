@@ -133,6 +133,74 @@ object RowDecoder {
       changedCols.as("changed_cols"))
   }
 
+  /** Decode one image (`data`/`old`) straight out of the envelope VARIANT
+    * (`Maxwell.parseEnvelopeVariantCol`): numerics extract typed via
+    * `try_variant_get` (JSON number -> declared type, NULL on mismatch —
+    * the same lenience as the PERMISSIVE from_json pass), timestamps and
+    * booleans extract as strings and run the SAME [[coerce]] rules as the
+    * from_json path, so the two decode paths are value-identical. */
+  def decodeImageVariant(spec: TableSpec, v: Column, image: String,
+                         as: String, strictParity: Boolean = false): Column = {
+    val inverse = spec.renames.map(_.swap) // columnName -> jsonKey
+    val fields = spec.schema.fields.toSeq
+      .filterNot(f => spec.dropped.contains(f.name))
+      .map { f =>
+        val key = inverse.getOrElse(f.name, f.name)
+        val path = s"$$.$image.$key"
+        f.dataType match {
+          case TimestampType | BooleanType =>
+            coerce(try_variant_get(v, path, "string"), f.dataType,
+                   strictParity).as(f.name)
+          case other =>
+            try_variant_get(v, path, other.sql).as(f.name)
+        }
+      }
+    struct(fields: _*).as(as)
+  }
+
+  /** [[changeEvents]] on the VARIANT envelope — identical output columns
+    * and coercions, one JSON parse per event total. `changed_cols` still
+    * inspects raw-`old` key presence: the `old` sub-variant is
+    * re-serialized (`to_json`) for UPDATE rows only, which is |updates|-
+    * bounded work, not per-event. */
+  def changeEventsVariant(envelope: DataFrame, spec: TableSpec,
+                          strictParity: Boolean = false,
+                          backfillBefore: Boolean = false): DataFrame = {
+    val forTable = envelope.filter(
+      col("database") === spec.database && col("table") === spec.table)
+    val v = col("v")
+    val after = decodeImageVariant(spec, v, "data", "after", strictParity)
+    val beforeRaw = decodeImageVariant(spec, v, "old", "before_raw", strictParity)
+    val withImages = forTable
+      .withColumn("after", after)
+      .withColumn("before_raw",
+        when(col("type") === "update", beforeRaw)
+          .otherwise(lit(null).cast(spec.decodedStructType)))
+    val before =
+      if (!backfillBefore) col("before_raw")
+      else {
+        val cols = spec.schema.fields.toSeq
+          .filterNot(f => spec.dropped.contains(f.name))
+          .map(f => coalesce(col(s"before_raw.${f.name}"),
+                             col(s"after.${f.name}")).as(f.name))
+        when(col("type") === "update", struct(cols: _*))
+          .otherwise(lit(null).cast(spec.decodedStructType))
+      }
+    val seq = if (envelope.columns.contains("seq")) col("seq") else lit(0L)
+    val renameLit = typedLit(spec.renames) // jsonKey -> columnName
+    val changedCols =
+      when(col("type") === "update",
+        transform(json_object_keys(to_json(try_variant_get(v, "$.old", "variant"))),
+          k => coalesce(element_at(renameLit, k), k)))
+        .otherwise(lit(null).cast("array<string>"))
+    withImages.select(
+      col("type").as("op"),
+      col("database"), col("table"),
+      col("ts"), seq.as("seq"),
+      before.as("before"), col("after"),
+      changedCols.as("changed_cols"))
+  }
+
   implicit private class SpecOps(spec: TableSpec) {
     def decodedStructType: StructType =
       StructType(spec.schema.fields.filterNot(f => spec.dropped.contains(f.name)))

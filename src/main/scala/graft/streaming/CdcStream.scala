@@ -51,9 +51,13 @@ object CdcStream {
 
   /** Typed change events for one registered table (streaming-safe: all
     * narrow ops). `seq` falls back to 0 — file/Kafka ordering within a
-    * commit ts is then non-deterministic, exactly like the reference. */
+    * commit ts is then non-deterministic, exactly like the reference.
+    * Dispatches on the envelope shape: variant fast path when the
+    * envelope carries `v`, classic from_json decode otherwise. */
   def changeEvents(envelope: DataFrame, spec: TableSpec): DataFrame =
-    RowDecoder.changeEvents(envelope, spec)
+    if (envelope.columns.contains("v"))
+      RowDecoder.changeEventsVariant(envelope, spec)
+    else RowDecoder.changeEvents(envelope, spec)
 
   /** Read a tombstone-aware state table, tolerating the crash window of
     * the generation swap in [[materializeToParquet]]: if the current

@@ -243,6 +243,38 @@ class CdcSpec extends SparkSpec {
     assert(e.getMessage.contains("id"))
   }
 
+  test("VARIANT decode path is value-identical to the from_json path") {
+    val ms = insertJson.replace("\"created_at\":\"2022-02-14 15:03:37.423\"",
+      "\"created_at\":1644822217423")
+    val zero = insertJson.replace("\"active\":1", "\"active\":0")
+    val nullOldU = updateJson.replace(
+      """"old":{"entity_name":"widget A","score":3.5}""", """"old":{"score":null}""")
+    val lines = Seq(insertJson, updateJson, deleteJson, ms, zero, nullOldU)
+    def varParse(ls: Seq[String]) = {
+      val ds = spark.createDataset(ls)(Encoders.STRING)
+      Maxwell.parseEnvelopeVariantCol(ds.toDF("value"), col("value"))
+    }
+    for (strict <- Seq(false, true); backfill <- Seq(false, true)) {
+      val classic = RowDecoder.changeEvents(parse(lines: _*), dealsSpec,
+        strictParity = strict, backfillBefore = backfill)
+      val variant = RowDecoder.changeEventsVariant(varParse(lines), dealsSpec,
+        strictParity = strict, backfillBefore = backfill)
+      assert(classic.schema == variant.schema,
+        s"schema drift (strict=$strict backfill=$backfill)")
+      // changed_cols order may differ between raw-text key order and the
+      // variant's canonical key order — compare as sorted sets
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("changed_cols", sort_array(col("changed_cols")))
+      assert(canon(classic).exceptAll(canon(variant)).count() == 0 &&
+             canon(variant).exceptAll(canon(classic)).count() == 0,
+        s"value drift (strict=$strict backfill=$backfill)")
+    }
+    // malformed lines are dropped identically
+    val bad = Seq("not json at all", """{"database":"d"}""", insertJson)
+    assert(RowDecoder.changeEvents(parse(bad: _*), dealsSpec).count() ==
+           RowDecoder.changeEventsVariant(varParse(bad), dealsSpec).count())
+  }
+
   test("exact path REJECTS updates whose `old` is missing or malformed JSON") {
     // a NULL changed_cols on an update must raise, not silently evaluate
     // as "nothing changed" (before := after — a wrong retraction)
