@@ -62,6 +62,40 @@ object Materializer {
   def currentState(events: DataFrame, primaryKey: Seq[String]): DataFrame =
     liveView(compact(events, primaryKey))
 
+  /** SCD2 history: every insert/update event becomes a VERSION row carrying
+    * the full image plus a `[valid_from, valid_to)` interval; a delete
+    * terminates its key's last open version (the delete itself emits no
+    * row — the reference's delete callback has no image to keep current,
+    * `cdc_manager.go:294-298`). `is_current` marks still-open versions.
+    *
+    * Scale shape: ONE shuffle by pk + per-key sort for the `lead` window —
+    * unavoidable for interval stitching (each version needs its successor's
+    * ts), and strictly |events|-bounded. Unlike [[compact]] there is no
+    * map-side reduction to exploit: every event row IS an output row. */
+  def history(events: DataFrame, primaryKey: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(primaryKey.map(k => col(s"after.$k")): _*)
+      .orderBy(col("ts"), col("seq"))
+    events
+      .withColumn("__next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("op") =!= "delete")
+      .select(col("after.*"),
+              col("ts").as("valid_from"),
+              col("__next_ts").as("valid_to"),
+              col("__next_ts").isNull.as("is_current"))
+  }
+
+  /** Point-in-time lookup over a [[history]] frame: the live rows AS OF
+    * `ts` (versions whose interval covers it). With the history stored
+    * partitioned/ordered this prunes to an interval scan — the batch
+    * analogue of time-travel reads. */
+  def asOf(history: DataFrame, ts: Long): DataFrame =
+    history
+      .filter(col("valid_from") <= ts &&
+              (col("valid_to").isNull || col("valid_to") > ts))
+      .drop("valid_from", "valid_to", "is_current")
+
   /** Merge a batch of change events into existing tombstone-aware state —
     * the `foreachBatch` upsert body for streaming (SURVEY.md §7 stage 3).
     * TRUE last-writer-wins by (ts, seq): a late-arriving event older than

@@ -79,6 +79,28 @@ object CdcQueries {
                          "o_totalprice", "c_name", "c_acctbal"))
         .view.orderBy(col("o_orderkey"))),
 
+    // SCD2 history: every version of every key with its validity interval
+    // (deletes close the last version). The full audit-table shape the
+    // reference's handler callbacks would need to build by hand.
+    "cdc_history" -> ((s, dir) =>
+      graft.cdc.Materializer.history(
+          ChangelogGen.ordersChangeEvents(s, dir),
+          ChangelogGen.ordersSpec.primaryKey)
+        .select(col("o_orderkey"), col("o_totalprice"),
+                col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("o_orderkey"), col("valid_from"))),
+
+    // Point-in-time read over the SCD2 history (time travel AS OF SnapT2):
+    // must equal the snapshot the replayed changelog produces at that cut.
+    "cdc_history_asof" -> ((s, dir) =>
+      graft.cdc.Materializer.asOf(
+          graft.cdc.Materializer.history(
+            ChangelogGen.ordersChangeEvents(s, dir),
+            ChangelogGen.ordersSpec.primaryKey),
+          SnapT2)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
     // Time-travel snapshot diff: replay the changelog to two cut times and
     // diff the states (added / removed / changed keys). Scale shape: each
     // snapshot is ONE ts-filtered max_by aggregation (the filter prunes
@@ -149,6 +171,37 @@ object CdcQueries {
       """SELECT o_orderkey, o_totalprice AS old_price,
         |  o_totalprice * 1.1 AS new_price
         |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+    "cdc_history" ->
+      // closed-form versions from the event plan: v1 = the insert image,
+      // closed by the 'F' update (+3600) or the %10 delete (+7200);
+      // v2 = the updated image ('F' rows only), closed by the delete
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS valid_from,
+        |    CAST(CASE WHEN o_orderstatus = 'F' THEN epoch(o_orderdate) + 3600
+        |              WHEN o_orderkey % 10 = 0 THEN epoch(o_orderdate) + 7200
+        |              ELSE NULL END AS BIGINT) AS valid_to
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+        |    CAST(epoch(o_orderdate) + 3600 AS BIGINT) AS valid_from,
+        |    CAST(CASE WHEN o_orderkey % 10 = 0 THEN epoch(o_orderdate) + 7200
+        |              ELSE NULL END AS BIGINT) AS valid_to
+        |  FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_orderkey, o_totalprice, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
+    "cdc_history_asof" ->
+      s"""SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F'
+        |        AND epoch(o_orderdate) + 3600 <= $SnapT2
+        |       THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE epoch(o_orderdate) <= $SnapT2
+        |  AND NOT (o_orderkey % 10 = 0
+        |           AND epoch(o_orderdate) + 7200 <= $SnapT2)
         |ORDER BY o_orderkey""".stripMargin,
     "cdc_snapshot_diff" -> {
       // closed-form snapshot at cut time T, straight from the event plan:

@@ -454,6 +454,33 @@ object PipelineQueries {
                   .as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition filters: duplicate-token and top-bigram
+    // fractions per document, with the drop decision done in INTEGER
+    // arithmetic (10*(n_tok-n_utok) > 3*n_tok ⇔ dup_tok_frac > 0.3;
+    // 50*top_bg_c > 9*n_bg ⇔ top_bigram_frac > 0.18) so the output is
+    // engine-exact — no float rounding at the decision boundary.
+    // Scale shape: token/array stats are scan-side; the only shuffle is
+    // the (doc, bigram) partial-agg count — the TF shape, |grams|-bounded
+    // with map-side combine. explode_outer keeps sub-2-token docs.
+    "q_text_repetition" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+                size(col("t")).cast("long").as("n_tok"),
+                size(array_distinct(col("t"))).cast("long").as("n_utok"),
+                explode_outer(TextAnalysis.bigrams(col("t"))).as("bg"))
+        .groupBy(col("doc_id"), col("n_tok"), col("n_utok"), col("bg"))
+        .agg(count(col("bg")).as("c"))
+        .groupBy(col("doc_id"), col("n_tok"), col("n_utok"))
+        .agg(sum(col("c")).as("n_bg"),
+             count(when(col("bg").isNotNull, 1)).as("n_ubg"),
+             max(col("c")).as("top_bg_c"))
+        .select(col("doc_id"), col("n_tok"), col("n_utok"),
+                col("n_bg"), col("n_ubg"), col("top_bg_c"),
+                ((col("n_tok") - col("n_utok")) * 10 > col("n_tok") * 3 ||
+                 col("top_bg_c") * 50 > col("n_bg") * 9).as("gopher_drop"))
+        .orderBy(col("doc_id"))),
+
     // TF-IDF top terms per document (retrieval / relevance primitive).
     // Scale shape: tf = one shuffle on (doc, term) with map-side partial
     // counts; df joins on term (vocabulary-sized — broadcastable); the
@@ -799,6 +826,30 @@ object PipelineQueries {
         |  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
         |    / nullif(length(text), 0), 6) AS alpha_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_utok, t
+        |  FROM toks),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM base)),
+        |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+        |    count(*) AS n_ubg, max(c) AS top_bg_c
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT b.doc_id, n_tok, n_utok,
+        |  coalesce(n_bg, 0) AS n_bg, coalesce(n_ubg, 0) AS n_ubg,
+        |  coalesce(top_bg_c, 0) AS top_bg_c,
+        |  ((n_tok - n_utok) * 10 > n_tok * 3
+        |    OR coalesce(top_bg_c, 0) * 50 > coalesce(n_bg, 0) * 9)
+        |    AS gopher_drop
+        |FROM base b LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_lang" -> {
       val en = langScoreSql("en"); val de = langScoreSql("de")
       val es = langScoreSql("es"); val fr = langScoreSql("fr")

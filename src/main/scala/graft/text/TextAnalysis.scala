@@ -16,6 +16,14 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Adjacent-token bigrams of a token array (space-joined). Pure array
+    * arithmetic — scan-side, no shuffle. */
+  def bigrams(toks: Column): Column = {
+    val m = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+             (a, b) => concat_ws(" ", a, b))
+  }
+
   /** BPE-ish subword segmentation: letter runs, single digits, punctuation
     * marks — the classic pre-tokenizer shape (GPT-2-style regex, reduced
     * to what both engines' regex dialects share). */
