@@ -387,6 +387,20 @@ object PipelineQueries {
     // compression step of an embedding pipeline). Pure scan-side array
     // expressions — zero shuffle at any scale; doubles throughout so the
     // arithmetic is bit-identical to the DuckDB oracle.
+    // per-label embedding centroids (class prototypes for clustering /
+    // nearest-class-mean filtering). posexplode → (label, pos) avg: the
+    // explode multiplies rows ×dim but the map-side partial agg collapses
+    // them before the shuffle, so shuffle traffic is |labels|×dim
+    // regardless of corpus size — the scalable alternative to
+    // collect_list-then-average, which would ship every vector.
+    "q_embed_centroid" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("e").cast("double")), 6).as("c"))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("c"))
+        .orderBy(col("label"), col("pos"))),
+
     "q_embed_quantize" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
       val norm = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
@@ -480,6 +494,34 @@ object PipelineQueries {
                 ((col("n_tok") - col("n_utok")) * 10 > col("n_tok") * 3 ||
                  col("top_bg_c") * 50 > col("n_bg") * 9).as("gopher_drop"))
         .orderBy(col("doc_id"))),
+
+    // Unigram-LM perplexity proxy (CCNet-style quality signal): the LM is
+    // the corpus's own unigram distribution; each doc scores its mean
+    // negative log-likelihood under it (high = unusual token mix). Scale
+    // shape: tf = ONE (doc,term) shuffle with map-side partials (cached —
+    // it feeds both the vocab counts and the scoring branch); vocab is
+    // |vocab|-bounded; the tf⋈vocab equi-join shuffles on term (AQE
+    // broadcasts when vocab is small); final per-doc combine is
+    // |docs|-bounded. Nothing touches raw text twice.
+    "q_text_perplexity" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"),
+                explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .cache()
+      val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("n_total"))
+      tf.join(vocab, "tok")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tok"),
+             round(-sum(col("tf").cast("double") *
+                        log(col("cnt").cast("double") / col("n_total"))) /
+                     sum(col("tf")),
+                   4).as("nll"))
+        .orderBy(col("doc_id"))
+    }),
 
     // TF-IDF top terms per document (retrieval / relevance primitive).
     // Scale shape: tf = one shuffle on (doc, term) with map-side partial
@@ -671,6 +713,13 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM r WHERE rk <= 20
         |ORDER BY lang, rk""".stripMargin,
+    "q_embed_centroid" ->
+      """SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
+        |  round(avg(CAST(e AS DOUBLE)), 6) AS c
+        |FROM (SELECT label, unnest(embedding) AS e,
+        |             generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q_embed_quantize" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,
@@ -749,6 +798,18 @@ object PipelineQueries {
         |        / len(list_distinct(list_concat(toks, toks2))), 6)
         |    AS jaccard_tok
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_text_perplexity" ->
+      s"""WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |vocab AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM vocab)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+        |  round(-sum(CAST(tf AS DOUBLE) * ln(CAST(cnt AS DOUBLE) / n_total))
+        |        / sum(tf), 4) AS nll
+        |FROM tf JOIN vocab USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       s"""WITH tf AS (
         |  SELECT doc_id, tok, count(*) AS tf FROM (

@@ -396,6 +396,44 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.375, s"k-means IVF recall $recall too low")
   }
 
+  test("q_text_perplexity: hand-computed NLL on a planted two-doc corpus") {
+    // corpus: "a a b" and "a b c" -> counts a=3 b=2 c=1, N=6
+    // nll(d1) = -(2 ln(3/6) + ln(2/6)) / 3 ; nll(d2) = -(ln(3/6)+ln(2/6)+ln(1/6)) / 3
+    import spark.implicits._
+    val tiny = Seq((0L, "a a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val tf = tiny.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    val out = tf.join(vocab, "tok").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(-sum(col("tf").cast("double") *
+                      log(col("cnt").cast("double") / col("n_total"))) /
+                   sum(col("tf")), 4).as("nll"))
+      .orderBy(col("doc_id")).collect()
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val e1 = r4(-(2 * math.log(3.0 / 6) + math.log(2.0 / 6)) / 3)
+    val e2 = r4(-(math.log(3.0 / 6) + math.log(2.0 / 6) + math.log(1.0 / 6)) / 3)
+    assert(out(0).getDouble(1) == e1 && out(1).getDouble(1) == e2)
+    // and on the real corpus: every score strictly positive and finite
+    val real = graft.ops.PipelineQueries.queries("q_text_perplexity")(spark, sfDir)
+    assert(real.filter(col("nll") <= 0 || col("nll").isNull ||
+                       col("nll") === Double.PositiveInfinity).count() == 0)
+    assert(real.count() == docs.count())
+  }
+
+  test("q_embed_centroid: one row per (label, dim), components inside data range") {
+    val out = graft.ops.PipelineQueries.queries("q_embed_centroid")(spark, sfDir)
+      .cache()
+    val nLabels = emb.select("label").distinct().count()
+    assert(out.count() == nLabels * 64)
+    val comp = emb.select(explode(col("embedding")).as("e"))
+      .agg(min(col("e")).as("lo"), max(col("e")).as("hi")).collect()(0)
+    val (lo, hi) = (comp.getFloat(0).toDouble, comp.getFloat(1).toDouble)
+    assert(out.filter(col("c") < lo || col("c") > hi).count() == 0)
+  }
+
   test("q_dedup_ngram: perturbed-self pairs keep high, in-range jaccard") {
     val out = graft.ops.PipelineQueries.queries("q_dedup_ngram")(spark, sfDir)
       .cache()
