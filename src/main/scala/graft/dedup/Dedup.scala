@@ -152,35 +152,42 @@ object Dedup {
   }
 
   /** Bulk SimHash signatures `(id, sig)` via explode + LANE-PACKED bit
-    * counting (map-side partial agg; the shuffle carries 16 longs + a
+    * counting (map-side partial agg; the shuffle carries 32 longs + a
     * count per doc, not tokens). Same value as [[simhash64]].
     *
-    * Bit-slicing: lane-sum k aggregates `(h >> k) & 0x0001000100010001`,
-    * so ONE long sum accumulates the set-bit counts of bits {k, k+16,
-    * k+32, k+48} in four independent 16-bit lanes — 16 sums instead of 64
-    * conditional aggregates (~4x less per-row aggregate work). Bit i of
-    * the signature is set iff its set-bit count exceeds half the token
-    * count (identical sign rule to the ±1 counter form: 2·cnt − n > 0).
-    * Lanes are exact while every doc has < 65536 tokens; beyond that a
-    * lane would overflow into its neighbor, so that is checked per doc
-    * (raise_error), not silently mis-signed. */
+    * Bit-slicing: lane-sum k aggregates `(h >> k) & 0x0000000100000001`,
+    * so ONE long sum accumulates the set-bit counts of bits {k, k+32} in
+    * two independent 32-bit lanes — 32 sums instead of 64 conditional
+    * aggregates (~2x less per-row aggregate work). Bit i of the signature
+    * is set iff its set-bit count exceeds half the token count (identical
+    * sign rule to the ±1 counter form: 2·cnt − n > 0).
+    *
+    * Lane width is 32 bits (not 16): the RUNNING long sum must stay below
+    * 2^63 under Spark's default ANSI arithmetic. Each row contributes at
+    * most 2^32+1, so partial sums are exact for any n < 2^31 tokens —
+    * i.e. every physically possible document — and the 32-bit lane counts
+    * themselves cannot carry into each other below n = 2^32. (A 16-bit
+    * 4-lane packing overflows the running sum at n = 32768 via the 2^48
+    * lane weight and would throw ArithmeticException under ANSI for valid
+    * docs.) The n >= 2^31 bound is still guarded with raise_error rather
+    * than silently mis-signed. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spread = graft.Tables.ensureParallelism(docs)
     val exploded = spread.select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
-    val laneMask = lit(0x0001000100010001L)
-    val sums = (0 until 16).map(k =>
+    val laneMask = lit(0x0000000100000001L)
+    val sums = (0 until 32).map(k =>
       sum(call_function("shiftright", col("h"), lit(k))
             .bitwiseAND(laneMask)).as(s"s$k")) :+
       count(lit(1)).as("n")
-    val guarded = when(col("n") >= 65536L, raise_error(concat(
-        lit("simhashSignatures: doc with >= 65536 tokens overflows the " +
-            "16-bit count lanes; doc id="), col("id").cast("string"))))
+    val guarded = when(col("n") >= Int.MaxValue.toLong, raise_error(concat(
+        lit("simhashSignatures: doc with >= 2^31 tokens overflows the " +
+            "32-bit count lanes; doc id="), col("id").cast("string"))))
     val packed = (0 until 64).map { i =>
-      val k = i % 16; val j = i / 16
-      val cnt = call_function("shiftright", col(s"s$k"), lit(16 * j))
-        .bitwiseAND(lit(0xFFFFL))
+      val k = i % 32; val j = i / 32
+      val cnt = call_function("shiftright", col(s"s$k"), lit(32 * j))
+        .bitwiseAND(lit(0xFFFFFFFFL))
       when(cnt * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     exploded.groupBy(col("id"))

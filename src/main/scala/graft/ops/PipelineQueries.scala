@@ -410,11 +410,15 @@ object PipelineQueries {
       val q8 = transform(v, x =>
         when(maxAbs === 0.0d, lit(0.0d))
           .otherwise(round(x * 127.0d / maxAbs)).cast("tinyint"))
+      // q8 is emitted as its canonical "[a,b,...]" string: the driver's
+      // oracle compare (pandas sort + hash) cannot hash a raw array column,
+      // so the gate only holds if both engines emit the same scalar string
       emb(s, dir).select(
           col("vec_id"),
           round(norm, 4).as("l2_norm"),
           round(maxAbs, 6).as("max_abs"),
-          q8.as("q8"))
+          concat(lit("["), array_join(q8.cast("array<string>"), ","), lit("]"))
+            .as("q8"))
         .orderBy(col("vec_id"))
     }),
 
@@ -730,10 +734,10 @@ object PipelineQueries {
         |  round(sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
         |  round(ma, 6) AS max_abs,
-        |  list_transform(embedding,
-        |    x -> CAST(CASE WHEN ma = 0 THEN 0
+        |  '[' || array_to_string(list_transform(embedding,
+        |    x -> CAST(CAST(CASE WHEN ma = 0 THEN 0
         |                   ELSE round(CAST(x AS DOUBLE) * 127 / ma)
-        |              END AS TINYINT)) AS q8
+        |              END AS TINYINT) AS VARCHAR)), ',') || ']' AS q8
         |FROM m ORDER BY vec_id""".stripMargin,
     "q_pack_sequences" -> {
       val ntok =

@@ -52,10 +52,15 @@ object CdcStream {
   /** Typed change events for one registered table (streaming-safe: all
     * narrow ops). `seq` falls back to 0 — file/Kafka ordering within a
     * commit ts is then non-deterministic, exactly like the reference.
-    * Dispatches on the envelope shape: variant fast path when the
-    * envelope carries `v`, classic from_json decode otherwise. */
+    * Dispatches on the envelope shape: variant fast path only when the
+    * envelope carries a `v` column whose type is actually VARIANT (a
+    * classic envelope with an unrelated passthrough column that happens
+    * to be named `v` must NOT be misrouted into the variant decoder),
+    * classic from_json decode otherwise. */
   def changeEvents(envelope: DataFrame, spec: TableSpec): DataFrame =
-    if (envelope.columns.contains("v"))
+    if (envelope.schema.fields.exists(f =>
+          f.name == "v" &&
+          f.dataType == org.apache.spark.sql.types.VariantType))
       RowDecoder.changeEventsVariant(envelope, spec)
     else RowDecoder.changeEvents(envelope, spec)
 
