@@ -65,15 +65,13 @@ object DevProbe {
     val viewCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
                        "o_totalprice", "c_name", "c_acctbal")
     t("replay (current impl)") {
-      cdc.JoinView.replay(le, re, cuts, "o_orderkey", "c_custkey",
-                          "o_custkey", viewCols).view.count()
+      cdc.JoinView.replay(le, re, cuts, Seq("o_orderkey"), Seq("c_custkey"),
+                          Seq("o_custkey"), viewCols).view.count()
     }
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    t("replay AQE off") {
-      cdc.JoinView.replay(le, re, cuts, "o_orderkey", "c_custkey",
-                          "o_custkey", viewCols).view.count()
+    t("replay x2") {
+      cdc.JoinView.replay(le, re, cuts, Seq("o_orderkey"), Seq("c_custkey"),
+                          Seq("o_custkey"), viewCols).view.count()
     }
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
     // manual replay with per-step job descriptions
     locally {
       import cdc._

@@ -181,7 +181,7 @@ object Dedup {
       sum(call_function("shiftright", col("h"), lit(k))
             .bitwiseAND(laneMask)).as(s"s$k")) :+
       count(lit(1)).as("n")
-    val guarded = when(col("n") >= Int.MaxValue.toLong, raise_error(concat(
+    val guarded = when(col("n") >= (1L << 31), raise_error(concat(
         lit("simhashSignatures: doc with >= 2^31 tokens overflows the " +
             "32-bit count lanes; doc id="), col("id").cast("string"))))
     val packed = (0 until 64).map { i =>
@@ -314,51 +314,56 @@ object Dedup {
     // AQE off for the propagation loop (same rationale as JoinView.replay:
     // small known-shape per-round plans over pinned inputs; Structured
     // Streaming-style micro-batches gain nothing from adaptive re-planning
-    // and pay its stage-by-stage latency). Restored on exit.
-    val conf = edges.sparkSession.conf
-    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val sym = edges.select(col(srcCol).cast("long").as("a"),
-                             col(dstCol).cast("long").as("b"))
-        .union(edges.select(col(dstCol).cast("long").as("a"),
-                            col(srcCol).cast("long").as("b")))
-        .filter(col("a") =!= col("b"))
+    // and pay its stage-by-stage latency). The override lives on a CHILD
+    // session (shared SparkContext, independent SQL conf) so the caller's
+    // session conf is never mutated mid-loop — the previous in-place
+    // toggle raced with concurrent queries on the shared session.
+    val parent = edges.sparkSession
+    val child = parent.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    val symPinned = edges.select(col(srcCol).cast("long").as("a"),
+                                 col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"),
+                          col(srcCol).cast("long").as("b")))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint()
+    // Re-root the pinned edges in the child: every per-round plan derived
+    // from them is then analyzed and executed under the child's conf.
+    val sym = child.createDataFrame(symPinned.rdd, symPinned.schema)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    // Convergence witness: labels are monotone NON-INCREASING per round
+    // (new label = min of own + neighbors'), so "no label changed" is
+    // exactly "sum of labels unchanged" — one scalar aggregate over the
+    // freshly-checkpointed labels instead of a self-join per round.
+    // decimal(38,0): exact at any node count / id magnitude.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
+    while (!converged && iter < maxIter) {
+      val next = sym.join(labels, col("a") === col("id"))
+        .select(col("b").as("id"), col("component"))
+        .union(labels)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
         .localCheckpoint()
-      var labels = sym.select(col("a").as("id")).distinct()
-        .select(col("id"), col("id").as("component"))
-        .localCheckpoint()
-      var iter = 0
-      var converged = false
-      // Convergence witness: labels are monotone NON-INCREASING per round
-      // (new label = min of own + neighbors'), so "no label changed" is
-      // exactly "sum of labels unchanged" — one scalar aggregate over the
-      // freshly-checkpointed labels instead of a self-join per round.
-      // decimal(38,0): exact at any node count / id magnitude.
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("component").cast("decimal(38,0)")))
-          .collect()(0).getDecimal(0)
-      var prevSum = labelSum(labels)
-      while (!converged && iter < maxIter) {
-        val next = sym.join(labels, col("a") === col("id"))
-          .select(col("b").as("id"), col("component"))
-          .union(labels)
-          .groupBy(col("id"))
-          .agg(min(col("component")).as("component"))
-          .localCheckpoint()
-        val s = labelSum(next)
-        converged = (if (s == null) prevSum == null
-                     else prevSum != null && s.compareTo(prevSum) == 0)
-        prevSum = s
-        labels = next
-        iter += 1
-      }
-      require(converged,
-        s"connectedComponents: not converged after $maxIter rounds — " +
-          "graph diameter exceeds maxIter; raise it or switch to the " +
-          "large-star/small-star variant")
-      labels
-    } finally conf.set("spark.sql.adaptive.enabled", aqeWas)
+      val s = labelSum(next)
+      converged = (if (s == null) prevSum == null
+                   else prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents: not converged after $maxIter rounds — " +
+        "graph diameter exceeds maxIter; raise it or switch to the " +
+        "large-star/small-star variant")
+    // Labels are pinned — re-rooting into the caller's session is free.
+    parent.createDataFrame(labels.rdd, labels.schema)
   }
 
   // ---------- embedding near-dup (bucketed LSH — the 100 TB path) ----------

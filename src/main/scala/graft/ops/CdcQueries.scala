@@ -74,7 +74,8 @@ object CdcQueries {
           ChangelogGen.ordersChangeEvents(s, dir),
           ChangelogGen.customerChangeEvents(s, dir),
           cuts = Seq(SnapT1, SnapT2),
-          lPk = "o_orderkey", rPk = "c_custkey", lJoinCol = "o_custkey",
+          lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
+          lJoinCols = Seq("o_custkey"),
           viewCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
                          "o_totalprice", "c_name", "c_acctbal"))
         .view.orderBy(col("o_orderkey"))),

@@ -149,10 +149,15 @@ object PipelineQueries {
     "q_dedup_clusters" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
       def dropN(n: Int) = concat_ws(" ", slice(toks, lit(n + 1), size(toks)))
+      // lazy localCheckpoint, not cache: fam feeds three filter branches
+      // (computed once, blocks reused), and the pinned blocks are released
+      // by the ContextCleaner when the frame goes out of scope — a cache()
+      // here would sit in the cache manager until an explicit unpersist,
+      // accumulating storage across repeated invocations in one session
       val fam = docs(s, dir).filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text").as("t0"),
                 dropN(2).as("t1"), dropN(4).as("t2"))
-        .cache()
+        .localCheckpoint(false)
       def jac(a: String, b: String) =
         round(Dedup.ngramJaccard(col(a), col(b), 5), 6) >= 0.5
       val edges =
@@ -508,12 +513,14 @@ object PipelineQueries {
     // broadcasts when vocab is small); final per-doc combine is
     // |docs|-bounded. Nothing touches raw text twice.
     "q_text_perplexity" -> ((s, dir) => {
+      // lazy localCheckpoint, not cache (see q_dedup_clusters): tf feeds
+      // both the vocab branch and the scoring join; blocks auto-release
       val tf = docs(s, dir)
         .select(col("doc_id"),
                 explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
-        .cache()
+        .localCheckpoint(false)
       val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
       val total = vocab.agg(sum(col("cnt")).as("n_total"))
       tf.join(vocab, "tok")
@@ -535,13 +542,15 @@ object PipelineQueries {
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
       val nDocs = d.agg(count(lit(1)).as("n_docs"))
-      // cache: tf feeds BOTH the df branch and the filtered scoring
-      // branch — without it the explode+count subtree runs twice
+      // lazy localCheckpoint: tf feeds BOTH the df branch and the filtered
+      // scoring branch — without pinning, the explode+count subtree runs
+      // twice; unlike cache(), the pinned blocks auto-release when the
+      // frame goes out of scope (no per-invocation storage accumulation)
       val tf = d.select(col("doc_id"),
           explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
-        .cache()
+        .localCheckpoint(false)
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("tok"))

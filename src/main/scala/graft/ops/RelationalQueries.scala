@@ -173,24 +173,14 @@ object RelationalQueries {
     }),
 
     // -- bucketed co-located join: both sides written bucketBy(custkey)
-    //    once per (session, sf), then joined WITHOUT any shuffle — the
+    //    once per (session, sf) by [[BucketedTables.ensure]] (setup step,
+    //    outside the query proper), then joined WITHOUT any shuffle — the
     //    bucket layout IS the partitioning, so the exchange disappears
     //    from the plan (asserted in ScaleSpec). This is the 100 TB recipe
     //    for repeated fact-dim joins on a stable key: pay the layout once
     //    at write time, join shuffle-free forever after.
     "q_join_bucketed" -> ((s, dir) => {
-      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
-      val bo = s"b_orders_$tag"; val bc = s"b_customer_$tag"
-      val base = new java.io.File("target/bucketed").getAbsolutePath
-      if (!s.catalog.tableExists(bo)) {
-        load(s, dir, "orders")
-          .select("o_orderkey", "o_custkey", "o_totalprice")
-          .write.mode("overwrite").option("path", s"$base/$bo")
-          .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(bo)
-        load(s, dir, "customer").select("c_custkey", "c_nationkey")
-          .write.mode("overwrite").option("path", s"$base/$bc")
-          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(bc)
-      }
+      val (bo, bc) = BucketedTables.ensure(s, dir)
       val o = s.table(bo); val c = s.table(bc)
       o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_nationkey"))
@@ -372,10 +362,13 @@ object RelationalQueries {
       load(s, dir, "orders")
         .select(col("o_orderkey"),
                 round(cume_dist().over(w), 6).as("cd"),
-                // null-safe equality over synthesized NULLs
+                // null-safe equality over synthesized NULLs: two different
+                // nullif sides (never both null; false when either is) —
+                // a trivially-true self-comparison would both demo nothing
+                // and trip the analyzer's trivially-true-predicate WARN
                 (nullif(col("o_orderpriority"), lit("5-LOW")) <=>
-                 nullif(col("o_orderpriority"), lit("5-LOW")))
-                  .as("self_nse"),
+                 nullif(col("o_orderpriority"), lit("3-MEDIUM")))
+                  .as("mixed_nse"),
                 (nullif(col("o_orderpriority"), lit("5-LOW")) <=>
                  lit("1-URGENT")).as("urgent_nse"))
         .orderBy(col("o_orderkey"))
@@ -600,7 +593,7 @@ object RelationalQueries {
         |  round(cume_dist() OVER (PARTITION BY o_orderstatus
         |    ORDER BY o_totalprice), 6) AS cd,
         |  nullif(o_orderpriority, '5-LOW') IS NOT DISTINCT FROM
-        |    nullif(o_orderpriority, '5-LOW') AS self_nse,
+        |    nullif(o_orderpriority, '3-MEDIUM') AS mixed_nse,
         |  nullif(o_orderpriority, '5-LOW') IS NOT DISTINCT FROM
         |    '1-URGENT' AS urgent_nse
         |FROM orders ORDER BY o_orderkey""".stripMargin,

@@ -40,6 +40,27 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("BucketedTables: memoized reuse + rebuild after wiped files") {
+    val (bo1, bc1) = BucketedTables.ensure(spark, sfDir)
+    // second call is a pure lookup — same tables back
+    assert(BucketedTables.ensure(spark, sfDir) == ((bo1, bc1)))
+    val n1 = spark.table(bo1).join(spark.table(bc1),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(n1 > 0)
+    // wipe the backing files out from under the catalog: ensure() must
+    // detect the dangling entries and rebuild instead of the query failing
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED `$bo1`")
+      .filter(col("col_name") === "Location")
+      .collect()(0).getString(1).stripPrefix("file:")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(loc).getParentFile)
+    val (bo2, bc2) = BucketedTables.ensure(spark, sfDir)
+    assert(bo2 != bo1, "wiped layout must be rebuilt under a fresh name")
+    val n2 = spark.table(bo2).join(spark.table(bc2),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(n2 == n1)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse.dir is a static conf — the suite session's default
     // (./spark-warehouse, gitignored) is used; isolate runtime confs only

@@ -153,6 +153,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("connected components never mutate the parent session's AQE conf") {
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.get(key, "true")
+    // poll from another thread WHILE the loop runs — the old in-place
+    // toggle restored the value afterwards, invisible to a before/after
+    // check but racing any concurrent query on the shared session
+    @volatile var sawMutation = false
+    @volatile var stop = false
+    val probe = new Thread(() => {
+      while (!stop) {
+        if (spark.conf.get(key, "true") != before) sawMutation = true
+        Thread.sleep(2)
+      }
+    })
+    probe.start()
+    try {
+      val edges = spark.createDataFrame(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L))).toDF("src", "dst")
+      assert(Dedup.connectedComponents(edges, "src", "dst").count() == 5)
+    } finally { stop = true; probe.join() }
+    assert(!sawMutation, s"parent session's $key was mutated mid-loop")
+    assert(spark.conf.get(key, "true") == before)
+  }
+
   test("q_dedup_clusters: transitive chains collapse into one component") {
     val out = graft.ops.PipelineQueries.queries("q_dedup_clusters")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
