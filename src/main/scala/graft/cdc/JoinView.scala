@@ -42,13 +42,29 @@ object JoinView {
   /** Tombstone-aware L/R states + the current view rows. */
   final case class State(left: DataFrame, right: DataFrame, view: DataFrame)
 
+  /** The batch's changed-key sets are |Δ|-bounded, and every downstream
+    * use BROADCASTS them (they'd be collected to the driver anyway) — so
+    * collect them once as a LocalRelation. Each broadcast of it then
+    * builds driver-locally with NO cluster job, which matters for
+    * micro-batch latency: a broadcast over a distributed frame serializes
+    * a build job into every step. */
+  private def localKeys(delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val sel = delta.select(keys.map(k => col(s"after.$k").as(k)): _*)
+    val rows = sel.collect().distinct.toSeq
+    delta.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sel.schema)
+  }
+
   /** One micro-batch step. `viewCols` is the view projection (column
     * names from live(L) ++ live(R); must include `lPk` and `lJoinCols`).
     * `lJoinCols` is L's foreign key into R's primary key `rPk`, matched
-    * positionally (`lJoinCols(i)` references `rPk(i)`). */
+    * positionally (`lJoinCols(i)` references `rPk(i)`). `keys` optionally
+    * carries pre-collected (changedL, changedR) LocalRelations (see
+    * [[localKeys]]); when absent they are collected from the deltas. */
   def applyBatch(st: State, dl: DataFrame, dr: DataFrame,
                  lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
-                 viewCols: Seq[String]): State = {
+                 viewCols: Seq[String],
+                 keys: Option[(DataFrame, DataFrame)] = None): State = {
     require(rPk.size == lJoinCols.size,
       s"lJoinCols (${lJoinCols.mkString(",")}) must match rPk " +
         s"(${rPk.mkString(",")}) positionally")
@@ -58,22 +74,19 @@ object JoinView {
     // broadcasts, so a delta carrying an expensive lineage would re-run it
     // per use.
     //
-    // The L and R merges are independent — materialize their checkpoints
-    // concurrently (two driver threads submitting to the same scheduler)
-    // so the per-batch critical path is max(L, R) + view, not L + R + view.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val lNextF = Future(
-      Materializer.merge(st.left, dl, lPk).localCheckpoint())
-    val rNextF = Future(
-      Materializer.merge(st.right, dr, rPk).localCheckpoint())
-    val lNext = Await.result(lNextF, Duration.Inf)
-    val rNext = Await.result(rNextF, Duration.Inf)
-    val changedL = dl.select(lPk.map(k => col(s"after.$k").as(k)): _*)
-      .distinct()
-    val changedR = dr.select(rPk.map(k => col(s"after.$k").as(k)): _*)
-      .distinct()
+    // States are pinned with LAZY local checkpoints: downstream plans see
+    // a flat scan (plan depth and driver planning cost stay bounded no
+    // matter how many batches chain), each state's RDD is persisted on
+    // first compute (it is scanned by several later joins), and NO job
+    // runs here — the whole replay materializes as one DAG at the first
+    // action, where independent per-batch stages parallelize on the
+    // scheduler itself rather than via driver-side futures.
+    val changedL = keys.map(_._1).getOrElse(localKeys(dl, lPk))
+    val changedR = keys.map(_._2).getOrElse(localKeys(dr, rPk))
+    val lNext = Materializer.merge(st.left, dl, lPk,
+      changedKeys = Some(changedL)).localCheckpoint(false)
+    val rNext = Materializer.merge(st.right, dr, rPk,
+      changedKeys = Some(changedR)).localCheckpoint(false)
     val changedRAsFk = rPk.zip(lJoinCols).foldLeft(changedR) {
       case (df, (r, l)) => df.withColumnRenamed(r, l)
     }
@@ -84,16 +97,25 @@ object JoinView {
     val liveR = Materializer.liveView(rNext)
     val joinCond = lJoinCols.zip(rPk)
       .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
-    val rebuiltL = liveL.join(broadcast(changedL), lPk, "left_semi")
+    // Each rebuild join has a |Δ|-bounded side — the semi-join against the
+    // broadcast changed-key set leaves at most one row per delta key — so
+    // BROADCAST that side. Without the hint Catalyst sees LogicalRDD
+    // default stats on both inputs and plans a sort-merge join that
+    // shuffles BOTH full states every batch; with it, neither state is
+    // ever exchanged: per batch each live state is scanned (broadcast
+    // semi/anti prune scan-side) and the join streams. Same |Δ|-bounded-
+    // batch contract that already justifies broadcasting the key sets;
+    // callers with giant backfill batches should split them (as [[replay]]
+    // does with cuts) rather than ship one huge delta.
+    val rebuiltL = broadcast(
+        liveL.join(broadcast(changedL), lPk, "left_semi"))
       .join(liveR, joinCond)
     val rebuiltR = liveL.join(broadcast(changedL), lPk, "left_anti")
-      .join(liveR.join(broadcast(changedR), rPk, "left_semi"), joinCond)
-    // The view is NOT eagerly pinned: unlike the states (each consumed by
-    // several joins per batch), view_b is referenced exactly once — by
-    // batch b+1's keep branch — so leaving it lazy folds the whole view
-    // chain into one job at read time with no recomputation. Callers
-    // maintaining views over MANY batches should pin periodically
-    // (see [[replay]]'s pinEvery) to bound plan depth.
+      .join(broadcast(liveR.join(broadcast(changedR), rPk, "left_semi")),
+            joinCond)
+    // The view is returned un-pinned: view_b is referenced exactly once —
+    // by batch b+1's keep branch — and [[replay]] lazily checkpoints it
+    // per batch to bound plan depth without scheduling a job.
     val viewNext = keep
       .select(viewCols.map(col): _*) // using-joins reorder; restore
       .unionByName(rebuiltL.select(viewCols.map(col): _*))
@@ -104,10 +126,18 @@ object JoinView {
   /** Replay two event streams through the view in time-ordered windows:
     * `cuts = Seq(t1, t2, ...)` splits events into batches
     * `ts <= t1`, `t1 < ts <= t2`, ..., `ts > tn`. Returns the final
-    * state after all batches. */
+    * state after all batches.
+    *
+    * `batchShufflePartitions` sizes the per-batch exchanges: they are
+    * |Δ|-bounded (the only shuffle per merge is the compact over touched
+    * keys), so the session-wide shuffle width — sized for corpus-scale
+    * scans — wastes scheduling overhead here. AQE's partition coalescing
+    * would do this adaptively, but AQE is off in the loop by design;
+    * raise the value for giant backfill batches. */
   def replay(lEvents: DataFrame, rEvents: DataFrame, cuts: Seq[Long],
              lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
-             viewCols: Seq[String]): State = {
+             viewCols: Seq[String],
+             batchShufflePartitions: Int = 8): State = {
     // AQE off for the replay loop, mirroring Structured Streaming's own
     // behavior (micro-batch plans are not adaptively re-planned): each
     // batch here is a small, known-shape plan over pinned inputs, and
@@ -121,10 +151,13 @@ object JoinView {
     val parent = lEvents.sparkSession
     val child = parent.newSession()
     child.conf.set("spark.sql.adaptive.enabled", "false")
+    child.conf.set("spark.sql.shuffle.partitions",
+                   batchShufflePartitions.toString)
     // Re-root a pinned frame in the child so every derived plan is
-    // analyzed and executed under the child's conf.
+    // analyzed and executed under the child's conf (zero-copy: InternalRow
+    // RDD scan, no external-Row round trip per downstream consumer).
     def inChild(df: DataFrame): DataFrame =
-      child.createDataFrame(df.rdd, df.schema)
+      org.apache.spark.sql.graft.bridge.reRoot(df, child)
     // Seed with truly-empty LocalRelations: limit(0) over the event
     // streams would carry the whole decode lineage into batch-1 analysis
     // (driver planning cost, repeated per derived frame). Only the SCHEMA
@@ -144,27 +177,46 @@ object JoinView {
     // is regular batch work); each batch slice is then a cheap filter over
     // the pinned RDD (satisfying applyBatch's delta contract) instead of a
     // fresh envelope-decode lineage per batch per use.
+    // coalesce the pinned logs to the batch shuffle width: every batch
+    // slices them several times, and a slice scan at the session-wide
+    // partition count costs a full-width task wave per use
     val lPinned = inChild(lEvents.localCheckpoint())
+      .coalesce(batchShufflePartitions)
     val rPinned = inChild(rEvents.localCheckpoint())
+      .coalesce(batchShufflePartitions)
     val windows = (Long.MinValue +: cuts) :+ Long.MaxValue
-    val pinEvery = 8 // bound lazy-view plan depth on long replays
+    // Every window's changed-key collect depends only on the PINNED logs,
+    // not on earlier batches — hoist all of them into one concurrent wave
+    // so the per-batch critical path is merge + view only, never a
+    // key-collect job.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def slice(ev: DataFrame, lo: Long, hi: Long) =
+      ev.filter(col("ts") > lo && col("ts") <= hi)
+    val keyWave = windows.sliding(2).toSeq.map { case Seq(lo, hi) =>
+      (Future(localKeys(slice(lPinned, lo, hi), lPk)),
+       Future(localKeys(slice(rPinned, lo, hi), rPk)))
+    }
     val fin = windows.sliding(2).zipWithIndex
       .foldLeft(State(lSchema, rSchema, emptyView)) {
         case (st, (Seq(lo, hi), i)) =>
-          def slice(ev: DataFrame) =
-            ev.filter(col("ts") > lo && col("ts") <= hi)
-          val next = applyBatch(st, slice(lPinned), slice(rPinned),
-                                lPk, rPk, lJoinCols, viewCols)
-          if ((i + 1) % pinEvery == 0)
-            next.copy(view = next.view.localCheckpoint())
-          else next
+          val next = applyBatch(st, slice(lPinned, lo, hi),
+                                slice(rPinned, lo, hi),
+                                lPk, rPk, lJoinCols, viewCols,
+                                keys = Some((Await.result(keyWave(i)._1, Duration.Inf),
+                                             Await.result(keyWave(i)._2, Duration.Inf))))
+          // pin the view per batch, lazily, for the same reason as the
+          // states in applyBatch: plan depth stays O(1) per batch with no
+          // job until the caller's first action
+          next.copy(view = next.view.localCheckpoint(false))
       }
     // Hand results back rooted in the caller's session: states are pinned
     // (re-root is free); the lazy view plan is physically planned under
     // the child (micro-batch semantics, AQE off) and wrapped as an RDD
     // scan, so downstream composition runs under the caller's own conf.
-    State(parent.createDataFrame(fin.left.rdd, fin.left.schema),
-          parent.createDataFrame(fin.right.rdd, fin.right.schema),
-          parent.createDataFrame(fin.view.rdd, fin.view.schema))
+    import org.apache.spark.sql.graft.bridge.reRoot
+    State(reRoot(fin.left, parent), reRoot(fin.right, parent),
+          reRoot(fin.view, parent))
   }
 }

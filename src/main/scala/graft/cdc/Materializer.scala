@@ -103,18 +103,34 @@ object Materializer {
     * loses, so streaming materialization converges to the same answer as
     * a batch fold over the full log regardless of arrival order.
     *
-    * At scale: `state` is the big side (partitioned on pk by the previous
-    * write); the per-batch `events` side is small. The union+agg re-shuffle
-    * is avoided in production by writing state bucketed by pk so AQE can
-    * plan a shuffle-free merge; in this sandbox we keep the plain agg.
+    * Delta-restricted plan: `state' = state[∉ keys(Δ)] ∪
+    * compact(state[keys(Δ)] ∪ Δ)`. Rows whose key the batch never touched
+    * pass through a scan-side broadcast anti-join UNCHANGED — the full
+    * state is never shuffled or re-aggregated; the only exchange is the
+    * compact over the |Δ|-bounded touched set. The broadcast of the
+    * changed-key set rides the same micro-batch contract as everything
+    * else here (batches are small by construction; split giant backfills
+    * into multiple merges). Note: a NULL pk never equals anything in the
+    * anti/semi joins, so null-key state rows pass through untouched and
+    * null-key events compact among themselves — CDC pks are non-null by
+    * definition (`cdc_utils.go:126-145` derives them from gorm models).
+    *
     * Tombstones older than `tombstoneRetentionTs` are dropped (state-size
     * control; safe once the source cannot deliver events older than it). */
   def merge(state: DataFrame, events: DataFrame, primaryKey: Seq[String],
-            tombstoneRetentionTs: Long = Long.MinValue): DataFrame = {
-    val all = compact(
-      stateAsEvents(state).unionByName(
-        events.select("op", "ts", "seq", "after")),
-      primaryKey)
+            tombstoneRetentionTs: Long = Long.MinValue,
+            changedKeys: Option[DataFrame] = None): DataFrame = {
+    val evts = events.select("op", "ts", "seq", "after")
+    // callers that already hold the batch's changed-key set (e.g.
+    // JoinView.applyBatch collects it once as a LocalRelation, making the
+    // two broadcasts below driver-local — no build job) pass it in;
+    // otherwise derive it from the batch
+    val ck = changedKeys.getOrElse(evts
+      .select(primaryKey.map(k => col(s"after.$k").as(k)): _*).distinct())
+    val untouched = state.join(broadcast(ck), primaryKey, "left_anti")
+    val touched = state.join(broadcast(ck), primaryKey, "left_semi")
+    val merged = compact(stateAsEvents(touched).unionByName(evts), primaryKey)
+    val all = untouched.unionByName(merged)
     if (tombstoneRetentionTs == Long.MinValue) all
     else all.filter(col("__op") =!= "delete" ||
                     col("__ts") >= tombstoneRetentionTs)

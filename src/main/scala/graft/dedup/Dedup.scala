@@ -308,9 +308,17 @@ object Dedup {
     * Returns `(id, component)` where `component` is the min node id in the
     * component, for every node that appears in `edges`. Isolated nodes
     * (no edges) are the caller's to add — `coalesce(component, id)` after
-    * a left join, as `q_dedup_clusters` does. */
+    * a left join, as `q_dedup_clusters` does.
+    *
+    * `shufflePartitions` sizes the per-round exchanges; 0 (default)
+    * inherits the session width. The per-round frames are |nodes|-bounded
+    * — a caller whose edge set is far smaller than the session's
+    * corpus-sized shuffle width (e.g. dedup over pre-filtered candidate
+    * families) should pass a small value, since AQE coalescing is off in
+    * the loop by design. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          shufflePartitions: Int = 0): DataFrame = {
     // AQE off for the propagation loop (same rationale as JoinView.replay:
     // small known-shape per-round plans over pinned inputs; Structured
     // Streaming-style micro-batches gain nothing from adaptive re-planning
@@ -321,6 +329,8 @@ object Dedup {
     val parent = edges.sparkSession
     val child = parent.newSession()
     child.conf.set("spark.sql.adaptive.enabled", "false")
+    if (shufflePartitions > 0)
+      child.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     val symPinned = edges.select(col(srcCol).cast("long").as("a"),
                                  col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"),
@@ -329,10 +339,15 @@ object Dedup {
       .localCheckpoint()
     // Re-root the pinned edges in the child: every per-round plan derived
     // from them is then analyzed and executed under the child's conf.
-    val sym = child.createDataFrame(symPinned.rdd, symPinned.schema)
+    val symChild = org.apache.spark.sql.graft.bridge.reRoot(symPinned, child)
+    val sym = if (shufflePartitions > 0) symChild.coalesce(shufflePartitions)
+              else symChild
+    // Labels are pinned LAZILY each round: the labelSum action both
+    // materializes the round's checkpoint and computes the convergence
+    // witness — one job per round instead of checkpoint + agg as two.
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     // Convergence witness: labels are monotone NON-INCREASING per round
@@ -350,7 +365,7 @@ object Dedup {
         .union(labels)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labelSum(next)
       converged = (if (s == null) prevSum == null
                    else prevSum != null && s.compareTo(prevSum) == 0)
@@ -363,7 +378,7 @@ object Dedup {
         "graph diameter exceeds maxIter; raise it or switch to the " +
         "large-star/small-star variant")
     // Labels are pinned — re-rooting into the caller's session is free.
-    parent.createDataFrame(labels.rdd, labels.schema)
+    org.apache.spark.sql.graft.bridge.reRoot(labels, parent)
   }
 
   // ---------- embedding near-dup (bucketed LSH — the 100 TB path) ----------

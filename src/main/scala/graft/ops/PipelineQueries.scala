@@ -170,7 +170,10 @@ object PipelineQueries {
             (col("doc_id") + 2000000L).as("dst")))
       val nodes = fam.select(explode(array(col("doc_id"),
           col("doc_id") + 1000000L, col("doc_id") + 2000000L)).as("doc_id"))
-      val comps = Dedup.connectedComponents(edges, "src", "dst")
+      // the family graph is tiny relative to the corpus — size the
+      // propagation loop's shuffles to it, not to the session width
+      val comps = Dedup.connectedComponents(edges, "src", "dst",
+        shufflePartitions = 8)
       nodes.join(comps, nodes("doc_id") === comps("id"), "left")
         .select(col("doc_id"),
                 coalesce(col("component"), col("doc_id")).as("component"))

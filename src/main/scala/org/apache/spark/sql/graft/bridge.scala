@@ -12,6 +12,21 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Re-root a DataFrame into another session over the SAME SparkContext
+    * WITHOUT converting rows through the external `Row` format: the
+    * result is a `LogicalRDD` scan over the source plan's InternalRow
+    * RDD. (The public route — `target.createDataFrame(df.rdd, schema)` —
+    * deserializes every row to external `Row` and re-encodes it on every
+    * downstream scan; for a frame consumed several times per micro-batch
+    * that conversion dominates.) The source should be pinned
+    * (cached / localCheckpointed) or cheap: its physical plan is frozen
+    * under the SOURCE session's conf at call time. */
+  def reRoot(df: org.apache.spark.sql.DataFrame,
+             target: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val t = target.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    t.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
+  }
+
   /** Install graft's SQL function + optimizer rule into an EXISTING
     * session (extensions only apply at session build time). */
   def installGraft(spark: org.apache.spark.sql.SparkSession): Unit = {
