@@ -105,6 +105,50 @@ object Maxwell {
     * consumed (decode extracts just the registered columns without
     * parsing the rest), which is the schema-evolution-heavy production
     * case it is kept for. */
+  /** Debezium envelope (declared-but-dormant in the reference,
+    * `cdc_manager.go:102-106`: `after`/`before` raw JSON + `op`), flat
+    * form (`schemas.enable=false`). `before`/`after` stay raw JSON
+    * strings, same layering as the Maxwell path. */
+  val debeziumSchema: StructType = StructType(Seq(
+    StructField("before", StringType),   // row image before change (raw JSON)
+    StructField("after", StringType),    // row image after change (raw JSON)
+    StructField("op", StringType),       // c | u | d | r
+    StructField("ts_ms", LongType),      // commit time, epoch millis
+    StructField("source", StructType(Seq(
+      StructField("db", StringType),
+      StructField("table", StringType))))))
+
+  /** Parse Debezium-envelope JSON lines and NORMALIZE to the Maxwell
+    * envelope column shape (`database, table, type, ts, data, old`), so
+    * every downstream stage — [[RowDecoder]], [[Materializer]], the op
+    * router — runs unchanged regardless of which connector feeds the
+    * topic. Semantic mapping:
+    *   - op: c (create) and r (snapshot read) -> insert; u -> update;
+    *     d -> delete
+    *   - data: Debezium deletes carry the image in `before` (`after` is
+    *     null), Maxwell's quirk Q4 carries it in `data` -> coalesce
+    *   - old: Debezium updates carry the FULL old image in `before`
+    *     (Maxwell's `old` is partial — only changed columns); both decode
+    *     through the same `try_*` casts downstream
+    *   - ts: ts_ms is millis, Maxwell ts is epoch seconds -> divide
+    * Malformed lines follow the same log-and-skip policy as
+    * [[parseEnvelopeCol]]. */
+  def parseDebeziumCol(df: DataFrame, value: Column): DataFrame = {
+    df.select(from_json(value.cast("string"), debeziumSchema,
+        Map("mode" -> "PERMISSIVE")).as("e"))
+      .filter(col("e").isNotNull && col("e.op").isNotNull)
+      .select(
+        col("e.source.db").as("database"),
+        col("e.source.table").as("table"),
+        when(col("e.op").isin("c", "r"), "insert")
+          .when(col("e.op") === "u", "update")
+          .when(col("e.op") === "d", "delete").as("type"),
+        (col("e.ts_ms") / 1000).cast("long").as("ts"),
+        coalesce(col("e.after"), col("e.before")).as("data"),
+        when(col("e.op") === "u", col("e.before")).as("old"))
+      .filter(col("type").isNotNull)
+  }
+
   def parseEnvelopeVariantCol(df: DataFrame, value: Column,
                               passthrough: Seq[String] = Nil): DataFrame = {
     val keep = passthrough.map(col)

@@ -65,6 +65,57 @@ class CdcSpec extends SparkSpec {
     assert(env.getAs[String]("old") == null)
   }
 
+  test("debezium envelope normalizes to the Maxwell shape and decodes") {
+    import org.apache.spark.sql.functions.col
+    // same logical events as the Maxwell fixtures, Debezium-enveloped:
+    // c carries after only; u carries full before+after; d carries before
+    val dbzInsert =
+      """{"before":null,"after":{"id":7,"created_at":"2022-02-14 15:03:37.423",
+        |"entity_name":"widget A","entity_type":0,"active":1,"score":3.5},
+        |"op":"c","ts_ms":1644822217000,
+        |"source":{"db":"deal_test","table":"deals"}}"""
+        .stripMargin.replace("\n", "")
+    val dbzUpdate =
+      """{"before":{"id":7,"created_at":"2022-02-14 15:03:37.423",
+        |"entity_name":"widget A","entity_type":0,"active":1,"score":3.5},
+        |"after":{"id":7,"created_at":"2022-02-14 15:03:37.423",
+        |"entity_name":"widget B","entity_type":0,"active":1,"score":4.5},
+        |"op":"u","ts_ms":1644822300000,
+        |"source":{"db":"deal_test","table":"deals"}}"""
+        .stripMargin.replace("\n", "")
+    val dbzDelete =
+      """{"before":{"id":7,"created_at":"2022-02-14 15:03:37.423",
+        |"entity_name":"widget B","entity_type":0,"active":1,"score":4.5},
+        |"after":null,"op":"d","ts_ms":1644822400000,
+        |"source":{"db":"deal_test","table":"deals"}}"""
+        .stripMargin.replace("\n", "")
+    val garbage = """{"op":"x","after":null}"""
+    val notJson = """not json at all"""
+    val ds = spark.createDataset(
+      Seq(dbzInsert, dbzUpdate, dbzDelete, garbage, notJson))(Encoders.STRING)
+    val env = Maxwell.parseDebeziumCol(ds.toDF("value"), col("value"))
+      .orderBy(col("ts"))
+    val rows = env.collect()
+    assert(rows.length == 3, "unknown-op and malformed lines are dropped")
+    assert(rows.map(_.getAs[String]("type")).toSeq ==
+      Seq("insert", "update", "delete"))
+    assert(rows.forall(_.getAs[String]("database") == "deal_test"))
+    assert(rows(0).getAs[Long]("ts") == 1644822217L) // millis -> seconds
+    // delete image lands in `data` (Maxwell quirk Q4 parity)
+    assert(rows(2).getAs[String]("data").contains("widget B"))
+    // update's old image present, insert's absent
+    assert(rows(1).getAs[String]("old").contains("widget A"))
+    assert(rows(0).getAs[String]("old") == null)
+    // the normalized envelope feeds the SAME typed decode unchanged
+    val evs = RowDecoder.changeEvents(env, dealsSpec)
+      .orderBy(col("ts")).collect()
+    assert(evs(0).getAs[org.apache.spark.sql.Row]("after")
+      .getAs[String]("name") == "widget A")
+    assert(evs(1).getAs[org.apache.spark.sql.Row]("before")
+      .getAs[Double]("score") == 3.5) // FULL old image decodes
+    assert(evs(2).getAs[String]("op") == "delete")
+  }
+
   test("insert decode: rename, types, fractional-second timestamp (fixed mode)") {
     val ev = RowDecoder.changeEvents(parse(insertJson), dealsSpec).collect()(0)
     val after = ev.getAs[org.apache.spark.sql.Row]("after")
