@@ -375,9 +375,96 @@ object Dedup {
     }
     require(converged,
       s"connectedComponents: not converged after $maxIter rounds — " +
-        "graph diameter exceeds maxIter; raise it or switch to the " +
-        "large-star/small-star variant")
+        "graph diameter exceeds maxIter; raise it or switch to " +
+        "connectedComponentsLogStar")
     // Labels are pinned — re-rooting into the caller's session is free.
+    org.apache.spark.sql.graft.bridge.reRoot(labels, parent)
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the LONG-DIAMETER escape hatch for
+    * [[connectedComponents]]: min-label propagation needs `diameter`
+    * rounds, this converges in O(log n) regardless of diameter, with the
+    * same per-round shuffle shape (group-by-node min + re-emit).
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ {u}) — long chains halve toward their minimum
+    *  - small-star(u): every neighbor v ≤ u (plus u itself) attaches to m
+    *    — stars flatten so the next large-star jumps further
+    *
+    * Both steps only ever REPLACE a node's attachment with a smaller
+    * node of the same component, so connectivity is invariant and the
+    * fixpoint is the star graph {(v, componentMin)}. The convergence
+    * witness is the same monotone label-sum argument as min-label
+    * propagation: Σ over nodes of min(Γ(u) ∪ {u}) is non-increasing and
+    * stable exactly at the fixpoint.
+    *
+    * Use [[connectedComponents]] for dedup graphs (shallow diameter,
+    * ~2 jobs/round cheaper); use this when components can chain long —
+    * URL graphs, co-occurrence chains, adversarial near-dup ladders.
+    * Same contract: returns `(id, component)` for every node appearing
+    * in `edges`; isolated nodes are the caller's to add. */
+  def connectedComponentsLogStar(edges: DataFrame, srcCol: String,
+                                 dstCol: String, maxIter: Int = 20,
+                                 shufflePartitions: Int = 0): DataFrame = {
+    val parent = edges.sparkSession
+    val child = parent.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    if (shufflePartitions > 0)
+      child.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    val ePinned = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint()
+    var e = org.apache.spark.sql.graft.bridge.reRoot(ePinned, child)
+    if (shufflePartitions > 0) e = e.coalesce(shufflePartitions)
+    // Σ min(Γ(u) ∪ {u}) over all nodes — monotone non-increasing across
+    // rounds; doubles as the materialization action for the lazy pin.
+    def labelSum(edgeSet: DataFrame): java.math.BigDecimal = {
+      val sym = edgeSet.union(edgeSet.select(col("b").as("a"), col("a").as("b")))
+      sym.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
+        .agg(sum(col("m").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    }
+    def largeStar(edgeSet: DataFrame): DataFrame = {
+      val sym = edgeSet.union(edgeSet.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a"))
+        .agg(least(min(col("b")), col("a")).as("m"))
+      sym.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def smallStar(edgeSet: DataFrame): DataFrame = {
+      val canon = edgeSet.select(greatest(col("a"), col("b")).as("a"),
+                                 least(col("a"), col("b")).as("b"))
+      val mins = canon.groupBy(col("a")).agg(min(col("b")).as("m"))
+      canon.join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(mins.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    var iter = 0
+    var converged = false
+    var prevSum = labelSum(e)
+    while (!converged && iter < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint(false)
+      val s = labelSum(e)
+      converged = (if (s == null) prevSum == null
+                   else prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsLogStar: not converged after $maxIter rounds " +
+        "(expected O(log n)) — raise maxIter")
+    // At the fixpoint the edge set IS the star graph (v -> componentMin);
+    // node labels fall out of one grouped min, and the component minima
+    // label themselves.
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val labels = sym.groupBy(col("a"))
+      .agg(least(min(col("b")), col("a")).as("component"))
+      .select(col("a").as("id"), col("component"))
+      .localCheckpoint()
     org.apache.spark.sql.graft.bridge.reRoot(labels, parent)
   }
 

@@ -153,6 +153,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("log-star components match min-label on a mixed graph") {
+    // chain + pair + triangle (same fixture as the min-label test) plus a
+    // deterministic pseudo-random tangle
+    val tangle = (0 until 200).map(i => ((i * 7 + 3) % 97 + 100L,
+                                         (i * 13 + 5) % 97 + 100L))
+    val edges = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)) ++ tangle).toDF("src", "dst")
+    val a = Dedup.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponentsLogStar(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "log-star labeling diverges from min-label propagation")
+  }
+
+  test("log-star converges on a 300-long chain where min-label cannot") {
+    // path graph 0-1-2-...-300: diameter 300. Min-label needs ~300 rounds
+    // (its default maxIter raises); large-star/small-star needs O(log n).
+    val chain = (0L until 300L).map(i => (i, i + 1))
+    val edges = spark.createDataFrame(chain).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edges, "src", "dst", maxIter = 10).collect()
+    }
+    val labels = Dedup.connectedComponentsLogStar(edges, "src", "dst",
+        maxIter = 20, shufflePartitions = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 301)
+    assert(labels.forall(_._2 == 0L),
+      "every chain node must label to the component minimum 0")
+  }
+
   test("connected components never mutate the parent session's AQE conf") {
     val key = "spark.sql.adaptive.enabled"
     val before = spark.conf.get(key, "true")
