@@ -74,71 +74,6 @@ object DevProbe {
       cdc.JoinView.replay(le, re, cuts, Seq("o_orderkey"), Seq("c_custkey"),
                           Seq("o_custkey"), viewCols).view.count()
     }
-    // manual replay mirroring the CURRENT applyBatch, per-step timers
-    locally {
-      import cdc._
-      import org.apache.spark.sql.DataFrame
-      val child = spark.newSession()
-      child.conf.set("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("GRAFT_PROBE_AQE", "false"))
-      sys.env.get("GRAFT_PROBE_PARTS").foreach(p =>
-        child.conf.set("spark.sql.shuffle.partitions", p))
-      def inChild(df: DataFrame): DataFrame =
-        org.apache.spark.sql.graft.bridge.reRoot(df, child)
-      def emptyLike(df: DataFrame): DataFrame =
-        child.createDataFrame(sc.emptyRDD[org.apache.spark.sql.Row], df.schema)
-      val lSchema = emptyLike(Materializer.compact(le.limit(0), Seq("o_orderkey")))
-      val rSchema = emptyLike(Materializer.compact(re.limit(0), Seq("c_custkey")))
-      val emptyView = emptyLike(
-        lSchema.drop(Materializer.MetaCols: _*)
-          .join(rSchema.drop(Materializer.MetaCols: _*),
-                col("o_custkey") === col("c_custkey"))
-          .select(viewCols.map(col): _*))
-      val lPinned = t("pin lEvents")(inChild(le.localCheckpoint()))
-      val rPinned = t("pin rEvents")(inChild(re.localCheckpoint()))
-      val windows = (Long.MinValue +: cuts) :+ Long.MaxValue
-      var st = JoinView.State(lSchema, rSchema, emptyView)
-      var bi = 0
-      windows.sliding(2).foreach { case Seq(lo, hi) =>
-        bi += 1
-        val dl = lPinned.filter(col("ts") > lo && col("ts") <= hi)
-        val dr = rPinned.filter(col("ts") > lo && col("ts") <= hi)
-        def localKeys(delta: DataFrame, k: String): DataFrame = {
-          val sel = delta.select(col(s"after.$k").as(k))
-          val rows = sel.collect().distinct.toSeq
-          delta.sparkSession.createDataFrame(
-            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sel.schema)
-        }
-        val changedL = t(s"b$bi keysL")(localKeys(dl, "o_orderkey"))
-        val changedR = t(s"b$bi keysR")(localKeys(dr, "c_custkey"))
-        val lNext = t(s"b$bi lNext")(
-          Materializer.merge(st.left, dl, Seq("o_orderkey"),
-            changedKeys = Some(changedL)).localCheckpoint())
-        val rNext = t(s"b$bi rNext")(
-          Materializer.merge(st.right, dr, Seq("c_custkey"),
-            changedKeys = Some(changedR)).localCheckpoint())
-        val keep = st.view
-          .join(broadcast(changedL), Seq("o_orderkey"), "left_anti")
-          .join(broadcast(changedR.withColumnRenamed("c_custkey", "o_custkey")),
-                Seq("o_custkey"), "left_anti")
-        val liveL = Materializer.liveView(lNext)
-        val liveR = Materializer.liveView(rNext)
-        val rebuiltL = broadcast(
-            liveL.join(broadcast(changedL), Seq("o_orderkey"), "left_semi"))
-          .join(liveR, col("o_custkey") === col("c_custkey"))
-        val rebuiltR = liveL.join(broadcast(changedL), Seq("o_orderkey"), "left_anti")
-          .join(broadcast(
-              liveR.join(broadcast(changedR), Seq("c_custkey"), "left_semi")),
-                col("o_custkey") === col("c_custkey"))
-        val viewNext = t(s"b$bi viewNext (lazy build)")(keep
-          .select(viewCols.map(col): _*)
-          .unionByName(rebuiltL.select(viewCols.map(col): _*))
-          .unionByName(rebuiltR.select(viewCols.map(col): _*)))
-        st = JoinView.State(lNext, rNext, viewNext)
-      }
-      t("final count")(st.view.count())
-      t("final count x2")(st.view.count())
-    }
     println(s"jobs=${jobs.get} tasks=${tasks.get} " +
       f"taskTime=${taskNanos.get / 1e9}%.1f s " +
       f"cpu=${cpuNanos.get / 1e9}%.1f s gc=${gcMs.get / 1e3}%.1f s " +
