@@ -63,6 +63,63 @@ class MaterializerSpec extends SparkSpec {
     assert(merged == Map(1L -> 1.5, 3L -> 3.5, 4L -> 4.0))
   }
 
+  test("merge plan: full state is never shuffled (delta-restricted)") {
+    val ops = (1L to 1000L).map(k => Op(k, 1, k, "insert", k.toDouble)).toList
+    val delta = List(Op(7, 5, 2000, "update", 7.5),
+                     Op(2000, 5, 2001, "insert", 1.0))
+    def toDf(l: List[Op]) = spark.createDataFrame(l)
+      .select(col("op"), col("ts"), col("seq"),
+        struct(col("key"), col("value")).as("after"))
+    val state = Materializer.compact(toDf(ops), Seq("key")).localCheckpoint()
+    // pre-collected LocalRelation keys, as JoinView.applyBatch passes them
+    // (otherwise the key-distinct adds its own — |Δ|-bounded — exchanges)
+    val ck = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(7L),
+                              org.apache.spark.sql.Row(2000L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val merged = Materializer.merge(state, toDf(delta), Seq("key"),
+      changedKeys = Some(ck))
+    val plan = merged.queryExecution.executedPlan.toString
+    // untouched rows pass through a broadcast anti-join scan-side; the
+    // ONLY hash exchange allowed is the compact over touched ∪ delta
+    // (|Δ|-bounded) — a full-state exchange here would be the
+    // shuffle-the-table-per-batch anti-pattern this plan exists to avoid
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges <= 1, s"merge shuffles more than the touched set:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+           plan.contains("BroadcastNestedLoopJoin"),
+      s"untouched-state pass-through is not broadcast-pruned:\n$plan")
+  }
+
+  test("applyBatch view plan: zero exchanges (all broadcast rebuilds)") {
+    val l = spark.createDataFrame(List(
+        Op(1, 1, 1, "insert", 5.0), Op(2, 1, 2, "insert", 7.0)))
+      .select(col("op"), col("ts"), col("seq"),
+        struct(col("key").as("k"), col("key").as("fk"),
+               col("value").as("price")).as("after"))
+    val r = spark.createDataFrame(List(Op(1, 2, 1, "insert", 0.0)))
+      .select(col("op"), col("ts"), col("seq"),
+        struct(col("key").as("ck"), col("value").as("bal")).as("after"))
+    val viewCols = Seq("k", "fk", "price", "ck", "bal")
+    val emptyL = Materializer.compact(l.limit(0), Seq("k"))
+    val emptyR = Materializer.compact(r.limit(0), Seq("ck"))
+    val emptyView = emptyL.drop(Materializer.MetaCols: _*)
+      .join(emptyR.drop(Materializer.MetaCols: _*), col("fk") === col("ck"))
+      .select(viewCols.map(col): _*)
+    val st = JoinView.applyBatch(
+      JoinView.State(emptyL, emptyR, emptyView), l, r,
+      Seq("k"), Seq("ck"), Seq("fk"), viewCols)
+    val plan = st.view.queryExecution.executedPlan.toString
+    // keep is anti-joined against broadcast key sets and both rebuild
+    // joins broadcast their |Δ|-bounded side: the view maintenance path
+    // must not exchange EITHER state table
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"view rebuild shuffles a state table:\n$plan")
+  }
+
   test("row round-trip: typed row -> Maxwell JSON -> decode -> same row") {
     import org.apache.spark.sql.functions._
     val genRow = for {
