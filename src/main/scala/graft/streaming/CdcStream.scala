@@ -143,6 +143,88 @@ object CdcStream {
       .start()
   }
 
+  /** Maintain an incrementally-updated JOIN VIEW `L ⋈ R` from a SINGLE
+    * changelog stream carrying both topics — the streaming face of
+    * [[graft.cdc.JoinView]]. The reference's consumer group subscribes to
+    * many tables' topics at once (`cdc_manager.go:151-156`); here the
+    * combined envelope stream is routed by (database, table) into the two
+    * sides' deltas, the delta-join formula updates (stateL, stateR, view),
+    * and all THREE tables are persisted as one generation under
+    * `rootPath/current` with a single directory swap — state and view
+    * must advance atomically together, or the next batch's delta join
+    * reads a torn pair. Same crash discipline as [[materializeToParquet]]
+    * (complete generation always readable; replayed batch re-derives the
+    * in-flight one), same per-batch cost shape as `JoinView.applyBatch`
+    * (delta-bounded: no full-state shuffle, broadcast rebuilds). */
+  def maintainJoinViewToParquet(envelope: DataFrame, lSpec: TableSpec,
+                                rSpec: TableSpec, lJoinCols: Seq[String],
+                                viewCols: Seq[String], rootPath: String,
+                                checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.JoinView
+    envelope.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        // route by table; pin the decoded deltas — applyBatch's contract
+        // wants cheap re-scans and each delta is read by the merge, the
+        // key sets, and the broadcasts
+        val dl = changeEvents(batch, lSpec).localCheckpoint()
+        val dr = changeEvents(batch, rSpec).localCheckpoint()
+        val cur = new org.apache.hadoop.fs.Path(rootPath, "current")
+        val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val old = new org.apache.hadoop.fs.Path(rootPath, "current.old")
+        val tmp = new org.apache.hadoop.fs.Path(rootPath, "current.tmp")
+        def gen(p: org.apache.hadoop.fs.Path): Option[JoinView.State] =
+          if (fs.exists(p))
+            Some(JoinView.State(spark.read.parquet(s"$p/left"),
+                                spark.read.parquet(s"$p/right"),
+                                spark.read.parquet(s"$p/view")))
+          else None
+        def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], df.schema)
+        val st0 = gen(cur).orElse(gen(old)).getOrElse {
+          val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
+          val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
+          val joinCond = lJoinCols.zip(rSpec.primaryKey)
+            .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+          JoinView.State(lS, rS, emptyLike(
+            lS.drop(Materializer.MetaCols: _*)
+              .join(rS.drop(Materializer.MetaCols: _*), joinCond)
+              .select(viewCols.map(col): _*)))
+        }
+        val next = JoinView.applyBatch(st0, dl, dr, lSpec.primaryKey,
+          rSpec.primaryKey, lJoinCols, viewCols)
+        // write the whole generation to tmp (reads come from cur — no
+        // read-own-truncation), then promote with one swap
+        next.left.write.mode("overwrite").parquet(s"$tmp/left")
+        next.right.write.mode("overwrite").parquet(s"$tmp/right")
+        next.view.write.mode("overwrite").parquet(s"$tmp/view")
+        def must(ok: Boolean, what: String): Unit =
+          if (!ok) throw new java.io.IOException(s"view-state swap failed: $what")
+        if (fs.exists(cur)) {
+          if (fs.exists(old)) must(fs.delete(old, true), s"delete $old")
+          must(fs.rename(cur, old), s"rename $cur -> $old")
+        }
+        must(fs.rename(tmp, cur), s"rename $tmp -> $cur")
+        ()
+      }
+      .start()
+  }
+
+  /** Read the maintained join view, tolerating the swap crash window
+    * (fall back to the demoted generation, exactly like [[readState]]). */
+  def readJoinView(spark: SparkSession, rootPath: String): DataFrame = {
+    val cur = new org.apache.hadoop.fs.Path(rootPath, "current")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(rootPath, "current.old")
+    if (fs.exists(cur)) spark.read.parquet(s"$cur/view")
+    else if (fs.exists(old)) spark.read.parquet(s"$old/view")
+    else throw new IllegalStateException(s"no join-view state at $rootPath")
+  }
+
   /** JDBC variant of the materialized-state sink (BASELINE.json
     * `spark_approach`: "Structured Streaming + JDBC sink"). Same
     * event-time-correct merge as the parquet path (Materializer.merge with

@@ -309,6 +309,54 @@ class StreamingSpec extends SparkSpec {
                                   col("o_orderkey") % 10 =!= 0).count())
   }
 
+  test("streaming join view: two-topic stream, late dim, restarts") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("jvlog")
+    val root = tmpDir("jvstate")
+    val ckpt = tmpDir("jvckpt")
+    val lSpec = TableSpec("d", "fact", Seq("k"), StructType(Seq(
+      StructField("k", LongType), StructField("fk", LongType),
+      StructField("price", DoubleType))))
+    val rSpec = TableSpec("d", "dim", Seq("ck"), StructType(Seq(
+      StructField("ck", LongType), StructField("name", StringType))))
+    def fact(op: String, ts: Long, k: Long, fk: Long, p: Double) =
+      s"""{"database":"d","table":"fact","type":"$op","ts":$ts,"data":{"k":$k,"fk":$fk,"price":$p}}"""
+    def dim(op: String, ts: Long, ck: Long, name: String) =
+      s"""{"database":"d","table":"dim","type":"$op","ts":$ts,"data":{"ck":$ck,"name":"$name"}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainJoinViewToParquet(
+      CdcStream.fileChangelog(spark, logDir), lSpec, rSpec,
+      lJoinCols = Seq("fk"),
+      viewCols = Seq("k", "fk", "price", "ck", "name"),
+      root, ckpt).awaitTermination()
+    def view(): Set[(Long, Long, Double, Long, String)] =
+      CdcStream.readJoinView(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                   r.getLong(3), r.getString(4))).toSet
+    // batch 1: both facts + dim c20 only -> view has just k=2; the fact
+    // referencing c10 must NOT appear before c10's insert arrives
+    append("b1.json", Seq(
+      fact("insert", 1, 1, 10, 5.0), fact("insert", 1, 2, 20, 7.0),
+      dim("insert", 2, 20, "c20")))
+    run()
+    assert(view() == Set((2L, 20L, 7.0, 20L, "c20")))
+    // batch 2 (restart, same checkpoint): c10 arrives LATE + k=1 price
+    // update -> both rows, retroactively joined
+    append("b2.json", Seq(
+      dim("insert", 4, 10, "c10"), fact("update", 5, 1, 10, 6.0)))
+    run()
+    assert(view() == Set(
+      (1L, 10L, 6.0, 10L, "c10"), (2L, 20L, 7.0, 20L, "c20")))
+    // batch 3: delete dim c10 and fact k=2 -> empty view
+    append("b3.json", Seq(
+      dim("delete", 8, 10, "c10"), fact("delete", 9, 2, 20, 7.0)))
+    run()
+    assert(view().isEmpty)
+  }
+
   test("session windows group events by inactivity gap") {
     val evDir = tmpDir("eventsess")
     graft.Tables.load(spark, sfDir, "events")
