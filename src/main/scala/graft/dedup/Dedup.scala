@@ -251,8 +251,12 @@ object Dedup {
       call_function("shiftright", col("sig"), lit(lo))
         .bitwiseAND(lit(mask))
     }
+    // pin the signatures: the explode+32-lane-agg subtree that computes
+    // them is consumed THREE times (hot-bucket census, exact side, probe
+    // side) — lazy localCheckpoint computes it once and auto-releases
+    val sigPinned = sig.localCheckpoint(false)
     def emit(structs: Seq[Column]): DataFrame =
-      sig.select(col("id"), col("sig"),
+      sigPinned.select(col("id"), col("sig"),
           explode(array(structs: _*)).as("c"))
         .select(col("id"), col("sig"), col("c.chunk"), col("c.v"))
     val exactAll = emit((0 until m).map(i =>
