@@ -109,6 +109,9 @@ object CdcQueries {
     // — both snapshots share the key partitioning, so the join is
     // co-partitioned after the aggregates.
     "cdc_snapshot_diff" -> ((s, dir) => {
+      // NOT pinned: the two cut branches each scan the decode subtree,
+      // but they run concurrently inside one job — measured faster than
+      // a pin, which serializes decode+persist ahead of the diff
       val ev = ChangelogGen.ordersChangeEvents(s, dir)
       def stateAt(t: Long) = graft.cdc.Materializer.currentState(
         ev.filter(col("ts") <= t), ChangelogGen.ordersSpec.primaryKey)
