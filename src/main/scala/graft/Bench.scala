@@ -26,13 +26,17 @@ object Bench {
     // one-time materialization is billed to whichever CDC query runs
     // first, manufacturing phantom per-query regressions between runs.
     // Decode -> route -> materialize remain measured per query.
-    try {
-      cdc.ChangelogGen.ordersChangelog(spark, sfDir).count()
-      cdc.ChangelogGen.ordersEnvelope(spark, sfDir).count()
-      cdc.ChangelogGen.customerChangeEvents(spark, sfDir).count()
-      // bucketed-layout write is ingest-time work, not join time
-      ops.BucketedTables.ensure(spark, sfDir)
-    } catch { case _: Throwable => }
+    // each warm step in its OWN try: one failure must not silently skip
+    // the later warms (that would re-bill their one-time materialization
+    // to a random timed query — the exact attribution bug this fixes)
+    def warm(what: String)(f: => Unit): Unit =
+      try f catch { case e: Throwable =>
+        System.err.println(s"bench warmup '$what' failed: $e") }
+    warm("orders log")(cdc.ChangelogGen.ordersChangelog(spark, sfDir).count())
+    warm("orders envelope")(cdc.ChangelogGen.ordersEnvelope(spark, sfDir).count())
+    warm("customer events")(cdc.ChangelogGen.customerChangeEvents(spark, sfDir).count())
+    // bucketed-layout write is ingest-time work, not join time
+    warm("bucketed layout")(ops.BucketedTables.ensure(spark, sfDir))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

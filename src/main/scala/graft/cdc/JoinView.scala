@@ -68,6 +68,12 @@ object JoinView {
     require(rPk.size == lJoinCols.size,
       s"lJoinCols (${lJoinCols.mkString(",")}) must match rPk " +
         s"(${rPk.mkString(",")}) positionally")
+    // overlapping names would make the rebuild joins and the view
+    // projection ambiguous (two same-named columns in scope with
+    // different values) — fail loudly here instead of corrupting there
+    require(lJoinCols.intersect(rPk).isEmpty,
+      s"lJoinCols and rPk must not share column names " +
+        s"(got ${lJoinCols.intersect(rPk).mkString(",")}); rename one side")
     // Contract: `dl`/`dr` must be cheap to re-scan (a materialized
     // foreachBatch Dataset, or a filter over a pinned log as in [[replay]])
     // — they are referenced by the merge, the changed-key sets, and three
@@ -87,9 +93,11 @@ object JoinView {
       changedKeys = Some(changedL)).localCheckpoint(false)
     val rNext = Materializer.merge(st.right, dr, rPk,
       changedKeys = Some(changedR)).localCheckpoint(false)
-    val changedRAsFk = rPk.zip(lJoinCols).foldLeft(changedR) {
-      case (df, (r, l)) => df.withColumnRenamed(r, l)
-    }
+    // single atomic projection, NOT a fold of withColumnRenamed: a
+    // sequential fold corrupts the frame when an lJoinCols name collides
+    // with a not-yet-renamed rPk name (rename step i would hit both)
+    val changedRAsFk = changedR.select(
+      rPk.zip(lJoinCols).map { case (r, l) => col(r).as(l) }: _*)
     val keep = st.view
       .join(broadcast(changedL), lPk, "left_anti")
       .join(broadcast(changedRAsFk), lJoinCols, "left_anti")
@@ -185,31 +193,39 @@ object JoinView {
     val rPinned = inChild(rEvents.localCheckpoint())
       .coalesce(batchShufflePartitions)
     val windows = (Long.MinValue +: cuts) :+ Long.MaxValue
-    // Every window's changed-key collect depends only on the PINNED logs,
-    // not on earlier batches — hoist all of them into one concurrent wave
-    // so the per-batch critical path is merge + view only, never a
-    // key-collect job.
+    // A window's changed-key collect depends only on the PINNED logs, not
+    // on earlier batches — prefetch the NEXT window's collects while the
+    // current batch is assembled, so key-collect jobs never sit on the
+    // per-batch critical path. Look-ahead is bounded to one window: an
+    // eager all-windows wave would fire 2N concurrent collect jobs and
+    // hold every window's key set in driver memory at once on long
+    // replays.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     def slice(ev: DataFrame, lo: Long, hi: Long) =
       ev.filter(col("ts") > lo && col("ts") <= hi)
-    val keyWave = windows.sliding(2).toSeq.map { case Seq(lo, hi) =>
+    val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
+    def keysFor(i: Int) = {
+      val (lo, hi) = bounds(i)
       (Future(localKeys(slice(lPinned, lo, hi), lPk)),
        Future(localKeys(slice(rPinned, lo, hi), rPk)))
     }
-    val fin = windows.sliding(2).zipWithIndex
-      .foldLeft(State(lSchema, rSchema, emptyView)) {
-        case (st, (Seq(lo, hi), i)) =>
-          val next = applyBatch(st, slice(lPinned, lo, hi),
-                                slice(rPinned, lo, hi),
-                                lPk, rPk, lJoinCols, viewCols,
-                                keys = Some((Await.result(keyWave(i)._1, Duration.Inf),
-                                             Await.result(keyWave(i)._2, Duration.Inf))))
-          // pin the view per batch, lazily, for the same reason as the
-          // states in applyBatch: plan depth stays O(1) per batch with no
-          // job until the caller's first action
-          next.copy(view = next.view.localCheckpoint(false))
+    var pending = keysFor(0)
+    val fin = bounds.indices
+      .foldLeft(State(lSchema, rSchema, emptyView)) { case (st, i) =>
+        val (lo, hi) = bounds(i)
+        val (ckLF, ckRF) = pending
+        if (i + 1 < bounds.size) pending = keysFor(i + 1)
+        val next = applyBatch(st, slice(lPinned, lo, hi),
+                              slice(rPinned, lo, hi),
+                              lPk, rPk, lJoinCols, viewCols,
+                              keys = Some((Await.result(ckLF, Duration.Inf),
+                                           Await.result(ckRF, Duration.Inf))))
+        // pin the view per batch, lazily, for the same reason as the
+        // states in applyBatch: plan depth stays O(1) per batch with no
+        // job until the caller's first action
+        next.copy(view = next.view.localCheckpoint(false))
       }
     // Hand results back rooted in the caller's session: states are pinned
     // (re-root is free); the lazy view plan is physically planned under

@@ -105,15 +105,23 @@ object Materializer {
     *
     * Delta-restricted plan: `state' = state[∉ keys(Δ)] ∪
     * compact(state[keys(Δ)] ∪ Δ)`. Rows whose key the batch never touched
-    * pass through a scan-side broadcast anti-join UNCHANGED — the full
-    * state is never shuffled or re-aggregated; the only exchange is the
-    * compact over the |Δ|-bounded touched set. The broadcast of the
-    * changed-key set rides the same micro-batch contract as everything
-    * else here (batches are small by construction; split giant backfills
-    * into multiple merges). Note: a NULL pk never equals anything in the
-    * anti/semi joins, so null-key state rows pass through untouched and
-    * null-key events compact among themselves — CDC pks are non-null by
-    * definition (`cdc_utils.go:126-145` derives them from gorm models).
+    * pass through a scan-side anti-join UNCHANGED — the full state is
+    * never shuffled or re-aggregated; the only exchange is the compact
+    * over the |Δ|-bounded touched set.
+    *
+    * The key-set joins carry NO broadcast hint: a pre-collected
+    * LocalRelation (JoinView's path) has accurate stats and broadcasts
+    * statically when small, and for unbounded catch-up batches (a
+    * streaming sink draining a long backlog in one AvailableNow batch)
+    * the planner/AQE falls back to a shuffle join instead of
+    * force-broadcasting millions of keys into an OOM.
+    *
+    * Key joins are NULL-SAFE: a decode failure can yield after.pk = NULL
+    * (try_* casts), and the old global compact grouped all null keys into
+    * ONE state row. Null-unsafe anti/semi joins would let null-key rows
+    * bypass both branches and accumulate one duplicate per batch; <=>
+    * keeps them flowing into the touched compact whenever the batch
+    * carries null-key events.
     *
     * Tombstones older than `tombstoneRetentionTs` are dropped (state-size
     * control; safe once the source cannot deliver events older than it). */
@@ -123,12 +131,16 @@ object Materializer {
     val evts = events.select("op", "ts", "seq", "after")
     // callers that already hold the batch's changed-key set (e.g.
     // JoinView.applyBatch collects it once as a LocalRelation, making the
-    // two broadcasts below driver-local — no build job) pass it in;
-    // otherwise derive it from the batch
+    // two key joins below driver-local broadcasts — no build job) pass it
+    // in; otherwise derive it from the batch
     val ck = changedKeys.getOrElse(evts
       .select(primaryKey.map(k => col(s"after.$k").as(k)): _*).distinct())
-    val untouched = state.join(broadcast(ck), primaryKey, "left_anti")
-    val touched = state.join(broadcast(ck), primaryKey, "left_semi")
+      .alias("__ck")
+    val st = state.alias("__st")
+    val keyCond = primaryKey
+      .map(k => col(s"__st.$k") <=> col(s"__ck.$k")).reduce(_ && _)
+    val untouched = st.join(ck, keyCond, "left_anti")
+    val touched = st.join(ck, keyCond, "left_semi")
     val merged = compact(stateAsEvents(touched).unionByName(evts), primaryKey)
     val all = untouched.unionByName(merged)
     if (tombstoneRetentionTs == Long.MinValue) all

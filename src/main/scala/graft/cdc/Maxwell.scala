@@ -131,8 +131,12 @@ object Maxwell {
     *     (Maxwell's `old` is partial — only changed columns); both decode
     *     through the same `try_*` casts downstream
     *   - ts: ts_ms is millis, Maxwell ts is epoch seconds -> divide
-    * Malformed lines follow the same log-and-skip policy as
-    * [[parseEnvelopeCol]]. */
+    * Malformed lines and unmapped ops (Debezium `t` truncate, `m`
+    * message) are DROPPED silently, like [[parseEnvelopeCol]]; a
+    * dead-letter pipeline wanting to keep them should parse with a
+    * corrupt-record sidecar first (the [[parseEnvelopeWithCorrupt]]
+    * pattern applied to [[debeziumSchema]]) and route the remainder
+    * here. */
   def parseDebeziumCol(df: DataFrame, value: Column): DataFrame = {
     df.select(from_json(value.cast("string"), debeziumSchema,
         Map("mode" -> "PERMISSIVE")).as("e"))

@@ -22,6 +22,19 @@ object BucketedTables {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Entry]()
 
+  // the temp layouts live for the JVM (they back catalog tables that may
+  // be queried any time in-session); reap them on exit so repeated runs
+  // don't accumulate orphan directories. NOTE the memo intentionally pins
+  // (session, sfDir) for the JVM lifetime — a handful of entries of a few
+  // MB of paths/names; the DATA cost is the layout itself, reaped here.
+  private val createdDirs =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    createdDirs.forEach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)); ()
+    }))
+
   /** Ensure bucketed copies of orders/customer exist for (session, sfDir);
     * returns (ordersTableName, customerTableName). */
   def ensure(s: SparkSession, dir: String): (String, String) = {
@@ -51,6 +64,7 @@ object BucketedTables {
     val bc = s"b_customer_${tag}_$uniq"
     val base = java.nio.file.Files
       .createTempDirectory("graft_bucketed_").toAbsolutePath
+    createdDirs.add(base.toString)
     graft.Tables.load(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .write.mode("overwrite").option("path", s"$base/$bo")

@@ -108,6 +108,9 @@ object CdcStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val batchEvents = batch.select("op", "ts", "seq", "after")
+        // prior state is scanned twice by merge's delta-restricted plan
+        // (anti + semi); parquet scans are cheap columnar reads, so no
+        // pin here — unlike the JDBC sink, where the read is pinned
         val merged = readState(spark, statePath) match {
           case Some(prior) =>
             Materializer.merge(prior, batchEvents, spec.primaryKey)
@@ -256,13 +259,18 @@ object CdcStream {
         // would overwrite the whole table with this batch alone. A live
         // table missing but `__old` present = crash mid-swap: replay the
         // batch against the demoted generation (parquet readState analogue)
+        // lazy-pin the prior state: merge's delta-restricted plan scans it
+        // twice (untouched anti + touched semi), and a JDBC read is
+        // typically a single-partition round trip worth doing once
         val merged =
           if (jdbcTableExists(url, table, props))
-            Materializer.merge(spark.read.jdbc(url, table, props),
-                               batchEvents, spec.primaryKey)
+            Materializer.merge(
+              spark.read.jdbc(url, table, props).localCheckpoint(false),
+              batchEvents, spec.primaryKey)
           else if (jdbcTableExists(url, oldT, props))
-            Materializer.merge(spark.read.jdbc(url, oldT, props),
-                               batchEvents, spec.primaryKey)
+            Materializer.merge(
+              spark.read.jdbc(url, oldT, props).localCheckpoint(false),
+              batchEvents, spec.primaryKey)
           else Materializer.compact(batchEvents, spec.primaryKey)
         // stage write: reads the live generation, writes elsewhere — no
         // read-own-truncation lineage hazard, no persist needed, and a

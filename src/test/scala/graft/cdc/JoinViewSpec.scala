@@ -126,6 +126,21 @@ class JoinViewSpec extends SparkSpec {
       "composite deletes on either side must remove their view rows")
   }
 
+  test("overlapping lJoinCols/rPk names are rejected loudly") {
+    // same-named columns on the two live sides would make the rebuild
+    // joins and view projection ambiguous — the API must fail fast, not
+    // corrupt the key frame or join on the wrong columns
+    val l = lEvents(("insert", 1L, 1L, (1L, 10L, 5.0)))
+    val r = rEvents(("insert", 2L, 1L, (10L, "c10")))
+    val emptyL = Materializer.compact(l.limit(0), Seq("k"))
+    val emptyR = Materializer.compact(r.limit(0), Seq("ck"))
+    val st = JoinView.State(emptyL, emptyR, emptyL)
+    intercept[IllegalArgumentException] {
+      JoinView.applyBatch(st, l, r, Seq("k"), Seq("ck", "fk"),
+        Seq("fk", "price"), viewCols)
+    }
+  }
+
   test("replay never mutates the parent session's AQE conf") {
     val key = "spark.sql.adaptive.enabled"
     val before = spark.conf.get(key, "true")

@@ -63,6 +63,31 @@ class MaterializerSpec extends SparkSpec {
     assert(merged == Map(1L -> 1.5, 3L -> 3.5, 4L -> 4.0))
   }
 
+  test("merge: null-key rows collapse to one group, never accumulate") {
+    // decode failures can yield after.pk = NULL (try_* casts); the global
+    // compact grouped ALL null keys into one state row, and the
+    // delta-restricted merge must preserve that via null-safe key joins —
+    // a null-unsafe plan leaks one duplicate null row per batch
+    def ev(rows: Seq[(String, Long, Long, Option[Long], Double)]) =
+      spark.createDataFrame(rows).toDF("op", "ts", "seq", "k", "value")
+        .select(col("op"), col("ts"), col("seq"),
+          struct(col("k"), col("value")).as("after"))
+    val state1 = Materializer.compact(ev(Seq(
+      ("insert", 1L, 1L, None, 1.0), ("insert", 1L, 2L, Some(1L), 2.0))),
+      Seq("k"))
+    assert(state1.count() == 2)
+    val m1 = Materializer.merge(state1,
+      ev(Seq(("update", 2L, 3L, None, 9.0))), Seq("k"))
+      .localCheckpoint()
+    assert(m1.count() == 2, "null-key row duplicated instead of merged")
+    assert(m1.filter(col("k").isNull).count() == 1)
+    assert(m1.filter(col("k").isNull).select("value")
+      .collect()(0).getDouble(0) == 9.0, "LWW must pick the newer null-key row")
+    val m2 = Materializer.merge(m1,
+      ev(Seq(("update", 3L, 4L, None, 11.0))), Seq("k"))
+    assert(m2.count() == 2 && m2.filter(col("k").isNull).count() == 1)
+  }
+
   test("merge plan: full state is never shuffled (delta-restricted)") {
     val ops = (1L to 1000L).map(k => Op(k, 1, k, "insert", k.toDouble)).toList
     val delta = List(Op(7, 5, 2000, "update", 7.5),
