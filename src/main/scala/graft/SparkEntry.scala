@@ -30,7 +30,8 @@ object SparkEntry {
     ops.CdcQueries.queries ++
       ops.RelationalQueries.queries ++
       ops.FunctionQueries.queries ++
-      ops.PipelineQueries.queries
+      ops.PipelineQueries.queries ++
+      ops.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
     ops.CdcQueries.oracle ++
       ops.RelationalQueries.oracle ++
       ops.FunctionQueries.oracle ++
-      ops.PipelineQueries.oracle
+      ops.PipelineQueries.oracle ++
+      ops.CurationQueries.oracle
 }

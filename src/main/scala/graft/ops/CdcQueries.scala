@@ -129,6 +129,32 @@ object CdcQueries {
         .select(col("o_orderkey"), col("change"),
                 col("old_price"), col("new_price"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Schema-drift report: inventory the keys actually present in the
+    // envelope `data` payloads and flag the ones the registered TableSpec
+    // doesn't know (upstream ALTER TABLE shows up here first — the
+    // monitoring primitive a production CDC consumer wants before a
+    // decode starts silently dropping a new column). The drifted key is
+    // planted (every 7th event by seq grows an `o_shard`), since the
+    // synthetic topic is schema-stable by construction. Scale shape:
+    // json_object_keys is scan-side; the only shuffle is the per-key
+    // count with map-side partials — |distinct keys| rows, regardless of
+    // topic size.
+    "cdc_schema_drift" -> ((s, dir) => {
+      val raw = ChangelogGen.ordersChangelog(s, dir)
+      val dataJson = get_json_object(col("value"), "$.data")
+      val drifted = when(col("seq") % 7 === 0,
+          concat(lit("{\"o_shard\":"), (col("seq") % 4).cast("string"),
+                 lit(","), substring(dataJson, 2, Int.MaxValue)))
+        .otherwise(dataJson)
+      // known = key the spec's JSON-payload schema declares (renames are
+      // keyed by payload name, so compare in payload-key space)
+      val specCols = ChangelogGen.ordersSpec.jsonSchema.fieldNames.toSeq
+      raw.select(explode(json_object_keys(drifted)).as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n_events"))
+        .withColumn("known", col("key").isin(specCols: _*))
+        .orderBy(col("key"))
     }))
 
   /** Snapshot cut times (epoch seconds, UTC): 1995-01-01 and 1997-01-01 —
@@ -230,5 +256,27 @@ object CdcQueries {
         |WHERE s1.o_orderkey IS NULL OR s2.o_orderkey IS NULL
         |   OR old_price <> new_price
         |ORDER BY o_orderkey""".stripMargin
-    })
+    },
+    "cdc_schema_drift" ->
+      // closed form from the event plan: every event's data carries the 6
+      // spec keys; the planted o_shard appears on events whose seq
+      // (insert = 3k, update = 3k+1 for 'F', delete = 3k+2 for %10 = 0)
+      // is divisible by 7
+      """WITH ev AS (
+        |  SELECT o_orderkey * 3 AS seq FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey * 3 + 1 FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey * 3 + 2 FROM orders WHERE o_orderkey % 10 = 0),
+        |n AS (
+        |  SELECT count(*) AS n_all,
+        |    count(*) FILTER (WHERE seq % 7 = 0) AS n_drift
+        |  FROM ev)
+        |SELECT key, n_events, known FROM (
+        |  SELECT unnest(['o_orderkey', 'o_custkey', 'o_orderstatus',
+        |                 'o_totalprice', 'o_orderdate', 'o_orderpriority'])
+        |    AS key, n_all AS n_events, true AS known FROM n
+        |  UNION ALL
+        |  SELECT 'o_shard', n_drift, false FROM n)
+        |ORDER BY key""".stripMargin)
 }

@@ -40,6 +40,24 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Radius (threshold) search: every neighbor with cosine >= `minCos`.
+    * Unlike top-k there is NO per-query shuffle at all — the probe set is
+    * broadcast and the threshold filters scan-side, so the plan is a pure
+    * narrow map over the corpus (the cheapest retrieval shape at 100 TB,
+    * and the kernel behind dedup-by-similarity-threshold). Output size is
+    * data-dependent; callers bound it by choosing `minCos`. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, minCos: Double,
+                  corpusId: String = "vec_id", corpusVec: String = "embedding",
+                  queryId: String = "q_id", queryVec: String = "q_vec",
+                  excludeSelf: Boolean = true): DataFrame = {
+    val joined = corpus.join(broadcast(queries),
+      if (excludeSelf) col(corpusId) =!= col(queryId) else lit(true))
+    joined.select(
+        col(queryId), col(corpusId).as("neighbor_id"),
+        cosine(col(queryVec), col(corpusVec)).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** P-bit random-hyperplane signature. Hyperplanes are seeded literals
     * (deterministic; generated driver-side once, evaluated scan-side). */
   def lshSignature(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
