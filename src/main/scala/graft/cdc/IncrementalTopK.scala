@@ -1,0 +1,125 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental per-group TOP-K view maintenance over a CDC changelog —
+  * "3 most expensive live orders per status, kept current". Top-k is not
+  * incrementally mergeable the way SUM/COUNT are (a delete can promote a
+  * row that is NOT in the current top-k), so the classic maintenance plan
+  * is delta-restricted RECOMPUTE:
+  *
+  *   view' = view[group ∉ touched] ∪ topK(live(state')[group ∈ touched])
+  *
+  * Per batch, only groups the delta actually touched are re-ranked, from
+  * the maintained tombstone-aware state (`Materializer.merge` keeps that
+  * state current with |Δ|-bounded work); every other group's view rows
+  * pass through a broadcast anti join untouched. Shuffle per batch is
+  * bounded by the touched groups' row count — never |state| or |log|.
+  *
+  * Touched-group derivation handles the Maxwell quirks the same way
+  * IncrementalAgg does: a delete's row image rides in `after` (Q4), and
+  * an update's `before` carries only changed columns (Q3) — the
+  * before-group is consulted only when `changed_cols` says the group
+  * column itself changed (a group-moving update touches BOTH groups).
+  *
+  * Replay mirrors JoinView.replay's micro-batch discipline: AQE off on a
+  * child session (caller conf untouched), batch-width shuffles, events
+  * pinned once, per-batch lazy localCheckpoint so plan depth stays O(1).
+  * The streaming face is `CdcStream.maintainTopKToParquet`, which calls
+  * [[applyBatch]] from `foreachBatch` with the state in swapped parquet
+  * generations.
+  */
+object IncrementalTopK {
+
+  /** Maintained state: tombstone-aware base rows + the current view. */
+  final case class State(state: DataFrame, view: DataFrame)
+
+  /** Per-group top-k by orderCol DESC, pk ASC as deterministic tiebreak. */
+  def topK(liveRows: DataFrame, pk: Seq[String], groupCol: String,
+           orderCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc +: pk.map(c => col(c).asc): _*)
+    liveRows.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Groups the batch touches: after-group of every event, plus the
+    * before-group of updates that MOVED the row (groupCol ∈
+    * changed_cols). Collected once as a LocalRelation — |touched| <=
+    * 2|Δ| and every use broadcasts it (JoinView.localKeys rationale). */
+  private def touchedGroups(delta: DataFrame, groupCol: String): DataFrame = {
+    val hasChangedCols = delta.columns.contains("changed_cols")
+    val afterG = delta.select(col(s"after.$groupCol").as(groupCol))
+    val beforeG =
+      if (hasChangedCols)
+        delta.filter(col("op") === "update" &&
+                     array_contains(col("changed_cols"), groupCol))
+          .select(col(s"before.$groupCol").as(groupCol))
+      else delta.filter(col("op") === "update")
+        .select(coalesce(col(s"before.$groupCol"),
+                         col(s"after.$groupCol")).as(groupCol))
+    val sel = afterG.unionByName(beforeG)
+    val rows = sel.collect().distinct.toSeq
+    delta.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sel.schema)
+  }
+
+  /** One micro-batch step: merge the delta into the tombstone-aware state
+    * and re-rank ONLY the touched groups. Runs in whatever session the
+    * input frames belong to; callers own pinning and conf discipline. */
+  def applyBatch(st: State, delta: DataFrame, pk: Seq[String],
+                 groupCol: String, orderCol: String, k: Int): State = {
+    val tg = touchedGroups(delta, groupCol)
+    // null-safe group joins (mirroring Materializer.merge's key joins):
+    // a decode failure can yield a NULL group, and a null-unsafe
+    // anti/semi pair would park those rows in the view forever while
+    // also never re-ranking them
+    def byGroup(left: DataFrame, how: String): DataFrame =
+      left.alias("__l").join(broadcast(tg.alias("__tg")),
+        col(s"__l.$groupCol") <=> col(s"__tg.$groupCol"), how)
+    val untouched = byGroup(st.view, "left_anti")
+    val nextState = Materializer.merge(st.state, delta, pk)
+      .localCheckpoint(false)
+    val recomputed = topK(byGroup(Materializer.liveView(nextState),
+                                  "left_semi"),
+                          pk, groupCol, orderCol, k)
+    State(nextState,
+          untouched.unionByName(recomputed).localCheckpoint(false))
+  }
+
+  /** Replay `events` across `cuts` maintaining the top-k view; returns
+    * the final view: groupCol ++ rk ++ image columns, rk in 1..k per
+    * group ordered by orderCol DESC with pk as the deterministic
+    * tiebreak. */
+  def replay(events: DataFrame, cuts: Seq[Long], pk: Seq[String],
+             groupCol: String, orderCol: String, k: Int,
+             batchShufflePartitions: Int = 8): DataFrame = {
+    val parent = events.sparkSession
+    val child = parent.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    child.conf.set("spark.sql.shuffle.partitions",
+                   batchShufflePartitions.toString)
+    def inChild(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.bridge.reRoot(df, child)
+    def emptyLike(df: DataFrame): DataFrame =
+      child.createDataFrame(
+        child.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+
+    val pinned = inChild(events.localCheckpoint())
+      .coalesce(batchShufflePartitions)
+    val stateSchema = emptyLike(Materializer.compact(events.limit(0), pk))
+    val emptyView = emptyLike(
+      topK(stateSchema.drop(Materializer.MetaCols: _*),
+           pk, groupCol, orderCol, k))
+
+    val windows = (Long.MinValue +: cuts) :+ Long.MaxValue
+    val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
+    val fin = bounds.foldLeft(State(stateSchema, emptyView)) {
+      case (st, (lo, hi)) =>
+        applyBatch(st, pinned.filter(col("ts") > lo && col("ts") <= hi),
+                   pk, groupCol, orderCol, k)
+    }
+    org.apache.spark.sql.graft.bridge.reRoot(fin.view, parent)
+  }
+}

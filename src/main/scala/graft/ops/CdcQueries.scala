@@ -155,7 +155,22 @@ object CdcQueries {
         .groupBy(col("key")).agg(count(lit(1)).as("n_events"))
         .withColumn("known", col("key").isin(specCols: _*))
         .orderBy(col("key"))
-    }))
+    }),
+
+    // Incremental TOP-K view maintenance: 3 most expensive live orders
+    // per status, kept current across three replay windows by
+    // delta-restricted re-ranking (only statuses the batch touched are
+    // recomputed; see IncrementalTopK). The delete events exercise the
+    // promote-on-delete case plain incremental top-k cannot handle.
+    "cdc_topk_view" -> ((s, dir) =>
+      graft.cdc.IncrementalTopK.replay(
+          ChangelogGen.ordersChangeEvents(s, dir),
+          cuts = Seq(SnapT1, SnapT2),
+          pk = ChangelogGen.ordersSpec.primaryKey,
+          groupCol = "o_orderstatus", orderCol = "o_totalprice", k = 3)
+        .select(col("o_orderstatus"), col("rk"), col("o_orderkey"),
+                col("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("rk"))))
 
   /** Snapshot cut times (epoch seconds, UTC): 1995-01-01 and 1997-01-01 —
     * inside the orders date range at every sf, so all three diff classes
@@ -278,5 +293,15 @@ object CdcQueries {
         |    AS key, n_all AS n_events, true AS known FROM n
         |  UNION ALL
         |  SELECT 'o_shard', n_drift, false FROM n)
-        |ORDER BY key""".stripMargin)
+        |ORDER BY key""".stripMargin,
+    "cdc_topk_view" ->
+      s"""SELECT o_orderstatus, CAST(rk AS INT) AS rk, o_orderkey,
+        |  o_totalprice
+        |FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM ($expectedStateSql))
+        |WHERE rk <= 3
+        |ORDER BY o_orderstatus, rk""".stripMargin)
 }

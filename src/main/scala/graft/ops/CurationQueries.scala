@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.load
+import graft.dedup.Dedup
+import graft.functions.VectorFunctions
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 
@@ -190,6 +192,33 @@ object CurationQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // semantic dedup END-TO-END: cosine-threshold edges over the
+    // embedding corpus -> connected components -> min-id representative
+    // per cluster (the rows a dedup pass would keep). Edge generation
+    // here is the exact all-pairs kernel so the whole chain stays
+    // oracle-expressible; at corpus scale the edge stage swaps for the
+    // LSH-bucketed candidate pairs (q_dedup_embedding_lsh's path) — the
+    // clustering and representative stages are identical either way.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("src"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("dst"), col("v").as("vb"))
+      val edges = a.join(b, col("src") < col("dst"))
+        .filter(VectorFunctions.cosine(col("va"), col("vb")) >= 0.3)
+        .select(col("src"), col("dst"))
+      val comps = Dedup.connectedComponents(edges, "src", "dst",
+                                            shufflePartitions = 8)
+      e.select(col("vec_id"))
+        .join(comps, col("vec_id") === col("id"), "left")
+        .select(col("vec_id"),
+                coalesce(col("component"), col("vec_id")).as("cluster"))
+        // min-label components carry the min member id as the label, so
+        // the representative test is label == own id
+        .withColumn("is_rep", col("cluster") === col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // bigram-LM scoring (add-one smoothing): per-doc mean negative
     // log-likelihood under the corpus's own bigram distribution —
     // the context-aware upgrade of q_text_perplexity's unigram score.
@@ -342,6 +371,22 @@ object CurationQueries {
         |                AS INT) AS VARCHAR)), ',') || ']' AS w1000
         |FROM x CROSS JOIN packed
         |ORDER BY vec_id""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |edges AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.3),
+        |sym AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id)
+        |SELECT id AS vec_id, min(r) AS cluster, (min(r) = id) AS is_rep
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "q_text_bigram_lm" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
         |bg AS (

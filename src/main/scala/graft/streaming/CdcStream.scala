@@ -228,6 +228,71 @@ object CdcStream {
     else throw new IllegalStateException(s"no join-view state at $rootPath")
   }
 
+  /** Maintain an incrementally-updated per-group TOP-K view from the
+    * changelog stream — the streaming face of
+    * [[graft.cdc.IncrementalTopK]]. Per batch: decode the delta, merge
+    * into the tombstone-aware base state, re-rank ONLY the groups the
+    * batch touched (promote-on-delete and group-moving updates included),
+    * and persist (state, view) as ONE parquet generation with a single
+    * directory swap — the pair must advance atomically or the next
+    * batch's delta-restricted re-rank reads a torn view. Same crash
+    * discipline as [[maintainJoinViewToParquet]]. */
+  def maintainTopKToParquet(envelope: DataFrame, spec: TableSpec,
+                            groupCol: String, orderCol: String, k: Int,
+                            rootPath: String, checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.IncrementalTopK
+    envelope.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val delta = changeEvents(batch, spec).localCheckpoint()
+        val cur = new org.apache.hadoop.fs.Path(rootPath, "current")
+        val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val old = new org.apache.hadoop.fs.Path(rootPath, "current.old")
+        val tmp = new org.apache.hadoop.fs.Path(rootPath, "current.tmp")
+        def gen(p: org.apache.hadoop.fs.Path): Option[IncrementalTopK.State] =
+          if (fs.exists(p))
+            Some(IncrementalTopK.State(spark.read.parquet(s"$p/state"),
+                                       spark.read.parquet(s"$p/view")))
+          else None
+        def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], df.schema)
+        val st0 = gen(cur).orElse(gen(old)).getOrElse {
+          val sS = emptyLike(
+            Materializer.compact(delta.limit(0), spec.primaryKey))
+          IncrementalTopK.State(sS, emptyLike(IncrementalTopK.topK(
+            sS.drop(Materializer.MetaCols: _*),
+            spec.primaryKey, groupCol, orderCol, k)))
+        }
+        val next = IncrementalTopK.applyBatch(st0, delta, spec.primaryKey,
+                                              groupCol, orderCol, k)
+        next.state.write.mode("overwrite").parquet(s"$tmp/state")
+        next.view.write.mode("overwrite").parquet(s"$tmp/view")
+        def must(ok: Boolean, what: String): Unit =
+          if (!ok) throw new java.io.IOException(s"topk-state swap failed: $what")
+        if (fs.exists(cur)) {
+          if (fs.exists(old)) must(fs.delete(old, true), s"delete $old")
+          must(fs.rename(cur, old), s"rename $cur -> $old")
+        }
+        must(fs.rename(tmp, cur), s"rename $tmp -> $cur")
+        ()
+      }
+      .start()
+  }
+
+  /** Read the maintained top-k view, tolerating the swap crash window. */
+  def readTopKView(spark: SparkSession, rootPath: String): DataFrame = {
+    val cur = new org.apache.hadoop.fs.Path(rootPath, "current")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(rootPath, "current.old")
+    if (fs.exists(cur)) spark.read.parquet(s"$cur/view")
+    else if (fs.exists(old)) spark.read.parquet(s"$old/view")
+    else throw new IllegalStateException(s"no top-k state at $rootPath")
+  }
+
   /** JDBC variant of the materialized-state sink (BASELINE.json
     * `spark_approach`: "Structured Streaming + JDBC sink"). Same
     * event-time-correct merge as the parquet path (Materializer.merge with

@@ -1,0 +1,104 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Row image for the micro-changelog (top-level: Spark can't encode
+  * test-class inner case classes). */
+case class TopKImg(id: java.lang.Long, grp: String, v: java.lang.Double)
+
+/** IncrementalTopK: the maintained view must equal a full recompute at
+  * every batching, including the two cases naive incremental top-k gets
+  * wrong — promote-on-delete (a row OUTSIDE the current top-k must enter
+  * when a ranked row is deleted) and group-moving updates (both groups
+  * re-rank). */
+class IncrementalTopKSpec extends SparkSpec {
+
+  private type Img = TopKImg
+  private def Img(id: Long, grp: String, v: Double) =
+    TopKImg(id, grp, v)
+
+  /** Micro-changelog, RowDecoder.changeEvents-shaped
+    * (op, ts, seq, before, after, changed_cols). */
+  private lazy val events: DataFrame = {
+    import spark.implicits._
+    def ins(ts: Long, id: Long, grp: String, v: Double) =
+      ("insert", ts, ts, null.asInstanceOf[Img], Img(id, grp, v),
+       null.asInstanceOf[Seq[String]])
+    Seq(
+      ins(1, 1, "a", 10.0), ins(2, 2, "a", 9.0), ins(3, 3, "a", 8.0),
+      ins(4, 4, "a", 7.0), ins(5, 5, "b", 5.0), ins(6, 6, "b", 4.0),
+      // batch 2 (ts > 10):
+      // delete the TOP row of a (id=1) — id=4, currently OUTSIDE the
+      // k=2 view, must be promoted
+      ("delete", 11L, 11L, null.asInstanceOf[Img], Img(1L, "a", 10.0),
+       null.asInstanceOf[Seq[String]]),
+      // group-moving update: id=2 a -> b (both groups re-rank)
+      ("update", 12L, 12L, Img(2L, "a", 9.0), Img(2L, "b", 9.0),
+       Seq("grp")),
+      // value-only update of id=6: before.grp is NULL (Q3 partial
+      // image) — the maintainer must NOT consult it
+      ("update", 13L, 13L, Img(6L, null, 4.0), Img(6L, "b", 6.0),
+       Seq("v")))
+      .toDF("op", "ts", "seq", "before", "after", "changed_cols")
+  }
+
+  private def recompute(ev: DataFrame, k: Int): DataFrame = {
+    val live = Materializer.currentState(ev, Seq("id"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("v").desc, col("id").asc)
+    live.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("grp"), col("rk"), col("id"), col("v"))
+  }
+
+  private def replayed(cuts: Seq[Long], k: Int): DataFrame =
+    IncrementalTopK.replay(events, cuts, pk = Seq("id"),
+        groupCol = "grp", orderCol = "v", k = k)
+      .select(col("grp"), col("rk"), col("id"), col("v"))
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      s"view mismatch:\nmaintained:\n${a.orderBy("grp", "rk").collect()
+        .mkString("\n")}\nrecomputed:\n${b.orderBy("grp", "rk").collect()
+        .mkString("\n")}")
+  }
+
+  test("single batch equals full recompute") {
+    assertSame(replayed(Seq(), k = 2), recompute(events, k = 2))
+  }
+
+  test("batched replay handles promote-on-delete and group moves") {
+    val view = replayed(Seq(10L), k = 2).cache()
+    assertSame(view, recompute(events, k = 2))
+    // the promoted row (id=4) is present even though it was never in
+    // batch 1's view and batch 2 carried no event for it
+    assert(view.filter(col("id") === 4 && col("rk") === 2).count() == 1)
+    // group b re-ranked: moved id=2 (v=9) now leads b
+    assert(view.filter(col("grp") === "b" && col("rk") === 1 &&
+                       col("id") === 2).count() == 1)
+    view.unpersist()
+  }
+
+  test("replay leaves the caller session's AQE conf untouched") {
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    replayed(Seq(10L), k = 2).count()
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == before)
+  }
+
+  test("ordersChangelog view equals closed-form top-3 per status") {
+    val ev = ChangelogGen.ordersChangeEvents(spark, sfDir)
+    val view = IncrementalTopK.replay(ev, cuts = Seq(788918400L),
+        pk = Seq("o_orderkey"), groupCol = "o_orderstatus",
+        orderCol = "o_totalprice", k = 3)
+      .select(col("o_orderstatus"), col("rk"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val expect = ChangelogGen.ordersState(spark, sfDir)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("o_orderstatus"), col("rk"), col("o_orderkey"))
+    assert(view.exceptAll(expect).count() == 0 &&
+           expect.exceptAll(view).count() == 0)
+  }
+}

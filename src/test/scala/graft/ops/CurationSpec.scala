@@ -95,6 +95,47 @@ class CurationSpec extends SparkSpec {
       .filter(col("n_bg") =!= col("n_tok") - 1).count() == 0)
   }
 
+  test("q_sim_range plan is shuffle-free (broadcast probes, scan-side filter)") {
+    // the radius search's value over top-k IS the absent exchange: the
+    // probe set broadcasts and the threshold filters scan-side, so the
+    // corpus is read once with no repartitioning at any scale
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val plan = graft.similarity.Similarity.rangeSearch(e, qs, minCos = 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"radius search must not shuffle the corpus:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"probe set should broadcast:\n$plan")
+  }
+
+  test("q_dedup_semantic: reps are cluster minima, edges never cross clusters") {
+    val out = run("q_dedup_semantic").cache()
+    // the min-label invariant: every cluster's label is its min member
+    val agg = out.groupBy(col("cluster"))
+      .agg(min(col("vec_id")).as("mn"))
+    assert(agg.filter(col("cluster") =!= col("mn")).count() == 0)
+    // reps are exactly one per cluster
+    assert(out.filter(col("is_rep")).count() ==
+           out.select(col("cluster")).distinct().count())
+    // recompute the threshold edges independently; endpoints must share
+    // a cluster (closure under similarity edges)
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val edges = e.select(col("vec_id").as("src"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("dst"), col("v").as("vb")),
+            col("src") < col("dst"))
+      .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb"))
+                >= 0.3)
+      .select(col("src"), col("dst"))
+    val cSrc = out.select(col("vec_id").as("src"), col("cluster").as("cs"))
+    val cDst = out.select(col("vec_id").as("dst"), col("cluster").as("cd"))
+    assert(edges.join(cSrc, "src").join(cDst, "dst")
+      .filter(col("cs") =!= col("cd")).count() == 0)
+    out.unpersist()
+  }
+
   test("cdc_schema_drift flags exactly the planted unknown key") {
     val out = CdcQueries.queries("cdc_schema_drift")(spark, sfDir).cache()
     val unknown = out.filter(!col("known")).collect()

@@ -357,6 +357,41 @@ class StreamingSpec extends SparkSpec {
     assert(view().isEmpty)
   }
 
+  test("streaming top-k view: restarts, promote-on-delete") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("tklog")
+    val root = tmpDir("tkstate")
+    val ckpt = tmpDir("tkckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", DoubleType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Double) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainTopKToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", orderCol = "v", k = 2, root, ckpt)
+      .awaitTermination()
+    def view(): Set[(String, Int, Long)] =
+      CdcStream.readTopKView(spark, root)
+        .select(col("grp"), col("rk"), col("id")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // batch 1: 3 rows in group a -> id=3 (v=1) is OUTSIDE the k=2 view
+    append("b1.json", Seq(
+      ev("insert", 1, 1, "a", 9.0), ev("insert", 2, 2, "a", 5.0),
+      ev("insert", 3, 3, "a", 1.0)))
+    run()
+    assert(view() == Set(("a", 1, 1L), ("a", 2, 2L)))
+    // batch 2 (restart, same checkpoint): delete the leader -> id=3
+    // promoted from OUTSIDE the persisted view (needs the base state)
+    append("b2.json", Seq(ev("delete", 5, 1, "a", 9.0)))
+    run()
+    assert(view() == Set(("a", 1, 2L), ("a", 2, 3L)))
+  }
+
   test("session windows group events by inactivity gap") {
     val evDir = tmpDir("eventsess")
     graft.Tables.load(spark, sfDir, "events")
