@@ -44,14 +44,29 @@ object Bench {
     // cache logs stay clean — environmental, not engine work). The min of
     // two passes measures the engine's steady state: a one-off stall or
     // one-time cache materialization can inflate one pass but not both.
-    def timedPass(): Map[String, Double] =
+    // A failed execution must not become the "fast" pass: min() only over
+    // SUCCESSFUL passes (a quick exception would otherwise grade a broken
+    // run as steady state). A query failing both passes reports its max
+    // observed time-to-failure, matching the old single-pass behavior.
+    def timedPass(): Map[String, (Double, Boolean)] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"bench query '$name' failed: $e")
+                   false }
+        name -> (((System.nanoTime() - t0) / 1e9, ok))
       }
     val p1 = timedPass(); val p2 = timedPass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = p1.map { case (k, (t1, ok1)) =>
+      val (t2, ok2) = p2(k)
+      k -> ((ok1, ok2) match {
+        case (true, true)   => math.min(t1, t2)
+        case (true, false)  => t1
+        case (false, true)  => t2
+        case (false, false) => math.max(t1, t2)
+      })
+    }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0

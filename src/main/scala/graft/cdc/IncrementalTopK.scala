@@ -60,7 +60,19 @@ object IncrementalTopK {
         .select(coalesce(col(s"before.$groupCol"),
                          col(s"after.$groupCol")).as(groupCol))
     val sel = afterG.unionByName(beforeG)
-    val rows = sel.collect().distinct.toSeq
+    // distinct BEFORE the collect: the driver materializes |groups| rows,
+    // not |Δ| (an AvailableNow catch-up batch can be the whole backlog)
+    val rows = sel.distinct().collect().toSeq
+    delta.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sel.schema)
+  }
+
+  /** Delta's primary-key set as a driver-local LocalRelation, handed to
+    * Materializer.merge so its anti/semi key joins broadcast with no
+    * cluster-side build job per batch (JoinView.localKeys rationale). */
+  private def localKeys(delta: DataFrame, pk: Seq[String]): DataFrame = {
+    val sel = delta.select(pk.map(c => col(s"after.$c").as(c)): _*).distinct()
+    val rows = sel.collect().toSeq
     delta.sparkSession.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sel.schema)
   }
@@ -79,7 +91,8 @@ object IncrementalTopK {
       left.alias("__l").join(broadcast(tg.alias("__tg")),
         col(s"__l.$groupCol") <=> col(s"__tg.$groupCol"), how)
     val untouched = byGroup(st.view, "left_anti")
-    val nextState = Materializer.merge(st.state, delta, pk)
+    val nextState = Materializer.merge(st.state, delta, pk,
+        changedKeys = Some(localKeys(delta, pk)))
       .localCheckpoint(false)
     val recomputed = topK(byGroup(Materializer.liveView(nextState),
                                   "left_semi"),

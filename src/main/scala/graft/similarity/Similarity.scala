@@ -45,7 +45,13 @@ object Similarity {
     * broadcast and the threshold filters scan-side, so the plan is a pure
     * narrow map over the corpus (the cheapest retrieval shape at 100 TB,
     * and the kernel behind dedup-by-similarity-threshold). Output size is
-    * data-dependent; callers bound it by choosing `minCos`. */
+    * data-dependent; callers bound it by choosing `minCos`.
+    *
+    * `excludeSelf` filters on id EQUALITY, so it assumes probe ids live
+    * in the corpus id space (probes drawn from the corpus, the typical
+    * dedup shape). For externally-numbered probes pass
+    * `excludeSelf = false`, or a corpus row whose id happens to equal a
+    * probe id is silently dropped. */
   def rangeSearch(corpus: DataFrame, queries: DataFrame, minCos: Double,
                   corpusId: String = "vec_id", corpusVec: String = "embedding",
                   queryId: String = "q_id", queryVec: String = "q_vec",

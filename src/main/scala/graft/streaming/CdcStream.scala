@@ -64,24 +64,65 @@ object CdcStream {
       RowDecoder.changeEventsVariant(envelope, spec)
     else RowDecoder.changeEvents(envelope, spec)
 
-  /** Read a tombstone-aware state table, tolerating the crash window of
-    * the generation swap in [[materializeToParquet]]: if the current
-    * generation directory is ABSENT (crash mid-swap), fall back to the
-    * demoted `.old` generation; the replayed batch (Spark's checkpoint
-    * did not commit) re-derives the lost one. Existence is checked
-    * explicitly — a transient READ failure of an existing generation must
-    * propagate and fail the batch (so the checkpoint retries), never
-    * silently fall back to stale state. */
-  private def readState(spark: SparkSession, statePath: String): Option[DataFrame] = {
-    val dst = new org.apache.hadoop.fs.Path(statePath)
-    // resolve the filesystem FROM the path (statePath may live on a
-    // different scheme than fs.defaultFS — s3a state with hdfs default)
+  /** Generation-swap machinery shared by every parquet state/view sink
+    * (materialized state, join view, top-k view — ONE implementation, so
+    * a fix to the swap invariant lands everywhere at once).
+    *
+    * Invariant: at every instant at least one COMPLETE generation (`dst`
+    * or `dst + ".old"`) exists — the stale `.old` is only deleted when a
+    * current `dst` is present to demote, so even a crash while
+    * recovering from a previous crash keeps a readable generation for
+    * the next replay. A crash mid-swap loses only the uncommitted batch,
+    * which Spark's checkpoint replays against the demoted generation.
+    *
+    * NOTE: requires a filesystem with atomic directory rename
+    * (HDFS/local). On object stores (s3a) rename is a non-atomic copy —
+    * point the path at HDFS, or swap these sinks for a transactional
+    * table format there. */
+  private def swapGeneration(spark: SparkSession, dstPath: String)
+                            (writeTmp: String => Unit): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    // resolve the filesystem FROM the path (it may live on a different
+    // scheme than fs.defaultFS — s3a state with hdfs default)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(statePath + ".old")
-    if (fs.exists(dst)) Some(spark.read.parquet(statePath))
-    else if (fs.exists(old)) Some(spark.read.parquet(statePath + ".old"))
+    val old = new org.apache.hadoop.fs.Path(dstPath + ".old")
+    val tmp = new org.apache.hadoop.fs.Path(dstPath + ".tmp")
+    // rename/delete return false on several failure modes instead of
+    // throwing; a swallowed false here would let the checkpoint commit
+    // a batch whose state was never promoted
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"generation swap failed: $what")
+    writeTmp(tmp.toString)
+    if (fs.exists(dst)) {
+      if (fs.exists(old))
+        must(fs.delete(old, true), s"delete $old") // dst still readable
+      must(fs.rename(dst, old), s"rename $dst -> $old") // crash -> .old
+    }
+    must(fs.rename(tmp, dst), s"rename $tmp -> $dst")
+  }
+
+  /** The root of the live generation at `dstPath` — `dstPath` itself, or
+    * the demoted `.old` inside the swap's crash window, or None before
+    * the first swap. Resolved ONCE per batch so multi-table generations
+    * (join view's left/right/view) are read from the SAME root, never a
+    * torn pair. Existence is checked explicitly — a transient READ
+    * failure of an existing generation must propagate and fail the batch
+    * (so the checkpoint retries), never silently fall back to stale
+    * state. */
+  private def liveGenerationRoot(spark: SparkSession,
+                                 dstPath: String): Option[String] = {
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(dstPath + ".old")
+    if (fs.exists(dst)) Some(dstPath)
+    else if (fs.exists(old)) Some(dstPath + ".old")
     else None
   }
+
+  /** Read a tombstone-aware state table, tolerating the swap crash
+    * window (see [[liveGenerationRoot]]). */
+  private def readState(spark: SparkSession, statePath: String): Option[DataFrame] =
+    liveGenerationRoot(spark, statePath).map(spark.read.parquet(_))
 
   /** Live (tombstone-filtered) view of a materialized state table. */
   def readCurrentState(spark: SparkSession, statePath: String): DataFrame =
@@ -116,31 +157,8 @@ object CdcStream {
             Materializer.merge(prior, batchEvents, spec.primaryKey)
           case None => Materializer.compact(batchEvents, spec.primaryKey)
         }
-        // generation swap. Invariant: at every instant at least one
-        // COMPLETE generation (dst or .old) exists — the stale .old is
-        // only deleted when a current dst is present to demote, so even a
-        // crash while recovering from a previous crash keeps a readable
-        // generation for the next replay.
-        // NOTE: requires a filesystem with atomic directory rename
-        // (HDFS/local). On object stores (s3a) rename is a non-atomic
-        // copy — point statePath at HDFS, or swap this sink for a
-        // transactional table format there.
-        val dst = new org.apache.hadoop.fs.Path(statePath)
-        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val old = new org.apache.hadoop.fs.Path(statePath + ".old")
-        val tmp = new org.apache.hadoop.fs.Path(statePath + ".tmp")
-        // rename/delete return false on several failure modes instead of
-        // throwing; a swallowed false here would let the checkpoint commit
-        // a batch whose state was never promoted
-        def must(ok: Boolean, what: String): Unit =
-          if (!ok) throw new java.io.IOException(s"state swap failed: $what")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(dst)) {
-          if (fs.exists(old))
-            must(fs.delete(old, true), s"delete $old") // dst still readable
-          must(fs.rename(dst, old), s"rename $dst -> $old") // crash -> .old
-        }
-        must(fs.rename(tmp, dst), s"rename $tmp -> $dst")
+        swapGeneration(spark, statePath)(tmp =>
+          merged.write.mode("overwrite").parquet(tmp))
         ()
       }
       .start()
@@ -176,42 +194,31 @@ object CdcStream {
         // key sets, and the broadcasts
         val dl = changeEvents(batch, lSpec).localCheckpoint()
         val dr = changeEvents(batch, rSpec).localCheckpoint()
-        val cur = new org.apache.hadoop.fs.Path(rootPath, "current")
-        val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val old = new org.apache.hadoop.fs.Path(rootPath, "current.old")
-        val tmp = new org.apache.hadoop.fs.Path(rootPath, "current.tmp")
-        def gen(p: org.apache.hadoop.fs.Path): Option[JoinView.State] =
-          if (fs.exists(p))
-            Some(JoinView.State(spark.read.parquet(s"$p/left"),
-                                spark.read.parquet(s"$p/right"),
-                                spark.read.parquet(s"$p/view")))
-          else None
         def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], df.schema)
-        val st0 = gen(cur).orElse(gen(old)).getOrElse {
-          val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
-          val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
-          val joinCond = lJoinCols.zip(rSpec.primaryKey)
-            .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
-          JoinView.State(lS, rS, emptyLike(
-            lS.drop(Materializer.MetaCols: _*)
-              .join(rS.drop(Materializer.MetaCols: _*), joinCond)
-              .select(viewCols.map(col): _*)))
-        }
+        val st0 = liveGenerationRoot(spark, s"$rootPath/current")
+          .map(r => JoinView.State(spark.read.parquet(s"$r/left"),
+                                   spark.read.parquet(s"$r/right"),
+                                   spark.read.parquet(s"$r/view")))
+          .getOrElse {
+            val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
+            val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
+            val joinCond = lJoinCols.zip(rSpec.primaryKey)
+              .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+            JoinView.State(lS, rS, emptyLike(
+              lS.drop(Materializer.MetaCols: _*)
+                .join(rS.drop(Materializer.MetaCols: _*), joinCond)
+                .select(viewCols.map(col): _*)))
+          }
         val next = JoinView.applyBatch(st0, dl, dr, lSpec.primaryKey,
           rSpec.primaryKey, lJoinCols, viewCols)
-        // write the whole generation to tmp (reads come from cur — no
-        // read-own-truncation), then promote with one swap
-        next.left.write.mode("overwrite").parquet(s"$tmp/left")
-        next.right.write.mode("overwrite").parquet(s"$tmp/right")
-        next.view.write.mode("overwrite").parquet(s"$tmp/view")
-        def must(ok: Boolean, what: String): Unit =
-          if (!ok) throw new java.io.IOException(s"view-state swap failed: $what")
-        if (fs.exists(cur)) {
-          if (fs.exists(old)) must(fs.delete(old, true), s"delete $old")
-          must(fs.rename(cur, old), s"rename $cur -> $old")
+        // write the whole generation to tmp (reads come from the live
+        // generation — no read-own-truncation), then promote in one swap
+        swapGeneration(spark, s"$rootPath/current") { tmp =>
+          next.left.write.mode("overwrite").parquet(s"$tmp/left")
+          next.right.write.mode("overwrite").parquet(s"$tmp/right")
+          next.view.write.mode("overwrite").parquet(s"$tmp/view")
         }
-        must(fs.rename(tmp, cur), s"rename $tmp -> $cur")
         ()
       }
       .start()
@@ -219,14 +226,11 @@ object CdcStream {
 
   /** Read the maintained join view, tolerating the swap crash window
     * (fall back to the demoted generation, exactly like [[readState]]). */
-  def readJoinView(spark: SparkSession, rootPath: String): DataFrame = {
-    val cur = new org.apache.hadoop.fs.Path(rootPath, "current")
-    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(rootPath, "current.old")
-    if (fs.exists(cur)) spark.read.parquet(s"$cur/view")
-    else if (fs.exists(old)) spark.read.parquet(s"$old/view")
-    else throw new IllegalStateException(s"no join-view state at $rootPath")
-  }
+  def readJoinView(spark: SparkSession, rootPath: String): DataFrame =
+    liveGenerationRoot(spark, s"$rootPath/current")
+      .map(r => spark.read.parquet(s"$r/view"))
+      .getOrElse(throw new IllegalStateException(
+        s"no join-view state at $rootPath"))
 
   /** Maintain an incrementally-updated per-group TOP-K view from the
     * changelog stream — the streaming face of
@@ -249,49 +253,35 @@ object CdcStream {
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
         val delta = changeEvents(batch, spec).localCheckpoint()
-        val cur = new org.apache.hadoop.fs.Path(rootPath, "current")
-        val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val old = new org.apache.hadoop.fs.Path(rootPath, "current.old")
-        val tmp = new org.apache.hadoop.fs.Path(rootPath, "current.tmp")
-        def gen(p: org.apache.hadoop.fs.Path): Option[IncrementalTopK.State] =
-          if (fs.exists(p))
-            Some(IncrementalTopK.State(spark.read.parquet(s"$p/state"),
-                                       spark.read.parquet(s"$p/view")))
-          else None
         def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], df.schema)
-        val st0 = gen(cur).orElse(gen(old)).getOrElse {
-          val sS = emptyLike(
-            Materializer.compact(delta.limit(0), spec.primaryKey))
-          IncrementalTopK.State(sS, emptyLike(IncrementalTopK.topK(
-            sS.drop(Materializer.MetaCols: _*),
-            spec.primaryKey, groupCol, orderCol, k)))
-        }
+        val st0 = liveGenerationRoot(spark, s"$rootPath/current")
+          .map(r => IncrementalTopK.State(spark.read.parquet(s"$r/state"),
+                                          spark.read.parquet(s"$r/view")))
+          .getOrElse {
+            val sS = emptyLike(
+              Materializer.compact(delta.limit(0), spec.primaryKey))
+            IncrementalTopK.State(sS, emptyLike(IncrementalTopK.topK(
+              sS.drop(Materializer.MetaCols: _*),
+              spec.primaryKey, groupCol, orderCol, k)))
+          }
         val next = IncrementalTopK.applyBatch(st0, delta, spec.primaryKey,
                                               groupCol, orderCol, k)
-        next.state.write.mode("overwrite").parquet(s"$tmp/state")
-        next.view.write.mode("overwrite").parquet(s"$tmp/view")
-        def must(ok: Boolean, what: String): Unit =
-          if (!ok) throw new java.io.IOException(s"topk-state swap failed: $what")
-        if (fs.exists(cur)) {
-          if (fs.exists(old)) must(fs.delete(old, true), s"delete $old")
-          must(fs.rename(cur, old), s"rename $cur -> $old")
+        swapGeneration(spark, s"$rootPath/current") { tmp =>
+          next.state.write.mode("overwrite").parquet(s"$tmp/state")
+          next.view.write.mode("overwrite").parquet(s"$tmp/view")
         }
-        must(fs.rename(tmp, cur), s"rename $tmp -> $cur")
         ()
       }
       .start()
   }
 
   /** Read the maintained top-k view, tolerating the swap crash window. */
-  def readTopKView(spark: SparkSession, rootPath: String): DataFrame = {
-    val cur = new org.apache.hadoop.fs.Path(rootPath, "current")
-    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(rootPath, "current.old")
-    if (fs.exists(cur)) spark.read.parquet(s"$cur/view")
-    else if (fs.exists(old)) spark.read.parquet(s"$old/view")
-    else throw new IllegalStateException(s"no top-k state at $rootPath")
-  }
+  def readTopKView(spark: SparkSession, rootPath: String): DataFrame =
+    liveGenerationRoot(spark, s"$rootPath/current")
+      .map(r => spark.read.parquet(s"$r/view"))
+      .getOrElse(throw new IllegalStateException(
+        s"no top-k state at $rootPath"))
 
   /** JDBC variant of the materialized-state sink (BASELINE.json
     * `spark_approach`: "Structured Streaming + JDBC sink"). Same
