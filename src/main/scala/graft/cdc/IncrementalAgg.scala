@@ -90,4 +90,56 @@ object IncrementalAgg {
       .agg(sum(col("dv")).as(s"sum_$valueCol"), sum(col("dc")).as("n_rows"))
     if (prune) agg.filter(col("n_rows") > 0) else agg
   }
+
+  /** COUNT(DISTINCT valueCol) per groupCol, maintained from change events
+    * alone — the aggregate plain sketches cannot maintain under deletes
+    * (HLL is not subtractable). The classical exact plan: keep net
+    * multiplicities per (group, value) pair, count the pairs with net
+    * multiplicity > 0. Events contribute ±1 pair deltas exactly like
+    * [[sumCount]] (same Q3/Q4 partial-`before` discipline); NULL values
+    * carry no delta, matching SQL's count-distinct-ignores-nulls.
+    *
+    * Scale shape: ONE shuffle on (group, value) with map-side partial
+    * sums — bounded by the live pair cardinality, never |events| — then a
+    * |groups|-bounded recount. At 100 TB the pair table is the persisted
+    * incremental state; each batch touches only its delta's pairs. */
+  def distinctCount(events: DataFrame, groupCol: String, valueCol: String,
+                    allowNullableFallback: Boolean = false): DataFrame = {
+    val hasChangedCols = events.columns.contains("changed_cols")
+    require(hasChangedCols || allowNullableFallback,
+      "distinctCount: events carry no `changed_cols` column; see " +
+        "sumCount's rationale — decode with RowDecoder.changeEvents or " +
+        "opt in with allowNullableFallback = true for NOT NULL columns.")
+    def after(c: String): Column = col(s"after.$c")
+    def before(c: String): Column =
+      if (hasChangedCols)
+        when(col("changed_cols").isNull,
+             raise_error(concat(
+               lit("IncrementalAgg.distinctCount: update event with NULL " +
+                   "changed_cols (raw `old` missing or malformed JSON) — " +
+                   "exact retraction impossible; event ts="),
+               col("ts").cast("string"))))
+          .when(array_contains(col("changed_cols"), c), col(s"before.$c"))
+          .otherwise(col(s"after.$c"))
+      else coalesce(col(s"before.$c"), col(s"after.$c"))
+    def delta(g: Column, v: Column, sign: Int): Column =
+      struct(g.as("g"), v.as("v"), lit(sign.toLong).as("dc"))
+    val known = events.filter(col("op").isin("insert", "delete", "update"))
+    val deltas = known.select(explode(
+        when(col("op") === "insert",
+          array(delta(after(groupCol), after(valueCol), 1)))
+        .when(col("op") === "delete",
+          array(delta(after(groupCol), after(valueCol), -1)))
+        .otherwise(
+          array(delta(before(groupCol), before(valueCol), -1),
+                delta(after(groupCol), after(valueCol), 1)))).as("d"))
+      .select(col("d.*"))
+      .filter(col("v").isNotNull) // NULLs never count toward distinct
+    deltas
+      .groupBy(col("g"), col("v"))
+      .agg(sum(col("dc")).as("net"))
+      .filter(col("net") > 0)
+      .groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as(s"n_distinct_$valueCol"))
+  }
 }

@@ -157,6 +157,17 @@ object CdcQueries {
         .orderBy(col("key"))
     }),
 
+    // Incremental COUNT(DISTINCT) maintenance: distinct customers per
+    // status from changelog deltas alone — the aggregate sketches cannot
+    // maintain under deletes (HLL is not subtractable); exact via net
+    // per-(group, value) multiplicities (see IncrementalAgg.distinctCount).
+    "cdc_distinct_view" -> ((s, dir) =>
+      graft.cdc.IncrementalAgg.distinctCount(
+          ChangelogGen.ordersChangeEvents(s, dir),
+          groupCol = "o_orderstatus", valueCol = "o_custkey")
+        .withColumnRenamed("n_distinct_o_custkey", "n_cust")
+        .orderBy(col("o_orderstatus"))),
+
     // Incremental TOP-K view maintenance: 3 most expensive live orders
     // per status, kept current across three replay windows by
     // delta-restricted re-ranking (only statuses the batch touched are
@@ -294,6 +305,10 @@ object CdcQueries {
         |  UNION ALL
         |  SELECT 'o_shard', n_drift, false FROM n)
         |ORDER BY key""".stripMargin,
+    "cdc_distinct_view" ->
+      s"""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+        |FROM ($expectedStateSql)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "cdc_topk_view" ->
       s"""SELECT o_orderstatus, CAST(rk AS INT) AS rk, o_orderkey,
         |  o_totalprice

@@ -207,6 +207,31 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("IncrementalAgg.distinctCount survives deletes and value moves") {
+    // two keys share value 'a' in one group; deleting ONE must not drop
+    // the distinct value (multiplicity 2 -> 1), deleting BOTH must; a
+    // value-moving update retracts the old value pair exactly
+    def ev(op: String, ts: Long, id: Long, name: String,
+           old: Option[String] = None) = {
+      val o = old.map(v => s""","old":{"entity_name":${
+        if (v == null) "null" else s""""$v""""}}""").getOrElse("")
+      s"""{"database":"deal_test","table":"deals","type":"$op","ts":$ts,"data":{"id":$id,"entity_name":"$name","score":1.0}$o}"""
+    }
+    val events = RowDecoder.changeEvents(parse(
+      ev("insert", 1, 1, "a"), ev("insert", 2, 2, "a"),
+      ev("insert", 3, 3, "b"),
+      ev("delete", 4, 1, "a"),                  // a survives via id=2
+      ev("update", 5, 3, "c", Some("b")),       // b -> c
+      ev("delete", 6, 2, "a")),                 // a now gone
+      dealsSpec)
+    // distinct names per (constant) score group via the exact
+    // changed_cols path: pairs a and b net to zero, only c survives
+    val exact = IncrementalAgg.distinctCount(events, "score", "name")
+      .collect().map(r => (r.getAs[Double]("score"),
+                           r.getAs[Long]("n_distinct_name"))).toSet
+    assert(exact == Set((1.0, 1L))) // only 'c' remains distinct
+  }
+
   test("quirk Q4: delete carries the row image in after") {
     val ev = RowDecoder.changeEvents(parse(deleteJson), dealsSpec).collect()(0)
     assert(ev.getAs[String]("op") == "delete")

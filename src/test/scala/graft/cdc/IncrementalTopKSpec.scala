@@ -81,6 +81,32 @@ class IncrementalTopKSpec extends SparkSpec {
     view.unpersist()
   }
 
+  test("random insert/delete logs: batched replay equals one-shot (scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val genEv = for {
+      op <- Gen.frequency(3 -> "insert", 1 -> "delete")
+      id <- Gen.choose(1L, 15L)
+      grp <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0, 1000).map(_ / 10.0)
+    } yield (op, id, grp, v)
+    (0 until 5).foreach { trial =>
+      val raw = Gen.listOfN(40, genEv)
+        .apply(Gen.Parameters.default, Seed(7L + trial)).get
+      // ts = position: unique, monotone — LWW order is the list order
+      val evDf = raw.zipWithIndex.map { case ((op, id, g, v), i) =>
+        (op, i.toLong, i.toLong, null.asInstanceOf[TopKImg],
+         TopKImg(id, g, v), null.asInstanceOf[Seq[String]])
+      }.toDF("op", "ts", "seq", "before", "after", "changed_cols")
+        .localCheckpoint()
+      val batched = IncrementalTopK.replay(evDf, cuts = Seq(13L, 27L),
+          pk = Seq("id"), groupCol = "grp", orderCol = "v", k = 2)
+        .select(col("grp"), col("rk"), col("id"), col("v"))
+      assertSame(batched, recompute(evDf, k = 2))
+    }
+  }
+
   test("replay leaves the caller session's AQE conf untouched") {
     val before = spark.conf.get("spark.sql.adaptive.enabled")
     replayed(Seq(10L), k = 2).count()
