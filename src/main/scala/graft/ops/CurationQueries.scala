@@ -192,6 +192,46 @@ object CurationQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // token-budget corpus selection: rank docs by quality (here the
+    // alpha-ratio heuristic), keep the best until the running token
+    // total exceeds the budget — "give me the best 10k tokens". The
+    // running sum is computed WITHOUT a single-partition global window:
+    // value-range buckets over the (rounded) score give per-bucket
+    // totals whose descending prefix (a constant-size driver fold over
+    // <= 21 rows) offsets per-BUCKET windows — the distributed
+    // prefix-sum shape that survives any corpus size, since every
+    // window partition is one score bucket.
+    "q_select_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 10000L
+      val d = docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        coalesce(round(TextAnalysis.alphaRatio(col("text")), 6), lit(0.0))
+          .as("score"))
+      val bucketed = d.withColumn("bkt",
+        floor(col("score") * 20).cast("int")).localCheckpoint(false)
+      // bucket totals -> descending-prefix offsets, driver-side (<= 21
+      // rows — constant-size, like the bloom filter's ship-to-tasks)
+      val totals = bucketed.groupBy(col("bkt"))
+        .agg(sum(col("n_tokens")).as("t"))
+        .collect().map(r => r.getAs[Int]("bkt") -> r.getAs[Long]("t"))
+        .sortBy(-_._1)
+      val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) =>
+        (b, acc + t)
+      }.tail.zip(totals).map { case ((b, cumEnd), (_, t)) =>
+        (b, cumEnd - t) // offset = tokens in strictly-higher buckets
+      }
+      val offDf = s.createDataFrame(offsets.toSeq).toDF("bkt", "offset")
+      val wIn = Window.partitionBy(col("bkt"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      bucketed.join(broadcast(offDf), "bkt")
+        .withColumn("cum", col("offset") + sum(col("n_tokens")).over(wIn))
+        .filter(col("cum") <= budget)
+        .select(col("doc_id"), col("n_tokens"), col("score"), col("cum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // semantic dedup END-TO-END: cosine-threshold edges over the
     // embedding corpus -> connected components -> min-id representative
     // per cluster (the rows a dedup pass would keep). Edge generation
@@ -371,6 +411,21 @@ object CurationQueries {
         |                AS INT) AS VARCHAR)), ',') || ']' AS w1000
         |FROM x CROSS JOIN packed
         |ORDER BY vec_id""".stripMargin,
+    "q_select_budget" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        |    coalesce(round(
+        |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |           AS DOUBLE) / nullif(length(text), 0), 6), 0) AS score
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, score,
+        |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+        |         AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT doc_id, n_tokens, score, cum FROM c
+        |WHERE cum <= 10000 ORDER BY doc_id""".stripMargin,
     "q_dedup_semantic" ->
       """WITH RECURSIVE
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

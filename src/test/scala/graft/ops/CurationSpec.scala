@@ -110,6 +110,24 @@ class CurationSpec extends SparkSpec {
       s"probe set should broadcast:\n$plan")
   }
 
+  test("q_select_budget: prefix of the quality order, within budget") {
+    val out = run("q_select_budget").cache()
+    assert(out.count() > 0)
+    // the running total never exceeds the budget
+    assert(out.agg(max(col("cum"))).collect()(0).getLong(0) <= 10000L)
+    // selection is a PREFIX of the (score desc, doc_id) order: no
+    // unselected doc outscores a selected one
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+              coalesce(round(graft.text.TextAnalysis
+                .alphaRatio(col("text")), 6), lit(0.0)).as("score"))
+    val unselected = docs.join(out.select("doc_id"), Seq("doc_id"),
+                               "left_anti")
+    val minSel = out.agg(min(col("score"))).collect()(0).getDouble(0)
+    assert(unselected.filter(col("score") > minSel).count() == 0)
+    out.unpersist()
+  }
+
   test("q_dedup_semantic: reps are cluster minima, edges never cross clusters") {
     val out = run("q_dedup_semantic").cache()
     // the min-label invariant: every cluster's label is its min member
