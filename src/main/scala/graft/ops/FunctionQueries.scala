@@ -217,6 +217,34 @@ object FunctionQueries {
         .orderBy(col("o_orderstatus"), col("rk"))
     }),
 
+    // sequential funnel (product-analytics staple): users who viewed,
+    // then clicked AFTER the view, then purchased AFTER the click —
+    // strictly ordered steps, not mere co-occurrence. Each step is one
+    // aggregate + one equi-join, ALL keyed on user_id: the shuffle key
+    // never changes, so the per-user partitioning is planned once and
+    // reused across the whole chain; step timestamps compare in exact
+    // integer microseconds.
+    "q_event_funnel" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("us"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+        .filter(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+        .filter(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      def c(stage: Int, step: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(stage).as("stage"), lit(step).as("step"),
+                  col("n_users"))
+      c(1, "view", t1).unionByName(c(2, "click", t2))
+        .unionByName(c(3, "purchase", t3))
+        .orderBy(col("stage"))
+    }),
+
     // tumbling event-time window (batch form of the streaming agg)
     "q_time_window" -> ((s, dir) =>
       load(s, dir, "events")
@@ -392,6 +420,20 @@ object FunctionQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) t
         |WHERE rk <= 3 ORDER BY o_orderstatus, rk""".stripMargin,
+    "q_event_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+        |SELECT stage, step, n_users FROM (
+        |  SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM t1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM t2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM t3)
+        |ORDER BY stage""".stripMargin,
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value

@@ -128,6 +128,16 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q_select_budget plan: no single-partition exchange (bucketed windows)") {
+    // the whole point of the bucket+offset construction is that the
+    // cumulative sum never funnels the corpus through one partition
+    val plan = run("q_select_budget").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"budget selection must not single-partition the corpus:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"bucket offsets should broadcast:\n$plan")
+  }
+
   test("q_dedup_semantic: reps are cluster minima, edges never cross clusters") {
     val out = run("q_dedup_semantic").cache()
     // the min-label invariant: every cluster's label is its min member

@@ -7,6 +7,25 @@ import org.apache.spark.sql.functions._
   * event log (a 30-min gap continues the session, >30 min breaks it). */
 class WindowOpsSpec extends SparkSpec {
 
+  test("event funnel: ordered steps, monotone non-increasing stage counts") {
+    import spark.implicits._
+    val t0 = 1700000000L
+    // user 1 completes the funnel in order; user 2 clicks BEFORE viewing
+    // (click must not count); user 3 views only
+    val ev = Seq(
+      (1L, "view", t0), (1L, "click", t0 + 10), (1L, "purchase", t0 + 20),
+      (2L, "click", t0), (2L, "view", t0 + 10),
+      (3L, "view", t0)
+    ).toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+              timestamp_micros(col("us") * 1000000L).as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = FunctionQueries.queries("q_event_funnel")(spark, dir)
+      .collect().sortBy(_.getAs[Int]("stage"))
+    assert(out.map(_.getAs[Long]("n_users")).toSeq == Seq(3L, 1L, 1L))
+  }
+
   test("sessionize splits on >30min gaps, per user") {
     import spark.implicits._
     // user 1: events at t0, +10min, +40min (gap 30min exactly -> SAME
