@@ -245,6 +245,27 @@ object FunctionQueries {
         .orderBy(col("stage"))
     }),
 
+    // weekly cohort retention (the funnel's longitudinal sibling): cohort
+    // = ISO week of a user's FIRST event; cell (cohort, k) counts users
+    // active k weeks later. Scale shape: first-seen is one user-keyed
+    // aggregate; the events join is co-partitioned on the same key; the
+    // cell aggregate's count_distinct shuffles (cohort, k, user) with
+    // map-side partials — all shuffles bounded by |users| and |cells|.
+    "q_event_retention" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("user_id"),
+                date_trunc("week", col("ts")).cast("date").as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), col("cohort"),
+                floor(datediff(col("wk"), col("cohort")) / 7)
+                  .cast("int").as("k"))
+        .filter(col("k") <= 3)
+        .groupBy(col("cohort"), col("k"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort"), col("k"))
+    }),
+
     // tumbling event-time window (batch form of the streaming agg)
     "q_time_window" -> ((s, dir) =>
       load(s, dir, "events")
@@ -420,6 +441,18 @@ object FunctionQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) t
         |WHERE rk <= 3 ORDER BY o_orderstatus, rk""".stripMargin,
+    "q_event_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |first AS (SELECT user_id, min(wk) AS cohort FROM e
+        |          GROUP BY user_id)
+        |SELECT cohort, CAST(floor(datediff('day', cohort, wk) / 7) AS INT)
+        |         AS k,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM e JOIN first USING (user_id)
+        |WHERE floor(datediff('day', cohort, wk) / 7) <= 3
+        |GROUP BY 1, 2 ORDER BY cohort, k""".stripMargin,
     "q_event_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
