@@ -107,6 +107,58 @@ class IncrementalTopKSpec extends SparkSpec {
     }
   }
 
+  test("distinctCount: random valid changelogs equal recompute (scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // generate SEMANTICALLY VALID logs: inserts only for absent keys,
+    // updates/deletes only for present ones, update `before` = the key's
+    // current image with changed_cols listing real differences — the
+    // changelog contract distinctCount's exact retraction relies on
+    val genCmd = for {
+      id <- Gen.choose(1L, 12L)
+      grp <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0, 9).map(_.toDouble)
+      kind <- Gen.choose(0, 2)
+    } yield (kind, id, grp, v)
+    (0 until 5).foreach { trial =>
+      val cmds = Gen.listOfN(50, genCmd)
+        .apply(Gen.Parameters.default, Seed(99L + trial)).get
+      var live = Map.empty[Long, TopKImg]
+      val evs = cmds.zipWithIndex.flatMap { case ((kind, id, g, v), i) =>
+        val ts = i.toLong
+        live.get(id) match {
+          case None if kind == 0 => // insert
+            live += id -> TopKImg(id, g, v)
+            Some(("insert", ts, ts, null.asInstanceOf[TopKImg],
+                  TopKImg(id, g, v), null.asInstanceOf[Seq[String]]))
+          case Some(cur) if kind == 1 => // delete (image rides in after)
+            live -= id
+            Some(("delete", ts, ts, null.asInstanceOf[TopKImg], cur,
+                  null.asInstanceOf[Seq[String]]))
+          case Some(cur) if kind == 2 => // update with true before image
+            val next = TopKImg(id, g, v)
+            val changed = Seq("grp" -> (cur.grp != g), "v" -> (cur.v != v))
+              .collect { case (c, true) => c }
+            live += id -> next
+            if (changed.isEmpty) None
+            else Some(("update", ts, ts, cur, next, changed))
+          case _ => None
+        }
+      }
+      val evDf = evs.toDF("op", "ts", "seq", "before", "after",
+                          "changed_cols")
+      val got = IncrementalAgg.distinctCount(evDf, "grp", "v")
+        .collect()
+        .map(r => r.getAs[String]("grp") -> r.getAs[Long]("n_distinct_v"))
+        .toMap
+      val want = live.values.groupBy(_.grp)
+        .map { case (g, rows) => g -> rows.map(_.v).toSet.size.toLong }
+        .filter(_._2 > 0)
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
   test("replay leaves the caller session's AQE conf untouched") {
     val before = spark.conf.get("spark.sql.adaptive.enabled")
     replayed(Seq(10L), k = 2).count()
