@@ -39,14 +39,19 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
-  /** SUM(valueCol) + COUNT(*) per groupCol, from change events alone. */
-  def sumCount(events: DataFrame, groupCol: String, valueCol: String,
-               prune: Boolean = true,
-               valueCast: Column => Column = identity,
-               allowNullableFallback: Boolean = false): DataFrame = {
+  /** The changelog-decoding scaffolding shared by every maintained
+    * aggregate: validates the exactness contract, resolves Q3 partial
+    * `before` images, and explodes each event into its ±1 delta structs
+    * (built by `payload(group, value, sign)`). ONE copy, so a fix to the
+    * Q3/Q4 discipline lands in every aggregate at once. */
+  private def changeDeltas(events: DataFrame, fn: String,
+                           groupCol: String, valueCol: String,
+                           allowNullableFallback: Boolean)
+                          (payload: (Column, Column, Int) => Column)
+      : DataFrame = {
     val hasChangedCols = events.columns.contains("changed_cols")
     require(hasChangedCols || allowNullableFallback,
-      "sumCount: events carry no `changed_cols` column; the coalesce " +
+      s"$fn: events carry no `changed_cols` column; the coalesce " +
         "backfill for partial `before` images misattributes retract " +
         "deltas when the grouped/aggregated columns are nullable. Decode " +
         "with RowDecoder.changeEvents (which emits changed_cols), or opt " +
@@ -62,7 +67,7 @@ object IncrementalAgg {
         // that actually take it.
         when(col("changed_cols").isNull,
              raise_error(concat(
-               lit("IncrementalAgg.sumCount: update event with NULL " +
+               lit(s"IncrementalAgg.$fn: update event with NULL " +
                    "changed_cols (raw `old` missing or malformed JSON) — " +
                    "exact retraction impossible; event ts="),
                col("ts").cast("string"))))
@@ -70,21 +75,30 @@ object IncrementalAgg {
           .when(array_contains(col("changed_cols"), c), col(s"before.$c"))
           .otherwise(col(s"after.$c"))
       else coalesce(col(s"before.$c"), col(s"after.$c")) // NOT NULL only
-    def delta(g: Column, v: Column, sign: Int): Column =
-      struct(g.as("g"), (valueCast(v) * sign).as("dv"),
-             lit(sign.toLong).as("dc"))
     // unknown op types (Maxwell bootstrap-* rows etc.) carry no delta —
     // drop them rather than letting them fall into the update branch
-    val known = events.filter(col("op").isin("insert", "delete", "update"))
-    val deltas = known.select(explode(
+    events.filter(col("op").isin("insert", "delete", "update"))
+      .select(explode(
         when(col("op") === "insert",
-          array(delta(after(groupCol), after(valueCol), 1)))
+          array(payload(after(groupCol), after(valueCol), 1)))
         .when(col("op") === "delete",
-          array(delta(after(groupCol), after(valueCol), -1)))
+          array(payload(after(groupCol), after(valueCol), -1)))
         .otherwise( // update: retract old, apply new
-          array(delta(before(groupCol), before(valueCol), -1),
-                delta(after(groupCol), after(valueCol), 1)))).as("d"))
+          array(payload(before(groupCol), before(valueCol), -1),
+                payload(after(groupCol), after(valueCol), 1)))).as("d"))
       .select(col("d.*"))
+  }
+
+  /** SUM(valueCol) + COUNT(*) per groupCol, from change events alone. */
+  def sumCount(events: DataFrame, groupCol: String, valueCol: String,
+               prune: Boolean = true,
+               valueCast: Column => Column = identity,
+               allowNullableFallback: Boolean = false): DataFrame = {
+    val deltas = changeDeltas(events, "sumCount", groupCol, valueCol,
+        allowNullableFallback) { (g, v, sign) =>
+      struct(g.as("g"), (valueCast(v) * sign).as("dv"),
+             lit(sign.toLong).as("dc"))
+    }
     val agg = deltas
       .groupBy(col("g").as(groupCol))
       .agg(sum(col("dv")).as(s"sum_$valueCol"), sum(col("dc")).as("n_rows"))
@@ -96,50 +110,40 @@ object IncrementalAgg {
     * (HLL is not subtractable). The classical exact plan: keep net
     * multiplicities per (group, value) pair, count the pairs with net
     * multiplicity > 0. Events contribute ±1 pair deltas exactly like
-    * [[sumCount]] (same Q3/Q4 partial-`before` discipline); NULL values
-    * carry no delta, matching SQL's count-distinct-ignores-nulls.
+    * [[sumCount]] (same Q3/Q4 partial-`before` discipline). NULL values
+    * form no pair (SQL's count-distinct ignores NULLs), but a group whose
+    * live rows are ALL null-valued still reports 0 — matching
+    * `COUNT(DISTINCT v) ... GROUP BY g` over the live state exactly, so
+    * the row-count delta rides along to keep live groups visible.
     *
     * Scale shape: ONE shuffle on (group, value) with map-side partial
     * sums — bounded by the live pair cardinality, never |events| — then a
-    * |groups|-bounded recount. At 100 TB the pair table is the persisted
-    * incremental state; each batch touches only its delta's pairs. */
+    * |groups|-bounded recount joined to the |groups|-bounded liveness
+    * roll-up. At 100 TB the pair table is the persisted incremental
+    * state; each batch touches only its delta's pairs. */
   def distinctCount(events: DataFrame, groupCol: String, valueCol: String,
                     allowNullableFallback: Boolean = false): DataFrame = {
-    val hasChangedCols = events.columns.contains("changed_cols")
-    require(hasChangedCols || allowNullableFallback,
-      "distinctCount: events carry no `changed_cols` column; see " +
-        "sumCount's rationale — decode with RowDecoder.changeEvents or " +
-        "opt in with allowNullableFallback = true for NOT NULL columns.")
-    def after(c: String): Column = col(s"after.$c")
-    def before(c: String): Column =
-      if (hasChangedCols)
-        when(col("changed_cols").isNull,
-             raise_error(concat(
-               lit("IncrementalAgg.distinctCount: update event with NULL " +
-                   "changed_cols (raw `old` missing or malformed JSON) — " +
-                   "exact retraction impossible; event ts="),
-               col("ts").cast("string"))))
-          .when(array_contains(col("changed_cols"), c), col(s"before.$c"))
-          .otherwise(col(s"after.$c"))
-      else coalesce(col(s"before.$c"), col(s"after.$c"))
-    def delta(g: Column, v: Column, sign: Int): Column =
+    val deltas = changeDeltas(events, "distinctCount", groupCol, valueCol,
+        allowNullableFallback) { (g, v, sign) =>
       struct(g.as("g"), v.as("v"), lit(sign.toLong).as("dc"))
-    val known = events.filter(col("op").isin("insert", "delete", "update"))
-    val deltas = known.select(explode(
-        when(col("op") === "insert",
-          array(delta(after(groupCol), after(valueCol), 1)))
-        .when(col("op") === "delete",
-          array(delta(after(groupCol), after(valueCol), -1)))
-        .otherwise(
-          array(delta(before(groupCol), before(valueCol), -1),
-                delta(after(groupCol), after(valueCol), 1)))).as("d"))
-      .select(col("d.*"))
-      .filter(col("v").isNotNull) // NULLs never count toward distinct
-    deltas
+    }
+    val pairs = deltas.filter(col("v").isNotNull)
       .groupBy(col("g"), col("v"))
       .agg(sum(col("dc")).as("net"))
       .filter(col("net") > 0)
-      .groupBy(col("g").as(groupCol))
-      .agg(count(lit(1)).as(s"n_distinct_$valueCol"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_distinct"))
+    // group liveness from ALL deltas (null values included): a live
+    // group with only null values must still appear, with count 0
+    val liveGroups = deltas.groupBy(col("g"))
+      .agg(sum(col("dc")).as("n_rows"))
+      .filter(col("n_rows") > 0)
+    // null-safe group join: NULL is a legitimate GROUP BY group, and a
+    // null-unsafe join would zero its count even when it has live values
+    liveGroups.alias("__lg")
+      .join(pairs.alias("__p"), col("__lg.g") <=> col("__p.g"), "left")
+      .select(col("__lg.g").as(groupCol),
+              coalesce(col("n_distinct"), lit(0L))
+                .as(s"n_distinct_$valueCol"))
   }
 }

@@ -213,8 +213,7 @@ class CdcSpec extends SparkSpec {
     // value-moving update retracts the old value pair exactly
     def ev(op: String, ts: Long, id: Long, name: String,
            old: Option[String] = None) = {
-      val o = old.map(v => s""","old":{"entity_name":${
-        if (v == null) "null" else s""""$v""""}}""").getOrElse("")
+      val o = old.map(v => s""","old":{"entity_name":"$v"}""").getOrElse("")
       s"""{"database":"deal_test","table":"deals","type":"$op","ts":$ts,"data":{"id":$id,"entity_name":"$name","score":1.0}$o}"""
     }
     val events = RowDecoder.changeEvents(parse(

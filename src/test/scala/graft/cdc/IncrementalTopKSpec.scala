@@ -85,20 +85,37 @@ class IncrementalTopKSpec extends SparkSpec {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     import spark.implicits._
-    val genEv = for {
-      op <- Gen.frequency(3 -> "insert", 1 -> "delete")
+    val genCmd = for {
+      kind <- Gen.frequency(3 -> 0, 1 -> 1)
       id <- Gen.choose(1L, 15L)
       grp <- Gen.oneOf("a", "b", "c")
       v <- Gen.choose(0, 1000).map(_ / 10.0)
-    } yield (op, id, grp, v)
+    } yield (kind, id, grp, v)
     (0 until 5).foreach { trial =>
-      val raw = Gen.listOfN(40, genEv)
+      val cmds = Gen.listOfN(40, genCmd)
         .apply(Gen.Parameters.default, Seed(7L + trial)).get
-      // ts = position: unique, monotone — LWW order is the list order
-      val evDf = raw.zipWithIndex.map { case ((op, id, g, v), i) =>
-        (op, i.toLong, i.toLong, null.asInstanceOf[TopKImg],
-         TopKImg(id, g, v), null.asInstanceOf[Seq[String]])
-      }.toDF("op", "ts", "seq", "before", "after", "changed_cols")
+      // CONTRACT-VALID log only (same discipline as the distinctCount
+      // generator below): inserts for absent keys, deletes carrying the
+      // key's TRUE image (Q4) — touchedGroups relies on delete images
+      // naming the row's real group, so a random image would test a log
+      // no CDC source produces
+      var live = Map.empty[Long, TopKImg]
+      val evs = cmds.zipWithIndex.flatMap { case ((kind, id, g, v), i) =>
+        val ts = i.toLong
+        live.get(id) match {
+          case None if kind == 0 =>
+            live += id -> TopKImg(id, g, v)
+            Some(("insert", ts, ts, null.asInstanceOf[TopKImg],
+                  TopKImg(id, g, v), null.asInstanceOf[Seq[String]]))
+          case Some(cur) if kind == 1 =>
+            live -= id
+            Some(("delete", ts, ts, null.asInstanceOf[TopKImg], cur,
+                  null.asInstanceOf[Seq[String]]))
+          case _ => None
+        }
+      }
+      val evDf = evs
+        .toDF("op", "ts", "seq", "before", "after", "changed_cols")
         .localCheckpoint()
       val batched = IncrementalTopK.replay(evDf, cuts = Seq(13L, 27L),
           pk = Seq("id"), groupCol = "grp", orderCol = "v", k = 2)
