@@ -231,6 +231,20 @@ class CdcSpec extends SparkSpec {
     assert(exact == Set((1.0, 1L))) // only 'c' remains distinct
   }
 
+  test("distinctCount: a live group whose values are all NULL reports 0") {
+    // matches COUNT(DISTINCT v) GROUP BY g over the live state — the
+    // group EXISTS with count 0, it must not vanish from the view
+    val onlyNull =
+      """{"database":"deal_test","table":"deals","type":"insert","ts":1,"data":{"id":1,"entity_name":null,"score":5.0}}"""
+    val withVal =
+      """{"database":"deal_test","table":"deals","type":"insert","ts":2,"data":{"id":2,"entity_name":"x","score":7.0}}"""
+    val events = RowDecoder.changeEvents(parse(onlyNull, withVal), dealsSpec)
+    val out = IncrementalAgg.distinctCount(events, "score", "name")
+      .collect().map(r => (r.getAs[Double]("score"),
+                           r.getAs[Long]("n_distinct_name"))).toSet
+    assert(out == Set((5.0, 0L), (7.0, 1L)))
+  }
+
   test("quirk Q4: delete carries the row image in after") {
     val ev = RowDecoder.changeEvents(parse(deleteJson), dealsSpec).collect()(0)
     assert(ev.getAs[String]("op") == "delete")
