@@ -7,6 +7,21 @@ import org.apache.spark.sql.functions._
   * bucketed (shuffle-free) joins. */
 class ScaleSpec extends SparkSpec {
 
+  test("hive-partitioned layout prunes at planning time (PartitionFilters)") {
+    // the 100 TB data-layout story: a corpus written partitionBy(lang)
+    // answers per-language queries by LISTING only matching directories
+    // — the filter must land in the scan's PartitionFilters, leaving no
+    // post-scan Filter on lang and reading rows of ONE language only
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must prune partitions:\n$scan")
+    assert(q.count() == docs.filter(col("lang") === "en").count())
+  }
+
   test("saltedAgg equals direct groupBy (sum/count/min/max)") {
     val li = graft.Tables.load(spark, sfDir, "lineitem")
     val direct = li.groupBy(col("l_returnflag"))
