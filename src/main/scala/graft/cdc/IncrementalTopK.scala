@@ -36,9 +36,15 @@ object IncrementalTopK {
   /** Maintained state: tombstone-aware base rows + the current view. */
   final case class State(state: DataFrame, view: DataFrame)
 
-  /** Per-group top-k by orderCol DESC, pk ASC as deterministic tiebreak. */
+  /** Per-group top-k by orderCol DESC, pk ASC as deterministic tiebreak.
+    * `rk` is part of the VIEW's public schema (rank within group), so the
+    * input image must not already carry one — a silent overwrite here
+    * would corrupt rows passed through untouched/unionByName later. */
   def topK(liveRows: DataFrame, pk: Seq[String], groupCol: String,
            orderCol: String, k: Int): DataFrame = {
+    require(!liveRows.columns.contains("rk"),
+      "IncrementalTopK: the row image already has an `rk` column, which " +
+        "collides with the view's rank column; rename it upstream")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(orderCol).desc +: pk.map(c => col(c).asc): _*)
     liveRows.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -46,53 +52,87 @@ object IncrementalTopK {
 
   /** Groups the batch touches: after-group of every event, plus the
     * before-group of updates that MOVED the row (groupCol ∈
-    * changed_cols). Collected once as a LocalRelation — |touched| <=
-    * 2|Δ| and every use broadcasts it (JoinView.localKeys rationale). */
-  private def touchedGroups(delta: DataFrame, groupCol: String): DataFrame = {
+    * changed_cols). Under the cap the distinct set is collected once as
+    * a LocalRelation — |touched| <= 2|Δ| and every use broadcasts it
+    * (JoinView.localKeys rationale); above it (catch-up batch over a
+    * backlog) the distinct set stays cluster-side, lazily pinned, and
+    * the group joins run unhinted (returned Boolean = isLocal).
+    *
+    * An update whose raw `old` was NULL/malformed decodes to NULL
+    * `changed_cols`; on this exact path that must FAIL, not silently
+    * evaluate as "group unchanged" — if the update actually moved the
+    * row's group, the old group would never be re-ranked and a stale row
+    * would sit in the view under both groups. Same discipline as
+    * IncrementalAgg.changeDeltas (the two maintainers share the
+    * exactness contract). */
+  private def touchedGroups(delta: DataFrame, groupCol: String,
+                            cap: Int): (DataFrame, Boolean) = {
     val hasChangedCols = delta.columns.contains("changed_cols")
     val afterG = delta.select(col(s"after.$groupCol").as(groupCol))
     val beforeG =
       if (hasChangedCols)
-        delta.filter(col("op") === "update" &&
-                     array_contains(col("changed_cols"), groupCol))
-          .select(col(s"before.$groupCol").as(groupCol))
+        delta.filter(col("op") === "update")
+          .select(
+            when(col("changed_cols").isNull,
+                 raise_error(concat(
+                   lit("IncrementalTopK: update event with NULL " +
+                       "changed_cols (raw `old` missing or malformed " +
+                       "JSON) — exact group re-ranking impossible; " +
+                       "event ts="),
+                   col("ts").cast("string"))))
+              .when(array_contains(col("changed_cols"), groupCol),
+                    col(s"before.$groupCol"))
+              // group not in changed_cols -> after-group (already in
+              // afterG; the distinct below drops the duplicate)
+              .otherwise(col(s"after.$groupCol")).as(groupCol))
       else delta.filter(col("op") === "update")
         .select(coalesce(col(s"before.$groupCol"),
                          col(s"after.$groupCol")).as(groupCol))
-    val sel = afterG.unionByName(beforeG)
     // distinct BEFORE the collect: the driver materializes |groups| rows,
     // not |Δ| (an AvailableNow catch-up batch can be the whole backlog)
-    val rows = sel.distinct().collect().toSeq
-    delta.sparkSession.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sel.schema)
+    val sel = afterG.unionByName(beforeG).distinct()
+    val rows = sel.limit(cap + 1).collect().toSeq
+    if (rows.size > cap) (sel.localCheckpoint(false), false)
+    else (delta.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      sel.schema), true)
   }
 
   /** Delta's primary-key set as a driver-local LocalRelation, handed to
     * Materializer.merge so its anti/semi key joins broadcast with no
-    * cluster-side build job per batch (JoinView.localKeys rationale). */
-  private def localKeys(delta: DataFrame, pk: Seq[String]): DataFrame = {
+    * cluster-side build job per batch (JoinView.localKeys rationale).
+    * None above the cap — merge then derives the key set cluster-side
+    * and its unhinted joins degrade to shuffles instead of collecting an
+    * unbounded backlog's keys onto the driver. */
+  private def localKeys(delta: DataFrame, pk: Seq[String],
+                        cap: Int): Option[DataFrame] = {
     val sel = delta.select(pk.map(c => col(s"after.$c").as(c)): _*).distinct()
-    val rows = sel.collect().toSeq
-    delta.sparkSession.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sel.schema)
+    val rows = sel.limit(cap + 1).collect().toSeq
+    if (rows.size > cap) None
+    else Some(delta.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sel.schema))
   }
 
   /** One micro-batch step: merge the delta into the tombstone-aware state
     * and re-rank ONLY the touched groups. Runs in whatever session the
     * input frames belong to; callers own pinning and conf discipline. */
   def applyBatch(st: State, delta: DataFrame, pk: Seq[String],
-                 groupCol: String, orderCol: String, k: Int): State = {
-    val tg = touchedGroups(delta, groupCol)
+                 groupCol: String, orderCol: String, k: Int,
+                 maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
+    val (tg, tgLocal) = touchedGroups(delta, groupCol, maxLocalKeys)
     // null-safe group joins (mirroring Materializer.merge's key joins):
     // a decode failure can yield a NULL group, and a null-unsafe
     // anti/semi pair would park those rows in the view forever while
-    // also never re-ranking them
-    def byGroup(left: DataFrame, how: String): DataFrame =
-      left.alias("__l").join(broadcast(tg.alias("__tg")),
+    // also never re-ranking them. Broadcast hint only when the touched
+    // set is a driver-local under-cap relation.
+    def byGroup(left: DataFrame, how: String): DataFrame = {
+      val tgA = tg.alias("__tg")
+      left.alias("__l").join(if (tgLocal) broadcast(tgA) else tgA,
         col(s"__l.$groupCol") <=> col(s"__tg.$groupCol"), how)
+    }
     val untouched = byGroup(st.view, "left_anti")
     val nextState = Materializer.merge(st.state, delta, pk,
-        changedKeys = Some(localKeys(delta, pk)))
+        changedKeys = localKeys(delta, pk, maxLocalKeys))
       .localCheckpoint(false)
     val recomputed = topK(byGroup(Materializer.liveView(nextState),
                                   "left_semi"),
@@ -107,7 +147,8 @@ object IncrementalTopK {
     * tiebreak. */
   def replay(events: DataFrame, cuts: Seq[Long], pk: Seq[String],
              groupCol: String, orderCol: String, k: Int,
-             batchShufflePartitions: Int = 8): DataFrame = {
+             batchShufflePartitions: Int = 8,
+             maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): DataFrame = {
     val parent = events.sparkSession
     val child = parent.newSession()
     child.conf.set("spark.sql.adaptive.enabled", "false")
@@ -131,7 +172,7 @@ object IncrementalTopK {
     val fin = bounds.foldLeft(State(stateSchema, emptyView)) {
       case (st, (lo, hi)) =>
         applyBatch(st, pinned.filter(col("ts") > lo && col("ts") <= hi),
-                   pk, groupCol, orderCol, k)
+                   pk, groupCol, orderCol, k, maxLocalKeys)
     }
     org.apache.spark.sql.graft.bridge.reRoot(fin.view, parent)
   }

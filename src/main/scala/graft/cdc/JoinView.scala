@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   * rebuild joins filter the big states down to delta-adjacent rows BEFORE
   * joining (semi/anti on broadcast key sets — scan-side, no shuffle of
   * the full state), so per-batch cost is O(|Δ| + |affected view rows|),
-  * never O(|L| + |R|). State and view are `localCheckpoint`ed each batch
+  * never O(|L| + |R|). The |Δ|-bounded contract is ENFORCED, not assumed:
+  * key collects are capped at `maxLocalKeys` distinct keys, and a batch
+  * that blows the cap (an AvailableNow catch-up over a giant backlog)
+  * degrades to fully-distributed key handling — cluster-side distincts,
+  * unhinted shuffle joins — instead of OOMing the driver.
+  * State and view are `localCheckpoint`ed each batch
   * to truncate the replay lineage — on a real cluster use reliable
   * `checkpoint` (or the parquet/JDBC generation swap in [[CdcStream]])
   * so recovery does not recompute the chain.
@@ -42,29 +47,54 @@ object JoinView {
   /** Tombstone-aware L/R states + the current view rows. */
   final case class State(left: DataFrame, right: DataFrame, view: DataFrame)
 
+  /** Ceiling on the per-batch changed-key count collected to the driver
+    * as a LocalRelation. A steady-state micro-batch is far below it; an
+    * AvailableNow catch-up batch draining a giant backlog is exactly the
+    * case that must NOT be collected — above the cap the maintainers
+    * fall back to fully-distributed key handling (cluster-side distinct
+    * + unhinted semi/anti joins, where the planner/AQE picks shuffle
+    * joins instead of force-broadcasting millions of keys). 100k keys ×
+    * a few dozen bytes ≈ single-digit MB of driver heap — comfortably
+    * collectable, comfortably broadcastable. */
+  val DefaultMaxLocalKeys: Int = 100000
+
   /** The batch's changed-key sets are |Δ|-bounded, and every downstream
     * use BROADCASTS them (they'd be collected to the driver anyway) — so
     * collect them once as a LocalRelation. Each broadcast of it then
     * builds driver-locally with NO cluster job, which matters for
     * micro-batch latency: a broadcast over a distributed frame serializes
-    * a build job into every step. */
-  private def localKeys(delta: DataFrame, keys: Seq[String]): DataFrame = {
+    * a build job into every step.
+    *
+    * CAPPED: collects at most `cap + 1` distinct keys; above `cap` the
+    * |Δ|-bounded contract is violated (catch-up batch over a backlog)
+    * and the answer is None — callers must run the distributed path
+    * rather than OOM the driver. */
+  private def localKeys(delta: DataFrame, keys: Seq[String],
+                        cap: Int): Option[DataFrame] = {
     val sel = delta.select(keys.map(k => col(s"after.$k").as(k)): _*)
-    val rows = sel.collect().distinct.toSeq
-    delta.sparkSession.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sel.schema)
+      .distinct() // cluster-side, so the limit below bounds the collect
+    val rows = sel.limit(cap + 1).collect().toSeq
+    if (rows.size > cap) None
+    else Some(delta.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sel.schema))
   }
 
   /** One micro-batch step. `viewCols` is the view projection (column
     * names from live(L) ++ live(R); must include `lPk` and `lJoinCols`).
     * `lJoinCols` is L's foreign key into R's primary key `rPk`, matched
     * positionally (`lJoinCols(i)` references `rPk(i)`). `keys` optionally
-    * carries pre-collected (changedL, changedR) LocalRelations (see
-    * [[localKeys]]); when absent they are collected from the deltas. */
+    * carries the pre-collected (changedL, changedR) key sets (see
+    * [[localKeys]] — each side is `Some(localRelation)` when under the
+    * cap, `None` when the batch blew it); when absent they are derived
+    * from the deltas under `maxLocalKeys`. A `None` side runs the
+    * DISTRIBUTED fallback: cluster-side distinct key set, no broadcast
+    * hints — per-batch cost degrades gracefully to a shuffle join
+    * instead of collecting an unbounded key set onto the driver. */
   def applyBatch(st: State, dl: DataFrame, dr: DataFrame,
                  lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
                  viewCols: Seq[String],
-                 keys: Option[(DataFrame, DataFrame)] = None): State = {
+                 keys: Option[(Option[DataFrame], Option[DataFrame])] = None,
+                 maxLocalKeys: Int = DefaultMaxLocalKeys): State = {
     require(rPk.size == lJoinCols.size,
       s"lJoinCols (${lJoinCols.mkString(",")}) must match rPk " +
         s"(${rPk.mkString(",")}) positionally")
@@ -87,8 +117,27 @@ object JoinView {
     // runs here — the whole replay materializes as one DAG at the first
     // action, where independent per-batch stages parallelize on the
     // scheduler itself rather than via driver-side futures.
-    val changedL = keys.map(_._1).getOrElse(localKeys(dl, lPk))
-    val changedR = keys.map(_._2).getOrElse(localKeys(dr, rPk))
+    // over-cap fallback: the same distinct key set, cluster-side, lazily
+    // pinned (it is scanned by the merge and three joins below — without
+    // the pin each use would redo the distinct shuffle)
+    def distributedKeys(delta: DataFrame, ks: Seq[String]): DataFrame =
+      delta.select(ks.map(k => col(s"after.$k").as(k)): _*)
+        .distinct().localCheckpoint(false)
+    val (changedL, lLocal) =
+      keys.map(_._1).getOrElse(localKeys(dl, lPk, maxLocalKeys)) match {
+        case Some(lk) => (lk, true)
+        case None     => (distributedKeys(dl, lPk), false)
+      }
+    val (changedR, rLocal) =
+      keys.map(_._2).getOrElse(localKeys(dr, rPk, maxLocalKeys)) match {
+        case Some(rk) => (rk, true)
+        case None     => (distributedKeys(dr, rPk), false)
+      }
+    // broadcast hints are only sound on the under-cap LocalRelation key
+    // sets; an over-cap side must stay unhinted so the planner/AQE picks
+    // a shuffle join rather than building a giant broadcast
+    def hinted(df: DataFrame, isLocal: Boolean): DataFrame =
+      if (isLocal) broadcast(df) else df
     val lNext = Materializer.merge(st.left, dl, lPk,
       changedKeys = Some(changedL)).localCheckpoint(false)
     val rNext = Materializer.merge(st.right, dr, rPk,
@@ -99,8 +148,8 @@ object JoinView {
     val changedRAsFk = changedR.select(
       rPk.zip(lJoinCols).map { case (r, l) => col(r).as(l) }: _*)
     val keep = st.view
-      .join(broadcast(changedL), lPk, "left_anti")
-      .join(broadcast(changedRAsFk), lJoinCols, "left_anti")
+      .join(hinted(changedL, lLocal), lPk, "left_anti")
+      .join(hinted(changedRAsFk, rLocal), lJoinCols, "left_anti")
     val liveL = Materializer.liveView(lNext)
     val liveR = Materializer.liveView(rNext)
     val joinCond = lJoinCols.zip(rPk)
@@ -112,14 +161,17 @@ object JoinView {
     // shuffles BOTH full states every batch; with it, neither state is
     // ever exchanged: per batch each live state is scanned (broadcast
     // semi/anti prune scan-side) and the join streams. Same |Δ|-bounded-
-    // batch contract that already justifies broadcasting the key sets;
-    // callers with giant backfill batches should split them (as [[replay]]
-    // does with cuts) rather than ship one huge delta.
-    val rebuiltL = broadcast(
-        liveL.join(broadcast(changedL), lPk, "left_semi"))
+    // batch contract that already justifies broadcasting the key sets —
+    // and the same cap: an over-cap side loses its hints along with its
+    // LocalRelation, so a giant backfill batch plans as ordinary
+    // distributed joins (callers wanting delta-bounded latency should
+    // still split backlogs, as [[replay]] does with cuts).
+    val rebuiltL = hinted(
+        liveL.join(hinted(changedL, lLocal), lPk, "left_semi"), lLocal)
       .join(liveR, joinCond)
-    val rebuiltR = liveL.join(broadcast(changedL), lPk, "left_anti")
-      .join(broadcast(liveR.join(broadcast(changedR), rPk, "left_semi")),
+    val rebuiltR = liveL.join(hinted(changedL, lLocal), lPk, "left_anti")
+      .join(hinted(liveR.join(hinted(changedR, rLocal), rPk, "left_semi"),
+                   rLocal),
             joinCond)
     // The view is returned un-pinned: view_b is referenced exactly once —
     // by batch b+1's keep branch — and [[replay]] lazily checkpoints it
@@ -145,7 +197,8 @@ object JoinView {
   def replay(lEvents: DataFrame, rEvents: DataFrame, cuts: Seq[Long],
              lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
              viewCols: Seq[String],
-             batchShufflePartitions: Int = 8): State = {
+             batchShufflePartitions: Int = 8,
+             maxLocalKeys: Int = DefaultMaxLocalKeys): State = {
     // AQE off for the replay loop, mirroring Structured Streaming's own
     // behavior (micro-batch plans are not adaptively re-planned): each
     // batch here is a small, known-shape plan over pinned inputs, and
@@ -208,8 +261,8 @@ object JoinView {
     val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
     def keysFor(i: Int) = {
       val (lo, hi) = bounds(i)
-      (Future(localKeys(slice(lPinned, lo, hi), lPk)),
-       Future(localKeys(slice(rPinned, lo, hi), rPk)))
+      (Future(localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
+       Future(localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
     }
     var pending = keysFor(0)
     val fin = bounds.indices
@@ -221,7 +274,8 @@ object JoinView {
                               slice(rPinned, lo, hi),
                               lPk, rPk, lJoinCols, viewCols,
                               keys = Some((Await.result(ckLF, Duration.Inf),
-                                           Await.result(ckRF, Duration.Inf))))
+                                           Await.result(ckRF, Duration.Inf))),
+                              maxLocalKeys = maxLocalKeys)
         // pin the view per batch, lazily, for the same reason as the
         // states in applyBatch: plan depth stays O(1) per batch with no
         // job until the caller's first action

@@ -49,8 +49,13 @@ object CurationQueries {
         concat(lit(Boilerplate), lit(" "), col("text"))).otherwise(col("text"))
       val toks = TextAnalysis.tokens(col("txt"))
       val nSeg = ceil(size(toks) / lit(10.0)).cast("int")
-      val segs = transform(sequence(lit(0), nSeg - 1),
-        i => array_join(slice(toks, i * lit(10) + 1, lit(10)), " "))
+      // guard the 0-token doc: sequence(0, -1) yields the DESCENDING
+      // [0, -1] (two bogus segments) where the oracle's generate_series
+      // yields none — unreachable with the current tokenizer (empty text
+      // tokenizes to [""]), but a latent divergence if that changes
+      val segs = when(nSeg <= 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), nSeg - 1),
+          i => array_join(slice(toks, i * lit(10) + 1, lit(10)), " ")))
       val segRows = docs(s, dir).select(col("doc_id"), dirty.as("txt"))
         .select(col("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
         .withColumn("fp", md5(col("seg")))

@@ -182,6 +182,48 @@ class IncrementalTopKSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == before)
   }
 
+  test("over-cap batch runs the distributed fallback (same view)") {
+    // cap = 1: every key/group collect blows the limit, so applyBatch
+    // must take the cluster-side path (unhinted joins, no LocalRelation)
+    // and still produce exactly the recomputed view — promote-on-delete
+    // and the group-moving update included
+    val capped = IncrementalTopK.replay(events, Seq(10L), pk = Seq("id"),
+        groupCol = "grp", orderCol = "v", k = 2, maxLocalKeys = 1)
+      .select(col("grp"), col("rk"), col("id"), col("v"))
+    assertSame(capped, recompute(events, k = 2))
+  }
+
+  test("update with NULL changed_cols fails loudly (exact re-rank impossible)") {
+    // mirror of IncrementalAgg's guard: a malformed/missing raw `old`
+    // means the before-group is unknowable — if the update moved the
+    // row's group, silently treating it as "unmoved" would leave a stale
+    // row in the view under the old group
+    import spark.implicits._
+    val ev = Seq(
+      ("insert", 1L, 1L, null.asInstanceOf[Img], Img(1L, "a", 1.0),
+       null.asInstanceOf[Seq[String]]),
+      ("update", 2L, 2L, null.asInstanceOf[Img], Img(1L, "a", 2.0),
+       null.asInstanceOf[Seq[String]]))
+      .toDF("op", "ts", "seq", "before", "after", "changed_cols")
+    val e = intercept[Exception] {
+      IncrementalTopK.replay(ev, Seq(), pk = Seq("id"),
+        groupCol = "grp", orderCol = "v", k = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("NULL changed_cols")),
+      s"expected the NULL-changed_cols guard to fire, got: ${messages(e)}")
+  }
+
+  test("row image with a pre-existing rk column is rejected loudly") {
+    import spark.implicits._
+    val img = Seq((1L, "a", 1.0, 7)).toDF("id", "grp", "v", "rk")
+    intercept[IllegalArgumentException] {
+      IncrementalTopK.topK(img, Seq("id"), "grp", "v", 2)
+    }
+  }
+
   test("ordersChangelog view equals closed-form top-3 per status") {
     val ev = ChangelogGen.ordersChangeEvents(spark, sfDir)
     val view = IncrementalTopK.replay(ev, cuts = Seq(788918400L),

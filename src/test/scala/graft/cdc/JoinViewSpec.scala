@@ -189,6 +189,27 @@ class JoinViewSpec extends SparkSpec {
       "incremental view diverges from full recompute")
   }
 
+  test("over-cap single-cut backlog runs the distributed fallback") {
+    // ONE batch = the entire backlog (no cuts), with a cap every key set
+    // blows: the |Δ|-bounded LocalRelation contract is violated, so the
+    // maintainers must degrade to cluster-side key handling — and the
+    // view must come out identical to the driver-local path
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "c_name")
+    def run(cap: Int) = JoinView.replay(
+      ChangelogGen.ordersChangeEvents(spark, sfDir),
+      ChangelogGen.customerChangeEvents(spark, sfDir),
+      cuts = Seq(),
+      lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
+      lJoinCols = Seq("o_custkey"), viewCols = cols,
+      maxLocalKeys = cap).view
+    val fallback = run(1)
+    val local = run(JoinView.DefaultMaxLocalKeys)
+    assert(fallback.count() > 0, "fallback view is empty — test data broken")
+    assert(fallback.exceptAll(local).isEmpty &&
+           local.exceptAll(fallback).isEmpty,
+      "distributed-fallback view diverges from the driver-local path")
+  }
+
   test("customer inserts really are staggered across the replay windows") {
     val ts = ChangelogGen.customerChangeEvents(spark, sfDir)
       .filter(col("op") === "insert").select("ts")
