@@ -123,27 +123,156 @@ object IncrementalAgg {
     * state; each batch touches only its delta's pairs. */
   def distinctCount(events: DataFrame, groupCol: String, valueCol: String,
                     allowNullableFallback: Boolean = false): DataFrame = {
-    val deltas = changeDeltas(events, "distinctCount", groupCol, valueCol,
+    val (pairs, groups) = pairMultiplicities(events, "distinctCount",
+      groupCol, valueCol, allowNullableFallback)
+    pairStateView(pairs, groups, groupCol, valueCol)
+  }
+
+  /** The ±1 (group, value) pair deltas rolled up to net multiplicities:
+    * (`pairs` = (g, v, net) over non-null values, `groups` = (g, n_rows)
+    * over ALL deltas — null-valued rows count toward group liveness but
+    * form no pair). This is THE maintainable state for every
+    * non-subtractable aggregate over a changelog: count-distinct counts
+    * the net>0 pairs, min/max scan them — and both [[distinctCountBatch]]
+    * and a full-log fold produce it with the same code path. */
+  private def pairMultiplicities(events: DataFrame, fn: String,
+                                 groupCol: String, valueCol: String,
+                                 allowNullableFallback: Boolean)
+      : (DataFrame, DataFrame) = {
+    val deltas = changeDeltas(events, fn, groupCol, valueCol,
         allowNullableFallback) { (g, v, sign) =>
       struct(g.as("g"), v.as("v"), lit(sign.toLong).as("dc"))
     }
     val pairs = deltas.filter(col("v").isNotNull)
       .groupBy(col("g"), col("v"))
       .agg(sum(col("dc")).as("net"))
-      .filter(col("net") > 0)
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("n_distinct"))
-    // group liveness from ALL deltas (null values included): a live
-    // group with only null values must still appear, with count 0
-    val liveGroups = deltas.groupBy(col("g"))
+    val groups = deltas.groupBy(col("g"))
       .agg(sum(col("dc")).as("n_rows"))
-      .filter(col("n_rows") > 0)
+    (pairs, groups)
+  }
+
+  /** COUNT(DISTINCT) view over pair-multiplicity state (see
+    * [[pairMultiplicities]]): count the net>0 pairs per group, keep live
+    * groups whose values are all NULL visible with count 0. */
+  private def pairStateView(pairs: DataFrame, groups: DataFrame,
+                            groupCol: String, valueCol: String): DataFrame = {
+    val counted = pairs.filter(col("net") > 0)
+      .groupBy(col("g")).agg(count(lit(1)).as("n_distinct"))
     // null-safe group join: NULL is a legitimate GROUP BY group, and a
     // null-unsafe join would zero its count even when it has live values
-    liveGroups.alias("__lg")
-      .join(pairs.alias("__p"), col("__lg.g") <=> col("__p.g"), "left")
+    groups.filter(col("n_rows") > 0).alias("__lg")
+      .join(counted.alias("__p"), col("__lg.g") <=> col("__p.g"), "left")
       .select(col("__lg.g").as(groupCol),
               coalesce(col("n_distinct"), lit(0L))
                 .as(s"n_distinct_$valueCol"))
+  }
+
+  /** MIN/MAX(valueCol) per groupCol, maintained from change events alone
+    * — min/max are non-subtractable exactly like count-distinct (a
+    * delete of the current max cannot be undone from the aggregate
+    * value; the classic reason CDC handlers re-query the base table,
+    * `/root/reference/cdc_manager.go:277-298`). Same cure: the
+    * [[pairMultiplicities]] state already holds every LIVE value per
+    * group, so min/max are a scan of the net>0 pairs — a delete of the
+    * max drops its pair and the runner-up is simply the new group max.
+    * A live group whose values are all NULL reports NULL min/max
+    * (matching `MIN(v) ... GROUP BY g` over the live state exactly).
+    *
+    * Scale shape: identical to [[distinctCount]] — one (group, value)
+    * shuffle with map-side partials, |groups|-bounded min/max rollup. */
+  def minMax(events: DataFrame, groupCol: String, valueCol: String,
+             allowNullableFallback: Boolean = false): DataFrame = {
+    val (pairs, groups) = pairMultiplicities(events, "minMax",
+      groupCol, valueCol, allowNullableFallback)
+    val bounds = pairs.filter(col("net") > 0)
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    groups.filter(col("n_rows") > 0).alias("__lg")
+      .join(bounds.alias("__p"), col("__lg.g") <=> col("__p.g"), "left")
+      .select(col("__lg.g").as(groupCol),
+              col("mn").as(s"min_$valueCol"),
+              col("mx").as(s"max_$valueCol"))
+  }
+
+  /** Persisted pair-multiplicity state for the streaming COUNT(DISTINCT)
+    * face: the net-(group, value) pair table plus the group row-count
+    * roll-up. Rows with net/n_rows = 0 are dropped (state-size bound);
+    * NEGATIVE nets are retained — a delete arriving in an earlier batch
+    * than its insert (cross-batch out-of-order) must cancel, not count. */
+  final case class DistinctState(pairs: DataFrame, groups: DataFrame)
+
+  /** One micro-batch step for the maintained COUNT(DISTINCT) view: fold
+    * the batch's ±1 pair deltas into the persisted [[DistinctState]].
+    * Addition is commutative, so the merged state is arrival-order
+    * independent across any batching of the same events.
+    *
+    * Delta-restricted: state rows whose (g, v) key the batch never
+    * touched pass through an anti join UNCHANGED — the only aggregation
+    * is over the |Δ|-bounded touched set, mirroring Materializer.merge.
+    * Under `maxLocalKeys` touched keys ride a driver-local broadcast
+    * LocalRelation (no per-batch build job); above it the joins run
+    * unhinted cluster-side (JoinView.localKeys discipline). */
+  def distinctCountBatch(st: DistinctState, events: DataFrame,
+                         groupCol: String, valueCol: String,
+                         allowNullableFallback: Boolean = false,
+                         maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys)
+      : DistinctState = {
+    val (dPairs, dGroups) = pairMultiplicities(events, "distinctCountBatch",
+      groupCol, valueCol, allowNullableFallback)
+    DistinctState(
+      mergeAdditive(st.pairs, dPairs, Seq("g", "v"), "net", maxLocalKeys),
+      mergeAdditive(st.groups, dGroups, Seq("g"), "n_rows", maxLocalKeys))
+  }
+
+  /** The COUNT(DISTINCT) view over a maintained [[DistinctState]] —
+    * (groupCol, n_distinct_<valueCol>), same schema and semantics as the
+    * one-shot [[distinctCount]]. */
+  def distinctCountView(st: DistinctState, groupCol: String,
+                        valueCol: String): DataFrame =
+    pairStateView(st.pairs, st.groups, groupCol, valueCol)
+
+  /** Empty [[DistinctState]] with the right schemas for the group/value
+    * column types, derived from (but never scanning) the event stream. */
+  def emptyDistinctState(events: DataFrame, groupCol: String,
+                         valueCol: String): DistinctState = {
+    val spark = events.sparkSession
+    def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    val (p, g) = pairMultiplicities(events.limit(0), "emptyDistinctState",
+      // schema derivation only — the nullable-fallback contract is
+      // checked (and enforced) on the real batches, not the empty probe
+      groupCol, valueCol, allowNullableFallback = true)
+    DistinctState(emptyLike(p), emptyLike(g))
+  }
+
+  /** Additive counter merge: `state' = state[∉ keys(Δ)] ∪
+    * Σ(state[keys(Δ)] ∪ Δ)`, dropping zero counters. Key joins are
+    * null-safe (NULL group is legitimate); the touched-key set is
+    * collected and broadcast only under `cap` (JoinView.localKeys
+    * discipline — an AvailableNow backlog batch must not collect an
+    * unbounded key set onto the driver). */
+  private def mergeAdditive(state: DataFrame, deltas: DataFrame,
+                            keys: Seq[String], counter: String,
+                            cap: Int): DataFrame = {
+    val sel = deltas.select(keys.map(col): _*).distinct()
+    val localCk = {
+      val rows = sel.limit(cap + 1).collect().toSeq
+      if (rows.size > cap) None
+      else Some(state.sparkSession.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sel.schema))
+    }
+    val ck = localCk.getOrElse(sel.localCheckpoint(false)).alias("__ck")
+    def hinted(df: DataFrame): DataFrame =
+      if (localCk.isDefined) broadcast(df) else df
+    val st = state.alias("__st")
+    val keyCond = keys.map(k => col(s"__st.$k") <=> col(s"__ck.$k"))
+      .reduce(_ && _)
+    val untouched = st.join(hinted(ck), keyCond, "left_anti")
+    val touched = st.join(hinted(ck), keyCond, "left_semi")
+    val merged = touched.unionByName(deltas)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(counter)).as(counter))
+      .filter(col(counter) =!= 0)
+    untouched.unionByName(merged)
   }
 }

@@ -168,6 +168,22 @@ object CdcQueries {
         .withColumnRenamed("n_distinct_o_custkey", "n_cust")
         .orderBy(col("o_orderstatus"))),
 
+    // Incremental MIN/MAX maintenance: price bounds per status from
+    // changelog deltas alone. Min/max are non-subtractable (deleting the
+    // current max cannot be undone from the aggregate value); maintained
+    // over the same per-(group, value) net-multiplicity state as
+    // count-distinct — a delete drops its pair and the runner-up value is
+    // simply the new bound (see IncrementalAgg.minMax). Completes the
+    // non-subtractable family: sum/count, distinct, top-k, min/max.
+    "cdc_minmax_view" -> ((s, dir) =>
+      graft.cdc.IncrementalAgg.minMax(
+          ChangelogGen.ordersChangeEvents(s, dir),
+          groupCol = "o_orderstatus", valueCol = "o_totalprice")
+        .select(col("o_orderstatus"),
+                round(col("min_o_totalprice"), 2).as("min_price"),
+                round(col("max_o_totalprice"), 2).as("max_price"))
+        .orderBy(col("o_orderstatus"))),
+
     // Incremental TOP-K view maintenance: 3 most expensive live orders
     // per status, kept current across three replay windows by
     // delta-restricted re-ranking (only statuses the batch touched are
@@ -307,6 +323,11 @@ object CdcQueries {
         |ORDER BY key""".stripMargin,
     "cdc_distinct_view" ->
       s"""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+        |FROM ($expectedStateSql)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "cdc_minmax_view" ->
+      s"""SELECT o_orderstatus, round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
         |FROM ($expectedStateSql)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "cdc_topk_view" ->

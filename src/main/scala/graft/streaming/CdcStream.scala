@@ -283,6 +283,61 @@ object CdcStream {
       .getOrElse(throw new IllegalStateException(
         s"no top-k state at $rootPath"))
 
+  /** Maintain an incrementally-updated COUNT(DISTINCT) view from the
+    * changelog stream — the streaming face of
+    * [[graft.cdc.IncrementalAgg.distinctCount]], and the last maintained
+    * view to gain restart safety ("live distinct customers per status",
+    * the reference's handler-upsert analogue,
+    * `/root/reference/cdc_manager.go:277-298`). Per batch: decode the
+    * delta, fold its ±1 (group, value) pair deltas into the persisted
+    * net-multiplicity pair state (delta-restricted — untouched pairs
+    * pass through an anti join unchanged), and persist (pairs, groups,
+    * view) as ONE parquet generation with a single directory swap. The
+    * pair merge is commutative, so a crash-replayed batch against the
+    * demoted generation converges to the same state regardless of how
+    * the backlog is re-batched. Same crash discipline as
+    * [[maintainJoinViewToParquet]]: at every instant one complete
+    * generation is readable. */
+  def maintainDistinctCountToParquet(envelope: DataFrame, spec: TableSpec,
+                                     groupCol: String, valueCol: String,
+                                     rootPath: String, checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.IncrementalAgg
+    envelope.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        // pin the decoded delta: it feeds the pair AND group merges
+        val delta = changeEvents(batch, spec).localCheckpoint()
+        val st0 = liveGenerationRoot(spark, s"$rootPath/current")
+          .map(r => IncrementalAgg.DistinctState(
+            spark.read.parquet(s"$r/pairs"),
+            spark.read.parquet(s"$r/groups")))
+          .getOrElse(
+            IncrementalAgg.emptyDistinctState(delta, groupCol, valueCol))
+        val next = IncrementalAgg.distinctCountBatch(st0, delta,
+          groupCol, valueCol)
+        swapGeneration(spark, s"$rootPath/current") { tmp =>
+          next.pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
+          next.groups.write.mode("overwrite").parquet(s"$tmp/groups")
+          IncrementalAgg.distinctCountView(next, groupCol, valueCol)
+            .write.mode("overwrite").parquet(s"$tmp/view")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Read the maintained count-distinct view, tolerating the swap crash
+    * window. */
+  def readDistinctCountView(spark: SparkSession, rootPath: String): DataFrame =
+    liveGenerationRoot(spark, s"$rootPath/current")
+      .map(r => spark.read.parquet(s"$r/view"))
+      .getOrElse(throw new IllegalStateException(
+        s"no distinct-count state at $rootPath"))
+
   /** JDBC variant of the materialized-state sink (BASELINE.json
     * `spark_approach`: "Structured Streaming + JDBC sink"). Same
     * event-time-correct merge as the parquet path (Materializer.merge with

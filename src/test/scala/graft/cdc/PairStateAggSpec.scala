@@ -1,0 +1,120 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Row image for the micro-changelog (top-level: Spark can't encode
+  * test-class inner case classes). */
+case class PairImg(id: java.lang.Long, grp: String, v: java.lang.Double)
+
+/** The pair-multiplicity aggregate family (IncrementalAgg.minMax +
+  * the batched DistinctState fold): min/max are non-subtractable like
+  * count-distinct — a delete of the current max must PROMOTE the
+  * runner-up value, which only works because the maintained state holds
+  * every live (group, value) pair. */
+class PairStateAggSpec extends SparkSpec {
+
+  private type Img = PairImg
+  private def Img(id: Long, grp: String, v: java.lang.Double) =
+    PairImg(id, grp, v)
+
+  /** RowDecoder.changeEvents-shaped micro-changelog. */
+  private def evDf(rows: (String, Long, Img, Img, Seq[String])*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.map { case (op, ts, b, a, ch) => (op, ts, ts, b, a, ch) }
+      .toDF("op", "ts", "seq", "before", "after", "changed_cols")
+  }
+  private def ins(ts: Long, id: Long, grp: String, v: java.lang.Double) =
+    ("insert", ts, null.asInstanceOf[Img], Img(id, grp, v),
+     null.asInstanceOf[Seq[String]])
+  private def del(ts: Long, id: Long, grp: String, v: java.lang.Double) =
+    ("delete", ts, null.asInstanceOf[Img], Img(id, grp, v),
+     null.asInstanceOf[Seq[String]])
+
+  test("delete of the current max promotes the runner-up") {
+    val ev = evDf(
+      ins(1, 1, "a", 10.0), ins(2, 2, "a", 7.0), ins(3, 3, "a", 1.0),
+      ins(4, 4, "b", 5.0),
+      del(5, 1, "a", 10.0)) // drop a's max -> 7.0 is the new max
+    val got = IncrementalAgg.minMax(ev, "grp", "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == Map("a" -> ((1.0, 7.0)), "b" -> ((5.0, 5.0))))
+  }
+
+  test("group-moving update re-bounds BOTH groups") {
+    val ev = evDf(
+      ins(1, 1, "a", 9.0), ins(2, 2, "a", 5.0), ins(3, 3, "b", 1.0),
+      // id=1 moves a -> b keeping v: a's max drops to 5, b's rises to 9
+      ("update", 4L, Img(1L, "a", null), Img(1L, "b", 9.0), Seq("grp")))
+    val got = IncrementalAgg.minMax(ev, "grp", "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == Map("a" -> ((5.0, 5.0)), "b" -> ((1.0, 9.0))))
+  }
+
+  test("live group whose values are all NULL reports NULL bounds") {
+    val ev = evDf(ins(1, 1, "a", null), ins(2, 2, "b", 3.0))
+    val rows = IncrementalAgg.minMax(ev, "grp", "v").collect()
+      .map(r => (r.getString(0), r.get(1), r.get(2))).toSet
+    assert(rows == Set(("a", null, null), ("b", 3.0, 3.0)))
+  }
+
+  test("minMax over the orders changelog equals a state recompute") {
+    val ev = ChangelogGen.ordersChangeEvents(spark, sfDir)
+    val got = IncrementalAgg.minMax(ev, "o_orderstatus", "o_totalprice")
+      .select(col("o_orderstatus"),
+              round(col("min_o_totalprice"), 2).as("mn"),
+              round(col("max_o_totalprice"), 2).as("mx"))
+    val want = ChangelogGen.ordersState(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(round(min(col("o_totalprice")), 2).as("mn"),
+           round(max(col("o_totalprice")), 2).as("mx"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("batched DistinctState fold equals the one-shot distinctCount") {
+    val full = evDf(
+      ins(1, 1, "a", 1.0), ins(2, 2, "a", 1.0), ins(3, 3, "a", 2.0),
+      ins(4, 4, "b", 5.0),
+      del(5, 3, "a", 2.0),
+      // group+value move: before carries the old values (Q3 exact path)
+      ("update", 6L, Img(2L, "a", 1.0), Img(2L, "b", 5.0),
+       Seq("grp", "v")),
+      ins(7, 5, "c", null)) // null-valued live group -> count 0
+    val oneShot = IncrementalAgg.distinctCount(full, "grp", "v")
+    // fold the same events in 3 cuts through the persisted-state path
+    val cuts = Seq(Seq(0L, 2L), Seq(3L, 5L), Seq(6L, 99L))
+    val fin = cuts.foldLeft(
+        IncrementalAgg.emptyDistinctState(full, "grp", "v")) {
+      case (st, Seq(lo, hi)) =>
+        val batch = full.filter(col("ts") >= lo && col("ts") <= hi)
+          .localCheckpoint()
+        val next = IncrementalAgg.distinctCountBatch(st, batch, "grp", "v")
+        // pin like the parquet generations do, so lineage stays flat
+        IncrementalAgg.DistinctState(next.pairs.localCheckpoint(),
+                                     next.groups.localCheckpoint())
+    }
+    val batched = IncrementalAgg.distinctCountView(fin, "grp", "v")
+    assert(batched.exceptAll(oneShot).isEmpty &&
+           oneShot.exceptAll(batched).isEmpty,
+      s"batched:\n${batched.collect().mkString("\n")}\n" +
+        s"one-shot:\n${oneShot.collect().mkString("\n")}")
+  }
+
+  test("cross-batch out-of-order: delete lands a batch before its insert") {
+    // arrival order: delete first (net -1 pair retained), insert second
+    // (net back to 0) — addition is commutative, so the final view must
+    // show the key gone, NOT resurrect or double-count it
+    val d = evDf(del(2, 1, "a", 4.0))
+    val i = evDf(ins(1, 1, "a", 4.0), ins(3, 2, "a", 7.0))
+    val st0 = IncrementalAgg.emptyDistinctState(d, "grp", "v")
+    val st1 = IncrementalAgg.distinctCountBatch(st0, d, "grp", "v")
+    // the negative pair must be RETAINED in state (not clamped away)
+    assert(st1.pairs.filter(col("net") < 0).count() == 1)
+    val st2 = IncrementalAgg.distinctCountBatch(st1, i, "grp", "v")
+    val got = IncrementalAgg.distinctCountView(st2, "grp", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L), s"got $got")
+  }
+}

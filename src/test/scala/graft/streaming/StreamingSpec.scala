@@ -392,6 +392,59 @@ class StreamingSpec extends SparkSpec {
     assert(view() == Set(("a", 1, 2L), ("a", 2, 3L)))
   }
 
+  test("streaming count-distinct view: restarts, deletes, group moves") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("dclog")
+    val root = tmpDir("dcstate")
+    val ckpt = tmpDir("dcckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", LongType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Long) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def upd(ts: Long, id: Long, grp: String, v: Long, oldFields: String) =
+      s"""{"database":"d","table":"t","type":"update","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v},"old":{$oldFields}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainDistinctCountToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", valueCol = "v", root, ckpt).awaitTermination()
+    def view(): Map[String, Long] =
+      CdcStream.readDistinctCountView(spark, root).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch 1: a has values {1 (x2 rows), 2}, b has {5}
+    append("b1.json", Seq(
+      ev("insert", 1, 1, "a", 1), ev("insert", 2, 2, "a", 1),
+      ev("insert", 3, 3, "a", 2), ev("insert", 4, 4, "b", 5)))
+    run()
+    assert(view() == Map("a" -> 2L, "b" -> 1L))
+    // batch 2 (restart, same checkpoint, state REREAD from parquet):
+    // delete id=3 (a loses value 2); delete id=1 (value 1 still held by
+    // id=2 — the count must NOT drop, which needs the persisted pair
+    // multiplicities, not just the previous counts)
+    append("b2.json", Seq(
+      ev("delete", 5, 3, "a", 2), ev("delete", 6, 1, "a", 1)))
+    run()
+    assert(view() == Map("a" -> 1L, "b" -> 1L))
+    // batch 3 (restart): group-moving update id=2 a->b with v 1->5:
+    // group a loses its last row (disappears from the view); b's value
+    // set stays {5} (id=4 already holds 5) -> count stays 1
+    append("b3.json", Seq(upd(7, 2, "b", 5, "\"grp\":\"a\",\"v\":1")))
+    run()
+    assert(view() == Map("b" -> 1L))
+    // the maintained view equals a one-shot fold of the whole log
+    val allEvents = CdcStream.changeEvents(
+      graft.cdc.Maxwell.parseEnvelopeCol(
+        spark.read.schema("value STRING").text(logDir), col("value"))
+        .withColumn("seq", lit(0L)), spec)
+    val oneShot = graft.cdc.IncrementalAgg
+      .distinctCount(allEvents, "grp", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(view() == oneShot)
+  }
+
   test("session windows group events by inactivity gap") {
     val evDir = tmpDir("eventsess")
     graft.Tables.load(spark, sfDir, "events")
