@@ -184,14 +184,7 @@ object IncrementalAgg {
              allowNullableFallback: Boolean = false): DataFrame = {
     val (pairs, groups) = pairMultiplicities(events, "minMax",
       groupCol, valueCol, allowNullableFallback)
-    val bounds = pairs.filter(col("net") > 0)
-      .groupBy(col("g"))
-      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    groups.filter(col("n_rows") > 0).alias("__lg")
-      .join(bounds.alias("__p"), col("__lg.g") <=> col("__p.g"), "left")
-      .select(col("__lg.g").as(groupCol),
-              col("mn").as(s"min_$valueCol"),
-              col("mx").as(s"max_$valueCol"))
+    minMaxView(DistinctState(pairs, groups), groupCol, valueCol)
   }
 
   /** Persisted pair-multiplicity state for the streaming COUNT(DISTINCT)
@@ -230,6 +223,21 @@ object IncrementalAgg {
   def distinctCountView(st: DistinctState, groupCol: String,
                         valueCol: String): DataFrame =
     pairStateView(st.pairs, st.groups, groupCol, valueCol)
+
+  /** The MIN/MAX view over the SAME maintained [[DistinctState]] — one
+    * persisted pair table serves the whole non-subtractable family;
+    * schema and semantics match the one-shot [[minMax]]. */
+  def minMaxView(st: DistinctState, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val bounds = st.pairs.filter(col("net") > 0)
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    st.groups.filter(col("n_rows") > 0).alias("__lg")
+      .join(bounds.alias("__p"), col("__lg.g") <=> col("__p.g"), "left")
+      .select(col("__lg.g").as(groupCol),
+              col("mn").as(s"min_$valueCol"),
+              col("mx").as(s"max_$valueCol"))
+  }
 
   /** Empty [[DistinctState]] with the right schemas for the group/value
     * column types, derived from (but never scanning) the event stream. */

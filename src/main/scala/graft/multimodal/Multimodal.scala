@@ -69,6 +69,62 @@ object Multimodal {
     media.repartition(parts, col("media_id"))
   }
 
+  /** The documented "full fix": BYTE-OFFSET RANGE partitioning for the
+    * decode stage. Every row gets its global cumulative byte offset
+    * (computed from `meta.n_bytes` — the payload itself is never read
+    * for planning) and is bucketed by `offset / targetBytesPerPartition`,
+    * so each decode task sees ~target bytes REGARDLESS of the size
+    * distribution: a single 100× outlier payload starts a fresh bucket
+    * range and subsequent rows spill into LATER buckets instead of
+    * piling onto its task (hash distribution would co-locate them with
+    * probability 1/parts each).
+    *
+    * Distributed prefix sum, no global window (a partition-less
+    * `orderBy().rowsBetween` would funnel the table through ONE
+    * partition): per-SOURCE-partition running sums in parallel windows
+    * (any consistent total order balances — (source partition, id) is
+    * one), per-partition TOTALS (numPartitions rows, the only driver
+    * materialization) folded into base offsets, then a range shuffle on
+    * the bucket id. The binaries move through two exchanges (the window
+    * clustering + the final bucket range); planning reads only
+    * metadata. */
+  def repartitionForDecodeBalanced(media: DataFrame,
+                                   targetBytesPerPartition: Long): DataFrame = {
+    val ranged = media.withColumn("__p", spark_partition_id())
+    // parallel per-source-partition running sum (window partitions = the
+    // source partitions, so no single-partition funnel)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p")).orderBy(col("media_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    val withLocal = ranged.withColumn("__local_end",
+      sum(col("meta.n_bytes")).over(w))
+    // per-partition totals -> driver fold into exclusive base offsets
+    // (numPartitions rows — same driver-bounded pattern as
+    // q_select_budget's prefix fold)
+    val totals = withLocal.groupBy(col("__p"))
+      .agg(max(col("__local_end")).as("__total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.scanLeft(0 -> 0L) {
+      case ((_, acc), (p, t)) => p -> (acc + t)
+    }.init.map { case (_, base) => base } // base(p) = sum of totals < p
+    val baseMap = totals.map(_._1).zip(bases).toMap
+    val baseCol = totals.foldLeft(lit(0L)) { case (acc, (p, _)) =>
+      when(col("__p") === p, lit(baseMap(p))).otherwise(acc)
+    }
+    val nBuckets = math.max(1,
+      ((totals.map(_._2).sum + targetBytesPerPartition - 1) /
+        targetBytesPerPartition).toInt)
+    withLocal
+      .withColumn("__bucket",
+        ((baseCol + col("__local_end") - col("meta.n_bytes")) /
+          targetBytesPerPartition).cast("int"))
+      // range (not hash) on the bucket id: distinct consecutive ints map
+      // ~1:1 onto tasks, so two full buckets never collide into one task
+      .repartitionByRange(nBuckets, col("__bucket"))
+      .drop("__p", "__local_end", "__bucket")
+  }
+
   /** ======== STUB: replace with a real codec in production ========
     * Deterministic pseudo-decode: 8 "features" from byte statistics.
     * Runs partition-local over an iterator — the exact shape a real

@@ -275,6 +275,31 @@ object PipelineQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Mergeable QUANTILE sketches (Datasketches KLL via graft's native
+    // TypedImperativeAggregate — see KllFunctions): per-month price
+    // sketches, re-aggregated per status by sketch MERGE. The quantile
+    // analogue of q_hll_mergeable, and the only way percentiles
+    // pre-aggregate: exact percentile (q_percentile) must see all raw
+    // values, so a 100 TB pipeline persists the monthly sketch table
+    // (few KB per group) and answers any rollup by merging sketches.
+    // rows-only (estimates are engine-specific); the spec asserts
+    // merge==direct equivalence and the KLL rank-error bound vs exact.
+    "q_quantile_sketch" -> ((s, dir) => {
+      import graft.functions.KllFunctions._
+      val o = load(s, dir, "orders")
+      val monthly = o.groupBy(col("o_orderstatus"),
+                              month(col("o_orderdate")).as("m"))
+        .agg(kllSketchAgg(col("o_totalprice")).as("sk"))
+      monthly.groupBy(col("o_orderstatus"))
+        .agg(kllMergeAgg(col("sk")).as("sk"))
+        .select(col("o_orderstatus"),
+                round(kllQuantile(col("sk"), lit(0.5)), 2).as("p50_approx"),
+                round(kllQuantile(col("sk"), lit(0.95)), 2).as("p95_approx"),
+                round(kllQuantile(col("sk"), lit(0.99)), 2).as("p99_approx"),
+                kllCount(col("sk")).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- similarity search ----
 
     // brute-force exact cosine top-3 (the ANN baseline; oracle-checked)

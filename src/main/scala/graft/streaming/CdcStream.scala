@@ -303,6 +303,31 @@ object CdcStream {
                                      rootPath: String, checkpointPath: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.IncrementalAgg
+    maintainPairStateToParquet(envelope, spec, groupCol, valueCol,
+      rootPath, checkpointPath,
+      st => IncrementalAgg.distinctCountView(st, groupCol, valueCol))
+  }
+
+  /** MIN/MAX sibling of [[maintainDistinctCountToParquet]] — the same
+    * persisted pair-multiplicity state, a different view over it (see
+    * `IncrementalAgg.minMaxView`): "live price bounds per status" stays
+    * current under deletes of the extremes, restart-safe. */
+  def maintainMinMaxToParquet(envelope: DataFrame, spec: TableSpec,
+                              groupCol: String, valueCol: String,
+                              rootPath: String, checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.IncrementalAgg
+    maintainPairStateToParquet(envelope, spec, groupCol, valueCol,
+      rootPath, checkpointPath,
+      st => IncrementalAgg.minMaxView(st, groupCol, valueCol))
+  }
+
+  private def maintainPairStateToParquet(envelope: DataFrame,
+      spec: TableSpec, groupCol: String, valueCol: String,
+      rootPath: String, checkpointPath: String,
+      view: graft.cdc.IncrementalAgg.DistinctState => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.IncrementalAgg
     envelope.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointPath)
@@ -322,16 +347,15 @@ object CdcStream {
         swapGeneration(spark, s"$rootPath/current") { tmp =>
           next.pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
           next.groups.write.mode("overwrite").parquet(s"$tmp/groups")
-          IncrementalAgg.distinctCountView(next, groupCol, valueCol)
-            .write.mode("overwrite").parquet(s"$tmp/view")
+          view(next).write.mode("overwrite").parquet(s"$tmp/view")
         }
         ()
       }
       .start()
   }
 
-  /** Read the maintained count-distinct view, tolerating the swap crash
-    * window. */
+  /** Read the maintained count-distinct (or min/max) view, tolerating
+    * the swap crash window. */
   def readDistinctCountView(spark: SparkSession, rootPath: String): DataFrame =
     liveGenerationRoot(spark, s"$rootPath/current")
       .map(r => spark.read.parquet(s"$r/view"))

@@ -93,4 +93,47 @@ class MultimodalSpec extends SparkSpec {
     val total = media.select(sum(length(col("content")))).head().getLong(0)
     assert(parts == math.max(1, (total / 10000L).toInt))
   }
+
+  test("byte-OFFSET range partitioning isolates a planted 100x outlier") {
+    val target = 20000L
+    // plant one payload 100x the target: under hash distribution other
+    // rows co-locate with it with probability 1/parts each; under
+    // offset-range bucketing its bucket must stay (almost) exclusively
+    // its own
+    val outlierId = 999999L
+    val outlier = spark.range(1).select(
+      lit(outlierId).as("media_id"), lit("video").as("modality"),
+      encode(repeat(lit("x"), (100 * target).toInt), "UTF-8").as("content"),
+      struct(lit("application/octet-stream").as("mime"),
+             lit(100 * target).as("n_bytes"),
+             lit(1).as("width"), lit(1).as("height"),
+             lit(0L).as("duration_ms")).as("meta"))
+    val all = media.unionByName(outlier)
+    val balanced = Multimodal.repartitionForDecodeBalanced(all, target)
+    assert(balanced.count() == all.count(), "rows lost in repartition")
+    assert(balanced.schema.fieldNames.toSeq ==
+             media.schema.fieldNames.toSeq, "plan columns leaked")
+    val stats = balanced
+      .select(spark_partition_id().as("pid"),
+              length(col("content")).cast("long").as("b"),
+              (col("media_id") === outlierId).cast("int").as("is_outlier"))
+      .groupBy(col("pid"))
+      .agg(sum(col("b")).as("bytes"), max(col("is_outlier")).as("has_outlier"))
+      .collect()
+    val outlierParts = stats.filter(_.getInt(2) == 1)
+    assert(outlierParts.length == 1)
+    // no pile-on: everything else sharing the outlier's task fits in
+    // one target window (its bucket spans [start, start+100*target) —
+    // later rows start past it and land in LATER buckets)
+    assert(outlierParts.head.getLong(1) - 100 * target <= target,
+      s"outlier task carries ${outlierParts.head.getLong(1)} bytes")
+    // spread: a non-outlier task holds rows whose START offsets share
+    // one target window, so its bytes are < target + one max payload;
+    // allow 2 windows for range-sampling boundary wobble
+    val maxDoc = media.select(max(length(col("content")))).head().getInt(0)
+    val bound = 2 * target + maxDoc
+    val over = stats.filter(r => r.getInt(2) == 0 && r.getLong(1) > bound)
+    assert(over.isEmpty,
+      s"non-outlier task exceeds $bound bytes: ${over.mkString(",")}")
+  }
 }

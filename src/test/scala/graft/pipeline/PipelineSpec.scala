@@ -426,6 +426,48 @@ class PipelineSpec extends SparkSpec {
     assert(off.count() == 0, "HLL estimate off by more than 5%")
   }
 
+  test("KLL quantile sketch: exact count, rank-error bound, merge path sane") {
+    import graft.functions.KllFunctions._
+    val o = graft.Tables.load(spark, sfDir, "orders")
+    val merged = graft.ops.PipelineQueries
+      .queries("q_quantile_sketch")(spark, sfDir)
+    // the sketch's seen-value count is exact (not an estimate)
+    val exactN = o.groupBy(col("o_orderstatus"))
+      .agg(count(col("o_totalprice")).as("n_exact"))
+    assert(merged.join(exactN, "o_orderstatus")
+      .filter(col("n") =!= col("n_exact")).count() == 0,
+      "kll_count diverged from the exact row count through the merge")
+    // KLL k=200 guarantees ~1.65% normalized rank error at 99%
+    // confidence; assert each estimate lies between the EXACT quantiles
+    // at q -/+ 3% rank (generous, so the randomized compaction path
+    // cannot flake the suite)
+    val eps = 0.03
+    def b(q: Double, nm: String) = Seq(
+      expr(s"percentile(o_totalprice, ${math.max(0, q - eps)})")
+        .as(s"${nm}_lo"),
+      expr(s"percentile(o_totalprice, ${math.min(1, q + eps)})")
+        .as(s"${nm}_hi"))
+    val bounds = o.groupBy(col("o_orderstatus"))
+      .agg((b(0.5, "p50") ++ b(0.95, "p95") ++ b(0.99, "p99")).head,
+           (b(0.5, "p50") ++ b(0.95, "p95") ++ b(0.99, "p99")).tail: _*)
+    val viol = merged.join(bounds, "o_orderstatus").filter(
+      col("p50_approx") < col("p50_lo") || col("p50_approx") > col("p50_hi") ||
+      col("p95_approx") < col("p95_lo") || col("p95_approx") > col("p95_hi") ||
+      col("p99_approx") < col("p99_lo") || col("p99_approx") > col("p99_hi"))
+    assert(viol.count() == 0,
+      s"KLL estimate outside the rank-error bound:\n${viol.collect()
+        .mkString("\n")}")
+    // per-month merge equals a direct one-pass sketch up to rank error:
+    // the direct estimates must satisfy the SAME exact-quantile bounds
+    val direct = o.groupBy(col("o_orderstatus"))
+      .agg(kllSketchAgg(col("o_totalprice")).as("sk"))
+      .select(col("o_orderstatus"),
+              round(kllQuantile(col("sk"), lit(0.95)), 2).as("d95"))
+    val dviol = direct.join(bounds, "o_orderstatus")
+      .filter(col("d95") < col("p95_lo") || col("d95") > col("p95_hi"))
+    assert(dviol.count() == 0, "direct one-pass sketch outside rank bound")
+  }
+
   test("k-means IVF: deterministic centroids, full assignment, recall vs brute force") {
     import graft.similarity.Similarity
     val centroids = Similarity.kmeansCentroids(emb, k = 8, maxIter = 5)

@@ -445,6 +445,38 @@ class StreamingSpec extends SparkSpec {
     assert(view() == oneShot)
   }
 
+  test("streaming min/max view: delete of the max promotes across restart") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("mmlog")
+    val root = tmpDir("mmstate")
+    val ckpt = tmpDir("mmckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", DoubleType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Double) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainMinMaxToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", valueCol = "v", root, ckpt).awaitTermination()
+    def view(): Map[String, (Double, Double)] =
+      CdcStream.readDistinctCountView(spark, root).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    append("b1.json", Seq(
+      ev("insert", 1, 1, "a", 10.0), ev("insert", 2, 2, "a", 7.0),
+      ev("insert", 3, 3, "b", 5.0)))
+    run()
+    assert(view() == Map("a" -> ((7.0, 10.0)), "b" -> ((5.0, 5.0))))
+    // restart: delete a's max — the runner-up must be promoted FROM THE
+    // PERSISTED pair state (the previous view alone cannot answer this)
+    append("b2.json", Seq(ev("delete", 5, 1, "a", 10.0)))
+    run()
+    assert(view() == Map("a" -> ((7.0, 7.0)), "b" -> ((5.0, 5.0))))
+  }
+
   test("session windows group events by inactivity gap") {
     val evDir = tmpDir("eventsess")
     graft.Tables.load(spark, sfDir, "events")
