@@ -108,21 +108,29 @@ object Multimodal {
     val bases = totals.scanLeft(0 -> 0L) {
       case ((_, acc), (p, t)) => p -> (acc + t)
     }.init.map { case (_, base) => base } // base(p) = sum of totals < p
-    val baseMap = totals.map(_._1).zip(bases).toMap
-    val baseCol = totals.foldLeft(lit(0L)) { case (acc, (p, _)) =>
-      when(col("__p") === p, lit(baseMap(p))).otherwise(acc)
-    }
+    // base offsets ride a BROADCAST join keyed by the partition id — a
+    // when-chain expression would balloon (and choke codegen) at the
+    // 100k+ source partitions a 100 TB media table has
+    val spark = media.sparkSession
+    val baseDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        totals.map(_._1).zip(bases).map { case (p, b) =>
+          org.apache.spark.sql.Row(p, b)
+        }.toSeq).asJava,
+      StructType(Seq(StructField("__p", IntegerType, nullable = false),
+                     StructField("__base", LongType, nullable = false))))
     val nBuckets = math.max(1,
       ((totals.map(_._2).sum + targetBytesPerPartition - 1) /
         targetBytesPerPartition).toInt)
     withLocal
+      .join(broadcast(baseDf), Seq("__p"))
       .withColumn("__bucket",
-        ((baseCol + col("__local_end") - col("meta.n_bytes")) /
+        ((col("__base") + col("__local_end") - col("meta.n_bytes")) /
           targetBytesPerPartition).cast("int"))
       // range (not hash) on the bucket id: distinct consecutive ints map
       // ~1:1 onto tasks, so two full buckets never collide into one task
       .repartitionByRange(nBuckets, col("__bucket"))
-      .drop("__p", "__local_end", "__bucket")
+      .drop("__p", "__local_end", "__bucket", "__base")
   }
 
   /** ======== STUB: replace with a real codec in production ========
