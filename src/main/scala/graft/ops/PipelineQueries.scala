@@ -367,6 +367,37 @@ object PipelineQueries {
         .orderBy(col("doc_freq").desc, col("tok"))
         .limit(50)),
 
+    // Mergeable HEAVY-HITTERS sketches (Datasketches frequent-items via
+    // graft-native TypedImperativeAggregates, FreqFunctions) — the third
+    // sketch of the triad (HLL distinct / KLL quantiles / frequent
+    // items): top tokens per language, built as per-(lang, source) shard
+    // sketches and rolled up by sketch MERGE — at 100 TB the shard
+    // sketch table is what you persist; no |vocabulary|-sized exact
+    // count table ever shuffles. Oracle-exact HERE because this corpus'
+    // vocabulary (31 tokens) sits far under the 64-slot map's purge
+    // threshold, so the sketch never estimates — the general-case
+    // error-bound/no-false-negative semantics are spec-asserted with a
+    // planted over-capacity stream (FunctionsSpec).
+    "q_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.FreqFunctions._
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir).select(col("lang"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val sharded = toks.groupBy(col("lang"), col("source"))
+        .agg(freqSketchAgg(col("tok"), 64).as("sk"))
+      val items = sharded.groupBy(col("lang"))
+        .agg(freqMergeAgg(col("sk"), 64).as("sk"))
+        .select(col("lang"), explode(freqItems(col("sk"))).as("hh"))
+        .select(col("lang"), col("hh.item").as("tok"),
+                col("hh.estimate").as("n_tok"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_tok").desc, col("tok"))
+      items.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("tok"), col("n_tok"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // deterministic stratified sample by language (data-mixing primitive).
     // Hash-based, not RNG-based, so the sample is stable across runs AND
     // cluster layouts; the hash is md5-derived (not xxhash64) so it is
@@ -885,6 +916,18 @@ object PipelineQueries {
         |    AS scrubbed_head
         |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_heavy_hitters" ->
+      """SELECT lang, CAST(rk AS INT) AS rk, tok, n_tok FROM (
+        |  SELECT lang, tok, count(*) AS n_tok,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, tok) AS rk
+        |  FROM (
+        |    SELECT lang,
+        |      unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+        |        AS tok
+        |    FROM documents)
+        |  GROUP BY lang, tok)
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
     "q_token_freq" ->
       """SELECT tok, count(*) AS doc_freq FROM (
         |  SELECT DISTINCT doc_id,

@@ -93,4 +93,47 @@ class FunctionsSpec extends SparkSpec {
       graft.text.TextAnalysis.tokenCount(col("text")).as("viaExpr"))
     assert(both.filter(col("viaUdf") =!= col("viaExpr")).count() == 0)
   }
+
+  test("frequent-items sketch: exact under capacity, NFN bounds over it") {
+    import graft.functions.FreqFunctions._
+    import spark.implicits._
+    def items(df: org.apache.spark.sql.DataFrame, map: Int) = df
+      .agg(freqSketchAgg(col("tok"), map).as("sk"))
+      .select(explode(freqItems(col("sk"))).as("hh"))
+      .select(col("hh.item"), col("hh.estimate"),
+              col("hh.lower"), col("hh.upper"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // UNDER capacity: counts are exact, bounds collapse to the estimate
+    val small = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val exact = items(small.toDF("tok"), 64)
+    assert(exact == Map("a" -> ((5L, 5L, 5L)), "b" -> ((3L, 3L, 3L)),
+                        "c" -> ((1L, 1L, 1L))))
+    // OVER capacity (2000 distinct rare + 3 planted heavies through a
+    // 64-slot map -> purges): every true heavy hitter must survive
+    // (NO_FALSE_NEGATIVES) with its true count inside [lower, upper]
+    val big = (Seq.fill(500)("aaa") ++ Seq.fill(400)("bbb") ++
+      Seq.fill(300)("ccc") ++ (0 until 2000).map(i => s"noise_$i"))
+    val sk = items(big.toDF("tok"), 64)
+    for ((t, c) <- Seq("aaa" -> 500L, "bbb" -> 400L, "ccc" -> 300L)) {
+      assert(sk.contains(t), s"heavy hitter $t purged — false negative")
+      val (_, lo, hi) = sk(t)
+      assert(lo <= c && c <= hi, s"$t true count $c outside [$lo, $hi]")
+    }
+    // sharded build + merge obeys the same contract (the rollup path)
+    val merged = big.zipWithIndex.toDF("tok", "i")
+      .groupBy((col("i") % 4).as("shard"))
+      .agg(freqSketchAgg(col("tok"), 64).as("sk"))
+      .agg(freqMergeAgg(col("sk"), 64).as("sk"))
+      .select(explode(freqItems(col("sk"))).as("hh"))
+      .select(col("hh.item"), col("hh.lower"), col("hh.upper"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((t, c) <- Seq("aaa" -> 500L, "bbb" -> 400L, "ccc" -> 300L)) {
+      assert(merged.contains(t), s"merge lost heavy hitter $t")
+      val (lo, hi) = merged(t)
+      assert(lo <= c && c <= hi, s"merged $t count $c outside [$lo, $hi]")
+    }
+  }
 }
