@@ -27,16 +27,15 @@ object bridge {
     t.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
   }
 
-  /** Install graft's SQL function + optimizer rule into an EXISTING
-    * session (extensions only apply at session build time). */
+  /** Install graft's SQL functions + optimizer rule into an EXISTING
+    * session (extensions only apply at session build time). The
+    * function table lives in `graft.plans.GraftFunctions`, shared with
+    * the builder-time `GraftExtensions` path. */
   def installGraft(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot",
-      exprs => {
-        require(exprs.length == 2, "vec_dot takes exactly 2 arguments")
-        graft.functions.VecDot(exprs(0), exprs(1))
-      },
-      "built-in")
+    graft.plans.GraftFunctions.all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
     val sc = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!sc.experimental.extraOptimizations.contains(graft.plans.VecDotRewrite))
       sc.experimental.extraOptimizations =

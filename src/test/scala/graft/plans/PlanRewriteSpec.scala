@@ -54,6 +54,41 @@ class PlanRewriteSpec extends SparkSpec {
     q.collect() // still executes fine
   }
 
+  test("sketch functions are callable from SQL and plan as ObjectHashAggregate") {
+    assert(installed)
+    spark.sql("SELECT id, CAST(id % 7 AS DOUBLE) AS v, " +
+        "concat('t', id % 5) AS tok FROM range(1000)")
+      .createOrReplaceTempView("sk_src")
+    // KLL end-to-end through SQL: shard sketches, merge, quantile
+    val kll = spark.sql(
+      """SELECT kll_quantile(kll_merge_agg(sk), 0.5D) AS p50,
+        |       kll_count(kll_merge_agg(sk)) AS n
+        |FROM (SELECT id % 4 AS shard, kll_sketch_agg(v) AS sk
+        |      FROM sk_src GROUP BY 1)""".stripMargin)
+    val kr = kll.head()
+    assert(kr.getLong(1) == 1000L, "kll_count lost rows through merge")
+    assert(kr.getDouble(0) >= 2.0 && kr.getDouble(0) <= 4.0,
+      s"p50 of uniform 0..6 should be ~3, got ${kr.getDouble(0)}")
+    // the aggregate must plan as ObjectHashAggregate (hash-based with
+    // map-side partials) — SortAggregate would sort the whole input per
+    // shuffle, the exact cost the sketch exists to avoid
+    val plan = spark.sql(
+      "SELECT kll_sketch_agg(v) FROM sk_src GROUP BY tok")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"KLL aggregate did not plan hash-based:\n$plan")
+    // frequent-items end-to-end through SQL (exact regime: 5 tokens)
+    val hh = spark.sql(
+      """SELECT h.item, h.estimate
+        |FROM (SELECT freq_merge_agg(sk) AS sk
+        |      FROM (SELECT id % 4 AS shard, freq_sketch_agg(tok) AS sk
+        |            FROM sk_src GROUP BY 1))
+        |LATERAL VIEW explode(freq_items(sk)) AS h""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("t0" -> 200L, "t1" -> 200L, "t2" -> 200L,
+                     "t3" -> 200L, "t4" -> 200L))
+  }
+
   test("GraftExtensions injects the same behavior at session build") {
     // builder().withExtensions on an existing context would just reuse the
     // default session; validate the extension object wires without error
