@@ -105,6 +105,32 @@ object IncrementalAgg {
     if (prune) agg.filter(col("n_rows") > 0) else agg
   }
 
+  /** First two MOMENTS per group — SUM, SUM of squares, COUNT — from
+    * change events alone; AVG/VARIANCE/STDDEV are scalar functions of
+    * these, so "running average order value per status" (and its spread)
+    * maintains with the same ±delta algebra as [[sumCount]]: moments are
+    * SUBTRACTABLE, no pair state needed. Cast to decimal via `valueCast`
+    * for order-independent exactness (the square is computed in decimal
+    * too — cast before multiplying, so precision 38 bounds apply to the
+    * cast type, not the square). */
+  def moments(events: DataFrame, groupCol: String, valueCol: String,
+              prune: Boolean = true,
+              valueCast: Column => Column = identity,
+              allowNullableFallback: Boolean = false): DataFrame = {
+    val deltas = changeDeltas(events, "moments", groupCol, valueCol,
+        allowNullableFallback) { (g, v, sign) =>
+      val cv = valueCast(v)
+      struct(g.as("g"), (cv * sign).as("dv"),
+             (cv * cv * sign).as("dv2"), lit(sign.toLong).as("dc"))
+    }
+    val agg = deltas
+      .groupBy(col("g").as(groupCol))
+      .agg(sum(col("dv")).as(s"sum_$valueCol"),
+           sum(col("dv2")).as(s"sumsq_$valueCol"),
+           sum(col("dc")).as("n_rows"))
+    if (prune) agg.filter(col("n_rows") > 0) else agg
+  }
+
   /** COUNT(DISTINCT valueCol) per groupCol, maintained from change events
     * alone — the aggregate plain sketches cannot maintain under deletes
     * (HLL is not subtractable). The classical exact plan: keep net

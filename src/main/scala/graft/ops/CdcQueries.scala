@@ -168,6 +168,33 @@ object CdcQueries {
         .withColumnRenamed("n_distinct_o_custkey", "n_cust")
         .orderBy(col("o_orderstatus"))),
 
+    // Incremental AVG/VARIANCE maintenance: moments (sum, sum of
+    // squares, count) are SUBTRACTABLE, so mean and population variance
+    // per status maintain from deltas with no pair state (see
+    // IncrementalAgg.moments). Decimal-cast sums are exact and
+    // order-independent; the decimal -> double conversion and the final
+    // double arithmetic are IEEE-identical across engines, so the oracle
+    // mirrors the same formula term by term. (The oracle squares via
+    // DECIMAL(28,8) x DECIMAL(18,8): DuckDB multiplies two 18-digit
+    // decimals in int64 storage and overflows, so one operand must be
+    // wide enough to force int128; the product then clamps to
+    // DECIMAL(38,16) — the same exact rational as Spark's scale-16
+    // square of the scale-8 cast.)
+    "cdc_avg_view" -> ((s, dir) => {
+      val m = graft.cdc.IncrementalAgg.moments(
+        ChangelogGen.ordersChangeEvents(s, dir),
+        groupCol = "o_orderstatus", valueCol = "o_totalprice",
+        valueCast = _.cast("decimal(18,8)"))
+      val s1 = col("sum_o_totalprice").cast("double")
+      val s2 = col("sumsq_o_totalprice").cast("double")
+      val n = col("n_rows")
+      m.select(col("o_orderstatus"),
+               round(s1 / n, 4).as("avg_price"),
+               round(s2 / n - (s1 / n) * (s1 / n), 4).as("var_price"),
+               n)
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Incremental MIN/MAX maintenance: price bounds per status from
     // changelog deltas alone. Min/max are non-subtractable (deleting the
     // current max cannot be undone from the aggregate value); maintained
@@ -325,6 +352,19 @@ object CdcQueries {
       s"""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
         |FROM ($expectedStateSql)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "cdc_avg_view" ->
+      s"""WITH m AS (
+        |  SELECT o_orderstatus,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)) *
+        |             CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE) AS s2,
+        |    count(*) AS n_rows
+        |  FROM ($expectedStateSql) GROUP BY o_orderstatus)
+        |SELECT o_orderstatus,
+        |  round(s1 / n_rows, 4) AS avg_price,
+        |  round(s2 / n_rows - (s1 / n_rows) * (s1 / n_rows), 4) AS var_price,
+        |  n_rows
+        |FROM m ORDER BY o_orderstatus""".stripMargin,
     "cdc_minmax_view" ->
       s"""SELECT o_orderstatus, round(min(o_totalprice), 2) AS min_price,
         |  round(max(o_totalprice), 2) AS max_price

@@ -73,6 +73,35 @@ class PairStateAggSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("moments view equals a state recompute (avg + variance)") {
+    val ev = ChangelogGen.ordersChangeEvents(spark, sfDir)
+    val m = IncrementalAgg.moments(ev, "o_orderstatus", "o_totalprice",
+      valueCast = _.cast("decimal(18,8)"))
+    val s1 = col("sum_o_totalprice").cast("double")
+    val s2 = col("sumsq_o_totalprice").cast("double")
+    val got = m.select(col("o_orderstatus"),
+      round(s1 / col("n_rows"), 4).as("avg_p"),
+      round(s2 / col("n_rows") - (s1 / col("n_rows")) *
+        (s1 / col("n_rows")), 4).as("var_p"),
+      col("n_rows"))
+    val st = ChangelogGen.ordersState(spark, sfDir)
+      .select(col("o_orderstatus"),
+              col("o_totalprice").cast("decimal(18,8)").as("v"))
+    val w1 = col("sv").cast("double")
+    val w2 = col("sv2").cast("double")
+    val want = st.groupBy(col("o_orderstatus"))
+      .agg(sum(col("v")).as("sv"), sum(col("v") * col("v")).as("sv2"),
+           count(lit(1)).as("n_rows"))
+      .select(col("o_orderstatus"),
+        round(w1 / col("n_rows"), 4).as("avg_p"),
+        round(w2 / col("n_rows") - (w1 / col("n_rows")) *
+          (w1 / col("n_rows")), 4).as("var_p"),
+        col("n_rows"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "incremental moments diverge from state recompute")
+  }
+
   test("batched DistinctState fold equals the one-shot distinctCount") {
     val full = evDf(
       ins(1, 1, "a", 1.0), ins(2, 2, "a", 1.0), ins(3, 3, "a", 2.0),
