@@ -239,8 +239,55 @@ object IncrementalAgg {
     val (dPairs, dGroups) = pairMultiplicities(events, "distinctCountBatch",
       groupCol, valueCol, allowNullableFallback)
     DistinctState(
-      mergeAdditive(st.pairs, dPairs, Seq("g", "v"), "net", maxLocalKeys),
-      mergeAdditive(st.groups, dGroups, Seq("g"), "n_rows", maxLocalKeys))
+      mergeAdditive(st.pairs, dPairs, Seq("g", "v"), Seq("net"), maxLocalKeys),
+      mergeAdditive(st.groups, dGroups, Seq("g"), Seq("n_rows"), maxLocalKeys))
+  }
+
+  /** One micro-batch step for the maintained MOMENTS (avg/variance) view:
+    * fold the batch's ±(value, value², 1) deltas into the persisted
+    * per-group moment sums. Moments are SUBTRACTABLE, so the state IS the
+    * aggregate — (groupCol, sum_<v>, sumsq_<v>, n_rows), one row per
+    * group, no pair table. Addition is commutative, so the merged state
+    * is arrival-order independent across any batching of the same events;
+    * groups whose every counter nets to zero are dropped (state-size
+    * bound), while negative/partial counters are retained so a delete
+    * arriving in an earlier batch than its insert cancels exactly.
+    *
+    * Same delta-restricted shape as [[distinctCountBatch]]: untouched
+    * groups pass through an anti join unchanged; only the |Δ|-bounded
+    * touched set re-aggregates. Pass the SAME `valueCast` on every batch
+    * (it is part of the state's type contract — decimal casts make the
+    * fold exact and order-independent). */
+  def momentsBatch(state: DataFrame, events: DataFrame,
+                   groupCol: String, valueCol: String,
+                   valueCast: Column => Column = identity,
+                   allowNullableFallback: Boolean = false,
+                   maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys)
+      : DataFrame = {
+    val deltas = moments(events, groupCol, valueCol, prune = false,
+      valueCast, allowNullableFallback)
+    mergeAdditive(state, deltas, Seq(groupCol),
+      Seq(s"sum_$valueCol", s"sumsq_$valueCol", "n_rows"), maxLocalKeys)
+  }
+
+  /** The live view over a maintained [[momentsBatch]] state: groups with
+    * live rows only — same schema and semantics as the one-shot
+    * [[moments]] with `prune = true` (AVG/VARIANCE/STDDEV are scalar
+    * functions of these columns, computed by the reader). */
+  def momentsView(state: DataFrame): DataFrame =
+    state.filter(col("n_rows") > 0)
+
+  /** Empty moments state with the right column types for the
+    * group/value/cast combination, derived from (but never scanning) the
+    * event stream. */
+  def emptyMomentsState(events: DataFrame, groupCol: String,
+                        valueCol: String,
+                        valueCast: Column => Column = identity): DataFrame = {
+    val spark = events.sparkSession
+    val m = moments(events.limit(0), groupCol, valueCol, prune = false,
+      valueCast, allowNullableFallback = true)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
   }
 
   /** The COUNT(DISTINCT) view over a maintained [[DistinctState]] —
@@ -280,13 +327,13 @@ object IncrementalAgg {
   }
 
   /** Additive counter merge: `state' = state[∉ keys(Δ)] ∪
-    * Σ(state[keys(Δ)] ∪ Δ)`, dropping zero counters. Key joins are
-    * null-safe (NULL group is legitimate); the touched-key set is
-    * collected and broadcast only under `cap` (JoinView.localKeys
-    * discipline — an AvailableNow backlog batch must not collect an
-    * unbounded key set onto the driver). */
+    * Σ(state[keys(Δ)] ∪ Δ)`, dropping rows whose every counter nets to
+    * zero. Key joins are null-safe (NULL group is legitimate); the
+    * touched-key set is collected and broadcast only under `cap`
+    * (JoinView.localKeys discipline — an AvailableNow backlog batch must
+    * not collect an unbounded key set onto the driver). */
   private def mergeAdditive(state: DataFrame, deltas: DataFrame,
-                            keys: Seq[String], counter: String,
+                            keys: Seq[String], counters: Seq[String],
                             cap: Int): DataFrame = {
     val sel = deltas.select(keys.map(col): _*).distinct()
     val localCk = {
@@ -303,10 +350,13 @@ object IncrementalAgg {
       .reduce(_ && _)
     val untouched = st.join(hinted(ck), keyCond, "left_anti")
     val touched = st.join(hinted(ck), keyCond, "left_semi")
+    val aggs = counters.map(c => sum(col(c)).as(c))
     val merged = touched.unionByName(deltas)
       .groupBy(keys.map(col): _*)
-      .agg(sum(col(counter)).as(counter))
-      .filter(col(counter) =!= 0)
+      .agg(aggs.head, aggs.tail: _*)
+      // keep a row while ANY counter is non-zero (a NULL sum — all-NULL
+      // values — contributes neither way; all-zero-or-NULL rows drop)
+      .filter(counters.map(c => col(c) =!= 0).reduce(_ || _))
     untouched.unionByName(merged)
   }
 }

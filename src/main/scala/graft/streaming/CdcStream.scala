@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
@@ -320,6 +320,49 @@ object CdcStream {
     maintainPairStateToParquet(envelope, spec, groupCol, valueCol,
       rootPath, checkpointPath,
       st => IncrementalAgg.minMaxView(st, groupCol, valueCol))
+  }
+
+  /** Maintain an incrementally-updated AVG/VARIANCE view from the
+    * changelog stream — the streaming face of
+    * [[graft.cdc.IncrementalAgg.moments]]. Moments (sum, sum of squares,
+    * count) are SUBTRACTABLE, so the persisted state is just one row per
+    * group (no pair table): per batch, fold the delta's ±(v, v², 1)
+    * contributions into the per-group sums (delta-restricted — untouched
+    * groups pass through an anti join unchanged) and persist (state,
+    * view) as one swapped generation. The fold is commutative, so a
+    * crash-replayed batch against the demoted generation converges
+    * regardless of re-batching. Pass the same `valueCast` every run — it
+    * is part of the persisted state's type contract (decimal casts make
+    * the fold exact). Read the view with [[readDistinctCountView]];
+    * AVG = sum/n, VAR = sumsq/n − (sum/n)² are reader-side scalars. */
+  def maintainMomentsToParquet(envelope: DataFrame, spec: TableSpec,
+                               groupCol: String, valueCol: String,
+                               rootPath: String, checkpointPath: String,
+                               valueCast: Column => Column = identity)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.IncrementalAgg
+    envelope.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        // pin the decoded delta: it feeds the merge's key set and union
+        val delta = changeEvents(batch, spec).localCheckpoint()
+        val st0 = liveGenerationRoot(spark, s"$rootPath/current")
+          .map(r => spark.read.parquet(s"$r/state"))
+          .getOrElse(IncrementalAgg.emptyMomentsState(
+            delta, groupCol, valueCol, valueCast))
+        val next = IncrementalAgg.momentsBatch(st0, delta, groupCol,
+          valueCol, valueCast)
+        swapGeneration(spark, s"$rootPath/current") { tmp =>
+          next.write.mode("overwrite").parquet(s"$tmp/state")
+          IncrementalAgg.momentsView(spark.read.parquet(s"$tmp/state"))
+            .write.mode("overwrite").parquet(s"$tmp/view")
+        }
+        ()
+      }
+      .start()
   }
 
   private def maintainPairStateToParquet(envelope: DataFrame,

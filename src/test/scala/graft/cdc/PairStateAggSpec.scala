@@ -131,6 +131,50 @@ class PairStateAggSpec extends SparkSpec {
         s"one-shot:\n${oneShot.collect().mkString("\n")}")
   }
 
+  test("batched moments fold equals the one-shot moments") {
+    val full = evDf(
+      ins(1, 1, "a", 10.0), ins(2, 2, "a", 7.0), ins(3, 3, "a", 1.0),
+      ins(4, 4, "b", 5.0),
+      del(5, 3, "a", 1.0),
+      // group+value move: retract from a, apply to b (Q3 exact path)
+      ("update", 6L, Img(2L, "a", 7.0), Img(2L, "b", 9.0),
+       Seq("grp", "v")),
+      ins(7, 5, "c", null)) // null-valued live group stays visible
+    val cast: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast("decimal(18,8)")
+    val oneShot = IncrementalAgg.moments(full, "grp", "v", valueCast = cast)
+    val cuts = Seq(Seq(0L, 2L), Seq(3L, 5L), Seq(6L, 99L))
+    val fin = cuts.foldLeft(
+        IncrementalAgg.emptyMomentsState(full, "grp", "v", cast)) {
+      case (st, Seq(lo, hi)) =>
+        val batch = full.filter(col("ts") >= lo && col("ts") <= hi)
+          .localCheckpoint()
+        IncrementalAgg.momentsBatch(st, batch, "grp", "v", cast)
+          .localCheckpoint() // pin like the parquet generations do
+    }
+    val batched = IncrementalAgg.momentsView(fin)
+    assert(batched.count() > 0)
+    assert(batched.exceptAll(oneShot).isEmpty &&
+           oneShot.exceptAll(batched).isEmpty,
+      s"batched:\n${batched.collect().mkString("\n")}\n" +
+        s"one-shot:\n${oneShot.collect().mkString("\n")}")
+  }
+
+  test("moments fold: delete lands a batch before its insert") {
+    // the partial (negative) group counters must be retained so the late
+    // insert cancels exactly; a group netting to zero disappears
+    val d = evDf(del(2, 1, "a", 4.0))
+    val i = evDf(ins(1, 1, "a", 4.0), ins(3, 2, "b", 7.0))
+    val st0 = IncrementalAgg.emptyMomentsState(d, "grp", "v")
+    val st1 = IncrementalAgg.momentsBatch(st0, d, "grp", "v")
+    assert(st1.filter(col("n_rows") < 0).count() == 1)
+    val st2 = IncrementalAgg.momentsBatch(st1, i, "grp", "v")
+    val got = IncrementalAgg.momentsView(st2).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+                 r.getLong(3))).toSet
+    assert(got == Set(("b", 7.0, 49.0, 1L)), s"got $got")
+  }
+
   test("cross-batch out-of-order: delete lands a batch before its insert") {
     // arrival order: delete first (net -1 pair retained), insert second
     // (net back to 0) — addition is commutative, so the final view must

@@ -477,6 +477,61 @@ class StreamingSpec extends SparkSpec {
     assert(view() == Map("a" -> ((7.0, 7.0)), "b" -> ((5.0, 5.0))))
   }
 
+  test("streaming avg/variance view: restarts and retractions") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("momlog")
+    val root = tmpDir("momstate")
+    val ckpt = tmpDir("momckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", DoubleType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Double) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def upd(ts: Long, id: Long, grp: String, v: Double, oldFields: String) =
+      s"""{"database":"d","table":"t","type":"update","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v},"old":{$oldFields}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainMomentsToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", valueCol = "v", root, ckpt,
+      valueCast = _.cast("decimal(18,8)")).awaitTermination()
+    def view(): Map[String, (Double, Double, Long)] =
+      CdcStream.readDistinctCountView(spark, root).collect()
+        .map(r => r.getString(0) -> ((r.getDecimal(1).doubleValue(),
+          r.getDecimal(2).doubleValue(), r.getLong(3)))).toMap
+    // batch 1: a = {10, 6}, b = {5}
+    append("b1.json", Seq(
+      ev("insert", 1, 1, "a", 10.0), ev("insert", 2, 2, "a", 6.0),
+      ev("insert", 3, 3, "b", 5.0)))
+    run()
+    assert(view() == Map("a" -> ((16.0, 136.0, 2L)),
+                         "b" -> ((5.0, 25.0, 1L))))
+    // batch 2 (restart, same checkpoint, state REREAD from parquet):
+    // delete id=1 retracts (10, 100, 1) FROM THE PERSISTED SUMS
+    append("b2.json", Seq(ev("delete", 4, 1, "a", 10.0)))
+    run()
+    assert(view() == Map("a" -> ((6.0, 36.0, 1L)),
+                         "b" -> ((5.0, 25.0, 1L))))
+    // batch 3 (restart): group-moving update id=2 a->b with v 6->3:
+    // a nets to zero counters and disappears; b gains (3, 9, 1)
+    append("b3.json", Seq(upd(5, 2, "b", 3.0, "\"grp\":\"a\",\"v\":6")))
+    run()
+    assert(view() == Map("b" -> ((8.0, 34.0, 2L))))
+    // the maintained view equals a one-shot fold of the whole log
+    val allEvents = CdcStream.changeEvents(
+      graft.cdc.Maxwell.parseEnvelopeCol(
+        spark.read.schema("value STRING").text(logDir), col("value"))
+        .withColumn("seq", lit(0L)), spec)
+    val oneShot = graft.cdc.IncrementalAgg.moments(
+      allEvents, "grp", "v", valueCast = _.cast("decimal(18,8)"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDecimal(1).doubleValue(),
+        r.getDecimal(2).doubleValue(), r.getLong(3)))).toMap
+    assert(view() == oneShot)
+  }
+
   test("session windows group events by inactivity gap") {
     val evDir = tmpDir("eventsess")
     graft.Tables.load(spark, sfDir, "events")
