@@ -300,6 +300,39 @@ object PipelineQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Mergeable SET-OPERATION sketches (Datasketches Theta via graft's
+    // native TypedImperativeAggregate — see ThetaFunctions): per-source
+    // sketches of the text's distinct bigrams, then the full pairwise
+    // source-overlap matrix (|A ∩ B| and |A \ B|) from the 20 sketches
+    // alone. The capability HLL lacks: intersections/differences —
+    // decontamination SIZING ("how much do these corpora share") before
+    // committing to an exact pass. At 100 TB: ONE scan builds a ~KB
+    // sketch per slice; every pairwise question after that is
+    // constant-time sketch algebra — no join, no second scan. The
+    // shuffle carries 20 compact sketches, the cross join is 20×20.
+    // Oracle-exact (like q_heavy_hitters): this corpus' bigram
+    // vocabulary (≤ ~1k per source) stays under the sketch's 4096
+    // nominal entries, so estimates are exact; real corpora exceed it
+    // and get ±1.6% estimates — asserted separately in the spec.
+    "q_overlap_theta" -> ((s, dir) => {
+      import graft.functions.ThetaFunctions._
+      val bg = docs(s, dir).select(col("source"),
+        explode(TextAnalysis.bigrams(TextAnalysis.tokens(col("text"))))
+          .as("bg"))
+      val sk = bg.groupBy(col("source"))
+        .agg(thetaSketchAgg(col("bg")).as("sk"))
+        .localCheckpoint(false) // |sources| rows; scanned by both sides
+      val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
+      a.crossJoin(broadcast(b)).filter(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          round(thetaEstimate(thetaIntersect(col("sk_a"), col("sk_b"))))
+            .cast("long").as("n_common"),
+          round(thetaEstimate(thetaANotB(col("sk_a"), col("sk_b"))))
+            .cast("long").as("n_only_a"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // ---- similarity search ----
 
     // brute-force exact cosine top-3 (the ANN baseline; oracle-checked)
@@ -928,6 +961,33 @@ object PipelineQueries {
         |    FROM documents)
         |  GROUP BY lang, tok)
         |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    // exact pairwise bigram overlap: every (a < b) source pair appears,
+    // zero-overlap pairs included (Spark emits them with n_common = 0)
+    "q_overlap_theta" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+        |      AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT source, t[i] || ' ' || t[i+1] AS bg
+        |  FROM (SELECT source, t, unnest(range(1, len(t))) AS i
+        |        FROM toks)),
+        |n AS (SELECT source, count(*) AS n_bg FROM bg GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM n a, n b WHERE a.source < b.source),
+        |common AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |  FROM bg a JOIN bg b USING (bg) WHERE a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b,
+        |  coalesce(c.n_common, 0) AS n_common,
+        |  n.n_bg - coalesce(c.n_common, 0) AS n_only_a
+        |FROM pairs p
+        |LEFT JOIN common c ON c.src_a = p.src_a AND c.src_b = p.src_b
+        |JOIN n ON n.source = p.src_a
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
     "q_token_freq" ->
       """SELECT tok, count(*) AS doc_freq FROM (
         |  SELECT DISTINCT doc_id,

@@ -57,13 +57,40 @@ object GraftFunctions {
     },
     "freq_items" -> { exprs =>
       nArgs("freq_items", exprs, 1, 1); FreqItems(exprs(0))
+    },
+    "theta_sketch_agg" -> { exprs =>
+      nArgs("theta_sketch_agg", exprs, 1, 2)
+      ThetaSketchAgg(exprs(0), intArg("theta_sketch_agg", exprs, 1, 12))
+    },
+    "theta_union_agg" -> { exprs =>
+      nArgs("theta_union_agg", exprs, 1, 2)
+      ThetaUnionAgg(exprs(0), intArg("theta_union_agg", exprs, 1, 12))
+    },
+    "theta_estimate" -> { exprs =>
+      nArgs("theta_estimate", exprs, 1, 1); ThetaEstimate(exprs(0))
+    },
+    "theta_intersect" -> { exprs =>
+      nArgs("theta_intersect", exprs, 2, 2)
+      ThetaIntersect(exprs(0), exprs(1))
+    },
+    "theta_a_not_b" -> { exprs =>
+      nArgs("theta_a_not_b", exprs, 2, 2); ThetaANotB(exprs(0), exprs(1))
+    },
+    "theta_lb" -> { exprs =>
+      nArgs("theta_lb", exprs, 1, 2)
+      ThetaBound(exprs(0), intArg("theta_lb", exprs, 1, 2), upper = false)
+    },
+    "theta_ub" -> { exprs =>
+      nArgs("theta_ub", exprs, 1, 2)
+      ThetaBound(exprs(0), intArg("theta_ub", exprs, 1, 2), upper = true)
     })
 }
 
 /** Session extensions for the graft engine:
   *
   *  - the graft SQL functions ([[GraftFunctions]]: `vec_dot`, the KLL
-  *    quantile-sketch family, the frequent-items family)
+  *    quantile-sketch family, the frequent-items family, the theta
+  *    set-operation family)
   *  - [[VecDotRewrite]] injected into the optimizer
   *
   * Wire up with

@@ -468,6 +468,57 @@ class PipelineSpec extends SparkSpec {
     assert(dviol.count() == 0, "direct one-pass sketch outside rank bound")
   }
 
+  test("theta sketches: union==one-pass, planted set algebra exact, over-capacity bounded") {
+    import graft.functions.ThetaFunctions._
+    import spark.implicits._
+    // planted sets (both under the 4096 nominal entries -> exact mode):
+    // A = [0, 3000), B = [2000, 6000); ground truth |A∩B| = 1000,
+    // |A\B| = 2000
+    val a = (0L until 3000L).toDF("v")
+      .select(col("v").cast("string").as("s"), (col("v") % 4).as("shard"))
+    val b = (2000L until 6000L).toDF("v")
+      .select(col("v").cast("string").as("s"))
+    // sharded build + union-agg rollup == one-pass sketch (mergeability)
+    val sharded = a.groupBy(col("shard")).agg(thetaSketchAgg(col("s")).as("sk"))
+    val viaUnion = sharded
+      .agg(thetaEstimate(thetaUnionAgg(col("sk"))).as("est"))
+      .head.getDouble(0)
+    val onePassA = a.agg(thetaSketchAgg(col("s")).as("sk"))
+      .select(thetaEstimate(col("sk")).as("est"), col("sk"))
+      .head
+    assert(viaUnion == 3000.0 && onePassA.getDouble(0) == 3000.0,
+      s"exact-mode estimates drifted: union=$viaUnion one=$onePassA")
+    // intersection / difference of exact sketches are exact
+    val skA = a.agg(thetaSketchAgg(col("s")).as("sk_a"))
+    val skB = b.agg(thetaSketchAgg(col("s")).as("sk_b"))
+    val ops = skA.crossJoin(skB).select(
+      thetaEstimate(thetaIntersect(col("sk_a"), col("sk_b"))).as("i"),
+      thetaEstimate(thetaANotB(col("sk_a"), col("sk_b"))).as("d"))
+      .head
+    assert(ops.getDouble(0) == 1000.0 && ops.getDouble(1) == 2000.0,
+      s"planted set algebra diverged: $ops")
+    // over-capacity (lgK=4 -> 16 nominal entries, 10k distinct): the
+    // exact count must lie inside the 3-sigma confidence bounds and the
+    // estimate in a loose relative band (theta hashing is deterministic,
+    // so this is reproducible, not flaky)
+    val big = (0L until 10000L).toDF("v").select(col("v").cast("string").as("s"))
+    val est = big.agg(thetaSketchAgg(col("s"), 4).as("sk"))
+      .select(thetaEstimate(col("sk")).as("e"),
+              thetaLb(col("sk"), 3).as("lb"), thetaUb(col("sk"), 3).as("ub"))
+      .head
+    assert(est.getDouble(1) <= 10000.0 && 10000.0 <= est.getDouble(2),
+      s"exact count outside 3-sigma bounds: $est")
+    assert(math.abs(est.getDouble(0) - 10000.0) / 10000.0 < 0.75,
+      s"over-capacity estimate wildly off: $est")
+    // the SQL surface resolves end-to-end (exact-mode set -> exact)
+    org.apache.spark.sql.graft.bridge.installGraft(spark)
+    a.createOrReplaceTempView("theta_probe")
+    val sql = spark.sql(
+      "SELECT theta_estimate(theta_sketch_agg(s)) FROM theta_probe")
+      .head.getDouble(0)
+    assert(sql == 3000.0, s"SQL-surface estimate: $sql")
+  }
+
   test("k-means IVF: deterministic centroids, full assignment, recall vs brute force") {
     import graft.similarity.Similarity
     val centroids = Similarity.kmeansCentroids(emb, k = 8, maxIter = 5)
