@@ -29,6 +29,10 @@ object PipelineQueries {
     conv(substring(md5(concat(key.cast("string"), lit(s":$seed"))), 1, 8),
          16, 10).cast("long")
 
+  /** Columns profiled by `q_profile` (shared with its oracle SQL). */
+  private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- dedup ----
@@ -332,6 +336,15 @@ object PipelineQueries {
             .cast("long").as("n_only_a"))
         .orderBy(col("src_a"), col("src_b"))
     }),
+
+    // Column-level data profiling (see Profiler): the first query run
+    // against any new corpus drop. The oracle-checked variant is the
+    // EXACT path (stacked two-phase distinct — one (col, value) shuffle
+    // with map-side partials, never a multi-COUNT-DISTINCT expand); the
+    // 100 TB default is the approx path (single scan, HLL++ partials, no
+    // value shuffle), spec-asserted against exact within HLL error.
+    "q_profile" -> ((s, dir) =>
+      Profiler.profile(load(s, dir, "orders"), ProfileCols, exact = true)),
 
     // ---- similarity search ----
 
@@ -961,6 +974,16 @@ object PipelineQueries {
         |    FROM documents)
         |  GROUP BY lang, tok)
         |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    // per-column profile: DuckDB mirrors the string-image numeric range
+    // (each engine parses its OWN image — same value set, same min/max)
+    "q_profile" -> ProfileCols.map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+        |  count(*) - count($c) AS n_nulls,
+        |  count(DISTINCT $c) AS n_distinct,
+        |  round(min(TRY_CAST(CAST($c AS VARCHAR) AS DOUBLE)), 4) AS min_num,
+        |  round(max(TRY_CAST(CAST($c AS VARCHAR) AS DOUBLE)), 4) AS max_num
+        |FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     // exact pairwise bigram overlap: every (a < b) source pair appears,
     // zero-overlap pairs included (Spark emits them with n_common = 0)
     "q_overlap_theta" ->

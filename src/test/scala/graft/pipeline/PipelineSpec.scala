@@ -468,6 +468,31 @@ class PipelineSpec extends SparkSpec {
     assert(dviol.count() == 0, "direct one-pass sketch outside rank bound")
   }
 
+  test("profiler: approx path matches exact counts, HLL-bounded distincts, same ranges") {
+    import graft.ops.Profiler
+    val o = graft.Tables.load(spark, sfDir, "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_totalprice", "o_orderdate", "o_orderpriority")
+    val exact = Profiler.profile(o, cols, exact = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Profiler.profile(o, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == cols.toSet && approx.keySet == cols.toSet)
+    for (c <- cols) {
+      val (e, a) = (exact(c), approx(c))
+      assert(e.getLong(1) == a.getLong(1), s"$c n_rows")      // n_rows
+      assert(e.getLong(2) == a.getLong(2), s"$c n_nulls")     // n_nulls
+      val (ed, ad) = (e.getLong(3), a.getLong(3))             // n_distinct
+      assert(math.abs(ed - ad) <= math.max(2, 0.05 * ed),
+        s"$c approx distinct $ad vs exact $ed beyond HLL bound")
+      assert(e.get(4) == a.get(4) && e.get(5) == a.get(5),    // ranges
+        s"$c numeric range diverged: $e vs $a")
+    }
+    // sanity on known shape: key column is unique and non-null
+    val k = exact("o_orderkey")
+    assert(k.getLong(2) == 0 && k.getLong(3) == k.getLong(1))
+  }
+
   test("theta sketches: union==one-pass, planted set algebra exact, over-capacity bounded") {
     import graft.functions.ThetaFunctions._
     import spark.implicits._
