@@ -312,6 +312,72 @@ object IncrementalAgg {
               col("mx").as(s"max_$valueCol"))
   }
 
+  /** Exact discrete PERCENTILES per group, maintained over the SAME
+    * [[DistinctState]] pair table as count-distinct and min/max —
+    * percentiles are the textbook non-subtractable aggregate (a delete of
+    * the current median shifts it to a neighbor no sketch can recover:
+    * KLL — `q_quantile_sketch` — is insertion-only), and the net
+    * pair-multiplicity state is exactly the compressed live value
+    * distribution they need.
+    *
+    * Definition (matches DuckDB's `quantile_disc` and Spark's exact
+    * lower discrete quantile): per group, the p-quantile is the smallest
+    * live value whose cumulative live-row count reaches
+    * `max(1, ceil(p * n))`, NULLs excluded from n; a live group whose
+    * values are all NULL reports NULL (matching `quantile_disc(v)` over
+    * the live state). Both engines evaluate `p * n` in IEEE double, so
+    * the rank index agrees bit-for-bit.
+    *
+    * Scale shape: ONE g-partitioned window pass over the live pairs —
+    * shuffle and sort are bounded by the live (group, value) pair
+    * cardinality (the state's own size), never by |rows| or |events|:
+    * multiplicities are summed, not exploded. All requested percentiles
+    * ride the same pass as conditional-min aggregates. */
+  def percentileView(st: DistinctState, groupCol: String, valueCol: String,
+                     ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"percentileView: percentiles must be in (0, 1], got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val live = st.pairs.filter(col("net") > 0)
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // same partitioning as wCum -> one exchange serves both frames
+    val wAll = Window.partitionBy(col("g"))
+    val cum = live.withColumn("__cum", sum(col("net")).over(wCum))
+      .withColumn("__n", sum(col("net")).over(wAll))
+    val aggs = ps.map { p =>
+      val pos = greatest(lit(1L), ceil(lit(p) * col("__n")).cast("long"))
+      min(when(col("__cum") >= pos, col("v"))).as(pctName(p, valueCol))
+    }
+    val qs = cum.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+    // null-safe liveness join, like minMaxView: NULL is a legitimate
+    // group, and all-NULL-valued live groups must stay visible
+    st.groups.filter(col("n_rows") > 0).alias("__lg")
+      .join(qs.alias("__q"), col("__lg.g") <=> col("__q.g"), "left")
+      .select(col("__lg.g").as(groupCol) +:
+              ps.map(p => col(pctName(p, valueCol))): _*)
+  }
+
+  /** One-shot exact percentiles from change events alone (the replay
+    * face of [[percentileView]] — same Q3/Q4 discipline as the rest of
+    * the pair-state family). */
+  def percentiles(events: DataFrame, groupCol: String, valueCol: String,
+                  ps: Seq[Double],
+                  allowNullableFallback: Boolean = false): DataFrame = {
+    val (pairs, groups) = pairMultiplicities(events, "percentiles",
+      groupCol, valueCol, allowNullableFallback)
+    percentileView(DistinctState(pairs, groups), groupCol, valueCol, ps)
+  }
+
+  /** `0.25 -> p25_<col>`; non-integral percents keep their digits with
+    * the dot swapped for `_` (`0.999 -> p99_9_<col>`). */
+  private def pctName(p: Double, valueCol: String): String = {
+    val pct = p * 100
+    val label = if (pct == math.floor(pct)) pct.toInt.toString
+                else pct.toString.replace('.', '_')
+    s"p${label}_$valueCol"
+  }
+
   /** Empty [[DistinctState]] with the right schemas for the group/value
     * column types, derived from (but never scanning) the event stream. */
   def emptyDistinctState(events: DataFrame, groupCol: String,

@@ -211,6 +211,26 @@ object CdcQueries {
                 round(col("max_o_totalprice"), 2).as("max_price"))
         .orderBy(col("o_orderstatus"))),
 
+    // Incremental PERCENTILE maintenance: exact price quartiles + p95 per
+    // status from changelog deltas alone. Percentiles are the textbook
+    // non-subtractable aggregate (deleting the current median shifts it
+    // to a neighbor no insertion-only sketch can recover) — maintained
+    // over the same per-(group, value) net-multiplicity state as
+    // count-distinct/min-max: one g-partitioned window pass over the
+    // live pairs, multiplicities summed, never exploded (see
+    // IncrementalAgg.percentileView).
+    "cdc_percentile_view" -> ((s, dir) => {
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      graft.cdc.IncrementalAgg.percentiles(
+          ChangelogGen.ordersChangeEvents(s, dir),
+          groupCol = "o_orderstatus", valueCol = "o_totalprice", ps)
+        .select(col("o_orderstatus") +: ps.map { p =>
+          val n = s"p${(p * 100).toInt}"
+          round(col(s"${n}_o_totalprice"), 2).as(s"${n}_price")
+        }: _*)
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Incremental TOP-K view maintenance: 3 most expensive live orders
     // per status, kept current across three replay windows by
     // delta-restricted re-ranking (only statuses the batch touched are
@@ -368,6 +388,14 @@ object CdcQueries {
     "cdc_minmax_view" ->
       s"""SELECT o_orderstatus, round(min(o_totalprice), 2) AS min_price,
         |  round(max(o_totalprice), 2) AS max_price
+        |FROM ($expectedStateSql)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "cdc_percentile_view" ->
+      s"""SELECT o_orderstatus,
+        |  round(quantile_disc(o_totalprice, 0.25), 2) AS p25_price,
+        |  round(quantile_disc(o_totalprice, 0.5), 2) AS p50_price,
+        |  round(quantile_disc(o_totalprice, 0.75), 2) AS p75_price,
+        |  round(quantile_disc(o_totalprice, 0.95), 2) AS p95_price
         |FROM ($expectedStateSql)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "cdc_topk_view" ->

@@ -102,6 +102,79 @@ class PairStateAggSpec extends SparkSpec {
       "incremental moments diverge from state recompute")
   }
 
+  test("delete of the current median shifts it to a neighbor") {
+    val ev = evDf(
+      ins(1, 1, "a", 10.0), ins(2, 2, "a", 20.0), ins(3, 3, "a", 30.0),
+      ins(4, 4, "a", 40.0), ins(5, 5, "a", 50.0),
+      ins(6, 6, "b", 7.0),
+      del(7, 3, "a", 30.0)) // a: {10,20,40,50} -> p50 drops to 20
+    val got = IncrementalAgg.percentiles(ev, "grp", "v",
+        Seq(0.25, 0.5, 0.75)).collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    assert(got == Map("a" -> ((10.0, 20.0, 40.0)),
+                      "b" -> ((7.0, 7.0, 7.0))),
+      s"got $got")
+  }
+
+  test("duplicate values weight the quantile by multiplicity, not pair count") {
+    // a: {1, 5, 5, 5} — the pair state holds only TWO pairs (1×1, 5×3),
+    // but p25 must see four rows: pos = ceil(.25*4) = 1 -> 1.0,
+    // p50 -> pos 2 -> 5.0
+    val ev = evDf(
+      ins(1, 1, "a", 1.0), ins(2, 2, "a", 5.0), ins(3, 3, "a", 5.0),
+      ins(4, 4, "a", 5.0))
+    val got = IncrementalAgg.percentiles(ev, "grp", "v", Seq(0.25, 0.5))
+      .collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    assert(got == Map("a" -> ((1.0, 5.0))), s"got $got")
+  }
+
+  test("live group whose values are all NULL reports NULL percentiles") {
+    val ev = evDf(ins(1, 1, "a", null), ins(2, 2, "b", 3.0))
+    val rows = IncrementalAgg.percentiles(ev, "grp", "v", Seq(0.5))
+      .collect().map(r => (r.getString(0), r.get(1))).toSet
+    assert(rows == Set(("a", null), ("b", 3.0)))
+  }
+
+  test("percentile view over the batched state fold equals one-shot, equals a sorted-scan recompute") {
+    val ev = ChangelogGen.ordersChangeEvents(spark, sfDir)
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val oneShot = IncrementalAgg.percentiles(
+      ev, "o_orderstatus", "o_totalprice", ps)
+    // fold the same events through the persisted-state path in 2 cuts
+    val mid = 820454400L // between the snapshot cuts
+    val fin = Seq(col("ts") <= mid, col("ts") > mid).foldLeft(
+        IncrementalAgg.emptyDistinctState(ev, "o_orderstatus",
+                                          "o_totalprice")) { (st, cond) =>
+      val next = IncrementalAgg.distinctCountBatch(st,
+        ev.filter(cond).localCheckpoint(), "o_orderstatus", "o_totalprice")
+      IncrementalAgg.DistinctState(next.pairs.localCheckpoint(),
+                                   next.groups.localCheckpoint())
+    }
+    val batched = IncrementalAgg.percentileView(fin, "o_orderstatus",
+                                                "o_totalprice", ps)
+    assert(batched.count() > 0)
+    assert(batched.exceptAll(oneShot).isEmpty &&
+           oneShot.exceptAll(batched).isEmpty,
+      "batched percentile view diverges from one-shot")
+    // independent recompute: sorted scan of the live state, position
+    // max(1, ceil(p*n)) — the quantile_disc definition, computed without
+    // the window/pair machinery under test
+    val byGrp = ChangelogGen.ordersState(spark, sfDir)
+      .select(col("o_orderstatus"), col("o_totalprice")).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getDouble(1)).sorted }
+    val want = byGrp.map { case (g, vs) =>
+      g -> ps.map { p =>
+        vs(math.max(1, math.ceil(p * vs.length).toLong).toInt - 1) }
+    }
+    val got = oneShot.collect()
+      .map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    for (g <- want.keySet)
+      assert(got(g) == want(g), s"group $g: got ${got(g)} want ${want(g)}")
+  }
+
   test("batched DistinctState fold equals the one-shot distinctCount") {
     val full = evDf(
       ins(1, 1, "a", 1.0), ins(2, 2, "a", 1.0), ins(3, 3, "a", 2.0),
