@@ -322,6 +322,26 @@ object CdcStream {
       st => IncrementalAgg.minMaxView(st, groupCol, valueCol))
   }
 
+  /** Exact-PERCENTILE sibling of [[maintainDistinctCountToParquet]] —
+    * the same persisted pair-multiplicity state, the quantile view over
+    * it (see `IncrementalAgg.percentileView`): "live price quartiles per
+    * status" stays exact under deletes of the current median (which no
+    * insertion-only sketch can recover), restart-safe. Pass the same
+    * `ps` every run — the percentile list is part of the view's schema
+    * contract, though the persisted state itself is ps-independent (the
+    * same root can be re-faced with different percentiles after a code
+    * change without a state rebuild). */
+  def maintainPercentilesToParquet(envelope: DataFrame, spec: TableSpec,
+                                   groupCol: String, valueCol: String,
+                                   ps: Seq[Double], rootPath: String,
+                                   checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.IncrementalAgg
+    maintainPairStateToParquet(envelope, spec, groupCol, valueCol,
+      rootPath, checkpointPath,
+      st => IncrementalAgg.percentileView(st, groupCol, valueCol, ps))
+  }
+
   /** Maintain an incrementally-updated AVG/VARIANCE view from the
     * changelog stream — the streaming face of
     * [[graft.cdc.IncrementalAgg.moments]]. Moments (sum, sum of squares,

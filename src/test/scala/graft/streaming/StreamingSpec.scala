@@ -477,6 +477,41 @@ class StreamingSpec extends SparkSpec {
     assert(view() == Map("a" -> ((7.0, 7.0)), "b" -> ((5.0, 5.0))))
   }
 
+  test("streaming percentile view: delete of the median shifts it across restart") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("pctlog")
+    val root = tmpDir("pctstate")
+    val ckpt = tmpDir("pctckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", DoubleType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Double) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainPercentilesToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", valueCol = "v", ps = Seq(0.5, 0.75),
+      root, ckpt).awaitTermination()
+    def view(): Map[String, (Double, Double)] =
+      CdcStream.readDistinctCountView(spark, root).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    append("b1.json", Seq(
+      ev("insert", 1, 1, "a", 10.0), ev("insert", 2, 2, "a", 20.0),
+      ev("insert", 3, 3, "a", 30.0), ev("insert", 4, 4, "a", 40.0),
+      ev("insert", 5, 5, "a", 50.0), ev("insert", 6, 6, "b", 7.0)))
+    run()
+    assert(view() == Map("a" -> ((30.0, 40.0)), "b" -> ((7.0, 7.0))))
+    // restart: delete a's current median — the new p50 must come FROM
+    // THE PERSISTED pair state (the previous view alone cannot answer
+    // this; a: {10,20,40,50} -> p50 = 20, p75 = 40)
+    append("b2.json", Seq(ev("delete", 7, 3, "a", 30.0)))
+    run()
+    assert(view() == Map("a" -> ((20.0, 40.0)), "b" -> ((7.0, 7.0))))
+  }
+
   test("streaming avg/variance view: restarts and retractions") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
