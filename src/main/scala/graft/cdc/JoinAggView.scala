@@ -1,0 +1,246 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained AGGREGATE-OVER-JOIN view
+  * `V = γ_{g; count, sum(v)}(L ⋈ R)` from two changelogs — the classic
+  * IVM composition of [[JoinView]] (delta join) and [[IncrementalAgg]]
+  * (delta fold). The reference's handlers materialize single tables
+  * (`/root/reference/cdc_manager.go:277-298`); the dashboard query a real
+  * consumer puts on top is almost always "metric per dimension attribute"
+  * — revenue per customer nation — and recomputing that join+group-by per
+  * batch re-reads both full states.
+  *
+  * The maintained state is `(L, R, per-group sums)`: unlike [[JoinView]]
+  * the JOIN RESULT IS NEVER MATERIALIZED — the aggregate state is
+  * O(|groups|), not O(|join rows|). Per micro-batch `(ΔL, ΔR)` the view
+  * delta is computed as retract/insert pairs from the SAME two-branch
+  * delta-join decomposition JoinView uses for its rebuild:
+  * {{{
+  *   touched =  live(L )[keys(ΔL)] ⋈ live(R )              (weight −1)
+  *           ∪  live(L )[∉ΔL]      ⋈ live(R )[keys(ΔR)]    (weight −1)
+  *           ∪  live(L')[keys(ΔL)] ⋈ live(R')              (weight +1)
+  *           ∪  live(L')[∉ΔL]      ⋈ live(R')[keys(ΔR)]    (weight +1)
+  *   Δagg    =  γ_{g; Σ w, Σ w·v}(touched)
+  * }}}
+  * (primed = post-merge). Join rows NOT adjacent to a changed key are
+  * identical pre/post and cancel by construction, so they are never even
+  * joined: all four branches are |Δ|-restricted scan-side by broadcast
+  * semi/anti joins against the changed-key sets. Inserts, updates,
+  * deletes, late-arriving dimension rows, AND group-moving updates (a
+  * dimension row whose group attribute changes retracts its old-group
+  * contribution and inserts the new one) all fall out of the one formula.
+  *
+  * Scale shape: per-batch cost is O(|Δ| + |delta-adjacent join rows|),
+  * never O(|L| + |R|) — and the agg merge touches only groups the batch
+  * moved (untouched groups pass through a broadcast anti join). The
+  * changed-key collects are capped exactly as in JoinView
+  * ([[JoinView.DefaultMaxLocalKeys]]): a catch-up batch over a giant
+  * backlog degrades to cluster-side key handling instead of OOMing the
+  * driver.
+  *
+  * Exactness: pass `valueCast = _.cast("decimal(p,s)")` — the
+  * retract/insert fold is order-sensitive in IEEE double (`(s + x) − x`
+  * leaves residue), and a decimal state makes the maintained sums equal a
+  * direct recompute bit-for-bit. NULL discipline matches SQL aggregates:
+  * `n_rows` counts rows, `sum` skips NULL values, a live group whose
+  * values are all NULL reports NULL sum (tracked via `n_vals`), and a
+  * NULL group attribute is a legitimate group (all merges are null-safe).
+  */
+object JoinAggView {
+
+  /** Tombstone-aware L/R states + the per-group aggregate state
+    * (`groupCols…, n_rows, n_vals, sum_<valueCol>`). */
+  final case class State(left: DataFrame, right: DataFrame, agg: DataFrame)
+
+  /** Public face of the aggregate state: `groupCols…, n_rows,
+    * sum_<valueCol>` — NULL sum for live groups whose values are all
+    * NULL, `n_vals` kept internal. */
+  def view(st: State, valueCol: String): DataFrame = {
+    val sumCol = s"sum_$valueCol"
+    st.agg.select(
+      st.agg.columns.filterNot(Set("n_rows", "n_vals", sumCol)).map(col) ++
+        Seq(col("n_rows"),
+            when(col("n_vals") > 0, col(sumCol)).as(sumCol)): _*)
+  }
+
+  /** One micro-batch step. `groupCols` name the aggregate's group
+    * attributes (from live(L) ++ live(R) columns); `valueCol` is summed.
+    * Same delta contract as [[JoinView.applyBatch]]: `dl`/`dr` must be
+    * cheap to re-scan (pinned or materialized) — each feeds a merge and a
+    * changed-key derivation. */
+  def applyBatch(st: State, dl: DataFrame, dr: DataFrame,
+                 lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
+                 groupCols: Seq[String], valueCol: String,
+                 valueCast: Column => Column = identity,
+                 maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
+    require(rPk.size == lJoinCols.size,
+      s"lJoinCols (${lJoinCols.mkString(",")}) must match rPk " +
+        s"(${rPk.mkString(",")}) positionally")
+    require(lJoinCols.intersect(rPk).isEmpty,
+      s"lJoinCols and rPk must not share column names " +
+        s"(got ${lJoinCols.intersect(rPk).mkString(",")}); rename one side")
+    val spark = dl.sparkSession
+    def distributedKeys(delta: DataFrame, ks: Seq[String]): DataFrame =
+      delta.select(ks.map(k => col(s"after.$k").as(k)): _*)
+        .distinct().localCheckpoint(false)
+    val (changedL, lLocal) =
+      JoinView.localKeys(dl, lPk, maxLocalKeys) match {
+        case Some(lk) => (lk, true)
+        case None     => (distributedKeys(dl, lPk), false)
+      }
+    val (changedR, rLocal) =
+      JoinView.localKeys(dr, rPk, maxLocalKeys) match {
+        case Some(rk) => (rk, true)
+        case None     => (distributedKeys(dr, rPk), false)
+      }
+    def hinted(df: DataFrame, isLocal: Boolean): DataFrame =
+      if (isLocal) broadcast(df) else df
+    val joinCond = lJoinCols.zip(rPk)
+      .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+    // The two-branch delta restriction (JoinView.applyBatch rationale:
+    // each branch's semi side is |Δ|-bounded and broadcast, so neither
+    // full state is ever exchanged), evaluated over a given (L, R) pair.
+    def touchedRows(liveL: DataFrame, liveR: DataFrame, w: Int): DataFrame = {
+      val branchL = hinted(
+          liveL.join(hinted(changedL, lLocal), lPk, "left_semi"), lLocal)
+        .join(liveR, joinCond)
+      val branchR = liveL.join(hinted(changedL, lLocal), lPk, "left_anti")
+        .join(hinted(liveR.join(hinted(changedR, rLocal), rPk, "left_semi"),
+                     rLocal),
+              joinCond)
+      branchL.unionByName(branchR).select(
+        groupCols.map(col) ++
+          Seq(valueCast(col(valueCol)).as("__v"), lit(w).as("__w")): _*)
+    }
+    // retract from the PRE-merge states, insert from the POST-merge ones
+    // — both lazy, and st.left/right are pinned by the previous batch, so
+    // evaluation order cannot see the merged state in the retract branch
+    val retract = touchedRows(Materializer.liveView(st.left),
+                              Materializer.liveView(st.right), -1)
+    val lNext = Materializer.merge(st.left, dl, lPk,
+      changedKeys = Some(changedL)).localCheckpoint(false)
+    val rNext = Materializer.merge(st.right, dr, rPk,
+      changedKeys = Some(changedR)).localCheckpoint(false)
+    val insert = touchedRows(Materializer.liveView(lNext),
+                             Materializer.liveView(rNext), +1)
+    // pinned: the per-group deltas feed the touched-group set AND the
+    // merge join — one shuffle, reused
+    val deltas = retract.unionByName(insert)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__w").cast("long")).as("d_rows"),
+           sum(when(col("__v").isNotNull, col("__w").cast("long"))
+                 .otherwise(lit(0L))).as("d_vals"),
+           sum(when(col("__w") === 1, col("__v"))
+                 .otherwise(-col("__v"))).as("d_sum"))
+      .filter(col("d_rows") =!= 0 || col("d_vals") =!= 0 ||
+              (col("d_sum").isNotNull && col("d_sum") =!= 0))
+      .localCheckpoint(false)
+    val sumCol = s"sum_$valueCol"
+    val sumType = deltas.schema("d_sum").dataType
+    // touched-group set: already distinct (it IS the delta agg's key
+    // set); under the cap collect + broadcast, above it stay distributed
+    val tgSel = deltas.select(groupCols.map(col): _*)
+    val tgRows = tgSel.limit(maxLocalKeys + 1).collect().toSeq
+    val (tg, tgLocal) =
+      if (tgRows.size > maxLocalKeys) (tgSel, false)
+      else (spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(tgRows).asJava,
+        tgSel.schema), true)
+    // null-safe group joins: a NULL group attribute is a real group
+    def byGroup(left: DataFrame, how: String): DataFrame = {
+      val tgA = tg.alias("__tg")
+      left.alias("__l").join(if (tgLocal) broadcast(tgA) else tgA,
+        groupCols.map(g => col(s"__l.$g") <=> col(s"__tg.$g"))
+          .reduce(_ && _), how)
+        .select(left.columns.map(c => col(s"__l.$c")): _*)
+    }
+    val untouched = byGroup(st.agg, "left_anti")
+    val groupCond = groupCols
+      .map(g => col(s"__a.$g") <=> col(s"__d.$g")).reduce(_ && _)
+    val merged = byGroup(st.agg, "left_semi").alias("__a")
+      .join(deltas.alias("__d"), groupCond, "full_outer")
+      .select(
+        // <=> join: whichever side is present carries the true group
+        // value (coalesce of both-NULL is NULL — itself correct)
+        groupCols.map(g => coalesce(col(s"__a.$g"), col(s"__d.$g")).as(g)) ++
+          Seq(
+            (coalesce(col("__a.n_rows"), lit(0L)) +
+             coalesce(col("__d.d_rows"), lit(0L))).as("n_rows"),
+            (coalesce(col("__a.n_vals"), lit(0L)) +
+             coalesce(col("__d.d_vals"), lit(0L))).as("n_vals"),
+            // decimal addition widens per batch — cast back to the
+            // canonical sum type so the state schema is a fixed point
+            (coalesce(col(s"__a.$sumCol"), lit(0).cast(sumType)) +
+             coalesce(col("__d.d_sum"), lit(0).cast(sumType)))
+              .cast(sumType).as(sumCol)): _*)
+      .filter(col("n_rows") > 0)
+    State(lNext, rNext, untouched.unionByName(merged))
+  }
+
+  /** The canonical aggregate-state frame computed DIRECTLY from a pair of
+    * live states — the recompute the incremental path must equal, and the
+    * schema seed for [[replay]]'s empty initial state. */
+  def directAgg(liveL: DataFrame, liveR: DataFrame,
+                rPk: Seq[String], lJoinCols: Seq[String],
+                groupCols: Seq[String], valueCol: String,
+                valueCast: Column => Column = identity): DataFrame = {
+    val joinCond = lJoinCols.zip(rPk)
+      .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+    liveL.join(liveR, joinCond)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+           count(valueCol).as("n_vals"),
+           sum(valueCast(col(valueCol))).as(s"sum_$valueCol"))
+  }
+
+  /** Replay two event streams through the aggregate view in time-ordered
+    * windows (same cuts/micro-batch discipline as [[JoinView.replay]]:
+    * child session, AQE off, batch-width shuffles, logs pinned once,
+    * per-batch lazy pins). Returns the final state. */
+  def replay(lEvents: DataFrame, rEvents: DataFrame, cuts: Seq[Long],
+             lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
+             groupCols: Seq[String], valueCol: String,
+             valueCast: Column => Column = identity,
+             batchShufflePartitions: Int = 8,
+             maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
+    val parent = lEvents.sparkSession
+    val child = parent.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    child.conf.set("spark.sql.shuffle.partitions",
+                   batchShufflePartitions.toString)
+    def inChild(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.bridge.reRoot(df, child)
+    def emptyLike(df: DataFrame): DataFrame =
+      child.createDataFrame(
+        child.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    val lSchema = emptyLike(Materializer.compact(lEvents.limit(0), lPk))
+    val rSchema = emptyLike(Materializer.compact(rEvents.limit(0), rPk))
+    // seed the agg state with the DIRECT recompute's schema over empty
+    // states — applyBatch's merged output is cast to the same fixed point
+    val emptyAgg = emptyLike(directAgg(
+      lSchema.drop(Materializer.MetaCols: _*),
+      rSchema.drop(Materializer.MetaCols: _*),
+      rPk, lJoinCols, groupCols, valueCol, valueCast))
+    val lPinned = inChild(lEvents.localCheckpoint())
+      .coalesce(batchShufflePartitions)
+    val rPinned = inChild(rEvents.localCheckpoint())
+      .coalesce(batchShufflePartitions)
+    def slice(ev: DataFrame, lo: Long, hi: Long) =
+      ev.filter(col("ts") > lo && col("ts") <= hi)
+    val windows = (Long.MinValue +: cuts) :+ Long.MaxValue
+    val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
+    val fin = bounds.foldLeft(State(lSchema, rSchema, emptyAgg)) {
+      case (st, (lo, hi)) =>
+        val next = applyBatch(st, slice(lPinned, lo, hi),
+                              slice(rPinned, lo, hi),
+                              lPk, rPk, lJoinCols, groupCols, valueCol,
+                              valueCast, maxLocalKeys)
+        next.copy(agg = next.agg.localCheckpoint(false))
+    }
+    import org.apache.spark.sql.graft.bridge.reRoot
+    State(reRoot(fin.left, parent), reRoot(fin.right, parent),
+          reRoot(fin.agg, parent))
+  }
+}

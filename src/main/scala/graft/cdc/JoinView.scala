@@ -69,8 +69,8 @@ object JoinView {
     * |Δ|-bounded contract is violated (catch-up batch over a backlog)
     * and the answer is None — callers must run the distributed path
     * rather than OOM the driver. */
-  private def localKeys(delta: DataFrame, keys: Seq[String],
-                        cap: Int): Option[DataFrame] = {
+  private[cdc] def localKeys(delta: DataFrame, keys: Seq[String],
+                             cap: Int): Option[DataFrame] = {
     val sel = delta.select(keys.map(k => col(s"after.$k").as(k)): _*)
       .distinct() // cluster-side, so the limit below bounds the collect
     val rows = sel.limit(cap + 1).collect().toSeq

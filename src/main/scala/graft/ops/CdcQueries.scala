@@ -80,6 +80,30 @@ object CdcQueries {
                          "o_totalprice", "c_name", "c_acctbal"))
         .view.orderBy(col("o_orderkey"))),
 
+    // Incremental AGGREGATE-OVER-JOIN maintenance (the classic IVM
+    // composition): revenue + order count per customer NATION, maintained
+    // from the two changelogs' deltas alone — the join result is NEVER
+    // materialized; the maintained state is O(|groups|) per-nation sums
+    // plus the two table states (JoinAggView retract/insert formula over
+    // pre/post-merge states, decimal-cast sums for order-independent
+    // exactness). Late-arriving customers credit their orders' revenue in
+    // the batch where the dimension row lands; deletes retract it.
+    "cdc_join_agg_view" -> ((s, dir) =>
+      graft.cdc.JoinAggView.view(
+          graft.cdc.JoinAggView.replay(
+            ChangelogGen.ordersChangeEvents(s, dir),
+            ChangelogGen.customerChangeEvents(s, dir),
+            cuts = Seq(SnapT1, SnapT2),
+            lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
+            lJoinCols = Seq("o_custkey"), groupCols = Seq("c_nationkey"),
+            valueCol = "o_totalprice",
+            valueCast = _.cast("decimal(25,10)")),
+          "o_totalprice")
+        .select(col("c_nationkey"), col("n_rows").as("n_orders"),
+                round(col("sum_o_totalprice"), 2).cast("double")
+                  .as("revenue"))
+        .orderBy(col("c_nationkey"))),
+
     // SCD2 history: every version of every key with its validity interval
     // (deletes close the last version). The full audit-table shape the
     // reference's handler callbacks would need to build by hand.
@@ -286,6 +310,16 @@ object CdcQueries {
         |  c_name, c_acctbal
         |FROM ostate JOIN cstate ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "cdc_join_agg_view" ->
+      s"""WITH ostate AS ($expectedStateSql),
+        |cstate AS (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM customer WHERE c_custkey % 25 <> 0)
+        |SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,10))), 2)
+        |       AS DOUBLE) AS revenue
+        |FROM ostate JOIN cstate ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "cdc_update_before" ->
       """SELECT o_orderkey, o_totalprice AS old_price,
         |  o_totalprice * 1.1 AS new_price

@@ -1,0 +1,141 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Aggregate-over-join IVM: stepwise semantics on a handcrafted two-topic
+  * sequence (late dims, deletes, group-moving dimension updates, NULL
+  * values/groups), and convergence to the direct recompute on the
+  * synthesized changelogs. */
+class JoinAggViewSpec extends SparkSpec {
+
+  // fact(k, fk, price) joins dim(ck, grp); aggregate price per grp
+  private def lEvents(rows: (String, Long, Long, (Long, Long, java.lang.Double))*) = {
+    import spark.implicits._
+    rows.toSeq.map { case (op, ts, seq, (k, fk, price)) =>
+      (op, ts, seq, k, fk, Option(price).map(_.doubleValue))
+    }.toDF("op", "ts", "seq", "k", "fk", "price")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("k"), col("fk"), col("price")).as("after"))
+  }
+
+  private def rEvents(rows: (String, Long, Long, (Long, String))*) = {
+    import spark.implicits._
+    rows.toSeq.map { case (op, ts, seq, (ck, grp)) =>
+      (op, ts, seq, ck, grp)
+    }.toDF("op", "ts", "seq", "ck", "grp")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("ck"), col("grp")).as("after"))
+  }
+
+  private def emptyState(l: org.apache.spark.sql.DataFrame,
+                         r: org.apache.spark.sql.DataFrame) = {
+    val emptyL = Materializer.compact(l.limit(0), Seq("k"))
+    val emptyR = Materializer.compact(r.limit(0), Seq("ck"))
+    val emptyAgg = JoinAggView.directAgg(
+      emptyL.drop(Materializer.MetaCols: _*),
+      emptyR.drop(Materializer.MetaCols: _*),
+      Seq("ck"), Seq("fk"), Seq("grp"), "price").limit(0)
+    JoinAggView.State(emptyL, emptyR, emptyAgg)
+  }
+
+  private def aggRows(st: JoinAggView.State) =
+    JoinAggView.view(st, "price").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+                 Option(r.get(2)).map(_.toString.toDouble))).toSet
+
+  private def step(st: JoinAggView.State, l: org.apache.spark.sql.DataFrame,
+                   r: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) = {
+    def slice(ev: org.apache.spark.sql.DataFrame) =
+      ev.filter(col("ts") > lo && col("ts") <= hi)
+    JoinAggView.applyBatch(st, slice(l), slice(r),
+      Seq("k"), Seq("ck"), Seq("fk"), Seq("grp"), "price")
+  }
+
+  test("stepwise: late dim, value update, deletes, group stays exact") {
+    val l = lEvents(
+      ("insert", 1L, 1L, (1L, 10L, 5.0)),
+      ("insert", 1L, 2L, (2L, 20L, 7.0)),
+      ("insert", 2L, 3L, (3L, 10L, 9.0)),
+      ("update", 5L, 4L, (1L, 10L, 6.0)),  // a: 5+9 -> 6+9
+      ("delete", 9L, 5L, (3L, 10L, 9.0)))  // a: -> 6
+    val r = rEvents(
+      ("insert", 2L, 1L, (20L, "b")),
+      ("insert", 4L, 2L, (10L, "a")),      // LATE: facts referenced at ts<=2
+      ("delete", 8L, 3L, (20L, "b")))      // b disappears entirely
+    // batch 1 (ts <= 3): only dim 20 present -> just group b
+    val st1 = step(emptyState(l, r), l, r, Long.MinValue, 3)
+    assert(aggRows(st1) == Set(("b", 1L, Some(7.0))),
+      "late dimension's facts must not be counted before it arrives")
+    // batch 2 (3 < ts <= 6): dim 10 arrives (2 facts join in) + k=1 update
+    val st2 = step(st1, l, r, 3, 6)
+    assert(aggRows(st2) == Set(("a", 2L, Some(15.0)), ("b", 1L, Some(7.0))))
+    // batch 3 (ts > 6): dim 20 deleted -> group b gone (not zero-row);
+    // fact 3 deleted -> a shrinks
+    val st3 = step(st2, l, r, 6, Long.MaxValue)
+    assert(aggRows(st3) == Set(("a", 1L, Some(6.0))),
+      "emptied groups must drop out of the view, not linger at zero")
+  }
+
+  test("group-moving dimension update retracts old group, credits new") {
+    val l = lEvents(
+      ("insert", 1L, 1L, (1L, 10L, 5.0)),
+      ("insert", 1L, 2L, (2L, 10L, 7.0)),
+      ("insert", 1L, 3L, (3L, 20L, 2.0)))
+    val r = rEvents(
+      ("insert", 1L, 1L, (10L, "a")),
+      ("insert", 1L, 2L, (20L, "b")),
+      ("update", 5L, 3L, (10L, "b")))  // dim 10 moves a -> b
+    val st1 = step(emptyState(l, r), l, r, Long.MinValue, 3)
+    assert(aggRows(st1) == Set(("a", 2L, Some(12.0)), ("b", 1L, Some(2.0))))
+    val st2 = step(st1, l, r, 3, Long.MaxValue)
+    assert(aggRows(st2) == Set(("b", 3L, Some(14.0))),
+      "group-moving dim update must move ALL its facts' contributions")
+  }
+
+  test("NULL values and NULL groups carry SQL aggregate semantics") {
+    val l = lEvents(
+      ("insert", 1L, 1L, (1L, 10L, null)),
+      ("insert", 1L, 2L, (2L, 10L, null)),
+      ("insert", 1L, 3L, (3L, 20L, 4.0)),
+      ("delete", 5L, 4L, (3L, 20L, 4.0)))
+    val r = rEvents(
+      ("insert", 1L, 1L, (10L, "a")),
+      ("insert", 1L, 2L, (20L, null))) // NULL group is a real group
+    val st1 = step(emptyState(l, r), l, r, Long.MinValue, 3)
+    assert(aggRows(st1) == Set[(String, Long, Option[Double])](
+        ("a", 2L, None), (null, 1L, Some(4.0))),
+      "all-NULL-value group must report NULL sum; NULL group must appear")
+    val st2 = step(st1, l, r, 3, Long.MaxValue)
+    assert(aggRows(st2) == Set[(String, Long, Option[Double])](("a", 2L, None)),
+      "NULL group must empty out like any other")
+  }
+
+  test("replay over the synthesized changelogs equals the direct recompute") {
+    val lEv = ChangelogGen.ordersChangeEvents(spark, sfDir)
+    val rEv = ChangelogGen.customerChangeEvents(spark, sfDir)
+    val fin = JoinAggView.replay(lEv, rEv,
+      cuts = Seq(788918400L, 852076800L),
+      lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
+      lJoinCols = Seq("o_custkey"), groupCols = Seq("c_nationkey"),
+      valueCol = "o_totalprice", valueCast = _.cast("decimal(25,10)"))
+    val maintained = JoinAggView.view(fin, "o_totalprice")
+    val direct = JoinAggView.directAgg(
+      ChangelogGen.ordersState(spark, sfDir),
+      ChangelogGen.customerState(spark, sfDir),
+      Seq("c_custkey"), Seq("o_custkey"), Seq("c_nationkey"),
+      "o_totalprice", _.cast("decimal(25,10)"))
+      .select(col("c_nationkey"), col("n_rows"),
+              when(col("n_vals") > 0, col("sum_o_totalprice"))
+                .as("sum_o_totalprice"))
+    assert(maintained.count() > 0)
+    assert(maintained.exceptAll(direct).isEmpty &&
+           direct.exceptAll(maintained).isEmpty,
+      "maintained aggregate-over-join diverges from direct recompute")
+    // the maintained L/R states equal the single-table materializations
+    val lState = Materializer.liveView(fin.left)
+    val lDirect = ChangelogGen.ordersState(spark, sfDir)
+    assert(lState.exceptAll(lDirect).isEmpty &&
+           lDirect.exceptAll(lState).isEmpty)
+  }
+}
