@@ -224,6 +224,70 @@ object CdcStream {
       .start()
   }
 
+  /** Streaming face of [[graft.cdc.JoinAggView]] — an AGGREGATE-OVER-JOIN
+    * view ("revenue per customer nation") maintained from a two-topic
+    * changelog stream, restart-safe. Per batch: route the envelope by
+    * table, compute the retract/insert delta-join rows from the pre/post
+    * merge states, fold them into the per-group sums, and persist
+    * (left, right, agg) as ONE parquet generation with a single directory
+    * swap. The join result itself is never materialized — the persisted
+    * aggregate is O(|groups|). Pass the same `valueCast` every run (it is
+    * part of the persisted sum's type contract; decimal casts make the
+    * fold exact). Same crash discipline as [[maintainJoinViewToParquet]].
+    * Read with [[readJoinAggView]]. */
+  def maintainJoinAggToParquet(envelope: DataFrame, lSpec: TableSpec,
+                               rSpec: TableSpec, lJoinCols: Seq[String],
+                               groupCols: Seq[String], valueCol: String,
+                               rootPath: String, checkpointPath: String,
+                               valueCast: Column => Column = identity)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.JoinAggView
+    envelope.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val dl = changeEvents(batch, lSpec).localCheckpoint()
+        val dr = changeEvents(batch, rSpec).localCheckpoint()
+        def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], df.schema)
+        val st0 = liveGenerationRoot(spark, s"$rootPath/current")
+          .map(r => JoinAggView.State(spark.read.parquet(s"$r/left"),
+                                      spark.read.parquet(s"$r/right"),
+                                      spark.read.parquet(s"$r/agg")))
+          .getOrElse {
+            val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
+            val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
+            JoinAggView.State(lS, rS, emptyLike(JoinAggView.directAgg(
+              lS.drop(Materializer.MetaCols: _*),
+              rS.drop(Materializer.MetaCols: _*),
+              rSpec.primaryKey, lJoinCols, groupCols, valueCol, valueCast)))
+          }
+        val next = JoinAggView.applyBatch(st0, dl, dr, lSpec.primaryKey,
+          rSpec.primaryKey, lJoinCols, groupCols, valueCol, valueCast)
+        swapGeneration(spark, s"$rootPath/current") { tmp =>
+          next.left.write.mode("overwrite").parquet(s"$tmp/left")
+          next.right.write.mode("overwrite").parquet(s"$tmp/right")
+          next.agg.write.mode("overwrite").parquet(s"$tmp/agg")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Read the maintained aggregate-over-join view (public face: NULL sum
+    * for all-NULL-value groups), tolerating the swap crash window. */
+  def readJoinAggView(spark: SparkSession, rootPath: String,
+                      valueCol: String): DataFrame =
+    liveGenerationRoot(spark, s"$rootPath/current")
+      .map(r => graft.cdc.JoinAggView.view(
+        graft.cdc.JoinAggView.State(
+          spark.emptyDataFrame, spark.emptyDataFrame,
+          spark.read.parquet(s"$r/agg")), valueCol))
+      .getOrElse(throw new IllegalStateException(
+        s"no join-agg state at $rootPath"))
+
   /** Read the maintained join view, tolerating the swap crash window
     * (fall back to the demoted generation, exactly like [[readState]]). */
   def readJoinView(spark: SparkSession, rootPath: String): DataFrame =

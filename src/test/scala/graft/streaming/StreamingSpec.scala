@@ -357,6 +357,55 @@ class StreamingSpec extends SparkSpec {
     assert(view().isEmpty)
   }
 
+  test("streaming join-agg view: two-topic stream, late dim, restarts") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("jalog")
+    val root = tmpDir("jastate")
+    val ckpt = tmpDir("jackpt")
+    val lSpec = TableSpec("d", "fact", Seq("k"), StructType(Seq(
+      StructField("k", LongType), StructField("fk", LongType),
+      StructField("price", DoubleType))))
+    val rSpec = TableSpec("d", "dim", Seq("ck"), StructType(Seq(
+      StructField("ck", LongType), StructField("grp", StringType))))
+    def fact(op: String, ts: Long, k: Long, fk: Long, p: Double) =
+      s"""{"database":"d","table":"fact","type":"$op","ts":$ts,"data":{"k":$k,"fk":$fk,"price":$p}}"""
+    def dim(op: String, ts: Long, ck: Long, grp: String) =
+      s"""{"database":"d","table":"dim","type":"$op","ts":$ts,"data":{"ck":$ck,"grp":"$grp"}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainJoinAggToParquet(
+      CdcStream.fileChangelog(spark, logDir), lSpec, rSpec,
+      lJoinCols = Seq("fk"), groupCols = Seq("grp"), valueCol = "price",
+      root, ckpt, valueCast = _.cast("decimal(18,6)")).awaitTermination()
+    def view(): Map[String, (Long, Double)] =
+      CdcStream.readJoinAggView(spark, root, "price").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDecimal(2).doubleValue))).toMap
+    // batch 1: two facts + dim 20 only -> only group b counted; the fact
+    // referencing dim 10 must NOT be counted before its insert arrives
+    append("b1.json", Seq(
+      fact("insert", 1, 1, 10, 5.0), fact("insert", 1, 2, 20, 7.0),
+      dim("insert", 2, 20, "b")))
+    run()
+    assert(view() == Map("b" -> ((1L, 7.0))))
+    // batch 2 (restart, same checkpoint, state REREAD from parquet): dim
+    // 10 arrives LATE (its fact retroactively credited) + fact 1's price
+    // updates in the same batch
+    append("b2.json", Seq(
+      dim("insert", 4, 10, "a"), fact("update", 5, 1, 10, 6.0)))
+    run()
+    assert(view() == Map("a" -> ((1L, 6.0)), "b" -> ((1L, 7.0))))
+    // batch 3 (restart): dim 10 moves a -> b (its fact's contribution
+    // must follow), fact 2 deleted
+    append("b3.json", Seq(
+      dim("update", 8, 10, "b"), fact("delete", 9, 2, 20, 7.0)))
+    run()
+    assert(view() == Map("b" -> ((1L, 6.0))),
+      "group move + delete must leave exactly the moved contribution")
+  }
+
   test("streaming top-k view: restarts, promote-on-delete") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
