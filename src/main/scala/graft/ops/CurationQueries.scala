@@ -294,6 +294,74 @@ object CurationQueries {
                             (col("ctx_n") + col("v")))) / sum(col("tf")),
                    4).as("nll"))
         .orderBy(col("doc_id"))
+    }),
+
+    // deterministic, layout-stable train/val/test split (90/5/5): the
+    // assignment is a pure function of doc_id (md5 threshold), so adding
+    // or re-partitioning data NEVER reassigns an existing doc — the
+    // property sample-then-persist pipelines lose. The threshold compare
+    // runs DIRECTLY on the fixed-width lowercase hex prefix (lexicographic
+    // order == numeric order), so the whole assignment is scan-side
+    // codegen'd string ops with zero shuffles before the rollup; the
+    // per-(lang, split) rollup is a map-side partial agg. 0.9*2^32 =
+    // 0xE6666666, 0.95*2^32 = 0xF3333333.
+    "q_split_assign" -> ((s, dir) => {
+      val h = substring(
+        md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 8)
+      docs(s, dir)
+        .withColumn("split",
+          when(h < "e6666666", "train")
+            .when(h < "f3333333", "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
+    // PII entity detection + redaction over planted identifiers (the
+    // corpus is synthetic word salad, so emails/phones/IPs/SSNs are
+    // planted deterministically per doc — every doc gets an email, a
+    // phone, and an IP; every 5th an SSN). Counts come from independent
+    // regexp_extract_all passes on the dirty text; the redacted length
+    // checks the full replace chain. Scale shape: pure scan-side
+    // codegen'd regex work (no UDF, no shuffle before the per-lang
+    // rollup) — exactly how a 100 TB scrub pass should plan.
+    "q_pii_stats" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val dirty = concat(
+        col("text"), lit(" reach user"), id, lit("@example.org or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+        when(col("doc_id") % 5 === 0,
+             concat(lit(" ssn 123-45-"),
+                    lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+      val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      val ssnRe = "\\d{3}-\\d{2}-\\d{4}"
+      val redacted = regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(dirty, ssnRe, "[SSN]"),
+            phoneRe, "[PHONE]"),
+          ipRe, "[IP]"),
+        emailRe, "[EMAIL]")
+      docs(s, dir)
+        .select(col("lang"),
+                size(regexp_extract_all(dirty, lit(emailRe), lit(0)))
+                  .as("e"),
+                size(regexp_extract_all(dirty, lit(phoneRe), lit(0)))
+                  .as("p"),
+                size(regexp_extract_all(dirty, lit(ipRe), lit(0))).as("i"),
+                size(regexp_extract_all(dirty, lit(ssnRe), lit(0))).as("s"),
+                length(redacted).as("red_len"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("e")).as("n_emails"), sum(col("p")).as("n_phones"),
+             sum(col("i")).as("n_ips"), sum(col("s")).as("n_ssns"),
+             sum(col("red_len")).as("redacted_chars"))
+        .orderBy(col("lang"))
     }))
 
   // shared DuckDB fragments (mirrors of TextAnalysis.tokens / portableHash)
@@ -303,6 +371,51 @@ object CurationQueries {
     s"('0x' || substr(md5($key::VARCHAR || ':$seed'), 1, 8))::BIGINT"
 
   val oracle: Map[String, String] = Map(
+    "q_split_assign" ->
+      """WITH a AS (
+        |  SELECT lang, n_chars,
+        |    substr(md5(doc_id::VARCHAR || ':split'), 1, 8) AS h
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN h < 'e6666666' THEN 'train'
+        |       WHEN h < 'f3333333' THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM a GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q_pii_stats" -> {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+      val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      val ssnRe = "\\d{3}-\\d{2}-\\d{4}"
+      s"""WITH d AS (
+        |  SELECT lang,
+        |    text || ' reach user' || doc_id::VARCHAR ||
+        |    '@example.org or +1-555-' ||
+        |    lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+        |    ' from 10.' || (doc_id % 256)::VARCHAR ||
+        |    '.0.' || ((doc_id * 7) % 256)::VARCHAR ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |         ELSE '' END AS dirty
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(dirty, '$emailRe')) AS INT) AS e,
+        |    CAST(len(regexp_extract_all(dirty, '$phoneRe')) AS INT) AS p,
+        |    CAST(len(regexp_extract_all(dirty, '$ipRe')) AS INT) AS i,
+        |    CAST(len(regexp_extract_all(dirty, '$ssnRe')) AS INT) AS s,
+        |    length(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(dirty, '$ssnRe', '[SSN]', 'g'),
+        |      '$phoneRe', '[PHONE]', 'g'), '$ipRe', '[IP]', 'g'),
+        |      '$emailRe', '[EMAIL]', 'g')) AS red_len
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(e) AS BIGINT) AS n_emails,
+        |  CAST(sum(p) AS BIGINT) AS n_phones,
+        |  CAST(sum(i) AS BIGINT) AS n_ips,
+        |  CAST(sum(s) AS BIGINT) AS n_ssns,
+        |  CAST(sum(red_len) AS BIGINT) AS redacted_chars
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q_dedup_segments" ->
       s"""WITH d AS (
         |  SELECT doc_id,

@@ -276,6 +276,35 @@ object FunctionQueries {
                 col("n"), col("sum_value"))
         .orderBy(col("ws"), col("event_type"))),
 
+    // time-series anomaly detection: per-type daily event counts scored
+    // against their own TRAILING 7-day window (z-score vs the preceding
+    // days' mean/stddev — the current day is excluded from its own
+    // baseline, the standard self-exclusion that keeps a spike from
+    // masking itself). One groupBy (daily rollup, map-side partial) +
+    // one window pass sharing a single (event_type, day) shuffle+sort;
+    // at 100 TB the daily rollup collapses the input to |days|×|types|
+    // rows BEFORE the window, so the sort is over thousands of rows, not
+    // billions of events.
+    "q_event_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = load(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("mu", avg(col("n")).over(w))
+        .withColumn("sd", stddev_samp(col("n")).over(w))
+        .withColumn("z", when(col("sd") > 0,
+                              (col("n") - col("mu")) / col("sd")))
+        .select(col("day"), col("event_type"), col("n"),
+                round(col("mu"), 4).as("mu"),
+                round(col("sd"), 4).as("sd"),
+                round(col("z"), 4).as("z"),
+                (abs(col("z")) > 2).as("is_anomaly"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // gap-based sessionization (batch form of session_window): a session
     // breaks after >30 min of user inactivity. lag + running sum is the
     // classic two-window formulation; both windows share the same
@@ -471,6 +500,20 @@ object FunctionQueries {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q_event_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT day, event_type, n,
+        |    avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, event_type, n, round(mu, 4) AS mu, round(sd, 4) AS sd,
+        |  round(CASE WHEN sd > 0 THEN (n - mu) / sd END, 4) AS z,
+        |  abs(CASE WHEN sd > 0 THEN (n - mu) / sd END) > 2 AS is_anomaly
+        |FROM scored ORDER BY day, event_type""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id,
