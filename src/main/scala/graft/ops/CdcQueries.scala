@@ -255,6 +255,37 @@ object CdcQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // TEMPORAL (interval) join against the SCD2 history: each lineitem
+    // joins the VERSION of its order that was valid when the lineitem
+    // shipped — "what did the order look like then", the standard
+    // bitemporal enrichment query over a CDC-built history table. Scale
+    // shape: the equi key (orderkey) drives an ordinary hash join — the
+    // validity interval rides along as a residual predicate, so there is
+    // no range-join blowup; the history side is bounded by |versions|,
+    // not |events|, and at 100 TB the join shuffles on the same key the
+    // history is already keyed by.
+    "cdc_temporal_join" -> ((s, dir) => {
+      val hist = graft.cdc.Materializer.history(
+          ChangelogGen.ordersChangeEvents(s, dir),
+          ChangelogGen.ordersSpec.primaryKey)
+        .select(col("o_orderkey"), col("o_totalprice"),
+                col("valid_from"), col("valid_to"))
+      val li = graft.Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                // l_shipdate is parquet TIMESTAMP_NTZ; the UTC session
+                // (Verify/SparkSpec) makes the LTZ cast the identity
+                // instant, matching DuckDB's epoch() on the same column
+                expr("unix_micros(cast(l_shipdate as timestamp_ltz)) " +
+                     "div 1000000").as("t"))
+      li.join(hist,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("t") >= col("valid_from") &&
+            (col("valid_to").isNull || col("t") < col("valid_to")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("t"),
+                col("o_totalprice").as("price_then"), col("valid_from"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("t"))
+    }),
+
     // Incremental TOP-K view maintenance: 3 most expensive live orders
     // per status, kept current across three replay windows by
     // delta-restricted re-ranking (only statuses the batch touched are
@@ -310,6 +341,30 @@ object CdcQueries {
         |  c_name, c_acctbal
         |FROM ostate JOIN cstate ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "cdc_temporal_join" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS valid_from,
+        |    CAST(CASE WHEN o_orderstatus = 'F' THEN epoch(o_orderdate) + 3600
+        |              WHEN o_orderkey % 10 = 0 THEN epoch(o_orderdate) + 7200
+        |              ELSE NULL END AS BIGINT) AS valid_to
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+        |    CAST(epoch(o_orderdate) + 3600 AS BIGINT) AS valid_from,
+        |    CAST(CASE WHEN o_orderkey % 10 = 0 THEN epoch(o_orderdate) + 7200
+        |              ELSE NULL END AS BIGINT) AS valid_to
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |v AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+        |li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(epoch(l_shipdate) AS BIGINT) AS t
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, t,
+        |  o_totalprice AS price_then, valid_from
+        |FROM li JOIN v ON l_orderkey = o_orderkey
+        |  AND t >= valid_from AND (valid_to IS NULL OR t < valid_to)
+        |ORDER BY l_orderkey, l_linenumber, t""".stripMargin,
     "cdc_join_agg_view" ->
       s"""WITH ostate AS ($expectedStateSql),
         |cstate AS (

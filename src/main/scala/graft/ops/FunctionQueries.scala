@@ -276,6 +276,32 @@ object FunctionQueries {
                 col("n"), col("sum_value"))
         .orderBy(col("ws"), col("event_type"))),
 
+    // sequential-pattern mining: the first-order Markov transition matrix
+    // over per-user event sequences — P(next event type | current type),
+    // the standard behavioral-model / clickstream summary. One lead()
+    // window over (user_id, ts) then a (from, to) rollup; the transition
+    // probability reuses the rollup's output in a tiny |types|² window.
+    // Scale shape: the event-level work is one shuffle+sort by user (the
+    // same partitioning sessionization uses); everything after is
+    // |types|²-bounded.
+    "q_event_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wFrom = Window.partitionBy(col("from_type"))
+      pairs
+        .withColumn("p", round(col("n") /
+                               sum(col("n")).over(wFrom), 4))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // time-series anomaly detection: per-type daily event counts scored
     // against their own TRAILING 7-day window (z-score vs the preceding
     // days' mean/stddev — the current day is excluded from its own
@@ -500,6 +526,18 @@ object FunctionQueries {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        |FROM pairs ORDER BY from_type, to_type""".stripMargin,
     "q_event_anomaly" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
