@@ -101,6 +101,71 @@ object CdcStream {
     must(fs.rename(tmp, dst), s"rename $tmp -> $dst")
   }
 
+  /** Name of the per-generation applied-batch marker. foreachBatch
+    * commits the checkpoint AFTER the batch body returns, so a crash in
+    * the window [generation swapped, checkpoint committed] replays the
+    * batch against the ALREADY-folded state on restart. The merge-based
+    * maintainers are idempotent under that replay (Materializer.merge is
+    * last-writer-wins by (ts, seq); the join/top-k views are rebuilt from
+    * merged states; JoinAggView's retract/insert cancels over identical
+    * pre/post states) — but the FOLD-based maintainers (pair
+    * multiplicities, moments) would double-count the delta. Each
+    * generation therefore records the batchId that produced it; a batch
+    * that finds its own id on the live generation skips the fold
+    * entirely, upgrading the fold faces from at-least-once to
+    * exactly-once application. */
+  private def appliedMarker(batchId: Long): String = s"_applied_$batchId"
+
+  private def isApplied(spark: SparkSession, genRoot: String,
+                        batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(genRoot, appliedMarker(batchId))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def writeMarker(spark: SparkSession, dir: String,
+                          batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, appliedMarker(batchId))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p).close()
+  }
+
+  /** CDC OUT — the maintained view's OWN changelog: full-outer diff of
+    * two generations of a keyed view into (key…, op, before, after)
+    * change events, so downstream consumers can subscribe to a DERIVED
+    * topic instead of re-reading the view ("cascade" views — the
+    * reference's handler callbacks, one level up). Both inputs are
+    * O(|groups|)-small view generations, so the diff is a tiny keyed
+    * join; unchanged rows are filtered by a null-safe whole-row struct
+    * compare. */
+  private[graft] def viewDelta(prev: DataFrame, next: DataFrame,
+                               keyCols: Seq[String]): DataFrame = {
+    val pRow = struct(prev.columns.map(c => col(s"__p.$c")): _*)
+    val nRow = struct(next.columns.map(c => col(s"__n.$c")): _*)
+    val p = prev.withColumn("__pp", lit(true)).alias("__p")
+    val n = next.withColumn("__np", lit(true)).alias("__n")
+    val cond = keyCols.map(k => col(s"__p.$k") <=> col(s"__n.$k"))
+      .reduce(_ && _)
+    p.join(n, cond, "full_outer")
+      .withColumn("op",
+        when(col("__p.__pp").isNull, "insert")
+          .when(col("__n.__np").isNull, "delete")
+          .otherwise("update"))
+      .filter(col("op") =!= "update" || !(pRow <=> nRow))
+      .select(keyCols.map(k =>
+          coalesce(col(s"__n.$k"), col(s"__p.$k")).as(k)) ++
+        Seq(col("op"),
+            when(col("__p.__pp").isNotNull, pRow).as("before"),
+            when(col("__n.__np").isNotNull, nRow).as("after")): _*)
+  }
+
+  /** Read a maintained view's emitted changelog (see [[viewDelta]]):
+    * one row per view change, with the producing `batch` id as a
+    * partition column. Exactly-once by construction: each batch
+    * overwrites its own `batch=<id>` directory, and the applied-batch
+    * marker keeps a crash-replayed batch from re-diffing against the
+    * post-fold view. */
+  def readViewChanges(spark: SparkSession, rootPath: String): DataFrame =
+    spark.read.parquet(s"$rootPath/changes")
+
   /** The root of the live generation at `dstPath` — `dstPath` itself, or
     * the demoted `.old` inside the swap's crash window, or None before
     * the first swap. Resolved ONCE per batch so multi-table generations
@@ -246,30 +311,44 @@ object CdcStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val dl = changeEvents(batch, lSpec).localCheckpoint()
-        val dr = changeEvents(batch, rSpec).localCheckpoint()
-        def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], df.schema)
-        val st0 = liveGenerationRoot(spark, s"$rootPath/current")
-          .map(r => JoinAggView.State(spark.read.parquet(s"$r/left"),
-                                      spark.read.parquet(s"$r/right"),
-                                      spark.read.parquet(s"$r/agg")))
-          .getOrElse {
-            val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
-            val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
-            JoinAggView.State(lS, rS, emptyLike(JoinAggView.directAgg(
-              lS.drop(Materializer.MetaCols: _*),
-              rS.drop(Materializer.MetaCols: _*),
-              rSpec.primaryKey, lJoinCols, groupCols, valueCol, valueCast)))
+        val root = liveGenerationRoot(spark, s"$rootPath/current")
+        // the fold itself is replay-idempotent (retract/insert over
+        // identical pre/post states cancels), but the emitted changes
+        // are not — a re-diff against the post-fold view would emit an
+        // empty batch over the true one — so the marker gates both
+        if (!root.exists(r => isApplied(spark, r, batchId))) {
+          val dl = changeEvents(batch, lSpec).localCheckpoint()
+          val dr = changeEvents(batch, rSpec).localCheckpoint()
+          def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], df.schema)
+          val st0 = root
+            .map(r => JoinAggView.State(spark.read.parquet(s"$r/left"),
+                                        spark.read.parquet(s"$r/right"),
+                                        spark.read.parquet(s"$r/agg")))
+            .getOrElse {
+              val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
+              val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
+              JoinAggView.State(lS, rS, emptyLike(JoinAggView.directAgg(
+                lS.drop(Materializer.MetaCols: _*),
+                rS.drop(Materializer.MetaCols: _*),
+                rSpec.primaryKey, lJoinCols, groupCols, valueCol, valueCast)))
+            }
+          val next = JoinAggView.applyBatch(st0, dl, dr, lSpec.primaryKey,
+            rSpec.primaryKey, lJoinCols, groupCols, valueCol, valueCast)
+          val nextAgg = next.agg.localCheckpoint()
+          viewDelta(JoinAggView.view(st0, valueCol),
+                    JoinAggView.view(next.copy(agg = nextAgg), valueCol),
+                    groupCols)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$rootPath/changes/batch=$batchId")
+          swapGeneration(spark, s"$rootPath/current") { tmp =>
+            next.left.write.mode("overwrite").parquet(s"$tmp/left")
+            next.right.write.mode("overwrite").parquet(s"$tmp/right")
+            nextAgg.write.mode("overwrite").parquet(s"$tmp/agg")
+            writeMarker(spark, tmp, batchId)
           }
-        val next = JoinAggView.applyBatch(st0, dl, dr, lSpec.primaryKey,
-          rSpec.primaryKey, lJoinCols, groupCols, valueCol, valueCast)
-        swapGeneration(spark, s"$rootPath/current") { tmp =>
-          next.left.write.mode("overwrite").parquet(s"$tmp/left")
-          next.right.write.mode("overwrite").parquet(s"$tmp/right")
-          next.agg.write.mode("overwrite").parquet(s"$tmp/agg")
         }
         ()
       }
@@ -429,20 +508,34 @@ object CdcStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // pin the decoded delta: it feeds the merge's key set and union
-        val delta = changeEvents(batch, spec).localCheckpoint()
-        val st0 = liveGenerationRoot(spark, s"$rootPath/current")
-          .map(r => spark.read.parquet(s"$r/state"))
-          .getOrElse(IncrementalAgg.emptyMomentsState(
-            delta, groupCol, valueCol, valueCast))
-        val next = IncrementalAgg.momentsBatch(st0, delta, groupCol,
-          valueCol, valueCast)
-        swapGeneration(spark, s"$rootPath/current") { tmp =>
-          next.write.mode("overwrite").parquet(s"$tmp/state")
-          IncrementalAgg.momentsView(spark.read.parquet(s"$tmp/state"))
-            .write.mode("overwrite").parquet(s"$tmp/view")
+        val root = liveGenerationRoot(spark, s"$rootPath/current")
+        // moments are a FOLD — replaying an already-applied batch would
+        // double-count (see [[appliedMarker]])
+        if (!root.exists(r => isApplied(spark, r, batchId))) {
+          // pin the decoded delta: it feeds the merge's key set and union
+          val delta = changeEvents(batch, spec).localCheckpoint()
+          val st0 = root
+            .map(r => spark.read.parquet(s"$r/state"))
+            .getOrElse(IncrementalAgg.emptyMomentsState(
+              delta, groupCol, valueCol, valueCast))
+          val next = IncrementalAgg.momentsBatch(st0, delta, groupCol,
+            valueCol, valueCast).localCheckpoint()
+          val nextView = IncrementalAgg.momentsView(next).localCheckpoint()
+          val prevView = root
+            .map(r => IncrementalAgg.momentsView(
+              spark.read.parquet(s"$r/state")))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], nextView.schema))
+          viewDelta(prevView, nextView, Seq(groupCol))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$rootPath/changes/batch=$batchId")
+          swapGeneration(spark, s"$rootPath/current") { tmp =>
+            next.write.mode("overwrite").parquet(s"$tmp/state")
+            nextView.write.mode("overwrite").parquet(s"$tmp/view")
+            writeMarker(spark, tmp, batchId)
+          }
         }
         ()
       }
@@ -459,22 +552,43 @@ object CdcStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // pin the decoded delta: it feeds the pair AND group merges
-        val delta = changeEvents(batch, spec).localCheckpoint()
-        val st0 = liveGenerationRoot(spark, s"$rootPath/current")
-          .map(r => IncrementalAgg.DistinctState(
-            spark.read.parquet(s"$r/pairs"),
-            spark.read.parquet(s"$r/groups")))
-          .getOrElse(
-            IncrementalAgg.emptyDistinctState(delta, groupCol, valueCol))
-        val next = IncrementalAgg.distinctCountBatch(st0, delta,
-          groupCol, valueCol)
-        swapGeneration(spark, s"$rootPath/current") { tmp =>
-          next.pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
-          next.groups.write.mode("overwrite").parquet(s"$tmp/groups")
-          view(next).write.mode("overwrite").parquet(s"$tmp/view")
+        val root = liveGenerationRoot(spark, s"$rootPath/current")
+        // crash window [swap done, checkpoint not committed]: the live
+        // generation already contains this batch's fold — re-applying
+        // the ±deltas would double-count (see [[appliedMarker]]); the
+        // emitted changes for this batch are also already on disk
+        if (!root.exists(r => isApplied(spark, r, batchId))) {
+          // pin the decoded delta: it feeds the pair AND group merges
+          val delta = changeEvents(batch, spec).localCheckpoint()
+          val st0 = root
+            .map(r => IncrementalAgg.DistinctState(
+              spark.read.parquet(s"$r/pairs"),
+              spark.read.parquet(s"$r/groups")))
+            .getOrElse(
+              IncrementalAgg.emptyDistinctState(delta, groupCol, valueCol))
+          val next = IncrementalAgg.distinctCountBatch(st0, delta,
+            groupCol, valueCol)
+          // pinned once: the new view generation is both diffed (below)
+          // and persisted (swap)
+          val nextView = view(next).localCheckpoint()
+          // CDC OUT, before the swap: diff against the PRE-fold view (a
+          // replay that crashed before the swap recomputes the identical
+          // diff; overwrite of batch=<id> makes the rewrite a no-op)
+          val prevView = root
+            .map(r => spark.read.parquet(s"$r/view"))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], nextView.schema))
+          viewDelta(prevView, nextView, Seq(groupCol))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$rootPath/changes/batch=$batchId")
+          swapGeneration(spark, s"$rootPath/current") { tmp =>
+            next.pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
+            next.groups.write.mode("overwrite").parquet(s"$tmp/groups")
+            nextView.write.mode("overwrite").parquet(s"$tmp/view")
+            writeMarker(spark, tmp, batchId)
+          }
         }
         ()
       }

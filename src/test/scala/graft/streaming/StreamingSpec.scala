@@ -561,6 +561,101 @@ class StreamingSpec extends SparkSpec {
     assert(view() == Map("a" -> ((20.0, 40.0)), "b" -> ((7.0, 7.0))))
   }
 
+  test("crash-replayed batch is not double-folded (applied-batch marker)") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    import scala.sys.process._
+    val logDir = tmpDir("cridlog")
+    val root = tmpDir("cridstate")
+    val ckpt = tmpDir("cridckpt")
+    val ckptBak = tmpDir("cridckptbak")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", DoubleType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Double) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainMomentsToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", valueCol = "v", root, ckpt,
+      valueCast = _.cast("decimal(18,8)")).awaitTermination()
+    def sums(): Map[String, (Double, Long)] =
+      CdcStream.readDistinctCountView(spark, root).collect()
+        .map(r => r.getString(0) ->
+          ((r.getDecimal(1).doubleValue, r.getLong(3)))).toMap
+    append("b1.json", Seq(
+      ev("insert", 1, 1, "a", 10.0), ev("insert", 2, 2, "a", 20.0)))
+    run()
+    assert(sums() == Map("a" -> ((30.0, 2L))))
+    // checkpoint snapshot BEFORE batch 1's commit…
+    Seq("cp", "-r", ckpt, ckptBak + "/c").!!
+    append("b2.json", Seq(ev("insert", 3, 3, "a", 30.0)))
+    run()
+    assert(sums() == Map("a" -> ((60.0, 3L))))
+    // …then restore it: this is EXACTLY the crash window [generation
+    // swapped, checkpoint not committed] — the restarted stream replays
+    // b2 with the SAME batchId against the already-folded state. Without
+    // the applied-batch marker the fold re-applies and the sum drifts to
+    // 90.
+    Seq("rm", "-rf", ckpt).!!
+    Seq("cp", "-r", ckptBak + "/c", ckpt).!!
+    run()
+    assert(sums() == Map("a" -> ((60.0, 3L))),
+      "replayed batch must be skipped, not re-folded")
+  }
+
+  test("maintained view emits its own changelog (CDC OUT)") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("colog")
+    val root = tmpDir("costate")
+    val ckpt = tmpDir("cockpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", LongType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Long) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def upd(ts: Long, id: Long, grp: String, v: Long, oldFields: String) =
+      s"""{"database":"d","table":"t","type":"update","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v},"old":{$oldFields}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainDistinctCountToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", valueCol = "v", root, ckpt).awaitTermination()
+    // batch 0: a has {1 (x2 rows), 2}, b has {5}
+    append("b1.json", Seq(
+      ev("insert", 1, 1, "a", 1), ev("insert", 2, 2, "a", 1),
+      ev("insert", 3, 3, "a", 2), ev("insert", 4, 4, "b", 5)))
+    run()
+    // batch 1: a loses value 2; value 1 still held twice -> count 2 -> 1
+    append("b2.json", Seq(ev("delete", 5, 3, "a", 2)))
+    run()
+    // batch 2: group-moving update empties a; b's set stays {5} -> b's
+    // view row is UNCHANGED and must emit nothing
+    append("b3.json", Seq(upd(7, 2, "b", 5, "\"grp\":\"a\",\"v\":1"),
+                          ev("delete", 8, 1, "a", 1)))
+    run()
+    val ch = CdcStream.readViewChanges(spark, root)
+      .select(col("batch"), col("op"), col("grp"),
+              col("before.n_distinct_v").as("b_n"),
+              col("after.n_distinct_v").as("a_n"))
+      .collect()
+      .map(r => (r.getAs[Number]("batch").longValue, r.getString(1),
+                 r.getString(2),
+                 Option(r.get(3)).map(_.asInstanceOf[Long]),
+                 Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(ch == Set(
+      (0L, "insert", "a", None, Some(2L)),
+      (0L, "insert", "b", None, Some(1L)),
+      (1L, "update", "a", Some(2L), Some(1L)),
+      (2L, "delete", "a", Some(1L), None)),
+      s"unexpected view changelog: $ch")
+  }
+
   test("streaming avg/variance view: restarts and retractions") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
