@@ -95,25 +95,9 @@ object JoinAggView {
         case Some(rk) => (rk, true)
         case None     => (distributedKeys(dr, rPk), false)
       }
-    def hinted(df: DataFrame, isLocal: Boolean): DataFrame =
-      if (isLocal) broadcast(df) else df
-    val joinCond = lJoinCols.zip(rPk)
-      .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
-    // The two-branch delta restriction (JoinView.applyBatch rationale:
-    // each branch's semi side is |Δ|-bounded and broadcast, so neither
-    // full state is ever exchanged), evaluated over a given (L, R) pair.
-    def touchedRows(liveL: DataFrame, liveR: DataFrame, w: Int): DataFrame = {
-      val branchL = hinted(
-          liveL.join(hinted(changedL, lLocal), lPk, "left_semi"), lLocal)
-        .join(liveR, joinCond)
-      val branchR = liveL.join(hinted(changedL, lLocal), lPk, "left_anti")
-        .join(hinted(liveR.join(hinted(changedR, rLocal), rPk, "left_semi"),
-                     rLocal),
-              joinCond)
-      branchL.unionByName(branchR).select(
-        groupCols.map(col) ++
-          Seq(valueCast(col(valueCol)).as("__v"), lit(w).as("__w")): _*)
-    }
+    def touchedRows(liveL: DataFrame, liveR: DataFrame, w: Int): DataFrame =
+      touchedJoinRows(liveL, liveR, changedL, lLocal, changedR, rLocal,
+                      lPk, rPk, lJoinCols, groupCols, valueCol, valueCast, w)
     // retract from the PRE-merge states, insert from the POST-merge ones
     // — both lazy, and st.left/right are pinned by the previous batch, so
     // evaluation order cannot see the merged state in the retract branch
@@ -177,6 +161,34 @@ object JoinAggView {
               .cast(sumType).as(sumCol)): _*)
       .filter(col("n_rows") > 0)
     State(lNext, rNext, untouched.unionByName(merged))
+  }
+
+  /** The two-branch delta restriction (JoinView.applyBatch rationale:
+    * each branch's semi side is |Δ|-bounded and broadcast, so neither
+    * full state is ever exchanged), evaluated over a given (liveL, liveR)
+    * pair with weight `w`. Package-private so the plan-shape spec can
+    * assert the broadcasts on the UN-pinned frame (applyBatch pins the
+    * derived delta agg, which hides this subtree from its plan). */
+  private[cdc] def touchedJoinRows(liveL: DataFrame, liveR: DataFrame,
+      changedL: DataFrame, lLocal: Boolean,
+      changedR: DataFrame, rLocal: Boolean,
+      lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
+      groupCols: Seq[String], valueCol: String,
+      valueCast: Column => Column, w: Int): DataFrame = {
+    def hinted(df: DataFrame, isLocal: Boolean): DataFrame =
+      if (isLocal) broadcast(df) else df
+    val joinCond = lJoinCols.zip(rPk)
+      .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+    val branchL = hinted(
+        liveL.join(hinted(changedL, lLocal), lPk, "left_semi"), lLocal)
+      .join(liveR, joinCond)
+    val branchR = liveL.join(hinted(changedL, lLocal), lPk, "left_anti")
+      .join(hinted(liveR.join(hinted(changedR, rLocal), rPk, "left_semi"),
+                   rLocal),
+            joinCond)
+    branchL.unionByName(branchR).select(
+      groupCols.map(col) ++
+        Seq(valueCast(col(valueCol)).as("__v"), lit(w).as("__w")): _*)
   }
 
   /** The canonical aggregate-state frame computed DIRECTLY from a pair of

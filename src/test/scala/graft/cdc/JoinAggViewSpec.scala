@@ -111,6 +111,51 @@ class JoinAggViewSpec extends SparkSpec {
       "NULL group must empty out like any other")
   }
 
+  test("under-cap delta restriction broadcasts every state-side join") {
+    // mirror replay's micro-batch conf (AQE off, narrow shuffles) on a
+    // child session so the assertion sees the deterministic static plan
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import s2.implicits._
+    // pinned "big" states (LogicalRDD — default stats, exactly what a
+    // maintained state looks like to the planner mid-replay)
+    val liveL = Seq((1L, 10L, 5.0), (2L, 20L, 7.0), (3L, 10L, 9.0))
+      .toDF("k", "fk", "price").localCheckpoint()
+    val liveR = Seq((10L, "a"), (20L, "b"))
+      .toDF("ck", "grp").localCheckpoint()
+    // under-cap LocalRelation changed-key sets, as localKeys builds them
+    val changedL = s2.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+    val changedR = s2.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(10L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ck",
+          org.apache.spark.sql.types.LongType))))
+    val rows = JoinAggView.touchedJoinRows(liveL, liveR,
+      changedL, true, changedR, true,
+      Seq("k"), Seq("ck"), Seq("fk"), Seq("grp"), "price", identity, -1)
+    val plan = rows.queryExecution.executedPlan.toString
+    // every join in the two delta-restricted branches (semi/anti key
+    // prunes AND the rebuild joins themselves) must broadcast — the
+    // table states are never exchange-partitioned or sort-merged
+    assert(!plan.contains("SortMergeJoin"),
+      s"state-side join degraded to sort-merge:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"state got exchange-partitioned:\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj:\n$plan")
+    // and the restriction is semantically right: only delta-adjacent rows
+    // fact 1 (ΔL) joins dim 10; fact 3 (∉ΔL) joins the ΔR dim 10; fact 2
+    // is adjacent to no changed key and must not appear
+    val got = rows.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSet == Set(("a", 5.0), ("a", 9.0)),
+      s"delta restriction must keep only changed-key join rows: ${got.toSeq}")
+  }
+
   test("replay over the synthesized changelogs equals the direct recompute") {
     val lEv = ChangelogGen.ordersChangeEvents(spark, sfDir)
     val rEv = ChangelogGen.customerChangeEvents(spark, sfDir)
