@@ -156,6 +156,48 @@ class JoinAggViewSpec extends SparkSpec {
       s"delta restriction must keep only changed-key join rows: ${got.toSeq}")
   }
 
+  test("emptied group resurrects when facts return") {
+    val l = lEvents(
+      ("insert", 1L, 1L, (1L, 10L, 5.0)),
+      ("delete", 4L, 2L, (1L, 10L, 5.0)),   // a empties
+      ("insert", 8L, 3L, (2L, 10L, 3.0)))   // a returns
+    val r = rEvents(("insert", 1L, 1L, (10L, "a")))
+    val st1 = step(emptyState(l, r), l, r, Long.MinValue, 2)
+    assert(aggRows(st1) == Set(("a", 1L, Some(5.0))))
+    val st2 = step(st1, l, r, 2, 6)
+    assert(aggRows(st2).isEmpty, "group must empty out")
+    val st3 = step(st2, l, r, 6, Long.MaxValue)
+    assert(aggRows(st3) == Set(("a", 1L, Some(3.0))),
+      "an emptied group must come back cleanly (no stale zero-row state)")
+  }
+
+  test("over-cap batches fall back to distributed keys and stay exact") {
+    val l = lEvents(
+      ("insert", 1L, 1L, (1L, 10L, 5.0)),
+      ("insert", 1L, 2L, (2L, 10L, 7.0)),
+      ("insert", 1L, 3L, (3L, 20L, 2.0)),
+      ("update", 5L, 4L, (1L, 10L, 6.0)),
+      ("delete", 9L, 5L, (2L, 10L, 7.0)))
+    val r = rEvents(
+      ("insert", 1L, 1L, (10L, "a")),
+      ("insert", 4L, 2L, (20L, "b")),
+      ("update", 8L, 3L, (20L, "a")))
+    def runWith(cap: Int) = {
+      val bounds = Seq((Long.MinValue, 3L), (3L, 6L), (6L, Long.MaxValue))
+      bounds.foldLeft(emptyState(l, r)) { case (st, (lo, hi)) =>
+        def slice(ev: org.apache.spark.sql.DataFrame) =
+          ev.filter(col("ts") > lo && col("ts") <= hi)
+        JoinAggView.applyBatch(st, slice(l), slice(r),
+          Seq("k"), Seq("ck"), Seq("fk"), Seq("grp"), "price",
+          maxLocalKeys = cap)
+      }
+    }
+    // cap=0 forces the distributed path for EVERY batch (keys and
+    // touched groups); results must match the broadcast path exactly
+    assert(aggRows(runWith(0)) == aggRows(runWith(100000)),
+      "over-cap distributed fallback diverges from the broadcast path")
+  }
+
   test("replay over the synthesized changelogs equals the direct recompute") {
     val lEv = ChangelogGen.ordersChangeEvents(spark, sfDir)
     val rEv = ChangelogGen.customerChangeEvents(spark, sfDir)
