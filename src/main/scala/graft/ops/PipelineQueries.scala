@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.load
 import graft.dedup.Dedup
@@ -712,6 +712,40 @@ object PipelineQueries {
                                  emailRe, "<EMAIL>"),
                   1, 60).as("scrubbed_head"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Z-ORDER layout assignment (ZOrder.interleave — Morton curve over
+    // customer × order-day, both min/max-normalized to the full 16-bit
+    // grid): bucket orders by the z-value's TOP 6 bits (the static 8×8
+    // Morton grid) and report each bucket's min/max range in BOTH
+    // dimensions. The property that matters for 100 TB: every bucket's
+    // per-dimension ranges stay narrow SIMULTANEOUSLY (≤ 2^13 on a 2^16
+    // domain — a single-column sort nails one dimension and leaves the
+    // other spanning the whole domain), which is what lets parquet
+    // row-group min/max stats prune scans on either predicate. All
+    // scan-side codegen'd bit arithmetic — no window, no UDF; the
+    // dimension stats are one broadcast scalar row. The write path is
+    // ZOrder.layout (repartitionByRange over the full z for balanced
+    // files); the static grid here is the oracle-checkable assignment.
+    "q_layout_zorder" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("d1r"),
+                expr("unix_micros(cast(o_orderdate as timestamp_ltz)) " +
+                     "div 86400000000").as("d2r"))
+      val stats = o.agg(min(col("d1r")).as("mn1"), max(col("d1r")).as("mx1"),
+                        min(col("d2r")).as("mn2"), max(col("d2r")).as("mx2"))
+      def scaled(v: Column, mn: Column, mx: Column) =
+        floor((v - mn) * lit(65535.0) / (mx - mn)).cast("long")
+      o.crossJoin(broadcast(stats))
+        .withColumn("d1", scaled(col("d1r"), col("mn1"), col("mx1")))
+        .withColumn("d2", scaled(col("d2r"), col("mn2"), col("mx2")))
+        .withColumn("bucket", shiftright(ZOrder.interleave(col("d1"),
+                                                           col("d2")), 26))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("d1")).as("d1_min"), max(col("d1")).as("d1_max"),
+             min(col("d2")).as("d2_min"), max(col("d2")).as("d2_max"))
+        .orderBy(col("bucket"))
     }))
 
   private val normText =
@@ -740,6 +774,26 @@ object PipelineQueries {
        |      / len(list_distinct(list_concat($s1, $s2))), 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_layout_zorder" -> {
+      val z = ZOrder.interleaveSql("d1", "d2")
+      s"""WITH o AS (
+        |  SELECT o_orderkey, o_custkey AS d1r,
+        |    CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS d2r
+        |  FROM orders),
+        |st AS (
+        |  SELECT min(d1r) AS mn1, max(d1r) AS mx1,
+        |         min(d2r) AS mn2, max(d2r) AS mx2 FROM o),
+        |sc AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor((d1r - mn1) * 65535.0 / (mx1 - mn1)) AS BIGINT) AS d1,
+        |    CAST(floor((d2r - mn2) * 65535.0 / (mx2 - mn2)) AS BIGINT) AS d2
+        |  FROM o CROSS JOIN st),
+        |zb AS (SELECT *, ($z) >> 26 AS bucket FROM sc)
+        |SELECT bucket, count(*) AS n,
+        |  min(d1) AS d1_min, max(d1) AS d1_max,
+        |  min(d2) AS d2_min, max(d2) AS d2_max
+        |FROM zb GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE
         |fam AS (
