@@ -393,26 +393,41 @@ object CdcStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val delta = changeEvents(batch, spec).localCheckpoint()
-        def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], df.schema)
-        val st0 = liveGenerationRoot(spark, s"$rootPath/current")
-          .map(r => IncrementalTopK.State(spark.read.parquet(s"$r/state"),
-                                          spark.read.parquet(s"$r/view")))
-          .getOrElse {
-            val sS = emptyLike(
-              Materializer.compact(delta.limit(0), spec.primaryKey))
-            IncrementalTopK.State(sS, emptyLike(IncrementalTopK.topK(
-              sS.drop(Materializer.MetaCols: _*),
-              spec.primaryKey, groupCol, orderCol, k)))
+        val root = liveGenerationRoot(spark, s"$rootPath/current")
+        // re-ranking from the merged state is replay-idempotent, but the
+        // emitted changes are not (a re-diff against the post-apply view
+        // would emit empty) — the marker gates the whole body
+        if (!root.exists(r => isApplied(spark, r, batchId))) {
+          val delta = changeEvents(batch, spec).localCheckpoint()
+          def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], df.schema)
+          val st0 = root
+            .map(r => IncrementalTopK.State(spark.read.parquet(s"$r/state"),
+                                            spark.read.parquet(s"$r/view")))
+            .getOrElse {
+              val sS = emptyLike(
+                Materializer.compact(delta.limit(0), spec.primaryKey))
+              IncrementalTopK.State(sS, emptyLike(IncrementalTopK.topK(
+                sS.drop(Materializer.MetaCols: _*),
+                spec.primaryKey, groupCol, orderCol, k)))
+            }
+          val next = IncrementalTopK.applyBatch(st0, delta, spec.primaryKey,
+                                                groupCol, orderCol, k)
+          val nextView = next.view.localCheckpoint()
+          // CDC OUT on the (group, rank) key: "rank r of group g now holds
+          // THIS row" — rank-slot semantics, the natural key of a top-k
+          // leaderboard view (a promoted row emits an update on its new
+          // rank slot). The view is k×|groups|-small, so the diff is tiny.
+          viewDelta(st0.view, nextView, Seq(groupCol, "rk"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$rootPath/changes/batch=$batchId")
+          swapGeneration(spark, s"$rootPath/current") { tmp =>
+            next.state.write.mode("overwrite").parquet(s"$tmp/state")
+            nextView.write.mode("overwrite").parquet(s"$tmp/view")
+            writeMarker(spark, tmp, batchId)
           }
-        val next = IncrementalTopK.applyBatch(st0, delta, spec.primaryKey,
-                                              groupCol, orderCol, k)
-        swapGeneration(spark, s"$rootPath/current") { tmp =>
-          next.state.write.mode("overwrite").parquet(s"$tmp/state")
-          next.view.write.mode("overwrite").parquet(s"$tmp/view")
         }
         ()
       }

@@ -156,6 +156,37 @@ class JoinAggViewSpec extends SparkSpec {
       s"delta restriction must keep only changed-key join rows: ${got.toSeq}")
   }
 
+  test("composite group columns (one from each side) stay exact") {
+    // group by (fact-side bucket, dim-side grp) — groupCols spanning both
+    // inputs exercises the projection through the rebuild branches
+    val l = lEvents(
+      ("insert", 1L, 1L, (1L, 10L, 5.0)),
+      ("insert", 1L, 2L, (2L, 10L, 7.0)),
+      ("update", 5L, 3L, (2L, 10L, 8.0)))
+    val r = rEvents(("insert", 1L, 1L, (10L, "a")))
+    def stepC(st: JoinAggView.State, lo: Long, hi: Long) = {
+      def slice(ev: org.apache.spark.sql.DataFrame) =
+        ev.filter(col("ts") > lo && col("ts") <= hi)
+      JoinAggView.applyBatch(st, slice(l), slice(r),
+        Seq("k"), Seq("ck"), Seq("fk"), Seq("k", "grp"), "price")
+    }
+    val empty = {
+      val eL = Materializer.compact(l.limit(0), Seq("k"))
+      val eR = Materializer.compact(r.limit(0), Seq("ck"))
+      JoinAggView.State(eL, eR, JoinAggView.directAgg(
+        eL.drop(Materializer.MetaCols: _*),
+        eR.drop(Materializer.MetaCols: _*),
+        Seq("ck"), Seq("fk"), Seq("k", "grp"), "price").limit(0))
+    }
+    val st1 = stepC(empty, Long.MinValue, 3)
+    val st2 = stepC(st1, 3, Long.MaxValue)
+    val got = JoinAggView.view(st2, "price").collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2),
+                 r.getDouble(3))).toSet
+    assert(got == Set(((1L, "a"), 1L, 5.0), ((2L, "a"), 1L, 8.0)),
+      s"got $got")
+  }
+
   test("emptied group resurrects when facts return") {
     val l = lEvents(
       ("insert", 1L, 1L, (1L, 10L, 5.0)),

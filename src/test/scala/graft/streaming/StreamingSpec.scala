@@ -441,6 +441,49 @@ class StreamingSpec extends SparkSpec {
     assert(view() == Set(("a", 1, 2L), ("a", 2, 3L)))
   }
 
+  test("top-k view emits rank-slot changelog (CDC OUT)") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("tkclog")
+    val root = tmpDir("tkcstate")
+    val ckpt = tmpDir("tkcckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", DoubleType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Double) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainTopKToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", orderCol = "v", k = 2, root, ckpt)
+      .awaitTermination()
+    append("b1.json", Seq(
+      ev("insert", 1, 1, "a", 9.0), ev("insert", 2, 2, "a", 5.0),
+      ev("insert", 3, 3, "a", 1.0)))
+    run()
+    // batch 1: delete the leader — rank 1 and rank 2 slots both change
+    // holders (id=3 promoted from OUTSIDE the persisted view)
+    append("b2.json", Seq(ev("delete", 5, 1, "a", 9.0)))
+    run()
+    val ch = CdcStream.readViewChanges(spark, root)
+      .select(col("batch"), col("op"), col("grp"), col("rk"),
+              col("before.id").as("b_id"), col("after.id").as("a_id"))
+      .collect()
+      .map(r => (r.getAs[Number]("batch").longValue, r.getString(1),
+                 r.getString(2), r.getInt(3),
+                 Option(r.get(4)).map(_.asInstanceOf[Long]),
+                 Option(r.get(5)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(ch == Set(
+      (0L, "insert", "a", 1, None, Some(1L)),
+      (0L, "insert", "a", 2, None, Some(2L)),
+      (1L, "update", "a", 1, Some(1L), Some(2L)),
+      (1L, "update", "a", 2, Some(2L), Some(3L))),
+      s"unexpected rank-slot changelog: $ch")
+  }
+
   test("streaming count-distinct view: restarts, deletes, group moves") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
