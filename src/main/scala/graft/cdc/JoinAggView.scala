@@ -55,15 +55,20 @@ object JoinAggView {
   final case class State(left: DataFrame, right: DataFrame, agg: DataFrame)
 
   /** Public face of the aggregate state: `groupCols…, n_rows,
-    * sum_<valueCol>` — NULL sum for live groups whose values are all
-    * NULL, `n_vals` kept internal. */
-  def view(st: State, valueCol: String): DataFrame = {
-    val sumCol = s"sum_$valueCol"
+    * sum_<c>…` — NULL sum for live groups whose values for that measure
+    * are all NULL; the per-measure `n_vals_<c>` stay internal. */
+  def viewMulti(st: State, valueCols: Seq[String]): DataFrame = {
+    val hidden = valueCols
+      .flatMap(c => Seq(s"n_vals_$c", s"sum_$c")).toSet + "n_rows"
     st.agg.select(
-      st.agg.columns.filterNot(Set("n_rows", "n_vals", sumCol)).map(col) ++
-        Seq(col("n_rows"),
-            when(col("n_vals") > 0, col(sumCol)).as(sumCol)): _*)
+      st.agg.columns.filterNot(hidden).map(col) ++
+        (col("n_rows") +: valueCols.map(c =>
+          when(col(s"n_vals_$c") > 0, col(s"sum_$c")).as(s"sum_$c"))): _*)
   }
+
+  /** Single-measure [[viewMulti]]. */
+  def view(st: State, valueCol: String): DataFrame =
+    viewMulti(st, Seq(valueCol))
 
   /** One micro-batch step. `groupCols` name the aggregate's group
     * attributes (from live(L) ++ live(R) columns); `valueCol` is summed.
@@ -75,7 +80,20 @@ object JoinAggView {
                  groupCols: Seq[String], valueCol: String,
                  valueCast: Column => Column = identity,
                  keys: Option[(Option[DataFrame], Option[DataFrame])] = None,
+                 maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State =
+    applyBatchMulti(st, dl, dr, lPk, rPk, lJoinCols, groupCols,
+                    Seq(valueCol -> valueCast), keys, maxLocalKeys)
+
+  /** Multi-measure [[applyBatch]]: each `(col, cast)` measure gets its
+    * own exact sum (and NULL-discipline counter) maintained in the same
+    * single delta pass — measures may come from EITHER join side. */
+  def applyBatchMulti(st: State, dl: DataFrame, dr: DataFrame,
+                 lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
+                 groupCols: Seq[String],
+                 measures: Seq[(String, Column => Column)],
+                 keys: Option[(Option[DataFrame], Option[DataFrame])] = None,
                  maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
+    require(measures.nonEmpty, "at least one measure")
     require(rPk.size == lJoinCols.size,
       s"lJoinCols (${lJoinCols.mkString(",")}) must match rPk " +
         s"(${rPk.mkString(",")}) positionally")
@@ -98,7 +116,7 @@ object JoinAggView {
       }
     def touchedRows(liveL: DataFrame, liveR: DataFrame, w: Int): DataFrame =
       touchedJoinRows(liveL, liveR, changedL, lLocal, changedR, rLocal,
-                      lPk, rPk, lJoinCols, groupCols, valueCol, valueCast, w)
+                      lPk, rPk, lJoinCols, groupCols, measures, w)
     // retract from the PRE-merge states, insert from the POST-merge ones
     // — both lazy, and st.left/right are pinned by the previous batch, so
     // evaluation order cannot see the merged state in the retract branch
@@ -112,18 +130,20 @@ object JoinAggView {
                              Materializer.liveView(rNext), +1)
     // pinned: the per-group deltas feed the touched-group set AND the
     // merge join — one shuffle, reused
+    val measureAggs = measures.flatMap { case (c, _) => Seq(
+      sum(when(col(s"__v_$c").isNotNull, col("__w").cast("long"))
+            .otherwise(lit(0L))).as(s"d_vals_$c"),
+      sum(when(col("__w") === 1, col(s"__v_$c"))
+            .otherwise(-col(s"__v_$c"))).as(s"d_sum_$c")) }
+    val nonZero = measures.map { case (c, _) =>
+      col(s"d_vals_$c") =!= 0 ||
+        (col(s"d_sum_$c").isNotNull && col(s"d_sum_$c") =!= 0)
+    }.foldLeft(col("d_rows") =!= 0)(_ || _)
     val deltas = retract.unionByName(insert)
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("__w").cast("long")).as("d_rows"),
-           sum(when(col("__v").isNotNull, col("__w").cast("long"))
-                 .otherwise(lit(0L))).as("d_vals"),
-           sum(when(col("__w") === 1, col("__v"))
-                 .otherwise(-col("__v"))).as("d_sum"))
-      .filter(col("d_rows") =!= 0 || col("d_vals") =!= 0 ||
-              (col("d_sum").isNotNull && col("d_sum") =!= 0))
+      .agg(sum(col("__w").cast("long")).as("d_rows"), measureAggs: _*)
+      .filter(nonZero)
       .localCheckpoint(false)
-    val sumCol = s"sum_$valueCol"
-    val sumType = deltas.schema("d_sum").dataType
     // touched-group set: already distinct (it IS the delta agg's key
     // set); under the cap collect + broadcast, above it stay distributed
     val tgSel = deltas.select(groupCols.map(col): _*)
@@ -150,16 +170,18 @@ object JoinAggView {
         // <=> join: whichever side is present carries the true group
         // value (coalesce of both-NULL is NULL — itself correct)
         groupCols.map(g => coalesce(col(s"__a.$g"), col(s"__d.$g")).as(g)) ++
-          Seq(
-            (coalesce(col("__a.n_rows"), lit(0L)) +
-             coalesce(col("__d.d_rows"), lit(0L))).as("n_rows"),
-            (coalesce(col("__a.n_vals"), lit(0L)) +
-             coalesce(col("__d.d_vals"), lit(0L))).as("n_vals"),
-            // decimal addition widens per batch — cast back to the
-            // canonical sum type so the state schema is a fixed point
-            (coalesce(col(s"__a.$sumCol"), lit(0).cast(sumType)) +
-             coalesce(col("__d.d_sum"), lit(0).cast(sumType)))
-              .cast(sumType).as(sumCol)): _*)
+          ((coalesce(col("__a.n_rows"), lit(0L)) +
+            coalesce(col("__d.d_rows"), lit(0L))).as("n_rows") +:
+           measures.flatMap { case (c, _) =>
+             // decimal addition widens per batch — cast back to the
+             // canonical sum type so the state schema is a fixed point
+             val sumType = deltas.schema(s"d_sum_$c").dataType
+             Seq(
+               (coalesce(col(s"__a.n_vals_$c"), lit(0L)) +
+                coalesce(col(s"__d.d_vals_$c"), lit(0L))).as(s"n_vals_$c"),
+               (coalesce(col(s"__a.sum_$c"), lit(0).cast(sumType)) +
+                coalesce(col(s"__d.d_sum_$c"), lit(0).cast(sumType)))
+                 .cast(sumType).as(s"sum_$c")) }): _*)
       .filter(col("n_rows") > 0)
     State(lNext, rNext, untouched.unionByName(merged))
   }
@@ -174,8 +196,8 @@ object JoinAggView {
       changedL: DataFrame, lLocal: Boolean,
       changedR: DataFrame, rLocal: Boolean,
       lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
-      groupCols: Seq[String], valueCol: String,
-      valueCast: Column => Column, w: Int): DataFrame = {
+      groupCols: Seq[String],
+      measures: Seq[(String, Column => Column)], w: Int): DataFrame = {
     def hinted(df: DataFrame, isLocal: Boolean): DataFrame =
       if (isLocal) broadcast(df) else df
     val joinCond = lJoinCols.zip(rPk)
@@ -189,7 +211,8 @@ object JoinAggView {
             joinCond)
     branchL.unionByName(branchR).select(
       groupCols.map(col) ++
-        Seq(valueCast(col(valueCol)).as("__v"), lit(w).as("__w")): _*)
+        measures.map { case (c, cast) => cast(col(c)).as(s"__v_$c") } ++
+        Seq(lit(w).as("__w")): _*)
   }
 
   /** The canonical aggregate-state frame computed DIRECTLY from a pair of
@@ -198,14 +221,22 @@ object JoinAggView {
   def directAgg(liveL: DataFrame, liveR: DataFrame,
                 rPk: Seq[String], lJoinCols: Seq[String],
                 groupCols: Seq[String], valueCol: String,
-                valueCast: Column => Column = identity): DataFrame = {
+                valueCast: Column => Column = identity): DataFrame =
+    directAggMulti(liveL, liveR, rPk, lJoinCols, groupCols,
+                   Seq(valueCol -> valueCast))
+
+  /** Multi-measure [[directAgg]]. */
+  def directAggMulti(liveL: DataFrame, liveR: DataFrame,
+                rPk: Seq[String], lJoinCols: Seq[String],
+                groupCols: Seq[String],
+                measures: Seq[(String, Column => Column)]): DataFrame = {
     val joinCond = lJoinCols.zip(rPk)
       .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+    val aggs = measures.flatMap { case (c, cast) => Seq(
+      count(c).as(s"n_vals_$c"), sum(cast(col(c))).as(s"sum_$c")) }
     liveL.join(liveR, joinCond)
       .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"),
-           count(valueCol).as("n_vals"),
-           sum(valueCast(col(valueCol))).as(s"sum_$valueCol"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
   /** Replay two event streams through the aggregate view in time-ordered
@@ -216,6 +247,17 @@ object JoinAggView {
              lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
              groupCols: Seq[String], valueCol: String,
              valueCast: Column => Column = identity,
+             batchShufflePartitions: Int = 8,
+             maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State =
+    replayMulti(lEvents, rEvents, cuts, lPk, rPk, lJoinCols, groupCols,
+                Seq(valueCol -> valueCast), batchShufflePartitions,
+                maxLocalKeys)
+
+  /** Multi-measure [[replay]]. */
+  def replayMulti(lEvents: DataFrame, rEvents: DataFrame, cuts: Seq[Long],
+             lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
+             groupCols: Seq[String],
+             measures: Seq[(String, Column => Column)],
              batchShufflePartitions: Int = 8,
              maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
     val parent = lEvents.sparkSession
@@ -232,10 +274,10 @@ object JoinAggView {
     val rSchema = emptyLike(Materializer.compact(rEvents.limit(0), rPk))
     // seed the agg state with the DIRECT recompute's schema over empty
     // states — applyBatch's merged output is cast to the same fixed point
-    val emptyAgg = emptyLike(directAgg(
+    val emptyAgg = emptyLike(directAggMulti(
       lSchema.drop(Materializer.MetaCols: _*),
       rSchema.drop(Materializer.MetaCols: _*),
-      rPk, lJoinCols, groupCols, valueCol, valueCast))
+      rPk, lJoinCols, groupCols, measures))
     val lPinned = inChild(lEvents.localCheckpoint())
       .coalesce(batchShufflePartitions)
     val rPinned = inChild(rEvents.localCheckpoint())
@@ -262,10 +304,9 @@ object JoinAggView {
         val (lo, hi) = bounds(i)
         val (ckLF, ckRF) = pending
         if (i + 1 < bounds.size) pending = keysFor(i + 1)
-        val next = applyBatch(st, slice(lPinned, lo, hi),
+        val next = applyBatchMulti(st, slice(lPinned, lo, hi),
                               slice(rPinned, lo, hi),
-                              lPk, rPk, lJoinCols, groupCols, valueCol,
-                              valueCast,
+                              lPk, rPk, lJoinCols, groupCols, measures,
                               keys = Some((Await.result(ckLF, Duration.Inf),
                                            Await.result(ckRF, Duration.Inf))),
                               maxLocalKeys = maxLocalKeys)

@@ -255,6 +255,29 @@ object CdcQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Multi-measure aggregate-over-join: revenue (fact-side) AND summed
+    // account balance (dim-side) per nation, both maintained in the SAME
+    // single delta pass over the same O(|groups|) state — measures from
+    // either join side ride the identical retract/insert rows.
+    "cdc_join_agg_multi" -> ((s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(25,10)")
+      graft.cdc.JoinAggView.viewMulti(
+          graft.cdc.JoinAggView.replayMulti(
+            ChangelogGen.ordersChangeEvents(s, dir),
+            ChangelogGen.customerChangeEvents(s, dir),
+            cuts = Seq(SnapT1, SnapT2),
+            lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
+            lJoinCols = Seq("o_custkey"), groupCols = Seq("c_nationkey"),
+            measures = Seq("o_totalprice" -> dec, "c_acctbal" -> dec)),
+          Seq("o_totalprice", "c_acctbal"))
+        .select(col("c_nationkey"), col("n_rows").as("n_orders"),
+                round(col("sum_o_totalprice"), 2).cast("double")
+                  .as("revenue"),
+                round(col("sum_c_acctbal"), 2).cast("double")
+                  .as("acct_sum"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // TEMPORAL (interval) join against the SCD2 history: each lineitem
     // joins the VERSION of its order that was valid when the lineitem
     // shipped — "what did the order look like then", the standard
@@ -341,6 +364,20 @@ object CdcQueries {
         |  c_name, c_acctbal
         |FROM ostate JOIN cstate ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "cdc_join_agg_multi" ->
+      s"""WITH ostate AS ($expectedStateSql),
+        |cstate AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    c_acctbal + CASE WHEN c_custkey % 4 = 0 THEN 100.0
+        |                     ELSE 0.0 END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 25 <> 0)
+        |SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,10))), 2)
+        |       AS DOUBLE) AS revenue,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(25,10))), 2)
+        |       AS DOUBLE) AS acct_sum
+        |FROM ostate JOIN cstate ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "cdc_temporal_join" ->
       """WITH v1 AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -137,7 +137,9 @@ class JoinAggViewSpec extends SparkSpec {
           org.apache.spark.sql.types.LongType))))
     val rows = JoinAggView.touchedJoinRows(liveL, liveR,
       changedL, true, changedR, true,
-      Seq("k"), Seq("ck"), Seq("fk"), Seq("grp"), "price", identity, -1)
+      Seq("k"), Seq("ck"), Seq("fk"), Seq("grp"),
+      Seq("price" -> scala.Predef.identity[org.apache.spark.sql.Column] _),
+      -1)
     val plan = rows.queryExecution.executedPlan.toString
     // every join in the two delta-restricted branches (semi/anti key
     // prunes AND the rebuild joins themselves) must broadcast — the
@@ -244,7 +246,7 @@ class JoinAggViewSpec extends SparkSpec {
       Seq("c_custkey"), Seq("o_custkey"), Seq("c_nationkey"),
       "o_totalprice", _.cast("decimal(25,10)"))
       .select(col("c_nationkey"), col("n_rows"),
-              when(col("n_vals") > 0, col("sum_o_totalprice"))
+              when(col("n_vals_o_totalprice") > 0, col("sum_o_totalprice"))
                 .as("sum_o_totalprice"))
     assert(maintained.count() > 0)
     assert(maintained.exceptAll(direct).isEmpty &&
