@@ -166,6 +166,22 @@ object CdcStream {
   def readViewChanges(spark: SparkSession, rootPath: String): DataFrame =
     spark.read.parquet(s"$rootPath/changes")
 
+  /** TIME TRAVEL over the emitted changelog: reconstruct the maintained
+    * view as of batch `upTo` by folding [[viewDelta]] events — last
+    * change per key wins, deletes drop the key. The changes log is the
+    * DERIVED topic's history, so any past view generation is recoverable
+    * without generation archival; cost is one |changes|-bounded key
+    * rollup (`max_by` partial agg, no window). */
+  def viewAsOfBatch(spark: SparkSession, rootPath: String,
+                    upTo: Long): DataFrame = {
+    val ch = readViewChanges(spark, rootPath).filter(col("batch") <= upTo)
+    val keys = ch.columns.filterNot(Set("op", "before", "after", "batch"))
+    ch.groupBy(keys.map(c => col(c)): _*)
+      .agg(max_by(struct(col("op"), col("after")), col("batch")).as("last"))
+      .filter(col("last.op") =!= "delete")
+      .select(col("last.after.*"))
+  }
+
   /** The root of the live generation at `dstPath` — `dstPath` itself, or
     * the demoted `.old` inside the swap's crash window, or None before
     * the first swap. Resolved ONCE per batch so multi-table generations

@@ -697,6 +697,18 @@ class StreamingSpec extends SparkSpec {
       (1L, "update", "a", Some(2L), Some(1L)),
       (2L, "delete", "a", Some(1L), None)),
       s"unexpected view changelog: $ch")
+    // time travel over the derived topic: the folded changes reconstruct
+    // the view as of every batch — including the final one, which must
+    // equal the live view itself
+    def at(b: Long): Map[String, Long] =
+      CdcStream.viewAsOfBatch(spark, root, b).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(at(0) == Map("a" -> 2L, "b" -> 1L))
+    assert(at(1) == Map("a" -> 1L, "b" -> 1L))
+    assert(at(2) == Map("b" -> 1L))
+    val live = CdcStream.readDistinctCountView(spark, root).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(at(2) == live, "changes-fold must equal the live view")
   }
 
   test("streaming avg/variance view: restarts and retractions") {
