@@ -166,6 +166,26 @@ object CdcStream {
   def readViewChanges(spark: SparkSession, rootPath: String): DataFrame =
     spark.read.parquet(s"$rootPath/changes")
 
+  /** Retention for the emitted changelog: drop `changes/batch=<id>`
+    * directories with id < `keepFrom`. The changes log grows one
+    * directory per batch forever; production trims it to the
+    * time-travel horizon it actually serves (consumers that need older
+    * history have already drained it — the log is exactly-once, so a
+    * consumer's own offset is a safe `keepFrom`). Returns the number of
+    * batch directories removed. */
+  def pruneViewChanges(spark: SparkSession, rootPath: String,
+                       keepFrom: Long): Int = {
+    val dir = new org.apache.hadoop.fs.Path(s"$rootPath/changes")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).toSeq.count { st =>
+      val name = st.getPath.getName
+      name.startsWith("batch=") &&
+        scala.util.Try(name.stripPrefix("batch=").toLong).toOption
+          .exists(id => id < keepFrom && fs.delete(st.getPath, true))
+    }
+  }
+
   /** TIME TRAVEL over the emitted changelog: reconstruct the maintained
     * view as of batch `upTo` by folding [[viewDelta]] events — last
     * change per key wins, deletes drop the key. The changes log is the

@@ -709,6 +709,14 @@ class StreamingSpec extends SparkSpec {
     val live = CdcStream.readDistinctCountView(spark, root).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(at(2) == live, "changes-fold must equal the live view")
+    // retention: trim below batch 1 — later history (and the live view)
+    // unaffected; the pruned range is gone
+    assert(CdcStream.pruneViewChanges(spark, root, 1L) == 1)
+    assert(CdcStream.readViewChanges(spark, root)
+      .select(min(col("batch"))).collect()(0).getAs[Number](0)
+      .longValue == 1L)
+    assert(CdcStream.pruneViewChanges(spark, root, 1L) == 0,
+      "prune must be idempotent")
   }
 
   test("streaming avg/variance view: restarts and retractions") {
