@@ -398,9 +398,9 @@ object IncrementalAgg {
     * touched-key set is collected and broadcast only under `cap`
     * (JoinView.localKeys discipline — an AvailableNow backlog batch must
     * not collect an unbounded key set onto the driver). */
-  private def mergeAdditive(state: DataFrame, deltas: DataFrame,
-                            keys: Seq[String], counters: Seq[String],
-                            cap: Int): DataFrame = {
+  private[cdc] def mergeAdditive(state: DataFrame, deltas: DataFrame,
+                                 keys: Seq[String], counters: Seq[String],
+                                 cap: Int): DataFrame = {
     val sel = deltas.select(keys.map(col): _*).distinct()
     val localCk = {
       val rows = sel.limit(cap + 1).collect().toSeq

@@ -1,0 +1,137 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained COUNT(DISTINCT) OVER A JOIN —
+  * `γ_{g; count(distinct v)}(L ⋈ R)` from two changelogs: "distinct
+  * customers with a live order, per nation", exact under deletes. The
+  * non-subtractable composition: [[JoinAggView]]'s retract/insert
+  * delta-join rows feed [[IncrementalAgg]]'s net pair-multiplicity state
+  * instead of a sum fold — a delete of a customer's LAST live order drops
+  * them from the count (which no sketch over the join can answer), while
+  * other orders keep the (group, customer) pair's multiplicity positive.
+  *
+  * State: `(L, R, pairs(g, v, net), groups(g, n_rows))` — the pair table
+  * is bounded by the live (group, value) cardinality of the JOIN, never
+  * by |join rows| (multiplicities are summed); per-batch shuffle is
+  * bounded by delta-adjacent join rows (the same two-branch broadcast
+  * restriction as JoinAggView) plus the touched pairs. NULL discipline
+  * matches `COUNT(DISTINCT v)`: NULL values form no pair, but live
+  * groups whose values are all NULL still report 0.
+  */
+object JoinDistinctView {
+
+  /** Tombstone-aware L/R states + the pair-multiplicity distinct state. */
+  final case class State(left: DataFrame, right: DataFrame,
+                         pairs: DataFrame, groups: DataFrame)
+
+  /** Public face: `groupCol, n_distinct_<valueCol>` over live groups —
+    * exactly [[IncrementalAgg.distinctCountView]]'s schema. */
+  def view(st: State, groupCol: String, valueCol: String): DataFrame =
+    IncrementalAgg.distinctCountView(
+      IncrementalAgg.DistinctState(st.pairs, st.groups), groupCol, valueCol)
+
+  /** One micro-batch step — JoinAggView's delta-join restriction, folded
+    * into the additive pair state. Same delta contract: `dl`/`dr` must be
+    * cheap to re-scan. */
+  def applyBatch(st: State, dl: DataFrame, dr: DataFrame,
+                 lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
+                 groupCol: String, valueCol: String,
+                 maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
+    def distributedKeys(delta: DataFrame, ks: Seq[String]): DataFrame =
+      delta.select(ks.map(k => col(s"after.$k").as(k)): _*)
+        .distinct().localCheckpoint(false)
+    val (changedL, lLocal) =
+      JoinView.localKeys(dl, lPk, maxLocalKeys) match {
+        case Some(lk) => (lk, true)
+        case None     => (distributedKeys(dl, lPk), false)
+      }
+    val (changedR, rLocal) =
+      JoinView.localKeys(dr, rPk, maxLocalKeys) match {
+        case Some(rk) => (rk, true)
+        case None     => (distributedKeys(dr, rPk), false)
+      }
+    def touched(liveL: DataFrame, liveR: DataFrame, w: Int): DataFrame =
+      JoinAggView.touchedJoinRows(liveL, liveR, changedL, lLocal,
+        changedR, rLocal, lPk, rPk, lJoinCols, Seq(groupCol),
+        Seq(valueCol -> scala.Predef.identity[org.apache.spark.sql.Column] _),
+        w)
+    val retract = touched(Materializer.liveView(st.left),
+                          Materializer.liveView(st.right), -1)
+    val lNext = Materializer.merge(st.left, dl, lPk,
+      changedKeys = Some(changedL)).localCheckpoint(false)
+    val rNext = Materializer.merge(st.right, dr, rPk,
+      changedKeys = Some(changedR)).localCheckpoint(false)
+    val insert = touched(Materializer.liveView(lNext),
+                         Materializer.liveView(rNext), +1)
+    // pinned once: the weighted rows feed BOTH additive merges
+    val rows = retract.unionByName(insert)
+      .select(col(groupCol).as("g"), col(s"__v_$valueCol").as("v"),
+              col("__w").cast("long").as("w"))
+      .localCheckpoint(false)
+    val dPairs = rows.filter(col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("net"))
+      .filter(col("net") =!= 0)
+    val dGroups = rows.groupBy(col("g")).agg(sum(col("w")).as("n_rows"))
+      .filter(col("n_rows") =!= 0)
+    State(lNext, rNext,
+      IncrementalAgg.mergeAdditive(st.pairs, dPairs, Seq("g", "v"),
+                                   Seq("net"), maxLocalKeys),
+      IncrementalAgg.mergeAdditive(st.groups, dGroups, Seq("g"),
+                                   Seq("n_rows"), maxLocalKeys))
+  }
+
+  /** Replay two event streams across `cuts` (JoinView.replay micro-batch
+    * discipline: child session, AQE off, pinned logs, lazy per-batch
+    * pins); returns the final state. */
+  def replay(lEvents: DataFrame, rEvents: DataFrame, cuts: Seq[Long],
+             lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
+             groupCol: String, valueCol: String,
+             batchShufflePartitions: Int = 8,
+             maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
+    val parent = lEvents.sparkSession
+    val child = parent.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    child.conf.set("spark.sql.shuffle.partitions",
+                   batchShufflePartitions.toString)
+    def inChild(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.bridge.reRoot(df, child)
+    def emptyLike(df: DataFrame): DataFrame =
+      child.createDataFrame(
+        child.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    val lSchema = emptyLike(Materializer.compact(lEvents.limit(0), lPk))
+    val rSchema = emptyLike(Materializer.compact(rEvents.limit(0), rPk))
+    val joinCond = lJoinCols.zip(rPk)
+      .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+    val rows0 = lSchema.drop(Materializer.MetaCols: _*)
+      .join(rSchema.drop(Materializer.MetaCols: _*), joinCond)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"),
+              lit(1L).as("w"))
+    val emptyPairs = emptyLike(
+      rows0.groupBy(col("g"), col("v")).agg(sum(col("w")).as("net")))
+    val emptyGroups = emptyLike(
+      rows0.groupBy(col("g")).agg(sum(col("w")).as("n_rows")))
+    val lPinned = inChild(lEvents.localCheckpoint())
+      .coalesce(batchShufflePartitions)
+    val rPinned = inChild(rEvents.localCheckpoint())
+      .coalesce(batchShufflePartitions)
+    def slice(ev: DataFrame, lo: Long, hi: Long) =
+      ev.filter(col("ts") > lo && col("ts") <= hi)
+    val windows = (Long.MinValue +: cuts) :+ Long.MaxValue
+    val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
+    val fin = bounds.foldLeft(
+        State(lSchema, rSchema, emptyPairs, emptyGroups)) {
+      case (st, (lo, hi)) =>
+        val next = applyBatch(st, slice(lPinned, lo, hi),
+                              slice(rPinned, lo, hi),
+                              lPk, rPk, lJoinCols, groupCol, valueCol,
+                              maxLocalKeys)
+        next.copy(pairs = next.pairs.localCheckpoint(false),
+                  groups = next.groups.localCheckpoint(false))
+    }
+    import org.apache.spark.sql.graft.bridge.reRoot
+    State(reRoot(fin.left, parent), reRoot(fin.right, parent),
+          reRoot(fin.pairs, parent), reRoot(fin.groups, parent))
+  }
+}

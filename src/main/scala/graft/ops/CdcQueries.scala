@@ -255,6 +255,24 @@ object CdcQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // COUNT(DISTINCT) over a join, maintained incrementally: distinct
+    // customers WITH A LIVE ORDER per nation — the non-subtractable
+    // composition (JoinDistinctView): delta-join rows fold into net
+    // (nation, customer) pair multiplicities, so deleting a customer's
+    // LAST live order drops them from the count (no sketch over the join
+    // can answer that) while their other orders keep the pair alive.
+    "cdc_join_distinct_view" -> ((s, dir) =>
+      graft.cdc.JoinDistinctView.view(
+          graft.cdc.JoinDistinctView.replay(
+            ChangelogGen.ordersChangeEvents(s, dir),
+            ChangelogGen.customerChangeEvents(s, dir),
+            cuts = Seq(SnapT1, SnapT2),
+            lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
+            lJoinCols = Seq("o_custkey"),
+            groupCol = "c_nationkey", valueCol = "o_custkey"),
+          "c_nationkey", "o_custkey")
+        .orderBy(col("c_nationkey"))),
+
     // Multi-measure aggregate-over-join: revenue (fact-side) AND summed
     // account balance (dim-side) per nation, both maintained in the SAME
     // single delta pass over the same O(|groups|) state — measures from
@@ -364,6 +382,15 @@ object CdcQueries {
         |  c_name, c_acctbal
         |FROM ostate JOIN cstate ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "cdc_join_distinct_view" ->
+      s"""WITH ostate AS ($expectedStateSql),
+        |cstate AS (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM customer WHERE c_custkey % 25 <> 0)
+        |SELECT c_nationkey,
+        |  count(DISTINCT o_custkey) AS n_distinct_o_custkey
+        |FROM ostate JOIN cstate ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "cdc_join_agg_multi" ->
       s"""WITH ostate AS ($expectedStateSql),
         |cstate AS (
