@@ -391,6 +391,76 @@ object CdcStream {
       .start()
   }
 
+  /** Streaming face of [[graft.cdc.JoinDistinctView]] — exact
+    * COUNT(DISTINCT) over a two-topic join ("distinct customers with a
+    * live order per nation"), restart-safe. The persisted pair
+    * multiplicities are a FOLD, so the applied-batch marker makes the
+    * replay exactly-once (see [[appliedMarker]]); the view's own
+    * changelog is emitted per batch like the other fold faces. Read the
+    * view with [[readDistinctCountView]]. */
+  def maintainJoinDistinctToParquet(envelope: DataFrame, lSpec: TableSpec,
+                                    rSpec: TableSpec, lJoinCols: Seq[String],
+                                    groupCol: String, valueCol: String,
+                                    rootPath: String, checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.JoinDistinctView
+    envelope.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = liveGenerationRoot(spark, s"$rootPath/current")
+        if (!root.exists(r => isApplied(spark, r, batchId))) {
+          val dl = changeEvents(batch, lSpec).localCheckpoint()
+          val dr = changeEvents(batch, rSpec).localCheckpoint()
+          def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], df.schema)
+          val st0 = root
+            .map(r => JoinDistinctView.State(
+              spark.read.parquet(s"$r/left"), spark.read.parquet(s"$r/right"),
+              spark.read.parquet(s"$r/pairs"),
+              spark.read.parquet(s"$r/groups")))
+            .getOrElse {
+              val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
+              val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
+              val joinCond = lJoinCols.zip(rSpec.primaryKey)
+                .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+              val rows0 = lS.drop(Materializer.MetaCols: _*)
+                .join(rS.drop(Materializer.MetaCols: _*), joinCond)
+                .select(col(groupCol).as("g"), col(valueCol).as("v"),
+                        lit(1L).as("w"))
+              JoinDistinctView.State(lS, rS,
+                emptyLike(rows0.groupBy(col("g"), col("v"))
+                  .agg(sum(col("w")).as("net"))),
+                emptyLike(rows0.groupBy(col("g"))
+                  .agg(sum(col("w")).as("n_rows"))))
+            }
+          val next = JoinDistinctView.applyBatch(st0, dl, dr,
+            lSpec.primaryKey, rSpec.primaryKey, lJoinCols, groupCol, valueCol)
+          val nextView = JoinDistinctView.view(next, groupCol, valueCol)
+            .localCheckpoint()
+          val prevView = root
+            .map(r => spark.read.parquet(s"$r/view"))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], nextView.schema))
+          viewDelta(prevView, nextView, Seq(groupCol))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$rootPath/changes/batch=$batchId")
+          swapGeneration(spark, s"$rootPath/current") { tmp =>
+            next.left.write.mode("overwrite").parquet(s"$tmp/left")
+            next.right.write.mode("overwrite").parquet(s"$tmp/right")
+            next.pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
+            next.groups.write.mode("overwrite").parquet(s"$tmp/groups")
+            nextView.write.mode("overwrite").parquet(s"$tmp/view")
+            writeMarker(spark, tmp, batchId)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Read the maintained aggregate-over-join view (public face: NULL sum
     * for all-NULL-value groups), tolerating the swap crash window. */
   def readJoinAggView(spark: SparkSession, rootPath: String,

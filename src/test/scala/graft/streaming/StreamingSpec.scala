@@ -406,6 +406,49 @@ class StreamingSpec extends SparkSpec {
       "group move + delete must leave exactly the moved contribution")
   }
 
+  test("streaming join-distinct view: last-order delete across restart") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("jdlog")
+    val root = tmpDir("jdstate")
+    val ckpt = tmpDir("jdckpt")
+    val lSpec = TableSpec("d", "fact", Seq("k"), StructType(Seq(
+      StructField("k", LongType), StructField("fk", LongType))))
+    val rSpec = TableSpec("d", "dim", Seq("ck"), StructType(Seq(
+      StructField("ck", LongType), StructField("grp", StringType))))
+    def fact(op: String, ts: Long, k: Long, fk: Long) =
+      s"""{"database":"d","table":"fact","type":"$op","ts":$ts,"data":{"k":$k,"fk":$fk}}"""
+    def dim(op: String, ts: Long, ck: Long, grp: String) =
+      s"""{"database":"d","table":"dim","type":"$op","ts":$ts,"data":{"ck":$ck,"grp":"$grp"}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainJoinDistinctToParquet(
+      CdcStream.fileChangelog(spark, logDir), lSpec, rSpec,
+      lJoinCols = Seq("fk"), groupCol = "grp", valueCol = "fk",
+      root, ckpt).awaitTermination()
+    def view(): Map[String, Long] =
+      CdcStream.readDistinctCountView(spark, root).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch 1: customer 10 holds TWO orders, 20 holds one
+    append("b1.json", Seq(
+      fact("insert", 1, 1, 10), fact("insert", 1, 2, 10),
+      fact("insert", 1, 3, 20),
+      dim("insert", 2, 10, "a"), dim("insert", 2, 20, "a")))
+    run()
+    assert(view() == Map("a" -> 2L))
+    // batch 2 (restart): delete ONE of 10's orders — the count must NOT
+    // drop, which requires the PERSISTED pair multiplicity (the previous
+    // view alone cannot answer this)
+    append("b2.json", Seq(fact("delete", 5, 1, 10)))
+    run()
+    assert(view() == Map("a" -> 2L))
+    // batch 3 (restart): delete 10's LAST order -> count drops
+    append("b3.json", Seq(fact("delete", 8, 2, 10)))
+    run()
+    assert(view() == Map("a" -> 1L))
+  }
+
   test("streaming top-k view: restarts, promote-on-delete") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
