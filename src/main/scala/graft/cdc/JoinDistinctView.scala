@@ -32,6 +32,23 @@ object JoinDistinctView {
     IncrementalAgg.distinctCountView(
       IncrementalAgg.DistinctState(st.pairs, st.groups), groupCol, valueCol)
 
+  /** The maintained pair state IS a [[IncrementalAgg.DistinctState]], so
+    * the whole non-subtractable family over the JOIN rides the same
+    * state: exact MIN/MAX per group under deletes ("cheapest live order
+    * per nation" stays right when the cheapest is deleted)… */
+  def minMaxView(st: State, groupCol: String, valueCol: String): DataFrame =
+    IncrementalAgg.minMaxView(
+      IncrementalAgg.DistinctState(st.pairs, st.groups), groupCol, valueCol)
+
+  /** …and exact discrete PERCENTILES per group (see
+    * [[IncrementalAgg.percentileView]] — one g-partitioned window pass
+    * over the live pairs, multiplicities summed, never exploded). */
+  def percentileView(st: State, groupCol: String, valueCol: String,
+                     ps: Seq[Double]): DataFrame =
+    IncrementalAgg.percentileView(
+      IncrementalAgg.DistinctState(st.pairs, st.groups), groupCol, valueCol,
+      ps)
+
   /** One micro-batch step — JoinAggView's delta-join restriction, folded
     * into the additive pair state. Same delta contract: `dl`/`dr` must be
     * cheap to re-scan. */

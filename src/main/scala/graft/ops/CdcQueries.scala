@@ -19,6 +19,23 @@ object CdcQueries {
       |  o_orderdate, o_orderpriority
       |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin
 
+  /** Shared maintained (nation, price) pair state over orders⋈customer —
+    * one replay serves the min/max AND percentile join views (memoized
+    * per (session, sfDir); the replay's lazy pins materialize once). */
+  private val joinPriceCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), graft.cdc.JoinDistinctView.State]()
+  private def joinPriceState(s: SparkSession,
+                             dir: String): graft.cdc.JoinDistinctView.State =
+    joinPriceCache.computeIfAbsent((s, dir), _ =>
+      graft.cdc.JoinDistinctView.replay(
+        ChangelogGen.ordersChangeEvents(s, dir),
+        ChangelogGen.customerChangeEvents(s, dir),
+        cuts = Seq(SnapT1, SnapT2),
+        lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
+        lJoinCols = Seq("o_custkey"),
+        groupCol = "c_nationkey", valueCol = "o_totalprice"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full replay -> current state (one row per surviving key).
     "cdc_materialize" -> ((s, dir) =>
@@ -273,6 +290,32 @@ object CdcQueries {
           "c_nationkey", "o_custkey")
         .orderBy(col("c_nationkey"))),
 
+    // Exact MIN/MAX + PERCENTILES over the join, from the SAME maintained
+    // pair state as cdc_join_distinct_view (one replay, two views): the
+    // non-subtractable family over L⋈R — "cheapest / median / p95 live
+    // order price per nation" stays exact when the extreme or the median
+    // row is deleted. State is (nation, price) net multiplicities —
+    // bounded by live pair cardinality, never |join rows|.
+    "cdc_join_minmax_view" -> ((s, dir) => {
+      val st = joinPriceState(s, dir)
+      graft.cdc.JoinDistinctView.minMaxView(st, "c_nationkey",
+                                            "o_totalprice")
+        .select(col("c_nationkey"),
+                round(col("min_o_totalprice"), 2).as("min_price"),
+                round(col("max_o_totalprice"), 2).as("max_price"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    "cdc_join_percentile_view" -> ((s, dir) => {
+      val st = joinPriceState(s, dir)
+      graft.cdc.JoinDistinctView.percentileView(st, "c_nationkey",
+          "o_totalprice", Seq(0.5, 0.95))
+        .select(col("c_nationkey"),
+                round(col("p50_o_totalprice"), 2).as("p50_price"),
+                round(col("p95_o_totalprice"), 2).as("p95_price"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Multi-measure aggregate-over-join: revenue (fact-side) AND summed
     // account balance (dim-side) per nation, both maintained in the SAME
     // single delta pass over the same O(|groups|) state — measures from
@@ -382,6 +425,26 @@ object CdcQueries {
         |  c_name, c_acctbal
         |FROM ostate JOIN cstate ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "cdc_join_minmax_view" ->
+      s"""WITH ostate AS ($expectedStateSql),
+        |cstate AS (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM customer WHERE c_custkey % 25 <> 0)
+        |SELECT c_nationkey,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM ostate JOIN cstate ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "cdc_join_percentile_view" ->
+      s"""WITH ostate AS ($expectedStateSql),
+        |cstate AS (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM customer WHERE c_custkey % 25 <> 0)
+        |SELECT c_nationkey,
+        |  round(quantile_disc(o_totalprice, 0.5), 2) AS p50_price,
+        |  round(quantile_disc(o_totalprice, 0.95), 2) AS p95_price
+        |FROM ostate JOIN cstate ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "cdc_join_distinct_view" ->
       s"""WITH ostate AS ($expectedStateSql),
         |cstate AS (
