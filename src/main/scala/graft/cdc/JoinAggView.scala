@@ -92,8 +92,24 @@ object JoinAggView {
                  groupCols: Seq[String],
                  measures: Seq[(String, Column => Column)],
                  keys: Option[(Option[DataFrame], Option[DataFrame])] = None,
+                 maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State =
+    applyBatchNamed(st, dl, dr, lPk, rPk, lJoinCols, groupCols,
+                    measures.map { case (c, f) => (c, c, f) }, keys,
+                    maxLocalKeys)
+
+  /** [[applyBatchMulti]] with DISTINCT output names per measure —
+    * `(outName, srcCol, cast)` — so one source column can carry several
+    * measures (e.g. the value AND its square, which makes AVG/VARIANCE
+    * over the join maintainable from the same delta pass). */
+  def applyBatchNamed(st: State, dl: DataFrame, dr: DataFrame,
+                 lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
+                 groupCols: Seq[String],
+                 measures: Seq[(String, String, Column => Column)],
+                 keys: Option[(Option[DataFrame], Option[DataFrame])] = None,
                  maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
     require(measures.nonEmpty, "at least one measure")
+    require(measures.map(_._1).distinct.size == measures.size,
+      "measure output names must be distinct")
     require(rPk.size == lJoinCols.size,
       s"lJoinCols (${lJoinCols.mkString(",")}) must match rPk " +
         s"(${rPk.mkString(",")}) positionally")
@@ -130,12 +146,12 @@ object JoinAggView {
                              Materializer.liveView(rNext), +1)
     // pinned: the per-group deltas feed the touched-group set AND the
     // merge join — one shuffle, reused
-    val measureAggs = measures.flatMap { case (c, _) => Seq(
+    val measureAggs = measures.flatMap { case (c, _, _) => Seq(
       sum(when(col(s"__v_$c").isNotNull, col("__w").cast("long"))
             .otherwise(lit(0L))).as(s"d_vals_$c"),
       sum(when(col("__w") === 1, col(s"__v_$c"))
             .otherwise(-col(s"__v_$c"))).as(s"d_sum_$c")) }
-    val nonZero = measures.map { case (c, _) =>
+    val nonZero = measures.map { case (c, _, _) =>
       col(s"d_vals_$c") =!= 0 ||
         (col(s"d_sum_$c").isNotNull && col(s"d_sum_$c") =!= 0)
     }.foldLeft(col("d_rows") =!= 0)(_ || _)
@@ -172,7 +188,7 @@ object JoinAggView {
         groupCols.map(g => coalesce(col(s"__a.$g"), col(s"__d.$g")).as(g)) ++
           ((coalesce(col("__a.n_rows"), lit(0L)) +
             coalesce(col("__d.d_rows"), lit(0L))).as("n_rows") +:
-           measures.flatMap { case (c, _) =>
+           measures.flatMap { case (c, _, _) =>
              // decimal addition widens per batch — cast back to the
              // canonical sum type so the state schema is a fixed point
              val sumType = deltas.schema(s"d_sum_$c").dataType
@@ -197,7 +213,8 @@ object JoinAggView {
       changedR: DataFrame, rLocal: Boolean,
       lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
       groupCols: Seq[String],
-      measures: Seq[(String, Column => Column)], w: Int): DataFrame = {
+      measures: Seq[(String, String, Column => Column)],
+      w: Int): DataFrame = {
     def hinted(df: DataFrame, isLocal: Boolean): DataFrame =
       if (isLocal) broadcast(df) else df
     val joinCond = lJoinCols.zip(rPk)
@@ -211,7 +228,8 @@ object JoinAggView {
             joinCond)
     branchL.unionByName(branchR).select(
       groupCols.map(col) ++
-        measures.map { case (c, cast) => cast(col(c)).as(s"__v_$c") } ++
+        measures.map { case (c, src, cast) =>
+          cast(col(src)).as(s"__v_$c") } ++
         Seq(lit(w).as("__w")): _*)
   }
 
@@ -229,11 +247,19 @@ object JoinAggView {
   def directAggMulti(liveL: DataFrame, liveR: DataFrame,
                 rPk: Seq[String], lJoinCols: Seq[String],
                 groupCols: Seq[String],
-                measures: Seq[(String, Column => Column)]): DataFrame = {
+                measures: Seq[(String, Column => Column)]): DataFrame =
+    directAggNamed(liveL, liveR, rPk, lJoinCols, groupCols,
+                   measures.map { case (c, f) => (c, c, f) })
+
+  /** [[directAggMulti]] with `(outName, srcCol, cast)` measures. */
+  def directAggNamed(liveL: DataFrame, liveR: DataFrame,
+                rPk: Seq[String], lJoinCols: Seq[String],
+                groupCols: Seq[String],
+                measures: Seq[(String, String, Column => Column)]): DataFrame = {
     val joinCond = lJoinCols.zip(rPk)
       .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
-    val aggs = measures.flatMap { case (c, cast) => Seq(
-      count(c).as(s"n_vals_$c"), sum(cast(col(c))).as(s"sum_$c")) }
+    val aggs = measures.flatMap { case (c, src, cast) => Seq(
+      count(col(src)).as(s"n_vals_$c"), sum(cast(col(src))).as(s"sum_$c")) }
     liveL.join(liveR, joinCond)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
@@ -259,6 +285,17 @@ object JoinAggView {
              groupCols: Seq[String],
              measures: Seq[(String, Column => Column)],
              batchShufflePartitions: Int = 8,
+             maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State =
+    replayNamed(lEvents, rEvents, cuts, lPk, rPk, lJoinCols, groupCols,
+                measures.map { case (c, f) => (c, c, f) },
+                batchShufflePartitions, maxLocalKeys)
+
+  /** [[replayMulti]] with `(outName, srcCol, cast)` measures. */
+  def replayNamed(lEvents: DataFrame, rEvents: DataFrame, cuts: Seq[Long],
+             lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
+             groupCols: Seq[String],
+             measures: Seq[(String, String, Column => Column)],
+             batchShufflePartitions: Int = 8,
              maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
     val parent = lEvents.sparkSession
     val child = parent.newSession()
@@ -274,7 +311,7 @@ object JoinAggView {
     val rSchema = emptyLike(Materializer.compact(rEvents.limit(0), rPk))
     // seed the agg state with the DIRECT recompute's schema over empty
     // states — applyBatch's merged output is cast to the same fixed point
-    val emptyAgg = emptyLike(directAggMulti(
+    val emptyAgg = emptyLike(directAggNamed(
       lSchema.drop(Materializer.MetaCols: _*),
       rSchema.drop(Materializer.MetaCols: _*),
       rPk, lJoinCols, groupCols, measures))
@@ -304,7 +341,7 @@ object JoinAggView {
         val (lo, hi) = bounds(i)
         val (ckLF, ckRF) = pending
         if (i + 1 < bounds.size) pending = keysFor(i + 1)
-        val next = applyBatchMulti(st, slice(lPinned, lo, hi),
+        val next = applyBatchNamed(st, slice(lPinned, lo, hi),
                               slice(rPinned, lo, hi),
                               lPk, rPk, lJoinCols, groupCols, measures,
                               keys = Some((Await.result(ckLF, Duration.Inf),

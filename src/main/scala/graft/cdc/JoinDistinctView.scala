@@ -72,8 +72,8 @@ object JoinDistinctView {
     def touched(liveL: DataFrame, liveR: DataFrame, w: Int): DataFrame =
       JoinAggView.touchedJoinRows(liveL, liveR, changedL, lLocal,
         changedR, rLocal, lPk, rPk, lJoinCols, Seq(groupCol),
-        Seq(valueCol -> scala.Predef.identity[org.apache.spark.sql.Column] _),
-        w)
+        Seq((valueCol, valueCol,
+             scala.Predef.identity[org.apache.spark.sql.Column] _)), w)
     val retract = touched(Materializer.liveView(st.left),
                           Materializer.liveView(st.right), -1)
     val lNext = Materializer.merge(st.left, dl, lPk,

@@ -290,6 +290,36 @@ object CdcQueries {
           "c_nationkey", "o_custkey")
         .orderBy(col("c_nationkey"))),
 
+    // AVG/VARIANCE over the join via NAMED measures: one source column
+    // carries TWO measures (the decimal value and its exact decimal
+    // square) through the same delta pass, so second moments — and hence
+    // mean and population variance per nation — maintain incrementally
+    // over L⋈R with no extra machinery. decimal(12,3) before squaring
+    // keeps the scaled integers inside int64 products on BOTH engines
+    // (DuckDB multiplies <=18-digit decimals in int64) and the exact
+    // product width (25,6) inside decimal128.
+    "cdc_join_avg_view" -> ((s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(25,10)")
+      val sq = (c: org.apache.spark.sql.Column) => {
+        val d = c.cast("decimal(12,3)"); d * d
+      }
+      val st = graft.cdc.JoinAggView.replayNamed(
+        ChangelogGen.ordersChangeEvents(s, dir),
+        ChangelogGen.customerChangeEvents(s, dir),
+        cuts = Seq(SnapT1, SnapT2),
+        lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
+        lJoinCols = Seq("o_custkey"), groupCols = Seq("c_nationkey"),
+        measures = Seq(("o_totalprice", "o_totalprice", dec),
+                       ("price_sq", "o_totalprice", sq)))
+      val mean = col("sum_o_totalprice").cast("double") / col("n_rows")
+      graft.cdc.JoinAggView.viewMulti(st, Seq("o_totalprice", "price_sq"))
+        .select(col("c_nationkey"), col("n_rows").as("n_orders"),
+                round(mean, 4).as("avg_price"),
+                round(col("sum_price_sq").cast("double") / col("n_rows") -
+                      mean * mean, 4).as("var_price"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Exact MIN/MAX + PERCENTILES over the join, from the SAME maintained
     // pair state as cdc_join_distinct_view (one replay, two views): the
     // non-subtractable family over L⋈R — "cheapest / median / p95 live
@@ -425,6 +455,22 @@ object CdcQueries {
         |  c_name, c_acctbal
         |FROM ostate JOIN cstate ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "cdc_join_avg_view" ->
+      s"""WITH ostate AS ($expectedStateSql),
+        |cstate AS (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM customer WHERE c_custkey % 25 <> 0),
+        |j AS (
+        |  SELECT c_nationkey, count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(25,10))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,3)) *
+        |             CAST(o_totalprice AS DECIMAL(12,3))) AS DOUBLE) AS sq
+        |  FROM ostate JOIN cstate ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey)
+        |SELECT c_nationkey, n AS n_orders,
+        |  round(s / n, 4) AS avg_price,
+        |  round(sq / n - (s / n) * (s / n), 4) AS var_price
+        |FROM j ORDER BY c_nationkey""".stripMargin,
     "cdc_join_minmax_view" ->
       s"""WITH ostate AS ($expectedStateSql),
         |cstate AS (

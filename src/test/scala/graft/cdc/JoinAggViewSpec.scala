@@ -138,8 +138,8 @@ class JoinAggViewSpec extends SparkSpec {
     val rows = JoinAggView.touchedJoinRows(liveL, liveR,
       changedL, true, changedR, true,
       Seq("k"), Seq("ck"), Seq("fk"), Seq("grp"),
-      Seq("price" -> scala.Predef.identity[org.apache.spark.sql.Column] _),
-      -1)
+      Seq(("price", "price",
+           scala.Predef.identity[org.apache.spark.sql.Column] _)), -1)
     val plan = rows.queryExecution.executedPlan.toString
     // every join in the two delta-restricted branches (semi/anti key
     // prunes AND the rebuild joins themselves) must broadcast — the
