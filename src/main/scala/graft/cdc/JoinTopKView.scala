@@ -1,0 +1,137 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained per-group TOP-K OVER A JOIN — "the 3 most
+  * expensive live orders per customer NATION, with the customer's name"
+  * — from two changelogs. The composition: [[JoinView]] maintains the
+  * join materialization (top-k needs row images, so the join state is
+  * required either way), and the rank view re-ranks ONLY the groups the
+  * batch's delta-join rows touched ([[IncrementalTopK]]'s
+  * delta-restricted recompute, with the touched-group set derived from
+  * the same two-branch broadcast restriction as [[JoinAggView]] — both
+  * pre- and post-merge sides, so group-moving dimension updates re-rank
+  * BOTH groups).
+  *
+  * Scale shape: per batch O(|Δ| + |delta-adjacent join rows| + |touched
+  * groups' join rows|); untouched groups' rank rows pass through a
+  * broadcast anti join; neither table state nor the join view is ever
+  * reshuffled whole. */
+object JoinTopKView {
+
+  /** Maintained join state/view + the current per-group rank view
+    * (`viewCols… , rk`). */
+  final case class State(join: JoinView.State, ranked: DataFrame)
+
+  /** One micro-batch step. `viewCols` is the join-view projection (must
+    * include `lPk`, `lJoinCols`, `groupCol`, `orderCol`); ranks are
+    * `orderCol DESC, lPk ASC` within `groupCol`, top `k` kept. */
+  def applyBatch(st: State, dl: DataFrame, dr: DataFrame,
+                 lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
+                 viewCols: Seq[String], groupCol: String, orderCol: String,
+                 k: Int,
+                 maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
+    val spark = dl.sparkSession
+    def distributedKeys(delta: DataFrame, ks: Seq[String]): DataFrame =
+      delta.select(ks.map(kc => col(s"after.$kc").as(kc)): _*)
+        .distinct().localCheckpoint(false)
+    val (changedL, lLocal) =
+      JoinView.localKeys(dl, lPk, maxLocalKeys) match {
+        case Some(lk) => (lk, true)
+        case None     => (distributedKeys(dl, lPk), false)
+      }
+    val (changedR, rLocal) =
+      JoinView.localKeys(dr, rPk, maxLocalKeys) match {
+        case Some(rk) => (rk, true)
+        case None     => (distributedKeys(dr, rPk), false)
+      }
+    def touchedGroups(liveL: DataFrame, liveR: DataFrame): DataFrame =
+      JoinAggView.touchedJoinRows(liveL, liveR, changedL, lLocal,
+        changedR, rLocal, lPk, rPk, lJoinCols, Seq(groupCol),
+        Seq((orderCol, orderCol,
+             scala.Predef.identity[org.apache.spark.sql.Column] _)), 1)
+        .select(col(groupCol))
+    val next = JoinView.applyBatch(st.join, dl, dr, lPk, rPk, lJoinCols,
+      viewCols, keys = Some((if (lLocal) Some(changedL) else None,
+                             if (rLocal) Some(changedR) else None)),
+      maxLocalKeys = maxLocalKeys)
+    val viewNext = next.view.localCheckpoint(false)
+    // touched groups from BOTH sides of the delta (pre-merge: groups
+    // losing rows; post-merge: groups gaining them)
+    val tgSel = touchedGroups(Materializer.liveView(st.join.left),
+                              Materializer.liveView(st.join.right))
+      .unionByName(touchedGroups(Materializer.liveView(next.left),
+                                 Materializer.liveView(next.right)))
+      .distinct().localCheckpoint(false)
+    val tgRows = tgSel.limit(maxLocalKeys + 1).collect().toSeq
+    val (tg, tgLocal) =
+      if (tgRows.size > maxLocalKeys) (tgSel, false)
+      else (spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(tgRows).asJava,
+        tgSel.schema), true)
+    def byGroup(left: DataFrame, how: String): DataFrame = {
+      val tgA = tg.alias("__tg")
+      left.alias("__l").join(if (tgLocal) broadcast(tgA) else tgA,
+        col(s"__l.$groupCol") <=> col(s"__tg.$groupCol"), how)
+        .select(left.columns.map(c => col(s"__l.$c")): _*)
+    }
+    val untouched = byGroup(st.ranked, "left_anti")
+    val reranked = IncrementalTopK.topK(byGroup(viewNext, "left_semi"),
+                                        lPk, groupCol, orderCol, k)
+    State(next.copy(view = viewNext),
+          untouched.unionByName(reranked))
+  }
+
+  /** Replay two event streams across `cuts` (JoinView.replay micro-batch
+    * discipline); returns the final state. */
+  def replay(lEvents: DataFrame, rEvents: DataFrame, cuts: Seq[Long],
+             lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
+             viewCols: Seq[String], groupCol: String, orderCol: String,
+             k: Int,
+             batchShufflePartitions: Int = 8,
+             maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
+    val parent = lEvents.sparkSession
+    val child = parent.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    child.conf.set("spark.sql.shuffle.partitions",
+                   batchShufflePartitions.toString)
+    def inChild(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.bridge.reRoot(df, child)
+    def emptyLike(df: DataFrame): DataFrame =
+      child.createDataFrame(
+        child.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    val lSchema = emptyLike(Materializer.compact(lEvents.limit(0), lPk))
+    val rSchema = emptyLike(Materializer.compact(rEvents.limit(0), rPk))
+    val joinCond = lJoinCols.zip(rPk)
+      .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+    val emptyView = emptyLike(
+      lSchema.drop(Materializer.MetaCols: _*)
+        .join(rSchema.drop(Materializer.MetaCols: _*), joinCond)
+        .select(viewCols.map(col): _*))
+    val emptyRanked = emptyLike(
+      IncrementalTopK.topK(emptyView, lPk, groupCol, orderCol, k))
+    val lPinned = inChild(lEvents.localCheckpoint())
+      .coalesce(batchShufflePartitions)
+    val rPinned = inChild(rEvents.localCheckpoint())
+      .coalesce(batchShufflePartitions)
+    def slice(ev: DataFrame, lo: Long, hi: Long) =
+      ev.filter(col("ts") > lo && col("ts") <= hi)
+    val windows = (Long.MinValue +: cuts) :+ Long.MaxValue
+    val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
+    val fin = bounds.foldLeft(
+        State(JoinView.State(lSchema, rSchema, emptyView), emptyRanked)) {
+      case (st, (lo, hi)) =>
+        val next = applyBatch(st, slice(lPinned, lo, hi),
+                              slice(rPinned, lo, hi),
+                              lPk, rPk, lJoinCols, viewCols, groupCol,
+                              orderCol, k, maxLocalKeys)
+        next.copy(ranked = next.ranked.localCheckpoint(false))
+    }
+    import org.apache.spark.sql.graft.bridge.reRoot
+    State(JoinView.State(reRoot(fin.join.left, parent),
+                         reRoot(fin.join.right, parent),
+                         reRoot(fin.join.view, parent)),
+          reRoot(fin.ranked, parent))
+  }
+}

@@ -400,6 +400,29 @@ object CdcQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("t"))
     }),
 
+    // TOP-K OVER A JOIN, maintained incrementally: the 3 most expensive
+    // live orders per customer NATION, with the customer's name — the
+    // last cell of the IVM matrix (JoinTopKView = JoinView's delta-join
+    // materialization + delta-restricted re-ranking of only the groups
+    // the batch's delta-adjacent join rows touched, pre- AND post-merge,
+    // so group-moving dimension updates re-rank both nations). Deleting
+    // a nation's top order, or the customer holding it, promotes the
+    // runner-up — which no insert-only structure over the join can do.
+    "cdc_join_topk_view" -> ((s, dir) =>
+      graft.cdc.JoinTopKView.replay(
+          ChangelogGen.ordersChangeEvents(s, dir),
+          ChangelogGen.customerChangeEvents(s, dir),
+          cuts = Seq(SnapT1, SnapT2),
+          lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
+          lJoinCols = Seq("o_custkey"),
+          viewCols = Seq("o_orderkey", "o_custkey", "c_nationkey",
+                         "c_name", "o_totalprice"),
+          groupCol = "c_nationkey", orderCol = "o_totalprice", k = 3)
+        .ranked
+        .select(col("c_nationkey"), col("rk"), col("o_orderkey"),
+                col("o_totalprice"), col("c_name"))
+        .orderBy(col("c_nationkey"), col("rk"))),
+
     // Incremental TOP-K view maintenance: 3 most expensive live orders
     // per status, kept current across three replay windows by
     // delta-restricted re-ranking (only statuses the batch touched are
@@ -660,6 +683,20 @@ object CdcQueries {
         |  round(quantile_disc(o_totalprice, 0.95), 2) AS p95_price
         |FROM ($expectedStateSql)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "cdc_join_topk_view" ->
+      s"""WITH ostate AS ($expectedStateSql),
+        |cstate AS (
+        |  SELECT c_custkey, c_nationkey, c_name
+        |  FROM customer WHERE c_custkey % 25 <> 0)
+        |SELECT c_nationkey, CAST(rk AS INT) AS rk, o_orderkey,
+        |  o_totalprice, c_name
+        |FROM (
+        |  SELECT c_nationkey, c_name, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM ostate JOIN cstate ON o_custkey = c_custkey)
+        |WHERE rk <= 3
+        |ORDER BY c_nationkey, rk""".stripMargin,
     "cdc_topk_view" ->
       s"""SELECT o_orderstatus, CAST(rk AS INT) AS rk, o_orderkey,
         |  o_totalprice

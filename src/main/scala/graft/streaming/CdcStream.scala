@@ -547,6 +547,87 @@ object CdcStream {
       .getOrElse(throw new IllegalStateException(
         s"no top-k state at $rootPath"))
 
+  /** Streaming face of [[graft.cdc.JoinTopKView]] — a per-group TOP-K
+    * OVER A JOIN ("3 most expensive live orders per customer nation,
+    * with the customer's name") maintained from a two-topic changelog
+    * stream, restart-safe. Per batch: route the envelope by table, let
+    * the delta-join formula advance (left, right, join view) and re-rank
+    * only the touched groups, then persist all four frames as ONE
+    * parquet generation with a single directory swap — state, join view
+    * and rank view must advance atomically or the next batch's
+    * delta-restricted re-rank reads a torn triple. The emitted changelog
+    * is keyed on the (group, rank) slot like [[maintainTopKToParquet]];
+    * promotes arriving through the join (the ranked row's FACT deleted,
+    * or the DIMENSION holding it deleted / moved) emit as updates on the
+    * slot they land in. Same crash discipline as
+    * [[maintainJoinViewToParquet]]. Read with [[readJoinTopKView]]. */
+  def maintainJoinTopKToParquet(envelope: DataFrame, lSpec: TableSpec,
+                                rSpec: TableSpec, lJoinCols: Seq[String],
+                                viewCols: Seq[String], groupCol: String,
+                                orderCol: String, k: Int,
+                                rootPath: String, checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.{JoinTopKView, JoinView, IncrementalTopK}
+    envelope.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = liveGenerationRoot(spark, s"$rootPath/current")
+        // the rank recompute is replay-idempotent, but the emitted
+        // changes are not — the marker gates the whole body
+        if (!root.exists(r => isApplied(spark, r, batchId))) {
+          val dl = changeEvents(batch, lSpec).localCheckpoint()
+          val dr = changeEvents(batch, rSpec).localCheckpoint()
+          def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], df.schema)
+          val st0 = root
+            .map(r => JoinTopKView.State(
+              JoinView.State(spark.read.parquet(s"$r/left"),
+                             spark.read.parquet(s"$r/right"),
+                             spark.read.parquet(s"$r/view")),
+              spark.read.parquet(s"$r/ranked")))
+            .getOrElse {
+              val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
+              val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
+              val joinCond = lJoinCols.zip(rSpec.primaryKey)
+                .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+              val emptyView = emptyLike(
+                lS.drop(Materializer.MetaCols: _*)
+                  .join(rS.drop(Materializer.MetaCols: _*), joinCond)
+                  .select(viewCols.map(col): _*))
+              JoinTopKView.State(JoinView.State(lS, rS, emptyView),
+                emptyLike(IncrementalTopK.topK(emptyView, lSpec.primaryKey,
+                                               groupCol, orderCol, k)))
+            }
+          val next = JoinTopKView.applyBatch(st0, dl, dr, lSpec.primaryKey,
+            rSpec.primaryKey, lJoinCols, viewCols, groupCol, orderCol, k)
+          val nextRanked = next.ranked.localCheckpoint()
+          viewDelta(st0.ranked, nextRanked, Seq(groupCol, "rk"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$rootPath/changes/batch=$batchId")
+          swapGeneration(spark, s"$rootPath/current") { tmp =>
+            next.join.left.write.mode("overwrite").parquet(s"$tmp/left")
+            next.join.right.write.mode("overwrite").parquet(s"$tmp/right")
+            next.join.view.write.mode("overwrite").parquet(s"$tmp/view")
+            nextRanked.write.mode("overwrite").parquet(s"$tmp/ranked")
+            writeMarker(spark, tmp, batchId)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Read the maintained top-k-over-join rank view, tolerating the swap
+    * crash window. */
+  def readJoinTopKView(spark: SparkSession, rootPath: String): DataFrame =
+    liveGenerationRoot(spark, s"$rootPath/current")
+      .map(r => spark.read.parquet(s"$r/ranked"))
+      .getOrElse(throw new IllegalStateException(
+        s"no join-top-k state at $rootPath"))
+
   /** Maintain an incrementally-updated COUNT(DISTINCT) view from the
     * changelog stream — the streaming face of
     * [[graft.cdc.IncrementalAgg.distinctCount]], and the last maintained

@@ -527,6 +527,75 @@ class StreamingSpec extends SparkSpec {
       s"unexpected rank-slot changelog: $ch")
   }
 
+  test("streaming join-top-k view: promote-through-the-join across restarts") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("jtklog")
+    val root = tmpDir("jtkstate")
+    val ckpt = tmpDir("jtkckpt")
+    val lSpec = TableSpec("d", "fact", Seq("k"), StructType(Seq(
+      StructField("k", LongType), StructField("fk", LongType),
+      StructField("price", DoubleType))))
+    val rSpec = TableSpec("d", "dim", Seq("ck"), StructType(Seq(
+      StructField("ck", LongType), StructField("grp", StringType))))
+    def fact(op: String, ts: Long, k: Long, fk: Long, p: Double) =
+      s"""{"database":"d","table":"fact","type":"$op","ts":$ts,"data":{"k":$k,"fk":$fk,"price":$p}}"""
+    def dim(op: String, ts: Long, ck: Long, grp: String) =
+      s"""{"database":"d","table":"dim","type":"$op","ts":$ts,"data":{"ck":$ck,"grp":"$grp"}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainJoinTopKToParquet(
+      CdcStream.fileChangelog(spark, logDir), lSpec, rSpec,
+      lJoinCols = Seq("fk"), viewCols = Seq("k", "fk", "grp", "price"),
+      groupCol = "grp", orderCol = "price", k = 2, root, ckpt)
+      .awaitTermination()
+    def view(): Set[(String, Int, Long, Double)] =
+      CdcStream.readJoinTopKView(spark, root)
+        .select(col("grp"), col("rk"), col("k"), col("price")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+                   r.getDouble(3))).toSet
+    // batch 1: three facts on dim 10 ("a") -> fact 3 (5.0) is OUTSIDE
+    // the k=2 rank view but INSIDE the persisted join view
+    append("b1.json", Seq(
+      fact("insert", 1, 1, 10, 9.0), fact("insert", 1, 2, 10, 7.0),
+      fact("insert", 1, 3, 10, 5.0), dim("insert", 2, 10, "a")))
+    run()
+    assert(view() == Set(("a", 1, 1L, 9.0), ("a", 2, 2L, 7.0)))
+    // batch 2 (restart, same checkpoint, all four frames REREAD from
+    // parquet): delete the leader -> fact 3 promoted from OUTSIDE the
+    // persisted rank view (needs the persisted join view, not just ranks)
+    append("b2.json", Seq(fact("delete", 5, 1, 10, 9.0)))
+    run()
+    assert(view() == Set(("a", 1, 2L, 7.0), ("a", 2, 3L, 5.0)))
+    // batch 3 (restart): the DIMENSION moves a -> b; every surviving fact
+    // follows it and the old group's rank view empties
+    append("b3.json", Seq(dim("update", 8, 10, "b")))
+    run()
+    assert(view() == Set(("b", 1, 2L, 7.0), ("b", 2, 3L, 5.0)),
+      "group-moving dim update must carry the whole rank view to b")
+    // rank-slot changelog: batch 1 fills both slots, batch 2 promotes on
+    // both, batch 3 deletes a's slots and inserts b's
+    val ch = CdcStream.readViewChanges(spark, root)
+      .select(col("batch"), col("op"), col("grp"), col("rk"),
+              col("after.k").as("a_k"))
+      .collect()
+      .map(r => (r.getAs[Number]("batch").longValue, r.getString(1),
+                 r.getString(2), r.getInt(3),
+                 Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(ch == Set(
+      (0L, "insert", "a", 1, Some(1L)),
+      (0L, "insert", "a", 2, Some(2L)),
+      (1L, "update", "a", 1, Some(2L)),
+      (1L, "update", "a", 2, Some(3L)),
+      (2L, "delete", "a", 1, None),
+      (2L, "delete", "a", 2, None),
+      (2L, "insert", "b", 1, Some(2L)),
+      (2L, "insert", "b", 2, Some(3L))),
+      s"unexpected rank-slot changelog: $ch")
+  }
+
   test("streaming count-distinct view: restarts, deletes, group moves") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
