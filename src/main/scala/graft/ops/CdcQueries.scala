@@ -97,6 +97,23 @@ object CdcQueries {
                          "o_totalprice", "c_name", "c_acctbal"))
         .view.orderBy(col("o_orderkey"))),
 
+    // LEFT OUTER join view, maintained incrementally: ALL live orders,
+    // with the customer columns when the customer is live and NULL
+    // otherwise (LeftJoinView). The inner view hides orders of deleted
+    // customers (%25 == 0 here); the outer view keeps them NULL-padded —
+    // and the pad/retract dance (dim arrives -> pad retracted and row
+    // joined; dim dies -> re-padded) is the classic outer-join IVM case.
+    "cdc_left_join_view" -> ((s, dir) =>
+      graft.cdc.LeftJoinView.replay(
+          ChangelogGen.ordersChangeEvents(s, dir),
+          ChangelogGen.customerChangeEvents(s, dir),
+          cuts = Seq(SnapT1, SnapT2),
+          lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
+          lJoinCols = Seq("o_custkey"),
+          viewCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice", "c_name", "c_acctbal"))
+        .view.orderBy(col("o_orderkey"))),
+
     // Incremental AGGREGATE-OVER-JOIN maintenance (the classic IVM
     // composition): revenue + order count per customer NATION, maintained
     // from the two changelogs' deltas alone — the join result is NEVER
@@ -477,6 +494,17 @@ object CdcQueries {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  c_name, c_acctbal
         |FROM ostate JOIN cstate ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "cdc_left_join_view" ->
+      s"""WITH ostate AS ($expectedStateSql),
+        |cstate AS (
+        |  SELECT c_custkey, c_name,
+        |    c_acctbal + CASE WHEN c_custkey % 4 = 0 THEN 100.0
+        |                     ELSE 0.0 END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 25 <> 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  c_name, c_acctbal
+        |FROM ostate LEFT JOIN cstate ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
     "cdc_join_avg_view" ->
       s"""WITH ostate AS ($expectedStateSql),

@@ -166,6 +166,29 @@ object CdcStream {
   def readViewChanges(spark: SparkSession, rootPath: String): DataFrame =
     spark.read.parquet(s"$rootPath/changes")
 
+  /** Adapt a maintained view's emitted changelog ([[readViewChanges]]
+    * shape: `key…, op, before, after, batch`) into the standard decoded
+    * change-event shape (`op, ts, seq, before, after, changed_cols`) —
+    * so the SAME maintainers ([[graft.cdc.Materializer]],
+    * [[graft.cdc.IncrementalAgg]], …) run one level up and views
+    * CASCADE: a derived view subscribes to a view's changelog exactly as
+    * the first-level view subscribes to the table's. Mapping: `ts` =
+    * producing batch id (the derived topic's logical time; a view key
+    * changes at most once per batch, so `seq` is constant); a delete's
+    * row image moves to `after` (quirk-Q4 convention the maintainers
+    * expect); `changed_cols` lists every image column — [[viewDelta]]
+    * diffs WHOLE rows, so before images are full, never Q3-partial. */
+  def changelogAsEvents(changes: DataFrame): DataFrame = {
+    val imgCols = changes.schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    changes.select(
+      col("op"), col("batch").cast("long").as("ts"), lit(0L).as("seq"),
+      col("before"),
+      when(col("op") === "delete", col("before")).otherwise(col("after"))
+        .as("after"),
+      array(imgCols.map(lit(_)): _*).as("changed_cols"))
+  }
+
   /** Retention for the emitted changelog: drop `changes/batch=<id>`
     * directories with id < `keepFrom`. The changes log grows one
     * directory per batch forever; production trims it to the
@@ -315,6 +338,54 @@ object CdcStream {
           rSpec.primaryKey, lJoinCols, viewCols)
         // write the whole generation to tmp (reads come from the live
         // generation — no read-own-truncation), then promote in one swap
+        swapGeneration(spark, s"$rootPath/current") { tmp =>
+          next.left.write.mode("overwrite").parquet(s"$tmp/left")
+          next.right.write.mode("overwrite").parquet(s"$tmp/right")
+          next.view.write.mode("overwrite").parquet(s"$tmp/view")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming face of [[graft.cdc.LeftJoinView]] — a LEFT OUTER join
+    * view ("ALL live orders, customer columns when known, NULL
+    * otherwise") maintained from a two-topic changelog stream. Identical
+    * generation/crash discipline to [[maintainJoinViewToParquet]]; the
+    * difference is semantic — facts survive in the persisted view as
+    * NULL-padded rows while their dimension is absent, and the pad is
+    * retracted in the batch where the dimension lands. Read with
+    * [[readJoinView]] (same layout). */
+  def maintainLeftJoinViewToParquet(envelope: DataFrame, lSpec: TableSpec,
+                                    rSpec: TableSpec, lJoinCols: Seq[String],
+                                    viewCols: Seq[String], rootPath: String,
+                                    checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.LeftJoinView
+    envelope.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val dl = changeEvents(batch, lSpec).localCheckpoint()
+        val dr = changeEvents(batch, rSpec).localCheckpoint()
+        def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], df.schema)
+        val st0 = liveGenerationRoot(spark, s"$rootPath/current")
+          .map(r => LeftJoinView.State(spark.read.parquet(s"$r/left"),
+                                       spark.read.parquet(s"$r/right"),
+                                       spark.read.parquet(s"$r/view")))
+          .getOrElse {
+            val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
+            val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
+            LeftJoinView.State(lS, rS, emptyLike(LeftJoinView.directView(
+              lS.drop(Materializer.MetaCols: _*),
+              rS.drop(Materializer.MetaCols: _*),
+              rSpec.primaryKey, lJoinCols, viewCols)))
+          }
+        val next = LeftJoinView.applyBatch(st0, dl, dr, lSpec.primaryKey,
+          rSpec.primaryKey, lJoinCols, viewCols)
         swapGeneration(spark, s"$rootPath/current") { tmp =>
           next.left.write.mode("overwrite").parquet(s"$tmp/left")
           next.right.write.mode("overwrite").parquet(s"$tmp/right")

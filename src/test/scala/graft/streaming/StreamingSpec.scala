@@ -357,6 +357,54 @@ class StreamingSpec extends SparkSpec {
     assert(view().isEmpty)
   }
 
+  test("streaming left-join view: pad/retract across restarts") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("ljlog")
+    val root = tmpDir("ljstate")
+    val ckpt = tmpDir("ljckpt")
+    val lSpec = TableSpec("d", "fact", Seq("k"), StructType(Seq(
+      StructField("k", LongType), StructField("fk", LongType),
+      StructField("price", DoubleType))))
+    val rSpec = TableSpec("d", "dim", Seq("ck"), StructType(Seq(
+      StructField("ck", LongType), StructField("name", StringType))))
+    def fact(op: String, ts: Long, k: Long, fk: Long, p: Double) =
+      s"""{"database":"d","table":"fact","type":"$op","ts":$ts,"data":{"k":$k,"fk":$fk,"price":$p}}"""
+    def dim(op: String, ts: Long, ck: Long, name: String) =
+      s"""{"database":"d","table":"dim","type":"$op","ts":$ts,"data":{"ck":$ck,"name":"$name"}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainLeftJoinViewToParquet(
+      CdcStream.fileChangelog(spark, logDir), lSpec, rSpec,
+      lJoinCols = Seq("fk"),
+      viewCols = Seq("k", "fk", "price", "name"),
+      root, ckpt).awaitTermination()
+    def view(): Set[(Long, Long, Double, Option[String])] =
+      CdcStream.readJoinView(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                   Option(r.getString(3)))).toSet
+    // batch 1: both facts visible — k=1's dim is missing, so PADDED
+    // (the inner face would hide it)
+    append("b1.json", Seq(
+      fact("insert", 1, 1, 10, 5.0), fact("insert", 1, 2, 20, 7.0),
+      dim("insert", 2, 20, "c20")))
+    run()
+    assert(view() == Set((1L, 10L, 5.0, None), (2L, 20L, 7.0, Some("c20"))))
+    // batch 2 (restart, state REREAD from parquet): c10 arrives -> the
+    // persisted pad row must be retracted and the fact joined
+    append("b2.json", Seq(dim("insert", 4, 10, "c10")))
+    run()
+    assert(view() == Set(
+      (1L, 10L, 5.0, Some("c10")), (2L, 20L, 7.0, Some("c20"))))
+    // batch 3 (restart): c20 dies -> its fact re-pads (stays visible)
+    append("b3.json", Seq(dim("delete", 8, 20, "c20")))
+    run()
+    assert(view() == Set(
+      (1L, 10L, 5.0, Some("c10")), (2L, 20L, 7.0, None)),
+      "a dim delete must re-pad its facts in the persisted view")
+  }
+
   test("streaming join-agg view: two-topic stream, late dim, restarts") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
@@ -525,6 +573,60 @@ class StreamingSpec extends SparkSpec {
       (1L, "update", "a", 1, Some(1L), Some(2L)),
       (1L, "update", "a", 2, Some(2L), Some(3L))),
       s"unexpected rank-slot changelog: $ch")
+  }
+
+  test("views cascade: the standard maintainers run on a view's changelog") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.{TableSpec, Materializer, IncrementalAgg}
+    val logDir = tmpDir("casclog")
+    val root = tmpDir("cascstate")
+    val ckpt = tmpDir("cascckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", DoubleType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Double) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainTopKToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", orderCol = "v", k = 2, root, ckpt)
+      .awaitTermination()
+    // three batches with churn: insert, promote-on-delete, group growth
+    append("b1.json", Seq(
+      ev("insert", 1, 1, "a", 9.0), ev("insert", 2, 2, "a", 5.0),
+      ev("insert", 3, 3, "a", 1.0)))
+    run()
+    append("b2.json", Seq(ev("delete", 5, 1, "a", 9.0)))
+    run()
+    append("b3.json", Seq(
+      ev("insert", 7, 4, "b", 4.0),
+      // Maxwell update carries the changed columns in `old`
+      """{"database":"d","table":"t","type":"update","ts":8,""" +
+        """"data":{"id":3,"grp":"a","v":6.0},"old":{"v":1.0}}"""))
+    run()
+    // LEVEL 2, path A: replaying ONLY the derived topic through the
+    // standard materializer reconstructs the view exactly — the emitted
+    // changelog is a complete change stream, not a log of hints
+    val events = CdcStream.changelogAsEvents(
+      CdcStream.readViewChanges(spark, root))
+    val rebuilt = Materializer.currentState(events, Seq("grp", "rk"))
+      .select(col("grp"), col("rk"), col("id"), col("v"))
+    val view = CdcStream.readTopKView(spark, root)
+      .select(col("grp"), col("rk"), col("id"), col("v"))
+    assert(rebuilt.exceptAll(view).isEmpty && view.exceptAll(rebuilt).isEmpty,
+      "replaying the view's own changelog must reconstruct the view")
+    // LEVEL 2, path B: a SECOND-LEVEL maintained aggregate consumes the
+    // rank-slot changelog — "sum of the top-2 values per group" kept
+    // current from view changes alone (updates retract via the full
+    // before images the changelog carries)
+    val l2 = IncrementalAgg.sumCount(events, groupCol = "grp",
+        valueCol = "v")
+      .select(col("grp"), col("sum_v"), col("n_rows")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(l2 == Set(("a", 11.0, 2L), ("b", 4.0, 1L)),
+      s"second-level aggregate over the changelog is wrong: $l2")
   }
 
   test("streaming join-top-k view: promote-through-the-join across restarts") {
