@@ -300,7 +300,10 @@ object CdcStream {
     * reads a torn pair. Same crash discipline as [[materializeToParquet]]
     * (complete generation always readable; replayed batch re-derives the
     * in-flight one), same per-batch cost shape as `JoinView.applyBatch`
-    * (delta-bounded: no full-state shuffle, broadcast rebuilds). */
+    * (delta-bounded: no full-state shuffle, broadcast rebuilds). Emits
+    * the view's own changelog keyed by `lPk` (each fact owns at most one
+    * inner-join row when `rPk` is R's primary key) — CDC OUT like the
+    * fold faces, exactly-once via the applied-batch marker. */
   def maintainJoinViewToParquet(envelope: DataFrame, lSpec: TableSpec,
                                 rSpec: TableSpec, lJoinCols: Seq[String],
                                 viewCols: Seq[String], rootPath: String,
@@ -311,37 +314,48 @@ object CdcStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // route by table; pin the decoded deltas — applyBatch's contract
-        // wants cheap re-scans and each delta is read by the merge, the
-        // key sets, and the broadcasts
-        val dl = changeEvents(batch, lSpec).localCheckpoint()
-        val dr = changeEvents(batch, rSpec).localCheckpoint()
-        def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], df.schema)
-        val st0 = liveGenerationRoot(spark, s"$rootPath/current")
-          .map(r => JoinView.State(spark.read.parquet(s"$r/left"),
-                                   spark.read.parquet(s"$r/right"),
-                                   spark.read.parquet(s"$r/view")))
-          .getOrElse {
-            val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
-            val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
-            val joinCond = lJoinCols.zip(rSpec.primaryKey)
-              .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
-            JoinView.State(lS, rS, emptyLike(
-              lS.drop(Materializer.MetaCols: _*)
-                .join(rS.drop(Materializer.MetaCols: _*), joinCond)
-                .select(viewCols.map(col): _*)))
+        val root = liveGenerationRoot(spark, s"$rootPath/current")
+        // the merge-based rebuild is replay-idempotent, but the emitted
+        // changes are not (a re-diff against the post-apply view would
+        // emit empty) — the marker gates the whole body
+        if (!root.exists(r => isApplied(spark, r, batchId))) {
+          // route by table; pin the decoded deltas — applyBatch's contract
+          // wants cheap re-scans and each delta is read by the merge, the
+          // key sets, and the broadcasts
+          val dl = changeEvents(batch, lSpec).localCheckpoint()
+          val dr = changeEvents(batch, rSpec).localCheckpoint()
+          def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], df.schema)
+          val st0 = root
+            .map(r => JoinView.State(spark.read.parquet(s"$r/left"),
+                                     spark.read.parquet(s"$r/right"),
+                                     spark.read.parquet(s"$r/view")))
+            .getOrElse {
+              val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
+              val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
+              val joinCond = lJoinCols.zip(rSpec.primaryKey)
+                .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+              JoinView.State(lS, rS, emptyLike(
+                lS.drop(Materializer.MetaCols: _*)
+                  .join(rS.drop(Materializer.MetaCols: _*), joinCond)
+                  .select(viewCols.map(col): _*)))
+            }
+          val next = JoinView.applyBatch(st0, dl, dr, lSpec.primaryKey,
+            rSpec.primaryKey, lJoinCols, viewCols)
+          val nextView = next.view.localCheckpoint()
+          viewDelta(st0.view, nextView, lSpec.primaryKey)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$rootPath/changes/batch=$batchId")
+          // write the whole generation to tmp (reads come from the live
+          // generation — no read-own-truncation), then promote in one swap
+          swapGeneration(spark, s"$rootPath/current") { tmp =>
+            next.left.write.mode("overwrite").parquet(s"$tmp/left")
+            next.right.write.mode("overwrite").parquet(s"$tmp/right")
+            nextView.write.mode("overwrite").parquet(s"$tmp/view")
+            writeMarker(spark, tmp, batchId)
           }
-        val next = JoinView.applyBatch(st0, dl, dr, lSpec.primaryKey,
-          rSpec.primaryKey, lJoinCols, viewCols)
-        // write the whole generation to tmp (reads come from the live
-        // generation — no read-own-truncation), then promote in one swap
-        swapGeneration(spark, s"$rootPath/current") { tmp =>
-          next.left.write.mode("overwrite").parquet(s"$tmp/left")
-          next.right.write.mode("overwrite").parquet(s"$tmp/right")
-          next.view.write.mode("overwrite").parquet(s"$tmp/view")
         }
         ()
       }
@@ -354,8 +368,9 @@ object CdcStream {
     * generation/crash discipline to [[maintainJoinViewToParquet]]; the
     * difference is semantic — facts survive in the persisted view as
     * NULL-padded rows while their dimension is absent, and the pad is
-    * retracted in the batch where the dimension lands. Read with
-    * [[readJoinView]] (same layout). */
+    * retracted in the batch where the dimension lands (the changelog
+    * shows that dance as updates on the fact's key: pad -> joined ->
+    * re-pad). Read with [[readJoinView]] (same layout). */
   def maintainLeftJoinViewToParquet(envelope: DataFrame, lSpec: TableSpec,
                                     rSpec: TableSpec, lJoinCols: Seq[String],
                                     viewCols: Seq[String], rootPath: String,
@@ -366,30 +381,38 @@ object CdcStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val dl = changeEvents(batch, lSpec).localCheckpoint()
-        val dr = changeEvents(batch, rSpec).localCheckpoint()
-        def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], df.schema)
-        val st0 = liveGenerationRoot(spark, s"$rootPath/current")
-          .map(r => LeftJoinView.State(spark.read.parquet(s"$r/left"),
-                                       spark.read.parquet(s"$r/right"),
-                                       spark.read.parquet(s"$r/view")))
-          .getOrElse {
-            val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
-            val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
-            LeftJoinView.State(lS, rS, emptyLike(LeftJoinView.directView(
-              lS.drop(Materializer.MetaCols: _*),
-              rS.drop(Materializer.MetaCols: _*),
-              rSpec.primaryKey, lJoinCols, viewCols)))
+        val root = liveGenerationRoot(spark, s"$rootPath/current")
+        if (!root.exists(r => isApplied(spark, r, batchId))) {
+          val dl = changeEvents(batch, lSpec).localCheckpoint()
+          val dr = changeEvents(batch, rSpec).localCheckpoint()
+          def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], df.schema)
+          val st0 = root
+            .map(r => LeftJoinView.State(spark.read.parquet(s"$r/left"),
+                                         spark.read.parquet(s"$r/right"),
+                                         spark.read.parquet(s"$r/view")))
+            .getOrElse {
+              val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
+              val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
+              LeftJoinView.State(lS, rS, emptyLike(LeftJoinView.directView(
+                lS.drop(Materializer.MetaCols: _*),
+                rS.drop(Materializer.MetaCols: _*),
+                rSpec.primaryKey, lJoinCols, viewCols)))
+            }
+          val next = LeftJoinView.applyBatch(st0, dl, dr, lSpec.primaryKey,
+            rSpec.primaryKey, lJoinCols, viewCols)
+          val nextView = next.view.localCheckpoint()
+          viewDelta(st0.view, nextView, lSpec.primaryKey)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$rootPath/changes/batch=$batchId")
+          swapGeneration(spark, s"$rootPath/current") { tmp =>
+            next.left.write.mode("overwrite").parquet(s"$tmp/left")
+            next.right.write.mode("overwrite").parquet(s"$tmp/right")
+            nextView.write.mode("overwrite").parquet(s"$tmp/view")
+            writeMarker(spark, tmp, batchId)
           }
-        val next = LeftJoinView.applyBatch(st0, dl, dr, lSpec.primaryKey,
-          rSpec.primaryKey, lJoinCols, viewCols)
-        swapGeneration(spark, s"$rootPath/current") { tmp =>
-          next.left.write.mode("overwrite").parquet(s"$tmp/left")
-          next.right.write.mode("overwrite").parquet(s"$tmp/right")
-          next.view.write.mode("overwrite").parquet(s"$tmp/view")
         }
         ()
       }

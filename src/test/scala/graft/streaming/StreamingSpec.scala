@@ -405,6 +405,68 @@ class StreamingSpec extends SparkSpec {
       "a dim delete must re-pad its facts in the persisted view")
   }
 
+  test("snowflake cascade: a second-level JoinView over the join view's changelog") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.{TableSpec, JoinView}
+    val logDir = tmpDir("sflog")
+    val root = tmpDir("sfstate")
+    val ckpt = tmpDir("sfckpt")
+    // fact(k, fk, price) ⋈ dim(ck, name, nk) — dim itself carries a FK
+    // into a second dimension dim2(nkey, region): the snowflake shape
+    val lSpec = TableSpec("d", "fact", Seq("k"), StructType(Seq(
+      StructField("k", LongType), StructField("fk", LongType),
+      StructField("price", DoubleType))))
+    val rSpec = TableSpec("d", "dim", Seq("ck"), StructType(Seq(
+      StructField("ck", LongType), StructField("name", StringType),
+      StructField("nk", LongType))))
+    def fact(op: String, ts: Long, k: Long, fk: Long, p: Double) =
+      s"""{"database":"d","table":"fact","type":"$op","ts":$ts,"data":{"k":$k,"fk":$fk,"price":$p}}"""
+    def dim(op: String, ts: Long, ck: Long, name: String, nk: Long) =
+      s"""{"database":"d","table":"dim","type":"$op","ts":$ts,"data":{"ck":$ck,"name":"$name","nk":$nk}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainJoinViewToParquet(
+      CdcStream.fileChangelog(spark, logDir), lSpec, rSpec,
+      lJoinCols = Seq("fk"),
+      viewCols = Seq("k", "fk", "price", "nk", "name"),
+      root, ckpt).awaitTermination()
+    // three level-1 batches: late dim, price update, dim death
+    append("b1.json", Seq(
+      fact("insert", 1, 1, 10, 5.0), fact("insert", 1, 2, 20, 7.0),
+      dim("insert", 2, 20, "b", 200)))
+    run()
+    append("b2.json", Seq(
+      dim("insert", 4, 10, "a", 100),
+      """{"database":"d","table":"fact","type":"update","ts":5,""" +
+        """"data":{"k":1,"fk":10,"price":6.0},"old":{"price":5.0}}"""))
+    run()
+    append("b3.json", Seq(dim("delete", 8, 20, "b", 200)))
+    run()
+    // LEVEL 2: the view's changelog becomes the fact stream of ANOTHER
+    // JoinView against dim2 — a maintained 3-table snowflake view built
+    // entirely from derived-topic subscription, never re-reading level 1
+    val events1 = CdcStream.changelogAsEvents(
+      CdcStream.readViewChanges(spark, root))
+    import spark.implicits._
+    val dim2Events = Seq(
+      (("insert"), 0L, 1L, (200L, "AS")),
+      (("insert"), 1L, 2L, (100L, "EU")))
+      .map { case (op, ts, seq, (nkey, region)) => (op, ts, seq, nkey, region) }
+      .toDF("op", "ts", "seq", "nkey", "region")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("nkey"), col("region")).as("after"))
+    // replay windows aligned to the level-1 batch ids riding in `ts`
+    val fin = JoinView.replay(events1, dim2Events, cuts = Seq(0L, 1L),
+      lPk = Seq("k"), rPk = Seq("nkey"), lJoinCols = Seq("nk"),
+      viewCols = Seq("k", "price", "name", "nk", "region"))
+    val got = fin.view.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+                 r.getLong(3), r.getString(4))).toSet
+    assert(got == Set((1L, 6.0, "a", 100L, "EU")),
+      s"snowflake cascade view wrong: $got")
+  }
+
   test("streaming join-agg view: two-topic stream, late dim, restarts") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
