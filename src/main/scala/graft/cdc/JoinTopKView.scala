@@ -46,23 +46,31 @@ object JoinTopKView {
         case Some(rk) => (rk, true)
         case None     => (distributedKeys(dr, rPk), false)
       }
-    def touchedGroups(liveL: DataFrame, liveR: DataFrame): DataFrame =
-      JoinAggView.touchedJoinRows(liveL, liveR, changedL, lLocal,
-        changedR, rLocal, lPk, rPk, lJoinCols, Seq(groupCol),
-        Seq((orderCol, orderCol,
-             scala.Predef.identity[org.apache.spark.sql.Column] _)), 1)
-        .select(col(groupCol))
     val next = JoinView.applyBatch(st.join, dl, dr, lPk, rPk, lJoinCols,
       viewCols, keys = Some((if (lLocal) Some(changedL) else None,
                              if (rLocal) Some(changedR) else None)),
       maxLocalKeys = maxLocalKeys)
     val viewNext = next.view.localCheckpoint(false)
-    // touched groups from BOTH sides of the delta (pre-merge: groups
-    // losing rows; post-merge: groups gaining them)
-    val tgSel = touchedGroups(Materializer.liveView(st.join.left),
-                              Materializer.liveView(st.join.right))
-      .unionByName(touchedGroups(Materializer.liveView(next.left),
-                                 Materializer.liveView(next.right)))
+    // Touched groups, derived from the MATERIALIZED views rather than by
+    // re-joining the table states: every view row the batch changes has
+    // pk ∈ keys(ΔL) ∨ fk ∈ keys(ΔR) — its PRE-merge version sits in the
+    // previous view (groups losing rows), its POST-merge version in the
+    // new one (groups gaining them). Two broadcast semi-joins per view
+    // over pinned scans replace the four state-side delta joins the
+    // pre/post recompute would need. (Superset-safe: a re-ranked
+    // untouched group reproduces its rows unchanged.)
+    def hinted(df: DataFrame, isLocal: Boolean): DataFrame =
+      if (isLocal) broadcast(df) else df
+    val changedRAsFk = changedR.select(
+      rPk.zip(lJoinCols).map { case (r, l) => col(r).as(l) }: _*)
+    def touchedGroups(view: DataFrame): DataFrame =
+      view.join(hinted(changedL, lLocal), lPk, "left_semi")
+        .select(col(groupCol))
+        .unionByName(
+          view.join(hinted(changedRAsFk, rLocal), lJoinCols, "left_semi")
+            .select(col(groupCol)))
+    val tgSel = touchedGroups(st.join.view)
+      .unionByName(touchedGroups(viewNext))
       .distinct().localCheckpoint(false)
     val tgRows = tgSel.limit(maxLocalKeys + 1).collect().toSeq
     val (tg, tgLocal) =
