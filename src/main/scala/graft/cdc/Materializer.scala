@@ -125,6 +125,24 @@ object Materializer {
     *
     * Tombstones older than `tombstoneRetentionTs` are dropped (state-size
     * control; safe once the source cannot deliver events older than it). */
+  /** SEED a state table from a batch SNAPSHOT (parquet extract, JDBC
+    * dump) for the backfill -> live handoff: every snapshot row becomes a
+    * live state row stamped `(insert, ts0, 0)`. Because [[merge]] is
+    * last-writer-wins by `(ts, seq)`, the changelog can then simply be
+    * replayed from any offset at or before the snapshot: events with
+    * `ts < ts0` (already reflected in the snapshot) LOSE to the seed
+    * stamp automatically, events after it win — no manual offset
+    * alignment beyond choosing `ts0` = the snapshot's consistent-read
+    * timestamp. Events AT `ts0` need `seq > 0` to win, which Maxwell's
+    * per-second `ts` satisfies for any in-flight stream position. The
+    * reference has no bootstrap story at all (a consumer group simply
+    * starts at earliest/latest, `cdc_manager.go:109-130`); this is the
+    * standard Maxwell-bootstrap / snapshot-plus-binlog pattern. */
+  def seed(snapshot: DataFrame, ts0: Long): DataFrame =
+    snapshot.select(snapshot.columns.map(col) ++
+      Seq(lit("insert").as("__op"), lit(ts0).as("__ts"),
+          lit(0L).as("__seq")): _*)
+
   def merge(state: DataFrame, events: DataFrame, primaryKey: Seq[String],
             tombstoneRetentionTs: Long = Long.MinValue,
             changedKeys: Option[DataFrame] = None): DataFrame = {

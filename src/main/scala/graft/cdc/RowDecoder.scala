@@ -97,8 +97,21 @@ object RowDecoder {
   def changeEvents(envelope: DataFrame, spec: TableSpec,
                    strictParity: Boolean = false,
                    backfillBefore: Boolean = false): DataFrame = {
+    // Maxwell BOOTSTRAP normalization: `bootstrap-insert` rows carry a
+    // full row image in `data` exactly like inserts — surface them AS
+    // inserts so every downstream maintainer (materializer, aggregates,
+    // join views) folds a bootstrapped table correctly instead of
+    // silently dropping the backfill; `bootstrap-start`/`-complete` are
+    // imageless markers and are dropped here. Without this, the
+    // materialized state (which folds any non-delete op) and the
+    // aggregate maintainers (which keep only the three core ops) would
+    // DIVERGE on a bootstrapped topic.
     val forTable = envelope.filter(
-      col("database") === spec.database && col("table") === spec.table)
+      col("database") === spec.database && col("table") === spec.table &&
+        col("type").isin("insert", "update", "delete", "bootstrap-insert"))
+      .withColumn("type",
+        when(col("type") === "bootstrap-insert", "insert")
+          .otherwise(col("type")))
     val after = decodeImage(spec, col("data"), "after", strictParity)
     val beforeRaw = decodeImage(spec, col("old"), "before_raw", strictParity)
     val withImages = forTable

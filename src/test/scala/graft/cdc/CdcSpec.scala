@@ -245,6 +245,33 @@ class CdcSpec extends SparkSpec {
     assert(out == Set((5.0, 0L), (7.0, 1L)))
   }
 
+  test("Maxwell bootstrap rows: inserts normalized, markers dropped") {
+    // public Maxwell bootstrap emission: a start marker, one
+    // bootstrap-insert per existing row (full image in `data`), a
+    // complete marker — the backfill path every downstream maintainer
+    // must fold exactly like live inserts
+    val bootStart =
+      """{"database":"deal_test","table":"deals","type":"bootstrap-start","ts":1644822000,"data":{}}"""
+    val bootInsert =
+      """{"database":"deal_test","table":"deals","type":"bootstrap-insert","ts":1644822000,
+        |"data":{"id":3,"created_at":"2022-02-14 15:03:37.423","entity_name":"seeded",
+        |"entity_type":1,"active":1,"score":1.5}}""".stripMargin.replace("\n", "")
+    val bootComplete =
+      """{"database":"deal_test","table":"deals","type":"bootstrap-complete","ts":1644822001,"data":{}}"""
+    val ev = RowDecoder.changeEvents(
+      parse(bootStart, bootInsert, bootComplete, insertJson), dealsSpec)
+    val got = ev.select(col("op"), col("after.id"), col("after.name"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == Set(("insert", 3L, "seeded"), ("insert", 7L, "widget A")),
+      s"bootstrap rows must decode as inserts and markers must drop: ${got.toSeq}")
+    // and the aggregate maintainers therefore COUNT the backfill — the
+    // divergence this normalization exists to prevent
+    val agg = IncrementalAgg.sumCount(ev, groupCol = "entity_type",
+      valueCol = "score")
+    assert(agg.collect().map(r => r.getAs[Long]("n_rows")).sum == 2L)
+  }
+
   test("quirk Q4: delete carries the row image in after") {
     val ev = RowDecoder.changeEvents(parse(deleteJson), dealsSpec).collect()(0)
     assert(ev.getAs[String]("op") == "delete")

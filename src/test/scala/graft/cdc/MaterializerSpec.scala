@@ -197,6 +197,34 @@ class MaterializerSpec extends SparkSpec {
     assert(recompute.exceptAll(incr).count() == 0)
   }
 
+  test("seed: snapshot + changelog replay from an earlier offset converges") {
+    import org.apache.spark.sql.types._
+    // snapshot taken at ts0=10 reflects: key 1 -> 5.0, key 2 -> 7.0
+    val snapshot = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1L, 5.0), org.apache.spark.sql.Row(2L, 7.0)),
+      StructType(Seq(StructField("key", LongType),
+                     StructField("value", DoubleType))))
+    val seeded = Materializer.seed(snapshot, ts0 = 10L)
+    // replayed changelog OVERLAPS the snapshot (starts before ts0): the
+    // pre-snapshot events must lose to the seed stamp, the post ones win
+    import spark.implicits._
+    val events = Seq(
+        ("insert", 3L, 1L, 1L, 1.0),   // pre-snapshot: already in snapshot
+        ("update", 7L, 2L, 2L, 2.0),   // pre-snapshot: stale value, must lose
+        ("update", 12L, 3L, 2L, 9.0),  // post-snapshot: wins
+        ("insert", 15L, 4L, 3L, 4.0),  // post-snapshot: new key
+        ("delete", 18L, 5L, 1L, 5.0))  // post-snapshot: seeded key dies
+      .toDF("op", "ts", "seq", "key", "value")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("key"), col("value")).as("after"))
+    val merged = Materializer.merge(seeded, events, Seq("key"))
+    val got = Materializer.liveView(merged).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Double]("value")).toMap
+    assert(got == Map(2L -> 9.0, 3L -> 4.0),
+      s"seeded handoff must ignore pre-ts0 events and apply post ones: $got")
+  }
+
   test("tombstone retention horizon drops only old-enough tombstones") {
     val ops = List(
       Op(1, 1, 0, "insert", 1.0), Op(1, 2, 1, "delete", 1.0),   // old tombstone
