@@ -253,6 +253,19 @@ object CdcStream {
     Materializer.liveView(readState(spark, statePath).getOrElse(
       throw new IllegalStateException(s"no state at $statePath")))
 
+  /** SEED the parquet state table from a batch snapshot BEFORE starting
+    * [[materializeToParquet]] — the streaming half of the
+    * snapshot-plus-binlog handoff ([[graft.cdc.Materializer.seed]]): the
+    * seeded generation is written with the same atomic swap the stream
+    * uses, so the first micro-batch simply merges into it, and replaying
+    * the changelog from any offset at or before the snapshot converges
+    * (pre-`ts0` events lose the (ts, seq) race to the seed stamp). */
+  def seedState(snapshot: DataFrame, ts0: Long, statePath: String): Unit = {
+    val spark = snapshot.sparkSession
+    swapGeneration(spark, statePath)(tmp =>
+      Materializer.seed(snapshot, ts0).write.mode("overwrite").parquet(tmp))
+  }
+
   /** Run the full pipeline into a parquet state table via foreachBatch
     * merge. Event-time correct (true last-writer-wins by (ts, seq) with
     * retained tombstones — see Materializer.merge) and crash-tolerant:

@@ -66,6 +66,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.select(want.columns.map(col): _*).exceptAll(want).count() == 0)
   }
 
+  test("seeded handoff: snapshot state + overlapping changelog converges") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("seedlog")
+    val stateDir = tmpDir("seedstate") + "/state"
+    val ckptDir = tmpDir("seedckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))))
+    // snapshot consistent-read at ts0=10: {1 -> 5.0, 2 -> 7.0}
+    import spark.implicits._
+    CdcStream.seedState(
+      Seq((1L, 5.0), (2L, 7.0)).toDF("id", "v"), ts0 = 10L, stateDir)
+    // the replayed changelog OVERLAPS the snapshot: pre-ts0 events (the
+    // insert of 1, a stale update of 2) must lose; post-ts0 ones win
+    def ev(op: String, ts: Long, id: Long, v: Double) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"v":$v}}"""
+    Files.write(java.nio.file.Paths.get(logDir, "b1.json"),
+      (Seq(ev("insert", 3, 1, 1.0), ev("update", 7, 2, 2.0),
+           ev("update", 12, 2, 9.0), ev("insert", 15, 3, 4.0),
+           ev("delete", 18, 1, 5.0)).mkString("\n") + "\n").getBytes("UTF-8"))
+    CdcStream.materializeToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec, stateDir, ckptDir)
+      .awaitTermination()
+    val got = CdcStream.readCurrentState(spark, stateDir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("v")).toMap
+    assert(got == Map(2L -> 9.0, 3L -> 4.0),
+      s"seeded streaming handoff diverged: $got")
+  }
+
   test("out-of-order arrival: stale events cannot overwrite or resurrect") {
     val logDir = tmpDir("cdclog3")
     val stateDir = tmpDir("cdcstate3") + "/state"
