@@ -98,18 +98,20 @@ object LeftJoinView {
     val liveR = Materializer.liveView(rNext)
     val joinCond = lJoinCols.zip(rPk)
       .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
-    // touched facts, both branches |Δ|-bounded; pinned lazily — scanned
-    // by the inner rebuild AND the pad anti join below
+    // touched facts, both branches |Δ|-bounded. NOT pinned: the frame is
+    // scanned twice (inner rebuild + pad anti join) but each scan is
+    // broadcast-semi-pruned scan-side work over the already-pinned state
+    // — duplicating it keeps the WHOLE rebuild visible to Catalyst in
+    // one codegen-fusable plan (and plan-assertable, like JoinView's
+    // rebuild branches), where a lazy checkpoint would opaque it behind
+    // an RDD scan and add per-batch persist I/O.
     val touchedL = liveL.join(hinted(changedL, lLocal), lPk, "left_semi")
       .unionByName(
         liveL.join(hinted(changedL, lLocal), lPk, "left_anti")
           .join(hinted(changedRAsFk, rLocal), lJoinCols, "left_semi"))
-      .localCheckpoint(false)
     val bothLocal = lLocal && rLocal
-    // inner piece: BuildLeft broadcast of the |Δ|-bounded fact side.
-    // Pinned lazily — scanned by the view projection AND the key set.
+    // inner piece: BuildLeft broadcast of the |Δ|-bounded fact side
     val matched = hinted(touchedL, bothLocal).join(liveR, joinCond)
-      .localCheckpoint(false)
     // pad piece: touched facts with no live match. matched's key set is
     // |touched|-bounded, so IT is the anti join's build side — the R
     // state never rides a broadcast.

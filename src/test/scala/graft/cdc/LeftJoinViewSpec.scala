@@ -123,6 +123,45 @@ class LeftJoinViewSpec extends SparkSpec {
       "over-cap distributed fallback diverges from the broadcast path")
   }
 
+  test("applyBatch view plan: no state exchange, no state broadcast") {
+    // mirror replay's micro-batch conf so the assertion sees the static
+    // plan (JoinAggViewSpec rationale)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import s2.implicits._
+    val l = Seq(("insert", 1L, 1L, 1L, 10L, 5.0), ("insert", 1L, 2L, 2L, 99L, 7.0))
+      .toDF("op", "ts", "seq", "k", "fk", "price")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("k"), col("fk"), col("price")).as("after"))
+    val r = Seq(("insert", 1L, 1L, 10L, "a"))
+      .toDF("op", "ts", "seq", "ck", "name")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("ck"), col("name")).as("after"))
+    val emptyL = Materializer.compact(l.limit(0), Seq("k"))
+    val emptyR = Materializer.compact(r.limit(0), Seq("ck"))
+    val st = LeftJoinView.applyBatch(
+      LeftJoinView.State(emptyL, emptyR, LeftJoinView.directView(
+        emptyL.drop(Materializer.MetaCols: _*),
+        emptyR.drop(Materializer.MetaCols: _*),
+        Seq("ck"), Seq("fk"), viewCols).limit(0)),
+      l, r, Seq("k"), Seq("ck"), Seq("fk"), viewCols)
+    val plan = st.view.queryExecution.executedPlan.toString
+    // the outer-join decomposition must keep every state-side join
+    // broadcast-from-the-delta-side: no sort-merge join, no hash
+    // exchange of a state table anywhere in the maintenance path (the
+    // un-pinned rebuild keeps the WHOLE tree visible here)
+    assert(!plan.contains("SortMergeJoin"),
+      s"left-join rebuild degraded to sort-merge:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"left-join rebuild exchanges a state table:\n$plan")
+    // and the decomposition is semantically right in one batch: matched
+    // fact joined, unmatched fact padded
+    val got = rows(st)
+    assert(got == Set((1L, 10L, 5.0, Some("a")), (2L, 99L, 7.0, None)),
+      s"one-batch decomposition wrong: $got")
+  }
+
   test("replay over the synthesized changelogs equals the direct recompute") {
     val fin = LeftJoinView.replay(
       ChangelogGen.ordersChangeEvents(spark, sfDir),
