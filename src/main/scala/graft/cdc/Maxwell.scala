@@ -88,6 +88,33 @@ object Maxwell {
       .select("e.*")
   }
 
+  /** MAXWELL OUT — serialize decoded change events `(op, ts, before,
+    * after)` back into Maxwell JSON lines (`value` column), making the
+    * engine a CDC RELAY: any derived change stream — a maintained view's
+    * changelog via `CdcStream.changelogAsEvents`, a filtered/reshaped
+    * event stream — re-publishes as a topic ANY Maxwell consumer (this
+    * engine included, or the reference itself) can subscribe to. Wire
+    * shape per op mirrors the reference's protocol: insert `data` only;
+    * update `data` + `old` (the FULL before image — a superset of
+    * Maxwell's changed-only `old`, which Q3-exact decoding handles
+    * identically since key-presence marks the old value known); delete
+    * carries the image in `data` (quirk Q4). NULL columns are omitted,
+    * matching Maxwell, and decode back to SQL NULL. `seq` does not ride
+    * the envelope (the protocol's `ts` is epoch SECONDS and carries no
+    * finer order — the reference lives with the same limit,
+    * `cdc_utils.go:18`); a re-parse re-derives seq from source order. */
+  def formatEnvelope(events: DataFrame, database: String,
+                     table: String): DataFrame =
+    events.select(to_json(struct(
+      lit(database).as("database"), lit(table).as("table"),
+      col("op").as("type"), col("ts").as("ts"),
+      col("after").as("data"),
+      when(col("op") === "update", col("before")).as("old")),
+      // Maxwell's wire format for datetimes (see the reference fixture
+      // `test/fff.json`: "2022-02-14 15:03:37.423") — to_json's ISO-8601
+      // default would not re-decode through the layout parser
+      Map("timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSS")).as("value"))
+
   /** VARIANT-based envelope parse. One binary `try_parse_json` per line;
     * header fields come out via `variant_get` and the row images stay
     * INSIDE the variant (`v`), so the per-table typed decode

@@ -245,6 +245,37 @@ class CdcSpec extends SparkSpec {
     assert(out == Set((5.0, 0L), (7.0, 1L)))
   }
 
+  test("Maxwell OUT: formatEnvelope round-trips through the decoder") {
+    // decode the golden fixtures, re-serialize, re-decode: the relay
+    // must preserve op/ts/images bit-for-bit (seq excluded — the Maxwell
+    // envelope has no sub-second order, same as the reference protocol)
+    val ev1 = RowDecoder.changeEvents(
+      parse(insertJson, updateJson, deleteJson), dealsSpec)
+    val lines = Maxwell.formatEnvelope(ev1, "deal_test", "deals")
+    // the emitted payload keys are the DECODED column names (the derived
+    // topic's schema IS the decoded one), so the relay consumer
+    // registers the same spec minus the original topic's renames
+    val derivedSpec = dealsSpec.copy(renames = Map.empty)
+    val ev2 = RowDecoder.changeEvents(
+      Maxwell.parseEnvelope(lines.as[String](Encoders.STRING)), derivedSpec)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("op"), col("ts"), col("after.id"), col("after.name"),
+                col("after.score"), col("after.created_at"),
+                col("before.score").as("old_score"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                   r.getString(3), r.getDouble(4),
+                   String.valueOf(r.get(5)),
+                   Option(r.get(6)).map(_.toString.toDouble))).toSet
+    assert(shape(ev2) == shape(ev1),
+      "relay round-trip must preserve ops, timestamps and images")
+    // and the re-parsed stream materializes identically
+    val s1 = Materializer.currentState(ev1, Seq("id"))
+    val s2 = Materializer.currentState(
+      ev2.withColumn("seq", lit(0L)), Seq("id"))
+    assert(s1.count() == s2.count())
+  }
+
   test("Maxwell bootstrap rows: inserts normalized, markers dropped") {
     // public Maxwell bootstrap emission: a start marker, one
     // bootstrap-insert per existing row (full image in `data`), a

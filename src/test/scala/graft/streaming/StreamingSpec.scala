@@ -718,6 +718,28 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     assert(l2 == Set(("a", 11.0, 2L), ("b", 4.0, 1L)),
       s"second-level aggregate over the changelog is wrong: $l2")
+    // LEVEL 2, path C — the FULL ON-DISK RELAY: re-serialize the view's
+    // changelog as a Maxwell topic (Maxwell OUT), re-consume it with a
+    // completely independent second pipeline (file source -> envelope
+    // parse -> decode -> materialize), and land on the same view. Any
+    // Maxwell consumer, this engine or the reference, can subscribe to
+    // the derived topic.
+    val relayDir = tmpDir("cascrelay")
+    val relayState = tmpDir("cascrelaystate") + "/state"
+    val relayCkpt = tmpDir("cascrelayckpt")
+    graft.cdc.Maxwell.formatEnvelope(events, "derived", "topk")
+      .coalesce(1).write.mode("overwrite").text(relayDir)
+    val derivedSpec = TableSpec("derived", "topk", Seq("grp", "rk"),
+      StructType(Seq(
+        StructField("grp", StringType), StructField("rk", IntegerType),
+        StructField("id", LongType), StructField("v", DoubleType))))
+    CdcStream.materializeToParquet(
+      CdcStream.fileChangelog(spark, relayDir), derivedSpec,
+      relayState, relayCkpt).awaitTermination()
+    val relayed = CdcStream.readCurrentState(spark, relayState)
+      .select(col("grp"), col("rk"), col("id"), col("v"))
+    assert(relayed.exceptAll(view).isEmpty && view.exceptAll(relayed).isEmpty,
+      "the on-disk Maxwell relay must reconstruct the view")
   }
 
   test("streaming join-top-k view: promote-through-the-join across restarts") {
