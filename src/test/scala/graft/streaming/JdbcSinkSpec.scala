@@ -33,4 +33,60 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got.select(cols.map(col): _*)
       .exceptAll(want.select(cols.map(col): _*)).count() == 0)
   }
+
+  test("incremental JDBC view serving: |delta| DML, catch-up, exactly-once marker") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val dbDir = Files.createTempDirectory("derbyv").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val logDir = Files.createTempDirectory("jvslog").toString
+    val root = Files.createTempDirectory("jvsroot").toString
+    val ckpt = Files.createTempDirectory("jvsckpt").toString
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", DoubleType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Double) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainTopKToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", orderCol = "v", k = 2, root, ckpt)
+      .awaitTermination()
+    def served(): Set[(String, Int, Long, Double)] =
+      spark.read.jdbc(url, "topk_view", props)
+        .select(col("grp"), col("rk"), col("id"), col("v")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+                   r.getDouble(3))).toSet
+    def viewNow(): Set[(String, Int, Long, Double)] =
+      CdcStream.readTopKView(spark, root)
+        .select(col("grp"), col("rk"), col("id"), col("v")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+                   r.getDouble(3))).toSet
+    def apply(): Long = CdcStream.applyViewChangesToJdbc(spark, root,
+      Seq("grp", "rk"), url, "topk_view", props)
+    // batch 0: ranks fill; first apply creates the table and seeds it
+    append("b1.json", Seq(
+      ev("insert", 1, 1, "a", 9.0), ev("insert", 2, 2, "a", 5.0),
+      ev("insert", 3, 3, "a", 1.0)))
+    run()
+    assert(apply() > 0)
+    assert(served() == viewNow())
+    // idempotence: nothing new -> zero DML (the progress marker holds)
+    assert(apply() == 0L)
+    // batches 1+2 accumulate BEFORE serving: catch-up applies the LAST
+    // change per rank slot only (promote-on-delete lands as updates)
+    append("b2.json", Seq(ev("delete", 5, 1, "a", 9.0)))
+    run()
+    append("b3.json", Seq(ev("insert", 7, 4, "b", 4.0)))
+    run()
+    val applied = apply()
+    assert(applied == 3L,
+      s"catch-up must compact to one DML per touched slot (a1, a2, b1), got $applied")
+    assert(served() == viewNow())
+    assert(apply() == 0L)
+  }
 }
