@@ -991,6 +991,41 @@ object CdcStream {
       .start()
   }
 
+  /** Health snapshot of a maintained-view root, for monitoring/lag
+    * dashboards. `appliedBatch` is the batch id recorded on the LIVE
+    * generation (-1 before the first marker — the merge-only faces don't
+    * write markers until they emit changelogs); `viewRows` counts the
+    * persisted view; `changesBatches` is the `[lo, hi]` batch-id range
+    * present in the changes log (retention window — what
+    * [[viewAsOfBatch]] can still reconstruct and what a catching-up
+    * [[applyViewChangesToJdbc]] consumer can still drain). */
+  final case class ViewStats(appliedBatch: Long, viewRows: Long,
+                             changesBatches: Option[(Long, Long)])
+
+  def viewStats(spark: SparkSession, rootPath: String,
+                viewFile: String = "view"): ViewStats = {
+    val root = liveGenerationRoot(spark, s"$rootPath/current")
+      .getOrElse(throw new IllegalStateException(s"no state at $rootPath"))
+    val dir = new org.apache.hadoop.fs.Path(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val applied = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_applied_"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_applied_").toLong).toOption)
+      .sorted.lastOption.getOrElse(-1L)
+    val rows = spark.read.parquet(s"$root/$viewFile").count()
+    val chDir = new org.apache.hadoop.fs.Path(s"$rootPath/changes")
+    val batches =
+      if (!fs.exists(chDir)) None
+      else {
+        val ids = fs.listStatus(chDir).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("batch="))
+          .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+        if (ids.isEmpty) None else Some((ids.min, ids.max))
+      }
+    ViewStats(applied, rows, batches)
+  }
+
   /** Serve a maintained view from a JDBC table INCREMENTALLY: apply the
     * unapplied suffix of the view's emitted changelog
     * ([[readViewChanges]]) as keyed DML — DELETE for deletes, portable

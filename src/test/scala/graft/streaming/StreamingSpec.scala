@@ -740,6 +740,11 @@ class StreamingSpec extends SparkSpec {
       .select(col("grp"), col("rk"), col("id"), col("v"))
     assert(relayed.exceptAll(view).isEmpty && view.exceptAll(relayed).isEmpty,
       "the on-disk Maxwell relay must reconstruct the view")
+    // monitoring face: the health snapshot sees the last applied batch,
+    // the persisted view size, and the full changelog retention window
+    val stats = CdcStream.viewStats(spark, root)
+    assert(stats == CdcStream.ViewStats(2L, view.count(), Some((0L, 2L))),
+      s"unexpected view stats: $stats")
   }
 
   test("streaming join-top-k view: promote-through-the-join across restarts") {
