@@ -145,7 +145,8 @@ object Materializer {
 
   def merge(state: DataFrame, events: DataFrame, primaryKey: Seq[String],
             tombstoneRetentionTs: Long = Long.MinValue,
-            changedKeys: Option[DataFrame] = None): DataFrame = {
+            changedKeys: Option[DataFrame] = None,
+            allowEvolution: Boolean = false): DataFrame = {
     val evts = events.select("op", "ts", "seq", "after")
     // callers that already hold the batch's changed-key set (e.g.
     // JoinView.applyBatch collects it once as a LocalRelation, making the
@@ -157,9 +158,26 @@ object Materializer {
     val st = state.alias("__st")
     val keyCond = primaryKey
       .map(k => col(s"__st.$k") <=> col(s"__ck.$k")).reduce(_ && _)
-    val untouched = st.join(ck, keyCond, "left_anti")
+    val untouched0 = st.join(ck, keyCond, "left_anti")
     val touched = st.join(ck, keyCond, "left_semi")
-    val merged = compact(stateAsEvents(touched).unionByName(evts), primaryKey)
+    // SCHEMA EVOLUTION (upstream ALTER TABLE ADD COLUMN, the drift the
+    // cdc_schema_drift monitor flags): with `allowEvolution` the unions
+    // fill fields missing on either side with NULL — a state built before
+    // the new column simply reports NULL for it (exactly what the source
+    // database says about pre-ALTER rows), and the merged generation
+    // carries the widened schema forward. Off by default: an unexpected
+    // shape mismatch should fail loudly unless evolution is opted into.
+    val merged = compact(
+      stateAsEvents(touched).unionByName(evts, allowEvolution), primaryKey)
+    // align the untouched branch to the (possibly wider) merged schema
+    val untouched =
+      if (!allowEvolution) untouched0
+      else {
+        val have = untouched0.columns.toSet
+        untouched0.select(merged.columns.toSeq.map(c =>
+          if (have(c)) col(c)
+          else lit(null).cast(merged.schema(c).dataType).as(c)): _*)
+      }
     val all = untouched.unionByName(merged)
     if (tombstoneRetentionTs == Long.MinValue) all
     else all.filter(col("__op") =!= "delete" ||

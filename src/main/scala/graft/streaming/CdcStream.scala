@@ -276,8 +276,9 @@ object CdcStream {
     * then stops — the test/replay trigger; swap for ProcessingTime in
     * production). */
   def materializeToParquet(envelope: DataFrame, spec: TableSpec,
-                           statePath: String,
-                           checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                           statePath: String, checkpointPath: String,
+                           allowEvolution: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val events = changeEvents(envelope, spec)
     events.writeStream
       .outputMode(OutputMode.Append)
@@ -288,10 +289,14 @@ object CdcStream {
         val batchEvents = batch.select("op", "ts", "seq", "after")
         // prior state is scanned twice by merge's delta-restricted plan
         // (anti + semi); parquet scans are cheap columnar reads, so no
-        // pin here — unlike the JDBC sink, where the read is pinned
+        // pin here — unlike the JDBC sink, where the read is pinned.
+        // `allowEvolution` absorbs an upstream ALTER TABLE ADD COLUMN:
+        // restart the stream with the widened TableSpec and the next
+        // generation carries the new column, NULL for pre-ALTER rows.
         val merged = readState(spark, statePath) match {
           case Some(prior) =>
-            Materializer.merge(prior, batchEvents, spec.primaryKey)
+            Materializer.merge(prior, batchEvents, spec.primaryKey,
+              allowEvolution = allowEvolution)
           case None => Materializer.compact(batchEvents, spec.primaryKey)
         }
         swapGeneration(spark, statePath)(tmp =>

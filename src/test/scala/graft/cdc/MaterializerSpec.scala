@@ -225,6 +225,34 @@ class MaterializerSpec extends SparkSpec {
       s"seeded handoff must ignore pre-ts0 events and apply post ones: $got")
   }
 
+  test("schema evolution: widened events merge over a narrower state") {
+    import spark.implicits._
+    // state built before the upstream ALTER TABLE (no `region` column)
+    val oldEvents = Seq(("insert", 1L, 1L, 1L, 5.0), ("insert", 1L, 2L, 2L, 7.0))
+      .toDF("op", "ts", "seq", "key", "value")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("key"), col("value")).as("after"))
+    val state = Materializer.compact(oldEvents, Seq("key"))
+    // post-ALTER batch: events now carry `region`; key 2 updates, key 3 new
+    val newEvents = Seq(("update", 5L, 3L, 2L, 8.0, "EU"),
+                        ("insert", 6L, 4L, 3L, 1.0, "AS"))
+      .toDF("op", "ts", "seq", "key", "value", "region")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("key"), col("value"), col("region")).as("after"))
+    // strict mode fails loudly (shape mismatch is an error unless opted in)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Materializer.merge(state, newEvents, Seq("key")).collect()
+    }
+    val evolved = Materializer.merge(state, newEvents, Seq("key"),
+      allowEvolution = true)
+    val got = Materializer.liveView(evolved).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Double]("value"),
+                 Option(r.getAs[String]("region")))).toSet
+    assert(got == Set((1L, 5.0, None), (2L, 8.0, Some("EU")),
+                      (3L, 1.0, Some("AS"))),
+      s"pre-ALTER rows must report NULL for the new column: $got")
+  }
+
   test("tombstone retention horizon drops only old-enough tombstones") {
     val ops = List(
       Op(1, 1, 0, "insert", 1.0), Op(1, 2, 1, "delete", 1.0),   // old tombstone

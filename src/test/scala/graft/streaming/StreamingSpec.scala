@@ -66,6 +66,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.select(want.columns.map(col): _*).exceptAll(want).count() == 0)
   }
 
+  test("schema evolution end-to-end: ALTER TABLE mid-stream, state widens") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("evolog")
+    val stateDir = tmpDir("evostate") + "/state"
+    val ckptDir = tmpDir("evockpt")
+    val specV1 = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))))
+    val specV2 = specV1.copy(schema = StructType(
+      specV1.schema.fields :+ StructField("region", StringType)))
+    // batch 1 under the ORIGINAL schema
+    Files.write(java.nio.file.Paths.get(logDir, "b1.json"),
+      (Seq("""{"database":"d","table":"t","type":"insert","ts":1,"data":{"id":1,"v":5.0}}""",
+           """{"database":"d","table":"t","type":"insert","ts":2,"data":{"id":2,"v":7.0}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    CdcStream.materializeToParquet(
+      CdcStream.fileChangelog(spark, logDir), specV1, stateDir, ckptDir)
+      .awaitTermination()
+    // upstream ALTER TABLE ADD COLUMN region: restart the stream with
+    // the WIDENED spec and evolution opted in — the drift monitor's
+    // remediation path
+    Files.write(java.nio.file.Paths.get(logDir, "b2.json"),
+      (Seq("""{"database":"d","table":"t","type":"insert","ts":5,"data":{"id":3,"v":1.0,"region":"AS"}}""",
+           """{"database":"d","table":"t","type":"update","ts":6,"data":{"id":2,"v":8.0,"region":"EU"},"old":{"v":7.0}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    CdcStream.materializeToParquet(
+      CdcStream.fileChangelog(spark, logDir), specV2, stateDir, ckptDir,
+      allowEvolution = true).awaitTermination()
+    val got = CdcStream.readCurrentState(spark, stateDir).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"),
+                 Option(r.getAs[String]("region")))).toSet
+    assert(got == Set((1L, 5.0, None), (2L, 8.0, Some("EU")),
+                      (3L, 1.0, Some("AS"))),
+      s"state must widen with NULL for pre-ALTER rows: $got")
+  }
+
   test("seeded handoff: snapshot state + overlapping changelog converges") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
