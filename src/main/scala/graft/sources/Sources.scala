@@ -77,6 +77,30 @@ object Sources {
       "subscribe" -> subscribe,
       "startingOffsets" -> startingOffsets)
 
+  /** Kafka OUT for the CDC relay: stream a `value` column (e.g.
+    * `Maxwell.formatEnvelope` lines — a maintained view's changelog as a
+    * derived topic) to a Kafka topic. Same option-plumbing philosophy as
+    * [[streamKafka]]: SASL/transactional extras pass through by config,
+    * core keys win; unit-testable without a broker via
+    * [[kafkaWriterOptions]]. Returns the started query (checkpointed —
+    * the Kafka sink is at-least-once; keyed consumers dedup by design
+    * since the relay's DML is idempotent per key). */
+  def kafkaSink(df: DataFrame, bootstrap: String, topic: String,
+                checkpointPath: String,
+                options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("kafka")
+      .options(kafkaWriterOptions(bootstrap, topic, options))
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
+  /** The effective Kafka writer option map (named params win). */
+  def kafkaWriterOptions(bootstrap: String, topic: String,
+                         extra: Map[String, String]): Map[String, String] =
+    extra ++ Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "topic" -> topic)
+
   /** Synthetic rate source (events/sec) for replay/load testing. */
   def streamRate(spark: SparkSession, rowsPerSecond: Int): DataFrame =
     spark.readStream.format("rate")

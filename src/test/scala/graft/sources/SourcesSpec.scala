@@ -65,6 +65,17 @@ class SourcesSpec extends SparkSpec {
     assert(opts("minPartitions") == "64")
   }
 
+  test("kafka writer options: extras pass through, core keys win") {
+    val opts = Sources.kafkaWriterOptions("broker:9092", "graft.views.topk",
+      Map("kafka.security.protocol" -> "SASL_SSL",
+          "topic" -> "should-lose",
+          "kafka.transactional.id" -> "relay-1"))
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("topic") == "graft.views.topk")
+    assert(opts("kafka.security.protocol") == "SASL_SSL")
+    assert(opts("kafka.transactional.id") == "relay-1")
+  }
+
   test("orc round-trip with partition pruning") {
     val dir = Files.createTempDirectory("osink").toString + "/docs"
     Sources.orcSink(docs, dir, partitionBy = Seq("lang"))
