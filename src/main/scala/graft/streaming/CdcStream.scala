@@ -1063,12 +1063,35 @@ object CdcStream {
           if (rs.next()) rs.getLong(1) else -1L
         } finally conn.close()
       }
+    // CONTINUITY GUARD: if retention ([[pruneViewChanges]]) has dropped
+    // batches this consumer never applied, folding the surviving suffix
+    // would silently skip deltas and corrupt the serving table. Checked
+    // against the batch DIRECTORIES (an empty batch writes a dir with
+    // zero rows, so a row-level minimum would false-positive; pruning
+    // only ever drops a prefix). Fail loudly — the pruning contract is
+    // "a consumer's own offset is a safe keepFrom", and a violated
+    // contract must not look like a successful catch-up. Recover by
+    // dropping the serving table and its progress marker, then replaying
+    // (sound iff the surviving history reaches batch 0) or re-seeding
+    // the table from the view itself.
+    val chDir = new org.apache.hadoop.fs.Path(s"$rootPath/changes")
+    val chFs = chDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!chFs.exists(chDir)) return 0L
+    val dirIds = chFs.listStatus(chDir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+    if (dirIds.isEmpty || dirIds.max <= appliedUpTo) return 0L
+    require(dirIds.min <= appliedUpTo + 1,
+      s"applyViewChangesToJdbc: changelog gap — last applied batch " +
+        s"$appliedUpTo but earliest surviving batch is ${dirIds.min} " +
+        s"(retention pruned past this consumer); re-seed $table from the view")
     val ch = readViewChanges(spark, rootPath)
       .filter(col("batch") > appliedUpTo)
-    // `batch` is a partition-dir column and may infer as int — normalize
-    val hiRow = ch.agg(max(col("batch").cast("long"))).collect()(0)
-    if (hiRow.isNullAt(0)) return 0L
-    val hi = hiRow.getLong(0)
+    val hi = dirIds.max
+    if (ch.isEmpty) {
+      // only empty batches beyond the marker: nothing to apply
+      return 0L
+    }
     // last change per key across the unapplied suffix: intermediate
     // versions of a key are dead — one DML per key, however many batches
     // are being caught up on

@@ -88,5 +88,16 @@ class JdbcSinkSpec extends SparkSpec {
       s"catch-up must compact to one DML per touched slot (a1, a2, b1), got $applied")
     assert(served() == viewNow())
     assert(apply() == 0L)
+    // retention pruned PAST this consumer: the catch-up must fail loudly
+    // (a silent partial fold would corrupt the serving table). Progress
+    // is at batch 2; generate batch 3 and 4, then prune everything below
+    // 4 — batch 3 is lost to this consumer.
+    append("b4.json", Seq(ev("insert", 9, 5, "b", 6.0)))
+    run()
+    append("b5.json", Seq(ev("insert", 11, 6, "b", 8.0)))
+    run()
+    assert(CdcStream.pruneViewChanges(spark, root, keepFrom = 4L) > 0)
+    val e = intercept[IllegalArgumentException] { apply() }
+    assert(e.getMessage.contains("changelog gap"), e.getMessage)
   }
 }
