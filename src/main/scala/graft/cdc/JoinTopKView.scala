@@ -31,18 +31,19 @@ object JoinTopKView {
                  lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
                  viewCols: Seq[String], groupCol: String, orderCol: String,
                  k: Int,
+                 keys: Option[(Option[DataFrame], Option[DataFrame])] = None,
                  maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
     val spark = dl.sparkSession
     def distributedKeys(delta: DataFrame, ks: Seq[String]): DataFrame =
       delta.select(ks.map(kc => col(s"after.$kc").as(kc)): _*)
         .distinct().localCheckpoint(false)
     val (changedL, lLocal) =
-      JoinView.localKeys(dl, lPk, maxLocalKeys) match {
+      keys.map(_._1).getOrElse(JoinView.localKeys(dl, lPk, maxLocalKeys)) match {
         case Some(lk) => (lk, true)
         case None     => (distributedKeys(dl, lPk), false)
       }
     val (changedR, rLocal) =
-      JoinView.localKeys(dr, rPk, maxLocalKeys) match {
+      keys.map(_._2).getOrElse(JoinView.localKeys(dr, rPk, maxLocalKeys)) match {
         case Some(rk) => (rk, true)
         case None     => (distributedKeys(dr, rPk), false)
       }
@@ -127,13 +128,30 @@ object JoinTopKView {
       ev.filter(col("ts") > lo && col("ts") <= hi)
     val windows = (Long.MinValue +: cuts) :+ Long.MaxValue
     val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
-    val fin = bounds.foldLeft(
+    // prefetch the NEXT window's changed-key collects off the per-batch
+    // critical path (JoinView.replay rationale)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def keysFor(i: Int) = {
+      val (lo, hi) = bounds(i)
+      (Future(JoinView.localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
+       Future(JoinView.localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
+    }
+    var pending = keysFor(0)
+    val fin = bounds.indices.foldLeft(
         State(JoinView.State(lSchema, rSchema, emptyView), emptyRanked)) {
-      case (st, (lo, hi)) =>
+      case (st, i) =>
+        val (lo, hi) = bounds(i)
+        val (ckLF, ckRF) = pending
+        if (i + 1 < bounds.size) pending = keysFor(i + 1)
         val next = applyBatch(st, slice(lPinned, lo, hi),
                               slice(rPinned, lo, hi),
                               lPk, rPk, lJoinCols, viewCols, groupCol,
-                              orderCol, k, maxLocalKeys)
+                              orderCol, k,
+                              keys = Some((Await.result(ckLF, Duration.Inf),
+                                           Await.result(ckRF, Duration.Inf))),
+                              maxLocalKeys = maxLocalKeys)
         next.copy(ranked = next.ranked.localCheckpoint(false))
     }
     import org.apache.spark.sql.graft.bridge.reRoot
