@@ -160,20 +160,33 @@ object IncrementalAgg {
     * form no pair). This is THE maintainable state for every
     * non-subtractable aggregate over a changelog: count-distinct counts
     * the net>0 pairs, min/max scan them — and both [[distinctCountBatch]]
-    * and a full-log fold produce it with the same code path. */
+    * and a full-log fold produce it with the same code path.
+    *
+    * ONE shuffle over the deltas: `groups` is derived by re-aggregating
+    * the (g, v) partial sums — |live pairs| rows, a fraction of |deltas|
+    * — instead of a second full-width shuffle of the deltas on g. NULL
+    * values form their own (g, NULL) row in the pre-aggregate, so the g
+    * roll-up still counts every row; the pair face filters them out. In
+    * the one-shot (single-job) views the two consumers share the (g, v)
+    * exchange via Spark's ReusedExchange; batch callers pass `pin` to
+    * localCheckpoint the pre-aggregate instead, since their consumers
+    * run as separate jobs (key collects) where exchange reuse can't
+    * reach. */
   private def pairMultiplicities(events: DataFrame, fn: String,
                                  groupCol: String, valueCol: String,
-                                 allowNullableFallback: Boolean)
+                                 allowNullableFallback: Boolean,
+                                 pin: Boolean = false)
       : (DataFrame, DataFrame) = {
     val deltas = changeDeltas(events, fn, groupCol, valueCol,
         allowNullableFallback) { (g, v, sign) =>
       struct(g.as("g"), v.as("v"), lit(sign.toLong).as("dc"))
     }
-    val pairs = deltas.filter(col("v").isNotNull)
-      .groupBy(col("g"), col("v"))
+    val all0 = deltas.groupBy(col("g"), col("v"))
       .agg(sum(col("dc")).as("net"))
-    val groups = deltas.groupBy(col("g"))
-      .agg(sum(col("dc")).as("n_rows"))
+    val all = if (pin) all0.localCheckpoint(false) else all0
+    val pairs = all.filter(col("v").isNotNull)
+    val groups = all.groupBy(col("g"))
+      .agg(sum(col("net")).as("n_rows"))
     (pairs, groups)
   }
 
@@ -237,7 +250,7 @@ object IncrementalAgg {
                          maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys)
       : DistinctState = {
     val (dPairs, dGroups) = pairMultiplicities(events, "distinctCountBatch",
-      groupCol, valueCol, allowNullableFallback)
+      groupCol, valueCol, allowNullableFallback, pin = true)
     DistinctState(
       mergeAdditive(st.pairs, dPairs, Seq("g", "v"), Seq("net"), maxLocalKeys),
       mergeAdditive(st.groups, dGroups, Seq("g"), Seq("n_rows"), maxLocalKeys))

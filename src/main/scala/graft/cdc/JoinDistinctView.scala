@@ -83,15 +83,20 @@ object JoinDistinctView {
       changedKeys = Some(changedR)).localCheckpoint(false)
     val insert = touched(Materializer.liveView(lNext),
                          Materializer.liveView(rNext), +1)
-    // pinned once: the weighted rows feed BOTH additive merges
+    // ONE shuffle over the weighted delta-join rows: aggregate to (g, v)
+    // net multiplicities first (NULL v keeps its own row so group liveness
+    // counts every row), pin THAT — it is |touched pairs|-sized, far
+    // smaller than the rows — and derive both additive merges from it.
+    // The g roll-up re-aggregates the pinned partials instead of paying a
+    // second full-width shuffle of the delta-join rows.
     val rows = retract.unionByName(insert)
       .select(col(groupCol).as("g"), col(s"__v_$valueCol").as("v"),
               col("__w").cast("long").as("w"))
+    val pairsAll = rows.groupBy(col("g"), col("v"))
+      .agg(sum(col("w")).as("net"))
       .localCheckpoint(false)
-    val dPairs = rows.filter(col("v").isNotNull)
-      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("net"))
-      .filter(col("net") =!= 0)
-    val dGroups = rows.groupBy(col("g")).agg(sum(col("w")).as("n_rows"))
+    val dPairs = pairsAll.filter(col("v").isNotNull && col("net") =!= 0)
+    val dGroups = pairsAll.groupBy(col("g")).agg(sum(col("net")).as("n_rows"))
       .filter(col("n_rows") =!= 0)
     State(lNext, rNext,
       IncrementalAgg.mergeAdditive(st.pairs, dPairs, Seq("g", "v"),
