@@ -116,34 +116,32 @@ object JoinAggView {
     require(lJoinCols.intersect(rPk).isEmpty,
       s"lJoinCols and rPk must not share column names " +
         s"(got ${lJoinCols.intersect(rPk).mkString(",")}); rename one side")
-    val spark = dl.sparkSession
-    def distributedKeys(delta: DataFrame, ks: Seq[String]): DataFrame =
-      delta.select(ks.map(k => col(s"after.$k").as(k)): _*)
-        .distinct().localCheckpoint(false)
-    val (changedL, lLocal) =
-      keys.map(_._1).getOrElse(JoinView.localKeys(dl, lPk, maxLocalKeys)) match {
-        case Some(lk) => (lk, true)
-        case None     => (distributedKeys(dl, lPk), false)
-      }
-    val (changedR, rLocal) =
-      keys.map(_._2).getOrElse(JoinView.localKeys(dr, rPk, maxLocalKeys)) match {
-        case Some(rk) => (rk, true)
-        case None     => (distributedKeys(dr, rPk), false)
-      }
+    val (ctx, lNext, rNext) = MultiView.batchCtx(st.left, st.right, dl, dr,
+      lPk, rPk, lJoinCols, keys, maxLocalKeys)
+    State(lNext, rNext, stepAgg(st.agg, ctx, groupCols, measures))
+  }
+
+  /** The aggregate-specific half of a batch (shared verbatim between
+    * [[applyBatchNamed]] and the [[MultiView]] fan-out via
+    * [[maintainerNamed]]): retract touched join rows from the PRE-merge
+    * live states, insert from the POST-merge ones, fold the per-group
+    * deltas into the O(|groups|) aggregate state. */
+  private[cdc] def stepAgg(agg: DataFrame, ctx: MultiView.BatchCtx,
+                 groupCols: Seq[String],
+                 measures: Seq[(String, String, Column => Column)])
+      : DataFrame = {
+    import ctx.{changedL, changedR, lLocal, rLocal, lPk, rPk, lJoinCols,
+                maxLocalKeys}
+    val spark = ctx.liveL.sparkSession
     def touchedRows(liveL: DataFrame, liveR: DataFrame, w: Int): DataFrame =
       touchedJoinRows(liveL, liveR, changedL, lLocal, changedR, rLocal,
                       lPk, rPk, lJoinCols, groupCols, measures, w)
     // retract from the PRE-merge states, insert from the POST-merge ones
-    // — both lazy, and st.left/right are pinned by the previous batch, so
-    // evaluation order cannot see the merged state in the retract branch
-    val retract = touchedRows(Materializer.liveView(st.left),
-                              Materializer.liveView(st.right), -1)
-    val lNext = Materializer.merge(st.left, dl, lPk,
-      changedKeys = Some(changedL)).localCheckpoint(false)
-    val rNext = Materializer.merge(st.right, dr, rPk,
-      changedKeys = Some(changedR)).localCheckpoint(false)
-    val insert = touchedRows(Materializer.liveView(lNext),
-                             Materializer.liveView(rNext), +1)
+    // — both lazy, and the pre-merge states are pinned by the previous
+    // batch, so evaluation order cannot see the merged state in the
+    // retract branch
+    val retract = touchedRows(ctx.preLiveL, ctx.preLiveR, -1)
+    val insert = touchedRows(ctx.liveL, ctx.liveR, +1)
     // pinned: the per-group deltas feed the touched-group set AND the
     // merge join — one shuffle, reused
     val measureAggs = measures.flatMap { case (c, _, _) => Seq(
@@ -177,10 +175,10 @@ object JoinAggView {
           .reduce(_ && _), how)
         .select(left.columns.map(c => col(s"__l.$c")): _*)
     }
-    val untouched = byGroup(st.agg, "left_anti")
+    val untouched = byGroup(agg, "left_anti")
     val groupCond = groupCols
       .map(g => col(s"__a.$g") <=> col(s"__d.$g")).reduce(_ && _)
-    val merged = byGroup(st.agg, "left_semi").alias("__a")
+    val merged = byGroup(agg, "left_semi").alias("__a")
       .join(deltas.alias("__d"), groupCond, "full_outer")
       .select(
         // <=> join: whichever side is present carries the true group
@@ -199,7 +197,30 @@ object JoinAggView {
                 coalesce(col(s"__d.d_sum_$c"), lit(0).cast(sumType)))
                  .cast(sumType).as(s"sum_$c")) }): _*)
       .filter(col("n_rows") > 0)
-    State(lNext, rNext, untouched.unionByName(merged))
+    untouched.unionByName(merged)
+  }
+
+  /** This aggregate view as a [[MultiView.Maintainer]] — state is the
+    * O(|groups|) aggregate frame alone. One instance can carry MANY named
+    * measures (even from both join sides), so several dashboard views
+    * share a single maintained state. */
+  def maintainerNamed(groupCols: Seq[String],
+                      measures: Seq[(String, String, Column => Column)])
+      : MultiView.Maintainer[DataFrame] = {
+    require(measures.nonEmpty, "at least one measure")
+    require(measures.map(_._1).distinct.size == measures.size,
+      "measure output names must be distinct")
+    new MultiView.Maintainer[DataFrame] {
+      def empty(liveL0: DataFrame, liveR0: DataFrame, lPk: Seq[String],
+                rPk: Seq[String], lJoinCols: Seq[String]): DataFrame =
+        MultiView.emptyLike(directAggNamed(liveL0, liveR0, rPk, lJoinCols,
+                                           groupCols, measures))
+      def step(agg: DataFrame, ctx: MultiView.BatchCtx): DataFrame =
+        stepAgg(agg, ctx, groupCols, measures)
+      def pin(agg: DataFrame): DataFrame = agg.localCheckpoint(false)
+      def reRoot(agg: DataFrame, to: org.apache.spark.sql.SparkSession)
+          : DataFrame = org.apache.spark.sql.graft.bridge.reRoot(agg, to)
+    }
   }
 
   /** The two-branch delta restriction (JoinView.applyBatch rationale:

@@ -57,32 +57,27 @@ object JoinDistinctView {
                  groupCol: String, valueCol: String,
                  keys: Option[(Option[DataFrame], Option[DataFrame])] = None,
                  maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
-    def distributedKeys(delta: DataFrame, ks: Seq[String]): DataFrame =
-      delta.select(ks.map(k => col(s"after.$k").as(k)): _*)
-        .distinct().localCheckpoint(false)
-    val (changedL, lLocal) =
-      keys.map(_._1).getOrElse(JoinView.localKeys(dl, lPk, maxLocalKeys)) match {
-        case Some(lk) => (lk, true)
-        case None     => (distributedKeys(dl, lPk), false)
-      }
-    val (changedR, rLocal) =
-      keys.map(_._2).getOrElse(JoinView.localKeys(dr, rPk, maxLocalKeys)) match {
-        case Some(rk) => (rk, true)
-        case None     => (distributedKeys(dr, rPk), false)
-      }
+    val (ctx, lNext, rNext) = MultiView.batchCtx(st.left, st.right, dl, dr,
+      lPk, rPk, lJoinCols, keys, maxLocalKeys)
+    val (pairs, groups) = stepPairs(st.pairs, st.groups, ctx,
+                                    groupCol, valueCol)
+    State(lNext, rNext, pairs, groups)
+  }
+
+  /** The pair-state-specific half of a batch (shared verbatim between
+    * [[applyBatch]] and the [[MultiView]] fan-out via [[maintainer]]). */
+  private[cdc] def stepPairs(pairs: DataFrame, groups: DataFrame,
+                             ctx: MultiView.BatchCtx,
+                             groupCol: String, valueCol: String)
+      : (DataFrame, DataFrame) = {
     def touched(liveL: DataFrame, liveR: DataFrame, w: Int): DataFrame =
-      JoinAggView.touchedJoinRows(liveL, liveR, changedL, lLocal,
-        changedR, rLocal, lPk, rPk, lJoinCols, Seq(groupCol),
+      JoinAggView.touchedJoinRows(liveL, liveR, ctx.changedL, ctx.lLocal,
+        ctx.changedR, ctx.rLocal, ctx.lPk, ctx.rPk, ctx.lJoinCols,
+        Seq(groupCol),
         Seq((valueCol, valueCol,
              scala.Predef.identity[org.apache.spark.sql.Column] _)), w)
-    val retract = touched(Materializer.liveView(st.left),
-                          Materializer.liveView(st.right), -1)
-    val lNext = Materializer.merge(st.left, dl, lPk,
-      changedKeys = Some(changedL)).localCheckpoint(false)
-    val rNext = Materializer.merge(st.right, dr, rPk,
-      changedKeys = Some(changedR)).localCheckpoint(false)
-    val insert = touched(Materializer.liveView(lNext),
-                         Materializer.liveView(rNext), +1)
+    val retract = touched(ctx.preLiveL, ctx.preLiveR, -1)
+    val insert = touched(ctx.liveL, ctx.liveR, +1)
     // ONE shuffle over the weighted delta-join rows: aggregate to (g, v)
     // net multiplicities first (NULL v keeps its own row so group liveness
     // counts every row), pin THAT — it is |touched pairs|-sized, far
@@ -98,12 +93,45 @@ object JoinDistinctView {
     val dPairs = pairsAll.filter(col("v").isNotNull && col("net") =!= 0)
     val dGroups = pairsAll.groupBy(col("g")).agg(sum(col("net")).as("n_rows"))
       .filter(col("n_rows") =!= 0)
-    State(lNext, rNext,
-      IncrementalAgg.mergeAdditive(st.pairs, dPairs, Seq("g", "v"),
-                                   Seq("net"), maxLocalKeys),
-      IncrementalAgg.mergeAdditive(st.groups, dGroups, Seq("g"),
-                                   Seq("n_rows"), maxLocalKeys))
+    (IncrementalAgg.mergeAdditive(pairs, dPairs, Seq("g", "v"),
+                                  Seq("net"), ctx.maxLocalKeys),
+     IncrementalAgg.mergeAdditive(groups, dGroups, Seq("g"),
+                                  Seq("n_rows"), ctx.maxLocalKeys))
   }
+
+  /** This pair-state family as a [[MultiView.Maintainer]] — state is
+    * `(pairs, groups)`; one maintained instance serves COUNT(DISTINCT),
+    * MIN/MAX, and exact PERCENTILES over the join (wrap the shared
+    * replay's L/R states and this pair into a [[State]] for the view
+    * faces). */
+  def maintainer(groupCol: String, valueCol: String)
+      : MultiView.Maintainer[(DataFrame, DataFrame)] =
+    new MultiView.Maintainer[(DataFrame, DataFrame)] {
+      def empty(liveL0: DataFrame, liveR0: DataFrame, lPk: Seq[String],
+                rPk: Seq[String], lJoinCols: Seq[String])
+          : (DataFrame, DataFrame) = {
+        val rows0 = liveL0.join(liveR0,
+            lJoinCols.zip(rPk).map { case (l, r) => col(l) === col(r) }
+              .reduce(_ && _))
+          .select(col(groupCol).as("g"), col(valueCol).as("v"),
+                  lit(1L).as("w"))
+        (MultiView.emptyLike(
+           rows0.groupBy(col("g"), col("v")).agg(sum(col("w")).as("net"))),
+         MultiView.emptyLike(
+           rows0.groupBy(col("g")).agg(sum(col("w")).as("n_rows"))))
+      }
+      def step(st: (DataFrame, DataFrame), ctx: MultiView.BatchCtx)
+          : (DataFrame, DataFrame) =
+        stepPairs(st._1, st._2, ctx, groupCol, valueCol)
+      def pin(st: (DataFrame, DataFrame)): (DataFrame, DataFrame) =
+        (st._1.localCheckpoint(false), st._2.localCheckpoint(false))
+      def reRoot(st: (DataFrame, DataFrame),
+                 to: org.apache.spark.sql.SparkSession)
+          : (DataFrame, DataFrame) = {
+        val b = org.apache.spark.sql.graft.bridge
+        (b.reRoot(st._1, to), b.reRoot(st._2, to))
+      }
+    }
 
   /** Replay two event streams across `cuts` (JoinView.replay micro-batch
     * discipline: child session, AQE off, pinned logs, lazy per-batch

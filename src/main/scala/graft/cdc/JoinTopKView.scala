@@ -33,25 +33,27 @@ object JoinTopKView {
                  k: Int,
                  keys: Option[(Option[DataFrame], Option[DataFrame])] = None,
                  maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
-    val spark = dl.sparkSession
-    def distributedKeys(delta: DataFrame, ks: Seq[String]): DataFrame =
-      delta.select(ks.map(kc => col(s"after.$kc").as(kc)): _*)
-        .distinct().localCheckpoint(false)
-    val (changedL, lLocal) =
-      keys.map(_._1).getOrElse(JoinView.localKeys(dl, lPk, maxLocalKeys)) match {
-        case Some(lk) => (lk, true)
-        case None     => (distributedKeys(dl, lPk), false)
-      }
-    val (changedR, rLocal) =
-      keys.map(_._2).getOrElse(JoinView.localKeys(dr, rPk, maxLocalKeys)) match {
-        case Some(rk) => (rk, true)
-        case None     => (distributedKeys(dr, rPk), false)
-      }
-    val next = JoinView.applyBatch(st.join, dl, dr, lPk, rPk, lJoinCols,
-      viewCols, keys = Some((if (lLocal) Some(changedL) else None,
-                             if (rLocal) Some(changedR) else None)),
-      maxLocalKeys = maxLocalKeys)
-    val viewNext = next.view.localCheckpoint(false)
+    val (ctx, lNext, rNext) = MultiView.batchCtx(st.join.left, st.join.right,
+      dl, dr, lPk, rPk, lJoinCols, keys, maxLocalKeys)
+    val (viewNext, ranked) = stepRanked(st.join.view, st.ranked, ctx,
+                                        viewCols, groupCol, orderCol, k)
+    State(JoinView.State(lNext, rNext, viewNext), ranked)
+  }
+
+  /** The rank-specific half of a batch (shared verbatim between
+    * [[applyBatch]] and the [[MultiView]] fan-out via [[maintainer]]):
+    * advance the join view one step, then re-rank ONLY the touched
+    * groups. Returns (viewNext — pinned, it is scanned by the group
+    * derivation AND the re-rank —, rankedNext). */
+  private[cdc] def stepRanked(view: DataFrame, ranked: DataFrame,
+                              ctx: MultiView.BatchCtx, viewCols: Seq[String],
+                              groupCol: String, orderCol: String, k: Int)
+      : (DataFrame, DataFrame) = {
+    import ctx.{changedL, lLocal, rLocal, lPk, lJoinCols, maxLocalKeys,
+                hinted}
+    val spark = ctx.liveL.sparkSession
+    val viewNext = JoinView.stepView(view, ctx, viewCols)
+      .localCheckpoint(false)
     // Touched groups, derived from the MATERIALIZED views rather than by
     // re-joining the table states: every view row the batch changes has
     // pk ∈ keys(ΔL) ∨ fk ∈ keys(ΔR) — its PRE-merge version sits in the
@@ -60,17 +62,14 @@ object JoinTopKView {
     // over pinned scans replace the four state-side delta joins the
     // pre/post recompute would need. (Superset-safe: a re-ranked
     // untouched group reproduces its rows unchanged.)
-    def hinted(df: DataFrame, isLocal: Boolean): DataFrame =
-      if (isLocal) broadcast(df) else df
-    val changedRAsFk = changedR.select(
-      rPk.zip(lJoinCols).map { case (r, l) => col(r).as(l) }: _*)
-    def touchedGroups(view: DataFrame): DataFrame =
-      view.join(hinted(changedL, lLocal), lPk, "left_semi")
+    val changedRAsFk = ctx.changedRAsFk
+    def touchedGroups(v: DataFrame): DataFrame =
+      v.join(hinted(changedL, lLocal), lPk, "left_semi")
         .select(col(groupCol))
         .unionByName(
-          view.join(hinted(changedRAsFk, rLocal), lJoinCols, "left_semi")
+          v.join(hinted(changedRAsFk, rLocal), lJoinCols, "left_semi")
             .select(col(groupCol)))
-    val tgSel = touchedGroups(st.join.view)
+    val tgSel = touchedGroups(view)
       .unionByName(touchedGroups(viewNext))
       .distinct().localCheckpoint(false)
     val tgRows = tgSel.limit(maxLocalKeys + 1).collect().toSeq
@@ -85,12 +84,43 @@ object JoinTopKView {
         col(s"__l.$groupCol") <=> col(s"__tg.$groupCol"), how)
         .select(left.columns.map(c => col(s"__l.$c")): _*)
     }
-    val untouched = byGroup(st.ranked, "left_anti")
+    val untouched = byGroup(ranked, "left_anti")
     val reranked = IncrementalTopK.topK(byGroup(viewNext, "left_semi"),
                                         lPk, groupCol, orderCol, k)
-    State(next.copy(view = viewNext),
-          untouched.unionByName(reranked))
+    (viewNext, untouched.unionByName(reranked))
   }
+
+  /** This ranked view as a [[MultiView.Maintainer]] — state is
+    * `(join view, ranked)`. The maintained join view doubles as a plain
+    * [[JoinView]] materialization: project it to serve the inner-join
+    * view query from the same shared replay instead of registering a
+    * second view-maintaining instance. */
+  def maintainer(viewCols: Seq[String], groupCol: String, orderCol: String,
+                 k: Int): MultiView.Maintainer[(DataFrame, DataFrame)] =
+    new MultiView.Maintainer[(DataFrame, DataFrame)] {
+      def empty(liveL0: DataFrame, liveR0: DataFrame, lPk: Seq[String],
+                rPk: Seq[String], lJoinCols: Seq[String])
+          : (DataFrame, DataFrame) = {
+        val v = MultiView.emptyLike(
+          liveL0.join(liveR0,
+              lJoinCols.zip(rPk).map { case (l, r) => col(l) === col(r) }
+                .reduce(_ && _))
+            .select(viewCols.map(col): _*))
+        (v, MultiView.emptyLike(
+              IncrementalTopK.topK(v, lPk, groupCol, orderCol, k)))
+      }
+      def step(st: (DataFrame, DataFrame), ctx: MultiView.BatchCtx)
+          : (DataFrame, DataFrame) =
+        stepRanked(st._1, st._2, ctx, viewCols, groupCol, orderCol, k)
+      def pin(st: (DataFrame, DataFrame)): (DataFrame, DataFrame) =
+        (st._1, st._2.localCheckpoint(false)) // view pinned in stepRanked
+      def reRoot(st: (DataFrame, DataFrame),
+                 to: org.apache.spark.sql.SparkSession)
+          : (DataFrame, DataFrame) = {
+        val b = org.apache.spark.sql.graft.bridge
+        (b.reRoot(st._1, to), b.reRoot(st._2, to))
+      }
+    }
 
   /** Replay two event streams across `cuts` (JoinView.replay micro-batch
     * discipline); returns the final state. */

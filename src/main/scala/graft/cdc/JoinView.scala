@@ -110,62 +110,47 @@ object JoinView {
     // broadcasts, so a delta carrying an expensive lineage would re-run it
     // per use.
     //
-    // States are pinned with LAZY local checkpoints: downstream plans see
-    // a flat scan (plan depth and driver planning cost stay bounded no
-    // matter how many batches chain), each state's RDD is persisted on
-    // first compute (it is scanned by several later joins), and NO job
-    // runs here — the whole replay materializes as one DAG at the first
-    // action, where independent per-batch stages parallelize on the
-    // scheduler itself rather than via driver-side futures.
-    // over-cap fallback: the same distinct key set, cluster-side, lazily
-    // pinned (it is scanned by the merge and three joins below — without
-    // the pin each use would redo the distinct shuffle)
-    def distributedKeys(delta: DataFrame, ks: Seq[String]): DataFrame =
-      delta.select(ks.map(k => col(s"after.$k").as(k)): _*)
-        .distinct().localCheckpoint(false)
-    val (changedL, lLocal) =
-      keys.map(_._1).getOrElse(localKeys(dl, lPk, maxLocalKeys)) match {
-        case Some(lk) => (lk, true)
-        case None     => (distributedKeys(dl, lPk), false)
-      }
-    val (changedR, rLocal) =
-      keys.map(_._2).getOrElse(localKeys(dr, rPk, maxLocalKeys)) match {
-        case Some(rk) => (rk, true)
-        case None     => (distributedKeys(dr, rPk), false)
-      }
-    // broadcast hints are only sound on the under-cap LocalRelation key
-    // sets; an over-cap side must stay unhinted so the planner/AQE picks
-    // a shuffle join rather than building a giant broadcast
-    def hinted(df: DataFrame, isLocal: Boolean): DataFrame =
-      if (isLocal) broadcast(df) else df
-    val lNext = Materializer.merge(st.left, dl, lPk,
-      changedKeys = Some(changedL)).localCheckpoint(false)
-    val rNext = Materializer.merge(st.right, dr, rPk,
-      changedKeys = Some(changedR)).localCheckpoint(false)
-    // single atomic projection, NOT a fold of withColumnRenamed: a
-    // sequential fold corrupts the frame when an lJoinCols name collides
-    // with a not-yet-renamed rPk name (rename step i would hit both)
-    val changedRAsFk = changedR.select(
-      rPk.zip(lJoinCols).map { case (r, l) => col(r).as(l) }: _*)
-    val keep = st.view
+    // States are pinned with LAZY local checkpoints (inside batchCtx):
+    // downstream plans see a flat scan (plan depth and driver planning
+    // cost stay bounded no matter how many batches chain), each state's
+    // RDD is persisted on first compute (it is scanned by several later
+    // joins), and NO job runs here — the whole replay materializes as one
+    // DAG at the first action, where independent per-batch stages
+    // parallelize on the scheduler itself rather than via driver-side
+    // futures.
+    val (ctx, lNext, rNext) = MultiView.batchCtx(st.left, st.right, dl, dr,
+      lPk, rPk, lJoinCols, keys, maxLocalKeys)
+    State(lNext, rNext, stepView(st.view, ctx, viewCols))
+  }
+
+  /** The view-specific half of a batch: retract touched view rows, rebuild
+    * them from the post-merge live states. Shared verbatim between
+    * [[applyBatch]] and the [[MultiView]] fan-out ([[maintainer]]).
+    *
+    * Each rebuild join has a |Δ|-bounded side — the semi-join against the
+    * broadcast changed-key set leaves at most one row per delta key — so
+    * BROADCAST that side. Without the hint Catalyst sees LogicalRDD
+    * default stats on both inputs and plans a sort-merge join that
+    * shuffles BOTH full states every batch; with it, neither state is
+    * ever exchanged: per batch each live state is scanned (broadcast
+    * semi/anti prune scan-side) and the join streams. Same |Δ|-bounded-
+    * batch contract that already justifies broadcasting the key sets —
+    * and the same cap: an over-cap side loses its hints along with its
+    * LocalRelation, so a giant backfill batch plans as ordinary
+    * distributed joins (callers wanting delta-bounded latency should
+    * still split backlogs, as [[replay]] does with cuts).
+    *
+    * The view is returned un-pinned: view_b is referenced exactly once —
+    * by batch b+1's keep branch — and the replay loops lazily checkpoint
+    * it per batch to bound plan depth without scheduling a job. */
+  private[cdc] def stepView(view: DataFrame, ctx: MultiView.BatchCtx,
+                            viewCols: Seq[String]): DataFrame = {
+    import ctx.{changedL, changedR, lLocal, rLocal, lPk, rPk, lJoinCols,
+                liveL, liveR, hinted}
+    val keep = view
       .join(hinted(changedL, lLocal), lPk, "left_anti")
-      .join(hinted(changedRAsFk, rLocal), lJoinCols, "left_anti")
-    val liveL = Materializer.liveView(lNext)
-    val liveR = Materializer.liveView(rNext)
-    val joinCond = lJoinCols.zip(rPk)
-      .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
-    // Each rebuild join has a |Δ|-bounded side — the semi-join against the
-    // broadcast changed-key set leaves at most one row per delta key — so
-    // BROADCAST that side. Without the hint Catalyst sees LogicalRDD
-    // default stats on both inputs and plans a sort-merge join that
-    // shuffles BOTH full states every batch; with it, neither state is
-    // ever exchanged: per batch each live state is scanned (broadcast
-    // semi/anti prune scan-side) and the join streams. Same |Δ|-bounded-
-    // batch contract that already justifies broadcasting the key sets —
-    // and the same cap: an over-cap side loses its hints along with its
-    // LocalRelation, so a giant backfill batch plans as ordinary
-    // distributed joins (callers wanting delta-bounded latency should
-    // still split backlogs, as [[replay]] does with cuts).
+      .join(hinted(ctx.changedRAsFk, rLocal), lJoinCols, "left_anti")
+    val joinCond = ctx.joinCond
     val rebuiltL = hinted(
         liveL.join(hinted(changedL, lLocal), lPk, "left_semi"), lLocal)
       .join(liveR, joinCond)
@@ -173,15 +158,29 @@ object JoinView {
       .join(hinted(liveR.join(hinted(changedR, rLocal), rPk, "left_semi"),
                    rLocal),
             joinCond)
-    // The view is returned un-pinned: view_b is referenced exactly once —
-    // by batch b+1's keep branch — and [[replay]] lazily checkpoints it
-    // per batch to bound plan depth without scheduling a job.
-    val viewNext = keep
+    keep
       .select(viewCols.map(col): _*) // using-joins reorder; restore
       .unionByName(rebuiltL.select(viewCols.map(col): _*))
       .unionByName(rebuiltR.select(viewCols.map(col): _*))
-    State(lNext, rNext, viewNext)
   }
+
+  /** This view as a [[MultiView.Maintainer]] — state is the view frame
+    * alone (the L/R table states live in the shared replay). */
+  def maintainer(viewCols: Seq[String]): MultiView.Maintainer[DataFrame] =
+    new MultiView.Maintainer[DataFrame] {
+      def empty(liveL0: DataFrame, liveR0: DataFrame, lPk: Seq[String],
+                rPk: Seq[String], lJoinCols: Seq[String]): DataFrame =
+        MultiView.emptyLike(
+          liveL0.join(liveR0,
+              lJoinCols.zip(rPk).map { case (l, r) => col(l) === col(r) }
+                .reduce(_ && _))
+            .select(viewCols.map(col): _*))
+      def step(view: DataFrame, ctx: MultiView.BatchCtx): DataFrame =
+        stepView(view, ctx, viewCols)
+      def pin(view: DataFrame): DataFrame = view.localCheckpoint(false)
+      def reRoot(view: DataFrame, to: org.apache.spark.sql.SparkSession)
+          : DataFrame = org.apache.spark.sql.graft.bridge.reRoot(view, to)
+    }
 
   /** Replay two event streams through the view in time-ordered windows:
     * `cuts = Seq(t1, t2, ...)` splits events into batches

@@ -67,37 +67,25 @@ object LeftJoinView {
     require(lJoinCols.intersect(rPk).isEmpty,
       s"lJoinCols and rPk must not share column names " +
         s"(got ${lJoinCols.intersect(rPk).mkString(",")}); rename one side")
-    def distributedKeys(delta: DataFrame, ks: Seq[String]): DataFrame =
-      delta.select(ks.map(k => col(s"after.$k").as(k)): _*)
-        .distinct().localCheckpoint(false)
-    val (changedL, lLocal) =
-      keys.map(_._1).getOrElse(JoinView.localKeys(dl, lPk, maxLocalKeys)) match {
-        case Some(lk) => (lk, true)
-        case None     => (distributedKeys(dl, lPk), false)
-      }
-    val (changedR, rLocal) =
-      keys.map(_._2).getOrElse(JoinView.localKeys(dr, rPk, maxLocalKeys)) match {
-        case Some(rk) => (rk, true)
-        case None     => (distributedKeys(dr, rPk), false)
-      }
-    def hinted(df: DataFrame, isLocal: Boolean): DataFrame =
-      if (isLocal) broadcast(df) else df
-    val lNext = Materializer.merge(st.left, dl, lPk,
-      changedKeys = Some(changedL)).localCheckpoint(false)
-    val rNext = Materializer.merge(st.right, dr, rPk,
-      changedKeys = Some(changedR)).localCheckpoint(false)
-    val changedRAsFk = changedR.select(
-      rPk.zip(lJoinCols).map { case (r, l) => col(r).as(l) }: _*)
+    val (ctx, lNext, rNext) = MultiView.batchCtx(st.left, st.right, dl, dr,
+      lPk, rPk, lJoinCols, keys, maxLocalKeys)
+    State(lNext, rNext, stepView(st.view, ctx, viewCols))
+  }
+
+  /** The view-specific half of a batch (shared verbatim between
+    * [[applyBatch]] and the [[MultiView]] fan-out via [[maintainer]]). */
+  private[cdc] def stepView(view: DataFrame, ctx: MultiView.BatchCtx,
+                            viewCols: Seq[String]): DataFrame = {
+    import ctx.{changedL, lLocal, rLocal, lPk, lJoinCols, liveL, liveR,
+                hinted}
+    val changedRAsFk = ctx.changedRAsFk
     // keep: view rows owned by untouched facts. A pad row carries its
     // fact's fk value in lJoinCols, so the anti join on changedR-as-fk
     // retracts the pad exactly when its dimension (finally) arrives.
-    val keep = st.view
+    val keep = view
       .join(hinted(changedL, lLocal), lPk, "left_anti")
       .join(hinted(changedRAsFk, rLocal), lJoinCols, "left_anti")
-    val liveL = Materializer.liveView(lNext)
-    val liveR = Materializer.liveView(rNext)
-    val joinCond = lJoinCols.zip(rPk)
-      .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+    val joinCond = ctx.joinCond
     // touched facts, both branches |Δ|-bounded. NOT pinned: the frame is
     // scanned twice (inner rebuild + pad anti join) but each scan is
     // broadcast-semi-pruned scan-side work over the already-pinned state
@@ -123,12 +111,26 @@ object LeftJoinView {
       if (lCols(c)) col(c)
       else lit(null).cast(liveR.schema(c).dataType).as(c)
     }
-    val viewNext = keep
+    keep
       .select(viewCols.map(col): _*)
       .unionByName(matched.select(viewCols.map(col): _*))
       .unionByName(pad.select(padProj: _*))
-    State(lNext, rNext, viewNext)
   }
+
+  /** This view as a [[MultiView.Maintainer]] — state is the view frame
+    * alone (the L/R table states live in the shared replay). */
+  def maintainer(viewCols: Seq[String]): MultiView.Maintainer[DataFrame] =
+    new MultiView.Maintainer[DataFrame] {
+      def empty(liveL0: DataFrame, liveR0: DataFrame, lPk: Seq[String],
+                rPk: Seq[String], lJoinCols: Seq[String]): DataFrame =
+        MultiView.emptyLike(
+          directView(liveL0, liveR0, rPk, lJoinCols, viewCols))
+      def step(view: DataFrame, ctx: MultiView.BatchCtx): DataFrame =
+        stepView(view, ctx, viewCols)
+      def pin(view: DataFrame): DataFrame = view.localCheckpoint(false)
+      def reRoot(view: DataFrame, to: org.apache.spark.sql.SparkSession)
+          : DataFrame = org.apache.spark.sql.graft.bridge.reRoot(view, to)
+    }
 
   /** Replay two event streams across `cuts` ([[JoinView.replay]]'s
     * micro-batch discipline: child session, AQE off, batch-width

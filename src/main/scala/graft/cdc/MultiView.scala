@@ -1,0 +1,204 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SHARED multi-view maintenance: one changelog replay, N maintained
+  * views — the reference's core fan-out shape (one decoded stream feeds
+  * every registered handler, `/root/reference/cdc_manager.go:277-298`)
+  * lifted to incremental view maintenance. Without it, ten views over
+  * the same two topics each pay their own per-batch changed-key collect
+  * and L/R state merge; with it those are computed ONCE per batch and
+  * every registered [[Maintainer]] consumes the same [[BatchCtx]].
+  *
+  * Scale shape: per batch, cost = (1 × key collect + 1 × L merge + 1 × R
+  * merge) + Σ per-view delta steps — the per-view steps were already
+  * |Δ|-bounded; this removes the O(N) duplication of the state
+  * maintenance itself. At 100 TB the L/R states are the big frames: they
+  * are merged and pinned once and every view's semi/anti prunes run
+  * against the same cached scan.
+  */
+object MultiView {
+
+  /** Everything a view's per-batch step needs that does NOT depend on
+    * which view it is — computed once per batch by [[batchCtx]].
+    * `preLiveL`/`preLiveR` are the live rows of the PRE-merge states
+    * (for retract branches), `liveL`/`liveR` of the POST-merge states
+    * (for insert/rebuild branches); all four are lazy projections over
+    * states pinned by the replay loop, so evaluation order cannot leak
+    * the merged state into a retract. */
+  final case class BatchCtx(
+      lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
+      changedL: DataFrame, lLocal: Boolean,
+      changedR: DataFrame, rLocal: Boolean,
+      preLiveL: DataFrame, preLiveR: DataFrame,
+      liveL: DataFrame, liveR: DataFrame,
+      maxLocalKeys: Int) {
+
+    /** Broadcast hint, sound only on under-cap LocalRelation key sets
+      * (JoinView.localKeys discipline). */
+    def hinted(df: DataFrame, isLocal: Boolean): DataFrame =
+      if (isLocal) broadcast(df) else df
+
+    /** The changed-R key set re-keyed to L's foreign-key column names —
+      * single atomic projection (see JoinView.applyBatch rationale). */
+    def changedRAsFk: DataFrame = changedR.select(
+      rPk.zip(lJoinCols).map { case (r, l) => col(r).as(l) }: _*)
+
+    /** L.fk = R.pk equi-join condition, positional. */
+    def joinCond: org.apache.spark.sql.Column = lJoinCols.zip(rPk)
+      .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+  }
+
+  /** One maintained view over the shared replay. `S` is the view's own
+    * aggregate/materialization state — the L/R table states live in the
+    * shared loop, never here. Implementations are provided by the view
+    * objects ([[JoinView.maintainer]], [[LeftJoinView.maintainer]],
+    * [[JoinAggView.maintainerNamed]], [[JoinDistinctView.maintainer]],
+    * [[JoinTopKView.maintainer]]). */
+  trait Maintainer[S] {
+    /** Empty state; `liveL0`/`liveR0` are empty frames carrying the bare
+      * (meta-free) live schemas of the two sides. */
+    def empty(liveL0: DataFrame, liveR0: DataFrame,
+              lPk: Seq[String], rPk: Seq[String],
+              lJoinCols: Seq[String]): S
+    /** Fold one shared batch into the state. */
+    def step(st: S, ctx: BatchCtx): S
+    /** Lazily pin the state's frames (end of each batch — bounds plan
+      * depth across batches without scheduling a job). */
+    def pin(st: S): S
+    /** Re-root the state's frames into `to` (hand-back at end of replay). */
+    def reRoot(st: S, to: SparkSession): S
+  }
+
+  /** Final shared-replay result: the two table states plus each
+    * registered maintainer's final state, looked up BY the maintainer
+    * instance (identity), so the access is typed. */
+  final class Result private[MultiView] (
+      val left: DataFrame, val right: DataFrame,
+      states: Map[Maintainer[_], Any]) {
+    def apply[S](m: Maintainer[S]): S = states(m).asInstanceOf[S]
+  }
+
+  /** Empty LocalRelation with `df`'s schema in `df`'s session — flattens
+    * derived-empty lineage so batch-1 analysis never drags the heavy
+    * schema-seed plans along. */
+  private[cdc] def emptyLike(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.emptyRDD[Row], df.schema)
+
+  /** The per-batch SHARED work: changed-key sets (pre-collected via
+    * `keys`, else derived under `maxLocalKeys` — a `None` side runs the
+    * distributed fallback) and the two state merges, each pinned lazily.
+    * Returns the ctx plus the merged (pinned) states. Every single-view
+    * `applyBatch` is this + that view's step, so the shared fan-out and
+    * the standalone paths are THE SAME code. */
+  private[cdc] def batchCtx(stL: DataFrame, stR: DataFrame,
+      dl: DataFrame, dr: DataFrame,
+      lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
+      keys: Option[(Option[DataFrame], Option[DataFrame])],
+      maxLocalKeys: Int): (BatchCtx, DataFrame, DataFrame) = {
+    def distributedKeys(delta: DataFrame, ks: Seq[String]): DataFrame =
+      delta.select(ks.map(k => col(s"after.$k").as(k)): _*)
+        .distinct().localCheckpoint(false)
+    val (changedL, lLocal) =
+      keys.map(_._1).getOrElse(JoinView.localKeys(dl, lPk, maxLocalKeys)) match {
+        case Some(lk) => (lk, true)
+        case None     => (distributedKeys(dl, lPk), false)
+      }
+    val (changedR, rLocal) =
+      keys.map(_._2).getOrElse(JoinView.localKeys(dr, rPk, maxLocalKeys)) match {
+        case Some(rk) => (rk, true)
+        case None     => (distributedKeys(dr, rPk), false)
+      }
+    val lNext = Materializer.merge(stL, dl, lPk,
+      changedKeys = Some(changedL)).localCheckpoint(false)
+    val rNext = Materializer.merge(stR, dr, rPk,
+      changedKeys = Some(changedR)).localCheckpoint(false)
+    (BatchCtx(lPk, rPk, lJoinCols,
+              changedL, lLocal, changedR, rLocal,
+              Materializer.liveView(stL), Materializer.liveView(stR),
+              Materializer.liveView(lNext), Materializer.liveView(rNext),
+              maxLocalKeys),
+     lNext, rNext)
+  }
+
+  /** Replay two event streams across `cuts` ONCE, maintaining every
+    * registered view. Same micro-batch discipline as the single-view
+    * replays (child session, AQE off, batch-width shuffles, logs pinned
+    * once, next window's key collects prefetched) — those loops stay for
+    * single-view callers; this one amortizes the shared work across N
+    * views. */
+  def replay(lEvents: DataFrame, rEvents: DataFrame, cuts: Seq[Long],
+             lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
+             maintainers: Seq[Maintainer[_]],
+             batchShufflePartitions: Int = 8,
+             maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): Result = {
+    require(maintainers.nonEmpty, "at least one maintainer")
+    require(rPk.size == lJoinCols.size,
+      s"lJoinCols (${lJoinCols.mkString(",")}) must match rPk " +
+        s"(${rPk.mkString(",")}) positionally")
+    require(lJoinCols.intersect(rPk).isEmpty,
+      s"lJoinCols and rPk must not share column names " +
+        s"(got ${lJoinCols.intersect(rPk).mkString(",")}); rename one side")
+    val parent = lEvents.sparkSession
+    val child = parent.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    child.conf.set("spark.sql.shuffle.partitions",
+                   batchShufflePartitions.toString)
+    def inChild(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.bridge.reRoot(df, child)
+    def emptyInChild(df: DataFrame): DataFrame =
+      child.createDataFrame(child.sparkContext.emptyRDD[Row], df.schema)
+    val lSchema = emptyInChild(Materializer.compact(lEvents.limit(0), lPk))
+    val rSchema = emptyInChild(Materializer.compact(rEvents.limit(0), rPk))
+    val liveL0 = lSchema.drop(Materializer.MetaCols: _*)
+    val liveR0 = rSchema.drop(Materializer.MetaCols: _*)
+    // erased view of the maintainers so one loop can fold them all; the
+    // types round-trip through Result's identity-keyed lookup
+    val ms = maintainers.map(_.asInstanceOf[Maintainer[Any]])
+    var states: Seq[Any] =
+      ms.map(_.empty(liveL0, liveR0, lPk, rPk, lJoinCols))
+    val lPinned = inChild(lEvents.localCheckpoint())
+      .coalesce(batchShufflePartitions)
+    val rPinned = inChild(rEvents.localCheckpoint())
+      .coalesce(batchShufflePartitions)
+    def slice(ev: DataFrame, lo: Long, hi: Long) =
+      ev.filter(col("ts") > lo && col("ts") <= hi)
+    val windows = (Long.MinValue +: cuts) :+ Long.MaxValue
+    val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
+    // prefetch the NEXT window's changed-key collects off the per-batch
+    // critical path (JoinView.replay rationale: a window's key sets
+    // depend only on the PINNED logs, never on earlier batches)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def keysFor(i: Int) = {
+      val (lo, hi) = bounds(i)
+      (Future(JoinView.localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
+       Future(JoinView.localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
+    }
+    var pending = keysFor(0)
+    var stL = lSchema
+    var stR = rSchema
+    bounds.indices.foreach { i =>
+      val (lo, hi) = bounds(i)
+      val (ckLF, ckRF) = pending
+      if (i + 1 < bounds.size) pending = keysFor(i + 1)
+      val (ctx, lNext, rNext) = batchCtx(stL, stR,
+        slice(lPinned, lo, hi), slice(rPinned, lo, hi),
+        lPk, rPk, lJoinCols,
+        keys = Some((Await.result(ckLF, Duration.Inf),
+                     Await.result(ckRF, Duration.Inf))),
+        maxLocalKeys = maxLocalKeys)
+      states = ms.zip(states).map { case (m, s) => m.pin(m.step(s, ctx)) }
+      stL = lNext
+      stR = rNext
+    }
+    import org.apache.spark.sql.graft.bridge.reRoot
+    new Result(reRoot(stL, parent), reRoot(stR, parent),
+      maintainers.zip(states).map { case (m, s) =>
+        (m: Maintainer[_]) -> m.asInstanceOf[Maintainer[Any]].reRoot(s, parent)
+      }.toMap)
+  }
+}

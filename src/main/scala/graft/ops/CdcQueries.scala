@@ -19,22 +19,78 @@ object CdcQueries {
       |  o_orderdate, o_orderpriority
       |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin
 
-  /** Shared maintained (nation, price) pair state over orders⋈customer —
-    * one replay serves the min/max AND percentile join views (memoized
-    * per (session, sfDir); the replay's lazy pins materialize once). */
-  private val joinPriceCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), graft.cdc.JoinDistinctView.State]()
-  private def joinPriceState(s: SparkSession,
-                             dir: String): graft.cdc.JoinDistinctView.State =
-    joinPriceCache.computeIfAbsent((s, dir), _ =>
-      graft.cdc.JoinDistinctView.replay(
-        ChangelogGen.ordersChangeEvents(s, dir),
-        ChangelogGen.customerChangeEvents(s, dir),
-        cuts = Seq(SnapT1, SnapT2),
-        lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
-        lJoinCols = Seq("o_custkey"),
-        groupCol = "c_nationkey", valueCol = "o_totalprice"))
+  /** ONE shared multi-view replay over orders⋈customer serving EVERY
+    * `cdc_join_*` query — the reference's fan-out shape (one decoded
+    * stream feeds all registered handlers, `cdc_manager.go:277-298`)
+    * as shared IVM: per batch the changed-key collect and the two state
+    * merges happen once, and the inner view + ranked top-k, the
+    * left-outer view, a three-measure aggregate (revenue, account-balance
+    * sum, and the price square that makes AVG/VARIANCE maintainable), and
+    * two pair states (distinct customers; the price distribution behind
+    * min/max and percentiles) all fold the same [[graft.cdc.MultiView
+    * .BatchCtx]]. Memoized per (session, sfDir); the cache is cleared on
+    * application end and bounded in size, so the pinned localCheckpoint
+    * RDDs cannot accumulate across unbounded sessions. */
+  private object SharedJoin {
+    import org.apache.spark.sql.Column
+    import graft.cdc._
+    val innerCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+                        "o_totalprice", "c_name", "c_acctbal")
+    // the maintained inner view carries the UNION of every consumer's
+    // columns; cdc_join_view projects its slice back out
+    val unionCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+                        "o_totalprice", "c_nationkey", "c_name", "c_acctbal")
+    private val dec = (c: Column) => c.cast("decimal(25,10)")
+    private val sq = (c: Column) => { val d = c.cast("decimal(12,3)"); d * d }
+    val topk = JoinTopKView.maintainer(unionCols, "c_nationkey",
+                                       "o_totalprice", k = 3)
+    val leftJoin = LeftJoinView.maintainer(innerCols)
+    val agg = JoinAggView.maintainerNamed(Seq("c_nationkey"),
+      Seq(("o_totalprice", "o_totalprice", dec),
+          ("c_acctbal", "c_acctbal", dec),
+          ("price_sq", "o_totalprice", sq)))
+    val distinctCust = JoinDistinctView.maintainer("c_nationkey", "o_custkey")
+    val distinctPrice = JoinDistinctView.maintainer("c_nationkey",
+                                                    "o_totalprice")
+
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), MultiView.Result]()
+    private val evictionHooked =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    def result(s: SparkSession, dir: String): MultiView.Result =
+      cache.computeIfAbsent((s, dir), _ => {
+        // bound: each entry pins per-state localCheckpoint RDDs for its
+        // session's lifetime — across many sessions that is a leak, so
+        // drop everything rather than grow without limit
+        if (cache.size >= 8) cache.clear()
+        if (evictionHooked.compareAndSet(false, true))
+          s.sparkContext.addSparkListener(
+            new org.apache.spark.scheduler.SparkListener {
+              override def onApplicationEnd(
+                  e: org.apache.spark.scheduler
+                       .SparkListenerApplicationEnd): Unit = cache.clear()
+            })
+        MultiView.replay(
+          ChangelogGen.ordersChangeEvents(s, dir),
+          ChangelogGen.customerChangeEvents(s, dir),
+          cuts = Seq(SnapT1, SnapT2),
+          lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
+          lJoinCols = Seq("o_custkey"),
+          maintainers = Seq(topk, leftJoin, agg, distinctCust,
+                            distinctPrice))
+      })
+    def aggState(s: SparkSession, dir: String): JoinAggView.State = {
+      val r = result(s, dir)
+      JoinAggView.State(r.left, r.right, r(agg))
+    }
+    def pairState(s: SparkSession, dir: String,
+                  m: MultiView.Maintainer[(DataFrame, DataFrame)])
+        : JoinDistinctView.State = {
+      val r = result(s, dir)
+      val (pairs, groups) = r(m)
+      JoinDistinctView.State(r.left, r.right, pairs, groups)
+    }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full replay -> current state (one row per surviving key).
@@ -87,15 +143,9 @@ object CdcQueries {
     // referencing them — the view must converge anyway. Oracle: closed-form
     // final states of both tables, joined.
     "cdc_join_view" -> ((s, dir) =>
-      graft.cdc.JoinView.replay(
-          ChangelogGen.ordersChangeEvents(s, dir),
-          ChangelogGen.customerChangeEvents(s, dir),
-          cuts = Seq(SnapT1, SnapT2),
-          lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
-          lJoinCols = Seq("o_custkey"),
-          viewCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-                         "o_totalprice", "c_name", "c_acctbal"))
-        .view.orderBy(col("o_orderkey"))),
+      SharedJoin.result(s, dir)(SharedJoin.topk)._1
+        .select(SharedJoin.innerCols.map(col): _*)
+        .orderBy(col("o_orderkey"))),
 
     // LEFT OUTER join view, maintained incrementally: ALL live orders,
     // with the customer columns when the customer is live and NULL
@@ -104,15 +154,8 @@ object CdcQueries {
     // and the pad/retract dance (dim arrives -> pad retracted and row
     // joined; dim dies -> re-padded) is the classic outer-join IVM case.
     "cdc_left_join_view" -> ((s, dir) =>
-      graft.cdc.LeftJoinView.replay(
-          ChangelogGen.ordersChangeEvents(s, dir),
-          ChangelogGen.customerChangeEvents(s, dir),
-          cuts = Seq(SnapT1, SnapT2),
-          lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
-          lJoinCols = Seq("o_custkey"),
-          viewCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-                         "o_totalprice", "c_name", "c_acctbal"))
-        .view.orderBy(col("o_orderkey"))),
+      SharedJoin.result(s, dir)(SharedJoin.leftJoin)
+        .orderBy(col("o_orderkey"))),
 
     // Incremental AGGREGATE-OVER-JOIN maintenance (the classic IVM
     // composition): revenue + order count per customer NATION, maintained
@@ -123,16 +166,8 @@ object CdcQueries {
     // exactness). Late-arriving customers credit their orders' revenue in
     // the batch where the dimension row lands; deletes retract it.
     "cdc_join_agg_view" -> ((s, dir) =>
-      graft.cdc.JoinAggView.view(
-          graft.cdc.JoinAggView.replay(
-            ChangelogGen.ordersChangeEvents(s, dir),
-            ChangelogGen.customerChangeEvents(s, dir),
-            cuts = Seq(SnapT1, SnapT2),
-            lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
-            lJoinCols = Seq("o_custkey"), groupCols = Seq("c_nationkey"),
-            valueCol = "o_totalprice",
-            valueCast = _.cast("decimal(25,10)")),
-          "o_totalprice")
+      graft.cdc.JoinAggView.viewMulti(
+          SharedJoin.aggState(s, dir), Seq("o_totalprice"))
         .select(col("c_nationkey"), col("n_rows").as("n_orders"),
                 round(col("sum_o_totalprice"), 2).cast("double")
                   .as("revenue"))
@@ -297,13 +332,7 @@ object CdcQueries {
     // can answer that) while their other orders keep the pair alive.
     "cdc_join_distinct_view" -> ((s, dir) =>
       graft.cdc.JoinDistinctView.view(
-          graft.cdc.JoinDistinctView.replay(
-            ChangelogGen.ordersChangeEvents(s, dir),
-            ChangelogGen.customerChangeEvents(s, dir),
-            cuts = Seq(SnapT1, SnapT2),
-            lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
-            lJoinCols = Seq("o_custkey"),
-            groupCol = "c_nationkey", valueCol = "o_custkey"),
+          SharedJoin.pairState(s, dir, SharedJoin.distinctCust),
           "c_nationkey", "o_custkey")
         .orderBy(col("c_nationkey"))),
 
@@ -316,20 +345,9 @@ object CdcQueries {
     // (DuckDB multiplies <=18-digit decimals in int64) and the exact
     // product width (25,6) inside decimal128.
     "cdc_join_avg_view" -> ((s, dir) => {
-      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(25,10)")
-      val sq = (c: org.apache.spark.sql.Column) => {
-        val d = c.cast("decimal(12,3)"); d * d
-      }
-      val st = graft.cdc.JoinAggView.replayNamed(
-        ChangelogGen.ordersChangeEvents(s, dir),
-        ChangelogGen.customerChangeEvents(s, dir),
-        cuts = Seq(SnapT1, SnapT2),
-        lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
-        lJoinCols = Seq("o_custkey"), groupCols = Seq("c_nationkey"),
-        measures = Seq(("o_totalprice", "o_totalprice", dec),
-                       ("price_sq", "o_totalprice", sq)))
       val mean = col("sum_o_totalprice").cast("double") / col("n_rows")
-      graft.cdc.JoinAggView.viewMulti(st, Seq("o_totalprice", "price_sq"))
+      graft.cdc.JoinAggView.viewMulti(
+          SharedJoin.aggState(s, dir), Seq("o_totalprice", "price_sq"))
         .select(col("c_nationkey"), col("n_rows").as("n_orders"),
                 round(mean, 4).as("avg_price"),
                 round(col("sum_price_sq").cast("double") / col("n_rows") -
@@ -344,7 +362,7 @@ object CdcQueries {
     // row is deleted. State is (nation, price) net multiplicities —
     // bounded by live pair cardinality, never |join rows|.
     "cdc_join_minmax_view" -> ((s, dir) => {
-      val st = joinPriceState(s, dir)
+      val st = SharedJoin.pairState(s, dir, SharedJoin.distinctPrice)
       graft.cdc.JoinDistinctView.minMaxView(st, "c_nationkey",
                                             "o_totalprice")
         .select(col("c_nationkey"),
@@ -354,7 +372,7 @@ object CdcQueries {
     }),
 
     "cdc_join_percentile_view" -> ((s, dir) => {
-      val st = joinPriceState(s, dir)
+      val st = SharedJoin.pairState(s, dir, SharedJoin.distinctPrice)
       graft.cdc.JoinDistinctView.percentileView(st, "c_nationkey",
           "o_totalprice", Seq(0.5, 0.95))
         .select(col("c_nationkey"),
@@ -368,16 +386,8 @@ object CdcQueries {
     // single delta pass over the same O(|groups|) state — measures from
     // either join side ride the identical retract/insert rows.
     "cdc_join_agg_multi" -> ((s, dir) => {
-      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(25,10)")
       graft.cdc.JoinAggView.viewMulti(
-          graft.cdc.JoinAggView.replayMulti(
-            ChangelogGen.ordersChangeEvents(s, dir),
-            ChangelogGen.customerChangeEvents(s, dir),
-            cuts = Seq(SnapT1, SnapT2),
-            lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
-            lJoinCols = Seq("o_custkey"), groupCols = Seq("c_nationkey"),
-            measures = Seq("o_totalprice" -> dec, "c_acctbal" -> dec)),
-          Seq("o_totalprice", "c_acctbal"))
+          SharedJoin.aggState(s, dir), Seq("o_totalprice", "c_acctbal"))
         .select(col("c_nationkey"), col("n_rows").as("n_orders"),
                 round(col("sum_o_totalprice"), 2).cast("double")
                   .as("revenue"),
@@ -426,16 +436,7 @@ object CdcQueries {
     // a nation's top order, or the customer holding it, promotes the
     // runner-up — which no insert-only structure over the join can do.
     "cdc_join_topk_view" -> ((s, dir) =>
-      graft.cdc.JoinTopKView.replay(
-          ChangelogGen.ordersChangeEvents(s, dir),
-          ChangelogGen.customerChangeEvents(s, dir),
-          cuts = Seq(SnapT1, SnapT2),
-          lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
-          lJoinCols = Seq("o_custkey"),
-          viewCols = Seq("o_orderkey", "o_custkey", "c_nationkey",
-                         "c_name", "o_totalprice"),
-          groupCol = "c_nationkey", orderCol = "o_totalprice", k = 3)
-        .ranked
+      SharedJoin.result(s, dir)(SharedJoin.topk)._2
         .select(col("c_nationkey"), col("rk"), col("o_orderkey"),
                 col("o_totalprice"), col("c_name"))
         .orderBy(col("c_nationkey"), col("rk"))),

@@ -1,0 +1,96 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared multi-view maintenance: every view fanned off ONE MultiView
+  * replay must equal its own standalone replay over the same changelogs
+  * (same cuts, same configs) — the fan-out only removes duplicated
+  * per-batch work, never changes a view's semantics. */
+class MultiViewSpec extends SparkSpec {
+
+  private val cuts = Seq(788918400L, 852076800L) // CdcQueries' snap times
+  private val lPk = Seq("o_orderkey")
+  private val rPk = Seq("c_custkey")
+  private val fk = Seq("o_custkey")
+  private val innerCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+                              "o_totalprice", "c_name", "c_acctbal")
+  private val unionCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+                              "o_totalprice", "c_nationkey", "c_name",
+                              "c_acctbal")
+  private val dec =
+    (c: org.apache.spark.sql.Column) => c.cast("decimal(25,10)")
+
+  private def rowsOf(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("fanned views equal their standalone replays") {
+    val lEv = ChangelogGen.ordersChangeEvents(spark, sfDir)
+    val rEv = ChangelogGen.customerChangeEvents(spark, sfDir)
+
+    val mJoin = JoinTopKView.maintainer(unionCols, "c_nationkey",
+                                        "o_totalprice", k = 3)
+    val mLeft = LeftJoinView.maintainer(innerCols)
+    val mAgg = JoinAggView.maintainerNamed(Seq("c_nationkey"),
+      Seq(("o_totalprice", "o_totalprice", dec),
+          ("c_acctbal", "c_acctbal", dec)))
+    val mDist = JoinDistinctView.maintainer("c_nationkey", "o_custkey")
+    val res = MultiView.replay(lEv, rEv, cuts, lPk, rPk, fk,
+      maintainers = Seq(mJoin, mLeft, mAgg, mDist))
+
+    // inner join view (projection of the union-column maintained view)
+    val soloJoin = JoinView.replay(lEv, rEv, cuts, lPk, rPk, fk, innerCols)
+    assert(rowsOf(res(mJoin)._1.select(innerCols.map(col): _*)) ==
+             rowsOf(soloJoin.view),
+      "fanned inner view != standalone JoinView.replay")
+
+    // ranked top-k over the join
+    val soloTopK = JoinTopKView.replay(lEv, rEv, cuts, lPk, rPk, fk,
+      unionCols, "c_nationkey", "o_totalprice", k = 3)
+    assert(rowsOf(res(mJoin)._2) == rowsOf(soloTopK.ranked),
+      "fanned top-k != standalone JoinTopKView.replay")
+
+    // left-outer view
+    val soloLeft = LeftJoinView.replay(lEv, rEv, cuts, lPk, rPk, fk,
+                                       innerCols)
+    assert(rowsOf(res(mLeft)) == rowsOf(soloLeft.view),
+      "fanned left view != standalone LeftJoinView.replay")
+
+    // multi-measure aggregate
+    val soloAgg = JoinAggView.replayNamed(lEv, rEv, cuts, lPk, rPk, fk,
+      Seq("c_nationkey"),
+      Seq(("o_totalprice", "o_totalprice", dec),
+          ("c_acctbal", "c_acctbal", dec)))
+    assert(rowsOf(res(mAgg)) == rowsOf(soloAgg.agg),
+      "fanned aggregate != standalone JoinAggView.replayNamed")
+
+    // pair state (count-distinct face; the same state serves min/max
+    // and percentiles, so the view equality covers all three)
+    val soloDist = JoinDistinctView.replay(lEv, rEv, cuts, lPk, rPk, fk,
+      "c_nationkey", "o_custkey")
+    val fanned = JoinDistinctView.State(res.left, res.right,
+                                        res(mDist)._1, res(mDist)._2)
+    assert(rowsOf(JoinDistinctView.view(fanned, "c_nationkey", "o_custkey"))
+             == rowsOf(JoinDistinctView.view(soloDist, "c_nationkey",
+                                             "o_custkey")),
+      "fanned distinct view != standalone JoinDistinctView.replay")
+
+    // shared table states equal the standalone replay's
+    assert(rowsOf(res.left) == rowsOf(soloJoin.left) &&
+             rowsOf(res.right) == rowsOf(soloJoin.right),
+      "shared L/R states != standalone replay states")
+  }
+
+  test("fanned view equals direct recompute from the final states") {
+    val lEv = ChangelogGen.ordersChangeEvents(spark, sfDir)
+    val rEv = ChangelogGen.customerChangeEvents(spark, sfDir)
+    val mLeft = LeftJoinView.maintainer(innerCols)
+    val res = MultiView.replay(lEv, rEv, cuts, lPk, rPk, fk, Seq(mLeft))
+    val direct = LeftJoinView.directView(
+      Materializer.liveView(res.left), Materializer.liveView(res.right),
+      rPk, fk, innerCols)
+    assert(rowsOf(res(mLeft)) == rowsOf(direct),
+      "fanned left view != direct recompute over final states")
+  }
+}
