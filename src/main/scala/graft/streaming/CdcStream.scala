@@ -157,14 +157,46 @@ object CdcStream {
             when(col("__n.__np").isNotNull, nRow).as("after")): _*)
   }
 
+  /** Batch directories under `root/changes` that are COMMITTED — i.e.
+    * carry the writer's `_SUCCESS` marker. A `batch=<id>` directory is
+    * written file-by-file (non-atomic); a consumer listing concurrently
+    * with a producer can see a TORN directory whose parquet files are
+    * incomplete. The marker is written last by the output committer, so
+    * it IS the per-batch commit record: consumers must treat unmarked
+    * directories as not-yet-existing. (The producer is sequential, so a
+    * torn directory is always the newest — filtering it never creates a
+    * gap in the committed prefix.) */
+  private def committedBatchIds(spark: SparkSession,
+                                rootPath: String): Seq[Long] = {
+    val chDir = new org.apache.hadoop.fs.Path(s"$rootPath/changes")
+    val fs = chDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(chDir)) Seq.empty
+    else fs.listStatus(chDir).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("batch=")) None
+      else scala.util.Try(name.stripPrefix("batch=").toLong).toOption
+        .filter(_ => fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+    }.sorted
+  }
+
   /** Read a maintained view's emitted changelog (see [[viewDelta]]):
     * one row per view change, with the producing `batch` id as a
     * partition column. Exactly-once by construction: each batch
     * overwrites its own `batch=<id>` directory, and the applied-batch
     * marker keeps a crash-replayed batch from re-diffing against the
-    * post-fold view. */
-  def readViewChanges(spark: SparkSession, rootPath: String): DataFrame =
-    spark.read.parquet(s"$rootPath/changes")
+    * post-fold view. Only COMMITTED batch directories are read (see
+    * [[committedBatchIds]]) — a torn directory a concurrent producer is
+    * mid-writing is invisible, both to the rows AND to the parquet
+    * footer reads schema inference performs. */
+  def readViewChanges(spark: SparkSession, rootPath: String): DataFrame = {
+    val ids = committedBatchIds(spark, rootPath)
+    if (ids.isEmpty)
+      throw new IllegalStateException(
+        s"readViewChanges: no committed batches under $rootPath/changes")
+    spark.read.option("basePath", s"$rootPath/changes")
+      .parquet(ids.map(id => s"$rootPath/changes/batch=$id"): _*)
+  }
 
   /** Adapt a maintained view's emitted changelog ([[readViewChanges]]
     * shape: `key…, op, before, after, batch`) into the standard decoded
@@ -217,6 +249,20 @@ object CdcStream {
     * rollup (`max_by` partial agg, no window). */
   def viewAsOfBatch(spark: SparkSession, rootPath: String,
                     upTo: Long): DataFrame = {
+    // CONTINUITY GUARD (mirror of [[applyViewChangesToJdbc]]'s): the
+    // fold reconstructs from an EMPTY state, so it needs every batch of
+    // the 0..upTo prefix. If retention ([[pruneViewChanges]]) has
+    // dropped early batches, keys whose last change fell in the pruned
+    // prefix would silently vanish from the reconstruction — fail loudly
+    // instead. Checked against committed batch DIRECTORIES (an empty
+    // batch still writes a dir; pruning only ever drops a prefix).
+    val ids = committedBatchIds(spark, rootPath)
+    require(ids.isEmpty || ids.head == 0L,
+      s"viewAsOfBatch: changelog prefix pruned — earliest surviving " +
+        s"batch is ${ids.headOption.getOrElse(-1L)}, but as-of " +
+        s"reconstruction folds from empty and needs batches 0..$upTo; " +
+        "serve time travel only within the retained horizon (or from " +
+        "archived generations)")
     val ch = readViewChanges(spark, rootPath).filter(col("batch") <= upTo)
     val keys = ch.columns.filterNot(Set("op", "before", "after", "batch"))
     ch.groupBy(keys.map(c => col(c)): _*)
@@ -290,13 +336,17 @@ object CdcStream {
         // prior state is scanned twice by merge's delta-restricted plan
         // (anti + semi); parquet scans are cheap columnar reads, so no
         // pin here — unlike the JDBC sink, where the read is pinned.
-        // `allowEvolution` absorbs an upstream ALTER TABLE ADD COLUMN:
-        // restart the stream with the widened TableSpec and the next
-        // generation carries the new column, NULL for pre-ALTER rows.
+        // `allowEvolution` absorbs an upstream ALTER TABLE across a
+        // restart with the updated TableSpec: ADD carries the new column
+        // (NULL for pre-ALTER rows), DROP narrows the next generation,
+        // and RENAME preserves history via the spec's version map
+        // (`spec.renamedColumns`, old -> new).
         val merged = readState(spark, statePath) match {
           case Some(prior) =>
             Materializer.merge(prior, batchEvents, spec.primaryKey,
-              allowEvolution = allowEvolution)
+              allowEvolution = allowEvolution,
+              renamedColumns =
+                if (allowEvolution) spec.renamedColumns else Map.empty)
           case None => Materializer.compact(batchEvents, spec.primaryKey)
         }
         swapGeneration(spark, statePath)(tmp =>
@@ -933,6 +983,7 @@ object CdcStream {
                         props: java.util.Properties = new java.util.Properties())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val events = changeEvents(envelope, spec)
+    validSqlIdentifier(table)
     val stage = table + "__stage"
     val oldT = table + "__old"
     events.writeStream
@@ -1019,15 +1070,10 @@ object CdcStream {
       .flatMap(n => scala.util.Try(n.stripPrefix("_applied_").toLong).toOption)
       .sorted.lastOption.getOrElse(-1L)
     val rows = spark.read.parquet(s"$root/$viewFile").count()
-    val chDir = new org.apache.hadoop.fs.Path(s"$rootPath/changes")
-    val batches =
-      if (!fs.exists(chDir)) None
-      else {
-        val ids = fs.listStatus(chDir).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("batch="))
-          .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
-        if (ids.isEmpty) None else Some((ids.min, ids.max))
-      }
+    // committed dirs only — a torn batch a concurrent producer is
+    // writing is not yet part of the drainable/reconstructable window
+    val ids = committedBatchIds(spark, rootPath)
+    val batches = if (ids.isEmpty) None else Some((ids.min, ids.max))
     ViewStats(applied, rows, batches)
   }
 
@@ -1052,6 +1098,7 @@ object CdcStream {
       keyCols: Seq[String], url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): Long = {
     import org.apache.spark.sql.types.{StructType, StringType}
+    validSqlIdentifier(table)
     val progress = table + "__progress"
     val appliedUpTo: Long =
       if (!jdbcTableExists(url, progress, props)) -1L
@@ -1066,25 +1113,25 @@ object CdcStream {
     // CONTINUITY GUARD: if retention ([[pruneViewChanges]]) has dropped
     // batches this consumer never applied, folding the surviving suffix
     // would silently skip deltas and corrupt the serving table. Checked
-    // against the batch DIRECTORIES (an empty batch writes a dir with
-    // zero rows, so a row-level minimum would false-positive; pruning
-    // only ever drops a prefix). Fail loudly — the pruning contract is
+    // against the COMMITTED batch directories (an empty batch writes a
+    // dir with zero rows, so a row-level minimum would false-positive;
+    // pruning only ever drops a prefix; and a torn directory a
+    // concurrent producer is mid-writing must be invisible — see
+    // [[committedBatchIds]] — so a crash cannot record a half-written
+    // batch in `__progress`). Fail loudly — the pruning contract is
     // "a consumer's own offset is a safe keepFrom", and a violated
     // contract must not look like a successful catch-up. Recover by
     // dropping the serving table and its progress marker, then replaying
     // (sound iff the surviving history reaches batch 0) or re-seeding
     // the table from the view itself.
-    val chDir = new org.apache.hadoop.fs.Path(s"$rootPath/changes")
-    val chFs = chDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!chFs.exists(chDir)) return 0L
-    val dirIds = chFs.listStatus(chDir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+    val dirIds = committedBatchIds(spark, rootPath)
     if (dirIds.isEmpty || dirIds.max <= appliedUpTo) return 0L
     require(dirIds.min <= appliedUpTo + 1,
       s"applyViewChangesToJdbc: changelog gap — last applied batch " +
         s"$appliedUpTo but earliest surviving batch is ${dirIds.min} " +
         s"(retention pruned past this consumer); re-seed $table from the view")
+    // readViewChanges reads ONLY committed directories, so the suffix
+    // read here can never include the torn batch being written
     val ch = readViewChanges(spark, rootPath)
       .filter(col("batch") > appliedUpTo)
     val hi = dirIds.max
@@ -1207,6 +1254,20 @@ object CdcStream {
     *    check — same reason Spark has DriverRegistry);
     *  - LIKE-wildcard escaping (`_`/`%`) so `orders_state` can't match an
     *    unrelated `ordersXstate`. */
+  /** Reject table names that cannot be interpolated into DDL/DML as bare
+    * identifiers. The serving paths build `CREATE/DELETE/INSERT/RENAME`
+    * statements by string interpolation (JDBC has no parameter binding
+    * for identifiers), so a name carrying quotes, spaces, or statement
+    * separators would be a SQL injection vector — restrict to plain
+    * (optionally schema-qualified) identifiers up front. */
+  private[streaming] def validSqlIdentifier(name: String): String = {
+    require(name.matches(
+        "[A-Za-z_][A-Za-z0-9_$]*(\\.[A-Za-z_][A-Za-z0-9_$]*)?"),
+      s"illegal SQL table identifier '$name': only plain " +
+        "(schema-qualified) identifiers can be served")
+    name
+  }
+
   private def jdbcConnect(url: String,
                           props: java.util.Properties): java.sql.Connection =
     Option(props.getProperty("driver")) match {

@@ -100,4 +100,103 @@ class JdbcSinkSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { apply() }
     assert(e.getMessage.contains("changelog gap"), e.getMessage)
   }
+
+  test("concurrent producer: a torn (uncommitted) batch dir is invisible") {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType,
+                                       IntegerType, DoubleType}
+    val dbDir = Files.createTempDirectory("derbyt").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val root = Files.createTempDirectory("tornroot").toString
+    val imgType = StructType(Seq(
+      StructField("grp", StringType), StructField("rk", IntegerType),
+      StructField("v", DoubleType)))
+    def writeBatch(id: Long, rows: Seq[(String, Int, Double, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("grp", "rk", "v", "opc")
+        .select(col("grp"), col("rk"), col("opc").as("op"),
+                lit(null).cast(imgType).as("before"),
+                struct(col("grp"), col("rk"), col("v")).as("after"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/changes/batch=$id")
+    }
+    def served(): Set[(String, Int, Double)] =
+      spark.read.jdbc(url, "torn_view", props)
+        .select(col("grp"), col("rk"), col("v")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    def apply(): Long = CdcStream.applyViewChangesToJdbc(spark, root,
+      Seq("grp", "rk"), url, "torn_view", props)
+
+    writeBatch(0, Seq(("a", 1, 9.0, "insert"), ("a", 2, 5.0, "insert")))
+    assert(apply() == 2L)
+    assert(served() == Set(("a", 1, 9.0), ("a", 2, 5.0)))
+    // a concurrent producer mid-writing batch=1: parquet bytes half
+    // flushed, NO _SUCCESS marker yet. The consumer must neither apply
+    // it nor advance the progress marker past it — and the garbage file
+    // must never even be footer-read.
+    val torn = java.nio.file.Paths.get(root, "changes", "batch=1")
+    Files.createDirectories(torn)
+    Files.write(torn.resolve("part-00000.parquet"),
+                "not a parquet file".getBytes("UTF-8"))
+    assert(apply() == 0L, "torn batch must be invisible to the consumer")
+    assert(served() == Set(("a", 1, 9.0), ("a", 2, 5.0)))
+    // the producer finishes (overwrite lands real files + _SUCCESS):
+    // the SAME batch must now be drained — the earlier call cannot have
+    // recorded it as applied
+    writeBatch(1, Seq(("a", 1, 9.5, "update")))
+    assert(apply() == 1L,
+      "the committed batch must drain after the torn window closes")
+    assert(served() == Set(("a", 1, 9.5), ("a", 2, 5.0)))
+  }
+
+  test("viewAsOfBatch refuses a pruned prefix; tolerates a torn tail") {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType,
+                                       IntegerType, DoubleType}
+    val root = Files.createTempDirectory("asofroot").toString
+    val imgType = StructType(Seq(
+      StructField("grp", StringType), StructField("rk", IntegerType),
+      StructField("v", DoubleType)))
+    def writeBatch(id: Long, rows: Seq[(String, Int, Double, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("grp", "rk", "v", "opc")
+        .select(col("grp"), col("rk"), col("opc").as("op"),
+                lit(null).cast(imgType).as("before"),
+                struct(col("grp"), col("rk"), col("v")).as("after"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/changes/batch=$id")
+    }
+    writeBatch(0, Seq(("a", 1, 9.0, "insert")))
+    writeBatch(1, Seq(("a", 1, 9.5, "update")))
+    def asOf(b: Long): Set[(String, Int, Double)] =
+      CdcStream.viewAsOfBatch(spark, root, b)
+        .select(col("grp"), col("rk"), col("v")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(asOf(0) == Set(("a", 1, 9.0)))
+    assert(asOf(1) == Set(("a", 1, 9.5)))
+    // torn tail: an uncommitted batch=2 must not poison reconstruction
+    val torn = java.nio.file.Paths.get(root, "changes", "batch=2")
+    Files.createDirectories(torn)
+    Files.write(torn.resolve("part-00000.parquet"),
+                "garbage".getBytes("UTF-8"))
+    assert(asOf(2) == Set(("a", 1, 9.5)),
+      "uncommitted tail batch must be invisible to time travel")
+    // pruned prefix: reconstruction folds from empty and needs batch 0 —
+    // after retention drops it, as-of must fail loudly, not silently
+    // miss the keys whose last change was pruned
+    assert(CdcStream.pruneViewChanges(spark, root, keepFrom = 1L) == 1)
+    val e = intercept[IllegalArgumentException] { asOf(1) }
+    assert(e.getMessage.contains("prefix pruned"), e.getMessage)
+  }
+
+  test("table identifiers are validated before reaching SQL text") {
+    val root = Files.createTempDirectory("idroot").toString
+    val props = new java.util.Properties()
+    val e = intercept[IllegalArgumentException] {
+      CdcStream.applyViewChangesToJdbc(spark, root, Seq("k"),
+        "jdbc:derby:memory:unused", "v; DROP TABLE users", props)
+    }
+    assert(e.getMessage.contains("illegal SQL table identifier"),
+           e.getMessage)
+  }
 }
