@@ -146,7 +146,40 @@ object Materializer {
   def merge(state: DataFrame, events: DataFrame, primaryKey: Seq[String],
             tombstoneRetentionTs: Long = Long.MinValue,
             changedKeys: Option[DataFrame] = None,
-            allowEvolution: Boolean = false): DataFrame = {
+            allowEvolution: Boolean = false,
+            renamedColumns: Map[String, String] = Map.empty): DataFrame = {
+    // RENAME evolution (upstream ALTER TABLE RENAME COLUMN): the version
+    // map `old name -> new name` re-keys the PRIOR state's columns before
+    // anything else, so a renamed column keeps its history instead of
+    // surfacing as drop-old + add-new (which would NULL every pre-ALTER
+    // value). `primaryKey` refers to the NEW names.
+    require(renamedColumns.isEmpty || allowEvolution,
+      "merge: renamedColumns is schema evolution; pass allowEvolution=true")
+    val st0 =
+      if (renamedColumns.isEmpty) state
+      else {
+        val have = state.columns.toSet
+        // idempotent across batches: once the first evolved merge lands,
+        // the state already carries the new names — an entry whose old
+        // name is gone but whose NEW name is present is already applied;
+        // an entry matching neither is a typo and must fail loudly
+        val dangling = renamedColumns.collect {
+          case (o, n) if !have(o) && !have(n) => s"$o -> $n"
+        }
+        require(dangling.isEmpty,
+          s"merge: renamedColumns entr${if (dangling.size == 1) "y" else "ies"} " +
+            s"${dangling.mkString(", ")} match no state column (state has " +
+            s"${state.columns.mkString(", ")})")
+        val applicable = renamedColumns.filter { case (o, _) => have(o) }
+        if (applicable.isEmpty) state
+        else {
+          val target = state.columns.map(c => applicable.getOrElse(c, c))
+          require(target.distinct.length == target.length,
+            s"merge: renamedColumns collides with existing column names")
+          state.select(state.columns.toSeq.map(c =>
+            col(c).as(applicable.getOrElse(c, c))): _*)
+        }
+      }
     val evts = events.select("op", "ts", "seq", "after")
     // callers that already hold the batch's changed-key set (e.g.
     // JoinView.applyBatch collects it once as a LocalRelation, making the
@@ -155,21 +188,34 @@ object Materializer {
     val ck = changedKeys.getOrElse(evts
       .select(primaryKey.map(k => col(s"after.$k").as(k)): _*).distinct())
       .alias("__ck")
-    val st = state.alias("__st")
+    val st = st0.alias("__st")
     val keyCond = primaryKey
       .map(k => col(s"__st.$k") <=> col(s"__ck.$k")).reduce(_ && _)
     val untouched0 = st.join(ck, keyCond, "left_anti")
     val touched = st.join(ck, keyCond, "left_semi")
-    // SCHEMA EVOLUTION (upstream ALTER TABLE ADD COLUMN, the drift the
-    // cdc_schema_drift monitor flags): with `allowEvolution` the unions
-    // fill fields missing on either side with NULL — a state built before
-    // the new column simply reports NULL for it (exactly what the source
-    // database says about pre-ALTER rows), and the merged generation
-    // carries the widened schema forward. Off by default: an unexpected
-    // shape mismatch should fail loudly unless evolution is opted into.
-    val merged = compact(
+    // SCHEMA EVOLUTION (upstream ALTER TABLE, the drift the
+    // cdc_schema_drift monitor flags): with `allowEvolution` the EVENTS'
+    // image schema is the new generation's schema —
+    //  - ADD COLUMN: the union fills the state side with NULL, so a state
+    //    built before the new column simply reports NULL for pre-ALTER
+    //    rows (exactly what the source database says about them);
+    //  - DROP COLUMN: state-only columns are projected away after the
+    //    last-writer-wins compact (they still break ties correctly while
+    //    present), so the merged generation narrows with the source
+    //    instead of carrying a stale always-NULL-for-new-rows column.
+    // Off by default: an unexpected shape mismatch should fail loudly
+    // unless evolution is opted into.
+    val rawMerged = compact(
       stateAsEvents(touched).unionByName(evts, allowEvolution), primaryKey)
-    // align the untouched branch to the (possibly wider) merged schema
+    val merged =
+      if (!allowEvolution) rawMerged
+      else {
+        val target = evts.schema("after").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.toSeq ++ MetaCols
+        rawMerged.select(target.map(col): _*)
+      }
+    // align the untouched branch to the merged (evolved) schema
     val untouched =
       if (!allowEvolution) untouched0
       else {

@@ -19,13 +19,21 @@ import org.apache.spark.sql.types._
   * needed: the declared schema IS the flat column list; a nested StructType
   * can be star-expanded by the caller before registering.
   */
+/** @param renamedColumns VERSION MAP across spec generations: when an
+  *        upstream `ALTER TABLE RENAME COLUMN` lands, re-register the
+  *        spec with the new schema plus `old column name -> new column
+  *        name` here; a restarted stream's state merge re-keys the prior
+  *        generation's columns so renamed history is preserved (see
+  *        [[Materializer.merge]]'s `renamedColumns`). Distinct from
+  *        `renames`, which maps JSON payload keys within ONE generation. */
 final case class TableSpec(
     database: String,
     table: String,
     primaryKey: Seq[String],
     schema: StructType,
     renames: Map[String, String] = Map.empty,
-    dropped: Set[String] = Set.empty) {
+    dropped: Set[String] = Set.empty,
+    renamedColumns: Map[String, String] = Map.empty) {
 
   /** Topic naming parity: `serverName.databaseName.tableName`
     * (`cdc_manager.go:390-391`). */

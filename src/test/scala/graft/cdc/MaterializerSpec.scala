@@ -253,6 +253,60 @@ class MaterializerSpec extends SparkSpec {
       s"pre-ALTER rows must report NULL for the new column: $got")
   }
 
+  test("schema evolution: narrowed events DROP the stale state column") {
+    import spark.implicits._
+    val oldEvents = Seq(("insert", 1L, 1L, 1L, 5.0, "x"),
+                        ("insert", 1L, 2L, 2L, 7.0, "y"))
+      .toDF("op", "ts", "seq", "key", "value", "legacy")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("key"), col("value"), col("legacy")).as("after"))
+    val state = Materializer.compact(oldEvents, Seq("key"))
+    // post-DROP batch: events no longer carry `legacy`
+    val newEvents = Seq(("update", 5L, 3L, 2L, 8.0),
+                        ("insert", 6L, 4L, 3L, 1.0))
+      .toDF("op", "ts", "seq", "key", "value")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("key"), col("value")).as("after"))
+    val evolved = Materializer.merge(state, newEvents, Seq("key"),
+      allowEvolution = true)
+    assert(!evolved.columns.contains("legacy"),
+      s"dropped column must leave the merged schema: " +
+        s"${evolved.columns.toSeq}")
+    val got = Materializer.liveView(evolved).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Double]("value"))).toSet
+    assert(got == Set((1L, 5.0), (2L, 8.0), (3L, 1.0)),
+      s"untouched + touched rows must both survive narrowed: $got")
+  }
+
+  test("schema evolution: rename map re-keys history; typos fail loudly") {
+    import spark.implicits._
+    val oldEvents = Seq(("insert", 1L, 1L, 1L, 5.0))
+      .toDF("op", "ts", "seq", "key", "amount")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("key"), col("amount")).as("after"))
+    val state = Materializer.compact(oldEvents, Seq("key"))
+    val newEvents = Seq(("update", 5L, 2L, 1L, 6.0))
+      .toDF("op", "ts", "seq", "key", "total")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("key"), col("total")).as("after"))
+    val evolved = Materializer.merge(state, newEvents, Seq("key"),
+      allowEvolution = true, renamedColumns = Map("amount" -> "total"))
+    val got = Materializer.liveView(evolved).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Double]("total"))).toSet
+    assert(got == Set((1L, 6.0)), s"renamed merge must keep history: $got")
+    // an entry matching neither old nor new name is a typo, not a no-op
+    val e = intercept[IllegalArgumentException] {
+      Materializer.merge(state, newEvents, Seq("key"),
+        allowEvolution = true, renamedColumns = Map("amont" -> "total"))
+    }
+    assert(e.getMessage.contains("match no state column"), e.getMessage)
+    // rename without the evolution opt-in is refused
+    intercept[IllegalArgumentException] {
+      Materializer.merge(state, newEvents, Seq("key"),
+        renamedColumns = Map("amount" -> "total"))
+    }
+  }
+
   test("tombstone retention horizon drops only old-enough tombstones") {
     val ops = List(
       Op(1, 1, 0, "insert", 1.0), Op(1, 2, 1, "delete", 1.0),   // old tombstone

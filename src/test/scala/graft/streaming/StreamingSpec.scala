@@ -102,6 +102,89 @@ class StreamingSpec extends SparkSpec {
       s"state must widen with NULL for pre-ALTER rows: $got")
   }
 
+  test("schema evolution: ALTER DROP COLUMN mid-stream, state narrows") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("droplog")
+    val stateDir = tmpDir("dropstate") + "/state"
+    val ckptDir = tmpDir("dropckpt")
+    val specV1 = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("legacy", StringType))))
+    val specV2 = specV1.copy(schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))))
+    Files.write(java.nio.file.Paths.get(logDir, "b1.json"),
+      (Seq("""{"database":"d","table":"t","type":"insert","ts":1,"data":{"id":1,"v":5.0,"legacy":"x"}}""",
+           """{"database":"d","table":"t","type":"insert","ts":2,"data":{"id":2,"v":7.0,"legacy":"y"}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    CdcStream.materializeToParquet(
+      CdcStream.fileChangelog(spark, logDir), specV1, stateDir, ckptDir)
+      .awaitTermination()
+    // upstream ALTER TABLE DROP COLUMN legacy: restart with the narrowed
+    // spec — the next generation must not carry the stale column at all
+    Files.write(java.nio.file.Paths.get(logDir, "b2.json"),
+      (Seq("""{"database":"d","table":"t","type":"update","ts":5,"data":{"id":2,"v":8.0},"old":{"v":7.0}}""",
+           """{"database":"d","table":"t","type":"insert","ts":6,"data":{"id":3,"v":1.0}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    CdcStream.materializeToParquet(
+      CdcStream.fileChangelog(spark, logDir), specV2, stateDir, ckptDir,
+      allowEvolution = true).awaitTermination()
+    val state = CdcStream.readCurrentState(spark, stateDir)
+    assert(!state.columns.contains("legacy"),
+      s"dropped column must leave the state schema: ${state.columns.toSeq}")
+    val got = state.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"))).toSet
+    assert(got == Set((1L, 5.0), (2L, 8.0), (3L, 1.0)),
+      s"values must survive the narrowing merge: $got")
+  }
+
+  test("schema evolution: ALTER RENAME COLUMN mid-stream preserves history") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("renlog")
+    val stateDir = tmpDir("renstate") + "/state"
+    val ckptDir = tmpDir("renckpt")
+    val specV1 = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType))))
+    // upstream RENAME amount -> total: v2 declares the new schema plus
+    // the version map so pre-ALTER history re-keys instead of nulling
+    val specV2 = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("total", DoubleType))),
+      renamedColumns = Map("amount" -> "total"))
+    Files.write(java.nio.file.Paths.get(logDir, "b1.json"),
+      (Seq("""{"database":"d","table":"t","type":"insert","ts":1,"data":{"id":1,"amount":5.0}}""",
+           """{"database":"d","table":"t","type":"insert","ts":2,"data":{"id":2,"amount":7.0}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    CdcStream.materializeToParquet(
+      CdcStream.fileChangelog(spark, logDir), specV1, stateDir, ckptDir)
+      .awaitTermination()
+    Files.write(java.nio.file.Paths.get(logDir, "b2.json"),
+      (Seq("""{"database":"d","table":"t","type":"update","ts":5,"data":{"id":2,"total":8.0},"old":{"total":7.0}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    CdcStream.materializeToParquet(
+      CdcStream.fileChangelog(spark, logDir), specV2, stateDir, ckptDir,
+      allowEvolution = true).awaitTermination()
+    val state = CdcStream.readCurrentState(spark, stateDir)
+    assert(state.columns.toSet == Set("id", "total"),
+      s"renamed column must carry the new name: ${state.columns.toSeq}")
+    val got = state.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("total"))).toSet
+    assert(got == Set((1L, 5.0), (2L, 8.0)),
+      s"pre-ALTER values must survive under the new name: $got")
+    // a third batch after the rename landed: the (now applied) version
+    // map must be a no-op, not an error — restart specs are sticky
+    Files.write(java.nio.file.Paths.get(logDir, "b3.json"),
+      (Seq("""{"database":"d","table":"t","type":"insert","ts":9,"data":{"id":3,"total":2.0}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    CdcStream.materializeToParquet(
+      CdcStream.fileChangelog(spark, logDir), specV2, stateDir, ckptDir,
+      allowEvolution = true).awaitTermination()
+    val got3 = CdcStream.readCurrentState(spark, stateDir).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("total"))).toSet
+    assert(got3 == Set((1L, 5.0), (2L, 8.0), (3L, 2.0)),
+      s"applied version map must be idempotent across batches: $got3")
+  }
+
   test("seeded handoff: snapshot state + overlapping changelog converges") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
