@@ -123,17 +123,51 @@ object MultiView {
      lNext, rNext)
   }
 
+  /** Event-count-bounded AUTO-CUTS: derive replay cut times from the
+    * logs themselves so a giant backlog (an AvailableNow catch-up, a
+    * cold rebuild) replays as several |Δ|-bounded micro-batches instead
+    * of ONE batch whose changed-key set blows `maxLocalKeys` and forces
+    * every join onto the all-distributed fallback. Boundaries are `ts`
+    * quantiles of the combined logs, so each window holds roughly
+    * `maxEventsPerBatch` events; windows are `(lo, hi]`, cutting BETWEEN
+    * distinct ts values — a single hot timestamp never splits (correct:
+    * the replay contract orders by ts), though it can locally exceed the
+    * bound. Returns empty when the logs already fit one batch. */
+  def autoCuts(lEvents: DataFrame, rEvents: DataFrame,
+               maxEventsPerBatch: Int): Seq[Long] = {
+    require(maxEventsPerBatch > 0,
+      s"autoCuts: maxEventsPerBatch must be positive, got $maxEventsPerBatch")
+    val ts = lEvents.select(col("ts"))
+      .unionByName(rEvents.select(col("ts")))
+    val n = ts.count()
+    if (n <= maxEventsPerBatch) Seq.empty
+    else {
+      val k = math.ceil(n.toDouble / maxEventsPerBatch).toInt
+      val probs = (1 until k).map(i => i.toDouble / k)
+      ts.agg(percentile_approx(col("ts"),
+               array(probs.map(lit(_)): _*), lit(10000)).as("cs"))
+        .head().getAs[scala.collection.Seq[Long]]("cs")
+        .distinct.sorted.toSeq
+    }
+  }
+
+  /** Single-log [[autoCuts]] (for the single-topic replays). */
+  def autoCuts(events: DataFrame, maxEventsPerBatch: Int): Seq[Long] =
+    autoCuts(events, events.limit(0), maxEventsPerBatch)
+
   /** Replay two event streams across `cuts` ONCE, maintaining every
     * registered view. Same micro-batch discipline as the single-view
     * replays (child session, AQE off, batch-width shuffles, logs pinned
     * once, next window's key collects prefetched) — those loops stay for
     * single-view callers; this one amortizes the shared work across N
-    * views. */
+    * views. `maxEventsPerBatch` augments the caller's cuts with
+    * [[autoCuts]], so a backlog keeps the broadcast delta path. */
   def replay(lEvents: DataFrame, rEvents: DataFrame, cuts: Seq[Long],
              lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
              maintainers: Seq[Maintainer[_]],
              batchShufflePartitions: Int = 8,
-             maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): Result = {
+             maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys,
+             maxEventsPerBatch: Option[Int] = None): Result = {
     require(maintainers.nonEmpty, "at least one maintainer")
     require(rPk.size == lJoinCols.size,
       s"lJoinCols (${lJoinCols.mkString(",")}) must match rPk " +
@@ -163,9 +197,16 @@ object MultiView {
       .coalesce(batchShufflePartitions)
     val rPinned = inChild(rEvents.localCheckpoint())
       .coalesce(batchShufflePartitions)
+    // auto-cuts run over the PINNED logs (the count + quantile pass then
+    // reads the persisted RDD, not a fresh decode lineage)
+    val allCuts = maxEventsPerBatch match {
+      case Some(m) => (cuts ++ autoCuts(lPinned, rPinned, m))
+        .distinct.sorted
+      case None => cuts
+    }
     def slice(ev: DataFrame, lo: Long, hi: Long) =
       ev.filter(col("ts") > lo && col("ts") <= hi)
-    val windows = (Long.MinValue +: cuts) :+ Long.MaxValue
+    val windows = (Long.MinValue +: allCuts) :+ Long.MaxValue
     val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
     // prefetch the NEXT window's changed-key collects off the per-batch
     // critical path (JoinView.replay rationale: a window's key sets

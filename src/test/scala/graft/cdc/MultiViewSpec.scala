@@ -82,6 +82,30 @@ class MultiViewSpec extends SparkSpec {
       "shared L/R states != standalone replay states")
   }
 
+  test("auto-cut backlog == manual cuts == one giant batch") {
+    val lEv = ChangelogGen.ordersChangeEvents(spark, sfDir)
+    val rEv = ChangelogGen.customerChangeEvents(spark, sfDir)
+    def run(cuts: Seq[Long], maxPerBatch: Option[Int])
+        : (Set[String], Set[String]) = {
+      val m = JoinAggView.maintainerNamed(Seq("c_nationkey"),
+        Seq(("o_totalprice", "o_totalprice", dec)))
+      val res = MultiView.replay(lEv, rEv, cuts, lPk, rPk, fk, Seq(m),
+        maxEventsPerBatch = maxPerBatch)
+      (rowsOf(res(m)), rowsOf(res.left))
+    }
+    // the whole backlog in ONE batch (no cuts at all)
+    val one = run(Seq.empty, None)
+    // caller-chosen cuts
+    val manual = run(cuts, None)
+    // auto-cuts only: windows bounded to ~500 events — the backlog
+    // replays as many |Δ|-bounded micro-batches
+    val auto = run(Seq.empty, Some(500))
+    assert(MultiView.autoCuts(lEv, rEv, 500).nonEmpty,
+      "backlog larger than the bound must actually produce cuts")
+    assert(auto == one, "auto-cut replay must equal the one-batch replay")
+    assert(manual == one, "manual-cut replay must equal the one-batch replay")
+  }
+
   test("fanned view equals direct recompute from the final states") {
     val lEv = ChangelogGen.ordersChangeEvents(spark, sfDir)
     val rEv = ChangelogGen.customerChangeEvents(spark, sfDir)
