@@ -790,6 +790,175 @@ object CdcStream {
       .getOrElse(throw new IllegalStateException(
         s"no join-top-k state at $rootPath"))
 
+  /** One maintained view registered with [[maintainMultiViewToParquet]]:
+    * a named [[graft.cdc.MultiView.Maintainer]] plus its parquet state
+    * layout and queryable face. `files`/`load` round-trip the
+    * maintainer's state through `<generation>/<name>__<file>` (the map's
+    * keys must equal `fileNames`); `face` renders the public view, which
+    * is persisted as `<name>__view`, diffed per batch into the view's
+    * OWN changelog at `<rootPath>/<name>/changes/batch=<id>` (readable
+    * with [[readViewChanges]]`(spark, s"$rootPath/$name")`), and keyed
+    * by `faceKeys`. Build instances with the [[NamedView]] factories. */
+  final case class NamedView[S](
+      name: String,
+      maintainer: graft.cdc.MultiView.Maintainer[S],
+      fileNames: Seq[String],
+      files: S => Map[String, DataFrame],
+      load: Map[String, DataFrame] => S,
+      face: S => DataFrame,
+      faceKeys: Seq[String]) {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"NamedView name '$name' must be a plain path segment")
+  }
+
+  object NamedView {
+    import graft.cdc.{JoinView, LeftJoinView, JoinAggView, JoinDistinctView,
+                      JoinTopKView}
+    /** Inner equi-join view; changelog keyed by `lPk`. */
+    def joinView(name: String, viewCols: Seq[String],
+                 lPk: Seq[String]): NamedView[DataFrame] =
+      NamedView(name, JoinView.maintainer(viewCols), Seq("state"),
+        v => Map("state" -> v), m => m("state"), v => v, lPk)
+    /** Left-outer join view; changelog keyed by `lPk`. */
+    def leftJoinView(name: String, viewCols: Seq[String],
+                     lPk: Seq[String]): NamedView[DataFrame] =
+      NamedView(name, LeftJoinView.maintainer(viewCols), Seq("state"),
+        v => Map("state" -> v), m => m("state"), v => v, lPk)
+    /** Multi-measure aggregate over the join; changelog keyed by the
+      * group columns. */
+    def joinAgg(name: String, groupCols: Seq[String],
+                measures: Seq[(String, String,
+                               org.apache.spark.sql.Column =>
+                                 org.apache.spark.sql.Column)])
+        : NamedView[DataFrame] =
+      NamedView(name, JoinAggView.maintainerNamed(groupCols, measures),
+        Seq("agg"), a => Map("agg" -> a), m => m("agg"),
+        // viewMulti touches only the agg member of the State triple
+        a => JoinAggView.viewMulti(JoinAggView.State(a, a, a),
+                                   measures.map(_._1)),
+        groupCols)
+    /** COUNT(DISTINCT value) per group over the join; changelog keyed by
+      * the group column. */
+    def joinDistinct(name: String, groupCol: String,
+                     valueCol: String): NamedView[(DataFrame, DataFrame)] =
+      NamedView(name, JoinDistinctView.maintainer(groupCol, valueCol),
+        Seq("pairs", "groups"),
+        st => Map("pairs" -> st._1, "groups" -> st._2),
+        m => (m("pairs"), m("groups")),
+        // view touches only the pairs/groups members of the State
+        st => graft.cdc.JoinDistinctView.view(
+          graft.cdc.JoinDistinctView.State(st._1, st._1, st._1, st._2),
+          groupCol, valueCol),
+        Seq(groupCol))
+    /** Per-group top-k over the join; changelog keyed by (group, rk). */
+    def joinTopK(name: String, viewCols: Seq[String], groupCol: String,
+                 orderCol: String, k: Int)
+        : NamedView[(DataFrame, DataFrame)] =
+      NamedView(name, JoinTopKView.maintainer(viewCols, groupCol,
+                                              orderCol, k),
+        Seq("state", "ranked"),
+        st => Map("state" -> st._1, "ranked" -> st._2),
+        m => (m("state"), m("ranked")),
+        st => st._2, Seq(groupCol, "rk"))
+  }
+
+  /** Maintain N views of `L ⋈ R` from ONE two-topic changelog stream —
+    * the streaming face of [[graft.cdc.MultiView.replay]] and the full
+    * reference fan-out (`cdc_manager.go:277-298`: one decoded stream, N
+    * registered handlers). Per batch: decode ONCE, derive the changed-key
+    * sets ONCE, merge the L/R states ONCE, then fold every registered
+    * view's delta step off the same [[graft.cdc.MultiView.BatchCtx]];
+    * emit each view's own changelog; persist everything — both table
+    * states plus every view's state and face — as ONE generation with a
+    * single atomic swap, so the whole view family advances (and
+    * crash-recovers) together. Exactly-once via the applied-batch marker,
+    * exactly like the single-view faces. */
+  def maintainMultiViewToParquet(envelope: DataFrame, lSpec: TableSpec,
+                                 rSpec: TableSpec, lJoinCols: Seq[String],
+                                 views: Seq[NamedView[_]],
+                                 rootPath: String, checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.MultiView
+    require(views.nonEmpty, "at least one view")
+    require(views.map(_.name).distinct.size == views.size,
+      s"view names must be distinct: ${views.map(_.name).mkString(", ")}")
+    val lPk = lSpec.primaryKey
+    val rPk = rSpec.primaryKey
+    envelope.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = liveGenerationRoot(spark, s"$rootPath/current")
+        // emitted changes are not replay-idempotent — marker gates all
+        if (!root.exists(r => isApplied(spark, r, batchId))) {
+          val dl = changeEvents(batch, lSpec).localCheckpoint()
+          val dr = changeEvents(batch, rSpec).localCheckpoint()
+          def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], df.schema)
+          val (stL, stR) = root
+            .map(r => (spark.read.parquet(s"$r/left"),
+                       spark.read.parquet(s"$r/right")))
+            .getOrElse(
+              (emptyLike(Materializer.compact(dl.limit(0), lPk)),
+               emptyLike(Materializer.compact(dr.limit(0), rPk))))
+          val liveL0 = emptyLike(stL.limit(0).drop(Materializer.MetaCols: _*))
+          val liveR0 = emptyLike(stR.limit(0).drop(Materializer.MetaCols: _*))
+          val vs = views.map(_.asInstanceOf[NamedView[Any]])
+          val st0s: Seq[Any] = vs.map { v =>
+            root match {
+              case Some(r) => v.load(v.fileNames.map(f =>
+                f -> spark.read.parquet(s"$r/${v.name}__$f")).toMap)
+              case None =>
+                v.maintainer.empty(liveL0, liveR0, lPk, rPk, lJoinCols)
+            }
+          }
+          // THE shared work: one key derivation, one L/R merge
+          val (ctx, lNext, rNext) = MultiView.batchCtx(stL, stR, dl, dr,
+            lPk, rPk, lJoinCols, keys = None,
+            maxLocalKeys = graft.cdc.JoinView.DefaultMaxLocalKeys)
+          val nexts = vs.zip(st0s).map { case (v, s) =>
+            v.maintainer.pin(v.maintainer.step(s, ctx)) }
+          // faces + per-view changelogs (prev face read from the live
+          // generation; overwrite of batch=<id> keeps crash-replay a
+          // no-op rewrite)
+          val faces = vs.zip(nexts).map { case (v, s) =>
+            val nextFace = v.face(s).localCheckpoint()
+            val prevFace = root
+              .map(r => spark.read.parquet(s"$r/${v.name}__view"))
+              .getOrElse(emptyLike(nextFace.limit(0)))
+            viewDelta(prevFace, nextFace, v.faceKeys)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$rootPath/${v.name}/changes/batch=$batchId")
+            nextFace
+          }
+          swapGeneration(spark, s"$rootPath/current") { tmp =>
+            lNext.write.mode("overwrite").parquet(s"$tmp/left")
+            rNext.write.mode("overwrite").parquet(s"$tmp/right")
+            vs.zip(nexts).foreach { case (v, s) =>
+              v.files(s).foreach { case (f, df) =>
+                df.write.mode("overwrite").parquet(s"$tmp/${v.name}__$f") }
+            }
+            vs.zip(faces).foreach { case (v, f) =>
+              f.write.mode("overwrite").parquet(s"$tmp/${v.name}__view") }
+            writeMarker(spark, tmp, batchId)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Read a [[maintainMultiViewToParquet]] view's face by name,
+    * tolerating the swap crash window. */
+  def readMultiView(spark: SparkSession, rootPath: String,
+                    name: String): DataFrame =
+    liveGenerationRoot(spark, s"$rootPath/current")
+      .map(r => spark.read.parquet(s"$r/${name}__view"))
+      .getOrElse(throw new IllegalStateException(
+        s"no multi-view state at $rootPath"))
+
   /** Maintain an incrementally-updated COUNT(DISTINCT) view from the
     * changelog stream — the streaming face of
     * [[graft.cdc.IncrementalAgg.distinctCount]], and the last maintained

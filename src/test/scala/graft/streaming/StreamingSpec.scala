@@ -505,6 +505,83 @@ class StreamingSpec extends SparkSpec {
     assert(view().isEmpty)
   }
 
+  test("streaming multi-view: N views advance atomically off one stream") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("mvlog")
+    val root = tmpDir("mvstate")
+    val ckpt = tmpDir("mvckpt")
+    val lSpec = TableSpec("d", "fact", Seq("k"), StructType(Seq(
+      StructField("k", LongType), StructField("fk", LongType),
+      StructField("price", DoubleType))))
+    val rSpec = TableSpec("d", "dim", Seq("ck"), StructType(Seq(
+      StructField("ck", LongType), StructField("grp", StringType))))
+    def fact(op: String, ts: Long, k: Long, fk: Long, p: Double) =
+      s"""{"database":"d","table":"fact","type":"$op","ts":$ts,"data":{"k":$k,"fk":$fk,"price":$p}}"""
+    def dim(op: String, ts: Long, ck: Long, grp: String) =
+      s"""{"database":"d","table":"dim","type":"$op","ts":$ts,"data":{"ck":$ck,"grp":"$grp"}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(25,10)")
+    val views = Seq(
+      CdcStream.NamedView.joinView("inner",
+        Seq("k", "fk", "price", "ck", "grp"), Seq("k")),
+      CdcStream.NamedView.joinAgg("rev", Seq("grp"),
+        Seq(("price", "price", dec))),
+      CdcStream.NamedView.joinDistinct("nfacts", "grp", "k"),
+      CdcStream.NamedView.joinTopK("top",
+        Seq("k", "fk", "price", "ck", "grp"), "grp", "price", 2))
+    def run(): Unit = CdcStream.maintainMultiViewToParquet(
+      CdcStream.fileChangelog(spark, logDir), lSpec, rSpec,
+      lJoinCols = Seq("fk"), views, root, ckpt).awaitTermination()
+    def inner(): Set[(Long, Double, String)] =
+      CdcStream.readMultiView(spark, root, "inner").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Double]("price"),
+                   r.getAs[String]("grp"))).toSet
+    def rev(): Set[(String, Long, Double)] =
+      CdcStream.readMultiView(spark, root, "rev").collect()
+        .map(r => (r.getAs[String]("grp"), r.getAs[Long]("n_rows"),
+                   r.getAs[java.math.BigDecimal]("sum_price")
+                     .doubleValue())).toSet
+    def nfacts(): Set[(String, Long)] =
+      CdcStream.readMultiView(spark, root, "nfacts").collect()
+        .map(r => (r.getAs[String]("grp"),
+                   r.getAs[Long]("n_distinct_k"))).toSet
+    def top(): Set[(String, Int, Long)] =
+      CdcStream.readMultiView(spark, root, "top").collect()
+        .map(r => (r.getAs[String]("grp"), r.getAs[Int]("rk"),
+                   r.getAs[Long]("k"))).toSet
+    // batch 1: two facts on dim 10 (grp a), one on a missing dim
+    append("b1.json", Seq(
+      fact("insert", 1, 1, 10, 5.0), fact("insert", 1, 2, 10, 7.0),
+      fact("insert", 1, 3, 20, 2.0), dim("insert", 2, 10, "a")))
+    run()
+    assert(inner() == Set((1L, 5.0, "a"), (2L, 7.0, "a")))
+    assert(rev() == Set(("a", 2L, 12.0)))
+    assert(nfacts() == Set(("a", 2L)))
+    assert(top() == Set(("a", 1, 2L), ("a", 2, 1L)))
+    // batch 2 (restart): late dim 20 arrives; fact 2 moves to dim 20
+    append("b2.json", Seq(
+      dim("insert", 4, 20, "b"), fact("update", 5, 2, 20, 7.5)))
+    run()
+    assert(inner() == Set((1L, 5.0, "a"), (2L, 7.5, "b"), (3L, 2.0, "b")))
+    assert(rev() == Set(("a", 1L, 5.0), ("b", 2L, 9.5)))
+    assert(nfacts() == Set(("a", 1L), ("b", 2L)))
+    assert(top() == Set(("a", 1, 1L), ("b", 1, 2L), ("b", 2, 3L)))
+    // every view's OWN changelog folds back to its face (cascade-ready)
+    Seq("inner", "rev", "nfacts", "top").foreach { n =>
+      val folded = CdcStream.viewAsOfBatch(spark, s"$root/$n", Long.MaxValue)
+      val face = CdcStream.readMultiView(spark, root, n)
+      assert(folded.collect().map(_.toString).toSet ==
+               face.collect().map(_.toString).toSet,
+        s"changelog fold != face for view '$n'")
+    }
+    // re-run with nothing new: the applied marker makes it a no-op
+    run()
+    assert(rev() == Set(("a", 1L, 5.0), ("b", 2L, 9.5)))
+  }
+
   test("streaming left-join view: pad/retract across restarts") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
