@@ -55,21 +55,39 @@ object CdcQueries {
 
     private val cache = new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), MultiView.Result]()
+    // shared single-topic (status, price) pair state: ONE fold of the
+    // orders changelog serves cdc_minmax_view AND cdc_percentile_view —
+    // the same build-once-view-many shape as the join family
+    private val pairCache = new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), IncrementalAgg.DistinctState]()
     private val evictionHooked =
       new java.util.concurrent.atomic.AtomicBoolean(false)
+    private def hookEviction(s: SparkSession): Unit = {
+      if (evictionHooked.compareAndSet(false, true))
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler
+                     .SparkListenerApplicationEnd): Unit = {
+              cache.clear(); pairCache.clear()
+            }
+          })
+    }
+    def statusPriceState(s: SparkSession,
+                         dir: String): IncrementalAgg.DistinctState =
+      pairCache.computeIfAbsent((s, dir), _ => {
+        if (pairCache.size >= 8) pairCache.clear()
+        hookEviction(s)
+        IncrementalAgg.pairState(ChangelogGen.ordersChangeEvents(s, dir),
+          groupCol = "o_orderstatus", valueCol = "o_totalprice")
+      })
     def result(s: SparkSession, dir: String): MultiView.Result =
       cache.computeIfAbsent((s, dir), _ => {
         // bound: each entry pins per-state localCheckpoint RDDs for its
         // session's lifetime — across many sessions that is a leak, so
         // drop everything rather than grow without limit
         if (cache.size >= 8) cache.clear()
-        if (evictionHooked.compareAndSet(false, true))
-          s.sparkContext.addSparkListener(
-            new org.apache.spark.scheduler.SparkListener {
-              override def onApplicationEnd(
-                  e: org.apache.spark.scheduler
-                       .SparkListenerApplicationEnd): Unit = cache.clear()
-            })
+        hookEviction(s)
         MultiView.replay(
           ChangelogGen.ordersChangeEvents(s, dir),
           ChangelogGen.customerChangeEvents(s, dir),
@@ -296,8 +314,8 @@ object CdcQueries {
     // simply the new bound (see IncrementalAgg.minMax). Completes the
     // non-subtractable family: sum/count, distinct, top-k, min/max.
     "cdc_minmax_view" -> ((s, dir) =>
-      graft.cdc.IncrementalAgg.minMax(
-          ChangelogGen.ordersChangeEvents(s, dir),
+      graft.cdc.IncrementalAgg.minMaxView(
+          SharedJoin.statusPriceState(s, dir),
           groupCol = "o_orderstatus", valueCol = "o_totalprice")
         .select(col("o_orderstatus"),
                 round(col("min_o_totalprice"), 2).as("min_price"),
@@ -314,8 +332,8 @@ object CdcQueries {
     // IncrementalAgg.percentileView).
     "cdc_percentile_view" -> ((s, dir) => {
       val ps = Seq(0.25, 0.5, 0.75, 0.95)
-      graft.cdc.IncrementalAgg.percentiles(
-          ChangelogGen.ordersChangeEvents(s, dir),
+      graft.cdc.IncrementalAgg.percentileView(
+          SharedJoin.statusPriceState(s, dir),
           groupCol = "o_orderstatus", valueCol = "o_totalprice", ps)
         .select(col("o_orderstatus") +: ps.map { p =>
           val n = s"p${(p * 100).toInt}"
