@@ -115,11 +115,18 @@ object IncrementalTopK {
 
   /** One micro-batch step: merge the delta into the tombstone-aware state
     * and re-rank ONLY the touched groups. Runs in whatever session the
-    * input frames belong to; callers own pinning and conf discipline. */
+    * input frames belong to; callers own pinning and conf discipline.
+    * `pre` optionally carries the batch's pre-collected (touched-group
+    * set, changed-key set) — [[replay]] prefetches them one window ahead
+    * so the two driver collects never sit on the per-batch critical
+    * path (JoinView.replay discipline). */
   def applyBatch(st: State, delta: DataFrame, pk: Seq[String],
                  groupCol: String, orderCol: String, k: Int,
-                 maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys): State = {
-    val (tg, tgLocal) = touchedGroups(delta, groupCol, maxLocalKeys)
+                 maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys,
+                 pre: Option[((DataFrame, Boolean), Option[DataFrame])] =
+                   None): State = {
+    val (tg, tgLocal) =
+      pre.map(_._1).getOrElse(touchedGroups(delta, groupCol, maxLocalKeys))
     // null-safe group joins (mirroring Materializer.merge's key joins):
     // a decode failure can yield a NULL group, and a null-unsafe
     // anti/semi pair would park those rows in the view forever while
@@ -132,7 +139,8 @@ object IncrementalTopK {
     }
     val untouched = byGroup(st.view, "left_anti")
     val nextState = Materializer.merge(st.state, delta, pk,
-        changedKeys = localKeys(delta, pk, maxLocalKeys))
+        changedKeys =
+          pre.map(_._2).getOrElse(localKeys(delta, pk, maxLocalKeys)))
       .localCheckpoint(false)
     val recomputed = topK(byGroup(Materializer.liveView(nextState),
                                   "left_semi"),
@@ -169,10 +177,31 @@ object IncrementalTopK {
 
     val windows = (Long.MinValue +: cuts) :+ Long.MaxValue
     val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
-    val fin = bounds.foldLeft(State(stateSchema, emptyView)) {
-      case (st, (lo, hi)) =>
-        applyBatch(st, pinned.filter(col("ts") > lo && col("ts") <= hi),
-                   pk, groupCol, orderCol, k, maxLocalKeys)
+    // prefetch the NEXT window's driver collects (touched groups +
+    // changed keys) off the per-batch critical path — they depend only
+    // on the PINNED log, never on earlier batches (JoinView.replay
+    // rationale; look-ahead bounded to one window)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def slice(lo: Long, hi: Long) =
+      pinned.filter(col("ts") > lo && col("ts") <= hi)
+    def collectsFor(i: Int) = {
+      val (lo, hi) = bounds(i)
+      val d = slice(lo, hi)
+      (Future(touchedGroups(d, groupCol, maxLocalKeys)),
+       Future(localKeys(d, pk, maxLocalKeys)))
+    }
+    var pending = collectsFor(0)
+    val fin = bounds.indices.foldLeft(State(stateSchema, emptyView)) {
+      case (st, i) =>
+        val (lo, hi) = bounds(i)
+        val (tgF, ckF) = pending
+        if (i + 1 < bounds.size) pending = collectsFor(i + 1)
+        applyBatch(st, slice(lo, hi), pk, groupCol, orderCol, k,
+                   maxLocalKeys,
+                   pre = Some((Await.result(tgF, Duration.Inf),
+                               Await.result(ckF, Duration.Inf))))
     }
     org.apache.spark.sql.graft.bridge.reRoot(fin.view, parent)
   }

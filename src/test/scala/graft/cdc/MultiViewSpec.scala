@@ -106,6 +106,30 @@ class MultiViewSpec extends SparkSpec {
     assert(manual == one, "manual-cut replay must equal the one-batch replay")
   }
 
+  test("over-cap fallback: fanned views stay exact on the distributed path") {
+    val lEv = ChangelogGen.ordersChangeEvents(spark, sfDir)
+    val rEv = ChangelogGen.customerChangeEvents(spark, sfDir)
+    val mAgg = JoinAggView.maintainerNamed(Seq("c_nationkey"),
+      Seq(("o_totalprice", "o_totalprice", dec)))
+    val mDist = JoinDistinctView.maintainer("c_nationkey", "o_custkey")
+    // maxLocalKeys = 1 forces EVERY batch over the cap: no LocalRelation
+    // key sets, no broadcast hints — the whole replay runs the
+    // cluster-side distributed fallback and must produce the same states
+    val capped = MultiView.replay(lEv, rEv, cuts, lPk, rPk, fk,
+      Seq(mAgg, mDist), maxLocalKeys = 1)
+    val normal = MultiView.replay(lEv, rEv, cuts, lPk, rPk, fk,
+      Seq(mAgg, mDist))
+    assert(rowsOf(capped(mAgg)) == rowsOf(normal(mAgg)),
+      "over-cap aggregate != under-cap aggregate")
+    val cd = JoinDistinctView.State(capped.left, capped.right,
+                                    capped(mDist)._1, capped(mDist)._2)
+    val nd = JoinDistinctView.State(normal.left, normal.right,
+                                    normal(mDist)._1, normal(mDist)._2)
+    assert(rowsOf(JoinDistinctView.view(cd, "c_nationkey", "o_custkey")) ==
+             rowsOf(JoinDistinctView.view(nd, "c_nationkey", "o_custkey")),
+      "over-cap distinct view != under-cap distinct view")
+  }
+
   test("fanned view equals direct recompute from the final states") {
     val lEv = ChangelogGen.ordersChangeEvents(spark, sfDir)
     val rEv = ChangelogGen.customerChangeEvents(spark, sfDir)
