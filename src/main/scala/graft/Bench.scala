@@ -43,6 +43,8 @@ object Bench {
     // not billed to whichever join query happens to run first
     warm("shared join views")(
       ops.CdcQueries.queries("cdc_join_view")(spark, sfDir).count())
+    warm("shared table views")(
+      ops.CdcQueries.queries("cdc_topk_view")(spark, sfDir).count())
     // TWO timed passes, per-query MINIMUM, plus an ADAPTIVE THIRD pass
     // for any query whose two passes disagree by >3x. One pass is at the
     // mercy of whatever lands on the box mid-query (observed on this

@@ -303,6 +303,48 @@ object IncrementalAgg {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
   }
 
+  /** The pair-multiplicity family as a [[TableViews.Maintainer]] — one
+    * maintained [[DistinctState]] serves COUNT(DISTINCT), MIN/MAX, and
+    * exact PERCENTILES off the shared single-topic replay. */
+  def distinctMaintainer(groupCol: String, valueCol: String,
+                         allowNullableFallback: Boolean = false)
+      : TableViews.Maintainer[DistinctState] =
+    new TableViews.Maintainer[DistinctState] {
+      def empty(events0: DataFrame, pk: Seq[String]): DistinctState =
+        emptyDistinctState(events0, groupCol, valueCol)
+      def step(st: DistinctState, ctx: TableViews.BatchCtx): DistinctState =
+        distinctCountBatch(st, ctx.delta, groupCol, valueCol,
+          allowNullableFallback, ctx.maxLocalKeys)
+      def pin(st: DistinctState): DistinctState =
+        DistinctState(st.pairs.localCheckpoint(false),
+                      st.groups.localCheckpoint(false))
+      def reRoot(st: DistinctState,
+                 to: org.apache.spark.sql.SparkSession): DistinctState = {
+        val b = org.apache.spark.sql.graft.bridge
+        DistinctState(b.reRoot(st.pairs, to), b.reRoot(st.groups, to))
+      }
+    }
+
+  /** The subtractable moments family as a [[TableViews.Maintainer]] —
+    * the per-group (sum, sum², n) state behind AVG/VARIANCE/STDDEV. Pass
+    * the SAME `valueCast` every round (part of the state's type
+    * contract). */
+  def momentsMaintainer(groupCol: String, valueCol: String,
+                        valueCast: Column => Column = identity,
+                        allowNullableFallback: Boolean = false)
+      : TableViews.Maintainer[DataFrame] =
+    new TableViews.Maintainer[DataFrame] {
+      def empty(events0: DataFrame, pk: Seq[String]): DataFrame =
+        emptyMomentsState(events0, groupCol, valueCol, valueCast)
+      def step(st: DataFrame, ctx: TableViews.BatchCtx): DataFrame =
+        momentsBatch(st, ctx.delta, groupCol, valueCol, valueCast,
+          allowNullableFallback, ctx.maxLocalKeys)
+      def pin(st: DataFrame): DataFrame = st.localCheckpoint(false)
+      def reRoot(st: DataFrame,
+                 to: org.apache.spark.sql.SparkSession): DataFrame =
+        org.apache.spark.sql.graft.bridge.reRoot(st, to)
+    }
+
   /** The pair-multiplicity state built ONE-SHOT from a full changelog,
     * pinned — for callers serving SEVERAL non-subtractable views
     * (count-distinct, min/max, percentiles) from one fold: build once,

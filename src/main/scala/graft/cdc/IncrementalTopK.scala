@@ -125,8 +125,26 @@ object IncrementalTopK {
                  maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys,
                  pre: Option[((DataFrame, Boolean), Option[DataFrame])] =
                    None): State = {
-    val (tg, tgLocal) =
-      pre.map(_._1).getOrElse(touchedGroups(delta, groupCol, maxLocalKeys))
+    val nextState = Materializer.merge(st.state, delta, pk,
+        changedKeys =
+          pre.map(_._2).getOrElse(localKeys(delta, pk, maxLocalKeys)))
+      .localCheckpoint(false)
+    val ctx = TableViews.BatchCtx(delta, None, st.state, nextState,
+                                  pk, maxLocalKeys)
+    State(nextState,
+          stepView(st.view, ctx, groupCol, orderCol, k, pre.map(_._1))
+            .localCheckpoint(false))
+  }
+
+  /** The rank-specific half of a batch (shared between [[applyBatch]]
+    * and the [[TableViews]] fan-out via [[maintainer]]): re-rank ONLY
+    * the groups the delta touched, over the post-merge live state. */
+  private[cdc] def stepView(view: DataFrame, ctx: TableViews.BatchCtx,
+                            groupCol: String, orderCol: String, k: Int,
+                            preTg: Option[(DataFrame, Boolean)] = None)
+      : DataFrame = {
+    val (tg, tgLocal) = preTg.getOrElse(
+      touchedGroups(ctx.delta, groupCol, ctx.maxLocalKeys))
     // null-safe group joins (mirroring Materializer.merge's key joins):
     // a decode failure can yield a NULL group, and a null-unsafe
     // anti/semi pair would park those rows in the view forever while
@@ -137,17 +155,32 @@ object IncrementalTopK {
       left.alias("__l").join(if (tgLocal) broadcast(tgA) else tgA,
         col(s"__l.$groupCol") <=> col(s"__tg.$groupCol"), how)
     }
-    val untouched = byGroup(st.view, "left_anti")
-    val nextState = Materializer.merge(st.state, delta, pk,
-        changedKeys =
-          pre.map(_._2).getOrElse(localKeys(delta, pk, maxLocalKeys)))
-      .localCheckpoint(false)
-    val recomputed = topK(byGroup(Materializer.liveView(nextState),
-                                  "left_semi"),
-                          pk, groupCol, orderCol, k)
-    State(nextState,
-          untouched.unionByName(recomputed).localCheckpoint(false))
+    val untouched = byGroup(view, "left_anti")
+    val recomputed = topK(
+      byGroup(Materializer.liveView(ctx.postState), "left_semi"),
+      ctx.pk, groupCol, orderCol, k)
+    untouched.unionByName(recomputed)
   }
+
+  /** This ranked view as a [[TableViews.Maintainer]] — state is the
+    * rank view frame (the table state lives in the shared replay). */
+  def maintainer(groupCol: String, orderCol: String, k: Int)
+      : TableViews.Maintainer[DataFrame] =
+    new TableViews.Maintainer[DataFrame] {
+      def empty(events0: DataFrame, pk: Seq[String]): DataFrame = {
+        val spark = events0.sparkSession
+        val live = Materializer.compact(events0, pk)
+          .drop(Materializer.MetaCols: _*)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          topK(live, pk, groupCol, orderCol, k).schema)
+      }
+      def step(view: DataFrame, ctx: TableViews.BatchCtx): DataFrame =
+        stepView(view, ctx, groupCol, orderCol, k)
+      def pin(view: DataFrame): DataFrame = view.localCheckpoint(false)
+      def reRoot(view: DataFrame, to: org.apache.spark.sql.SparkSession)
+          : DataFrame = org.apache.spark.sql.graft.bridge.reRoot(view, to)
+    }
 
   /** Replay `events` across `cuts` maintaining the top-k view; returns
     * the final view: groupCol ++ rk ++ image columns, rk in 1..k per

@@ -1,0 +1,106 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SHARED single-topic fan-out: one decoded changelog, N maintained
+  * views over the SAME table — the literal reference shape
+  * (`/root/reference/cdc_manager.go:277-298`: every handler registered
+  * on a topic receives each decoded event). [[MultiView]] is the
+  * two-topic (join-family) analogue; this one shares the per-batch work
+  * all single-table views duplicate: the changed-key collect and the
+  * tombstone-aware state merge happen ONCE, and each registered
+  * [[Maintainer]] folds the same [[BatchCtx]].
+  *
+  * Scale shape: per batch, cost = (1 × key collect + 1 × state merge) +
+  * Σ per-view delta folds — each fold was already |Δ|- or
+  * |groups|-bounded; the duplication removed is the decode scan and the
+  * merge, which dominate when N views ride one topic. */
+object TableViews {
+
+  /** Everything a single-table view's per-batch step needs that does not
+    * depend on which view it is. `preState`/`postState` are the
+    * tombstone-aware table states before/after this batch's merge (both
+    * pinned by the replay loop); `delta` is the batch's decoded change
+    * events (cheap to re-scan). */
+  final case class BatchCtx(
+      delta: DataFrame,
+      changedKeys: Option[DataFrame],
+      preState: DataFrame, postState: DataFrame,
+      pk: Seq[String], maxLocalKeys: Int)
+
+  /** One maintained view over the shared single-topic replay. */
+  trait Maintainer[S] {
+    /** Empty state; `events0` is an empty frame carrying the decoded
+      * change-event schema. */
+    def empty(events0: DataFrame, pk: Seq[String]): S
+    def step(st: S, ctx: BatchCtx): S
+    def pin(st: S): S
+    def reRoot(st: S, to: SparkSession): S
+  }
+
+  /** Final result: the merged table state plus each maintainer's state,
+    * looked up by the maintainer instance (typed). */
+  final class Result private[TableViews] (
+      val state: DataFrame, states: Map[Maintainer[_], Any]) {
+    def apply[S](m: Maintainer[S]): S = states(m).asInstanceOf[S]
+  }
+
+  /** The per-batch SHARED work: the |Δ|-capped changed-key collect and
+    * the delta-restricted state merge, pinned. Returns the ctx plus the
+    * merged state. */
+  private[graft] def batchCtx(state: DataFrame, delta: DataFrame,
+      pk: Seq[String], maxLocalKeys: Int): (BatchCtx, DataFrame) = {
+    val ck = JoinView.localKeys(delta, pk, maxLocalKeys)
+    val next = Materializer.merge(state, delta, pk, changedKeys = ck)
+      .localCheckpoint(false)
+    (BatchCtx(delta, ck, state, next, pk, maxLocalKeys), next)
+  }
+
+  /** Replay one event stream across `cuts`, maintaining every registered
+    * view off one shared decode + merge per batch. Same micro-batch
+    * discipline as the other replay loops (child session, AQE off,
+    * batch-width shuffles, log pinned once). `maxEventsPerBatch` splits
+    * a backlog via [[MultiView.autoCuts]]. */
+  def replay(events: DataFrame, cuts: Seq[Long], pk: Seq[String],
+             maintainers: Seq[Maintainer[_]],
+             batchShufflePartitions: Int = 8,
+             maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys,
+             maxEventsPerBatch: Option[Int] = None): Result = {
+    require(maintainers.nonEmpty, "at least one maintainer")
+    val parent = events.sparkSession
+    val child = parent.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    child.conf.set("spark.sql.shuffle.partitions",
+                   batchShufflePartitions.toString)
+    def inChild(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.bridge.reRoot(df, child)
+    def emptyInChild(df: DataFrame): DataFrame =
+      child.createDataFrame(child.sparkContext.emptyRDD[Row], df.schema)
+    val events0 = emptyInChild(events.limit(0))
+    val stateSchema = emptyInChild(Materializer.compact(events.limit(0), pk))
+    val ms = maintainers.map(_.asInstanceOf[Maintainer[Any]])
+    var states: Seq[Any] = ms.map(_.empty(events0, pk))
+    val pinned = inChild(events.localCheckpoint())
+      .coalesce(batchShufflePartitions)
+    val allCuts = maxEventsPerBatch match {
+      case Some(m) => (cuts ++ MultiView.autoCuts(pinned, m)).distinct.sorted
+      case None => cuts
+    }
+    def slice(lo: Long, hi: Long) =
+      pinned.filter(col("ts") > lo && col("ts") <= hi)
+    val windows = (Long.MinValue +: allCuts) :+ Long.MaxValue
+    val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
+    var st = stateSchema
+    bounds.foreach { case (lo, hi) =>
+      val (ctx, next) = batchCtx(st, slice(lo, hi), pk, maxLocalKeys)
+      states = ms.zip(states).map { case (m, s) => m.pin(m.step(s, ctx)) }
+      st = next
+    }
+    import org.apache.spark.sql.graft.bridge.reRoot
+    new Result(reRoot(st, parent),
+      maintainers.zip(states).map { case (m, s) =>
+        (m: Maintainer[_]) -> m.asInstanceOf[Maintainer[Any]].reRoot(s, parent)
+      }.toMap)
+  }
+}

@@ -55,11 +55,22 @@ object CdcQueries {
 
     private val cache = new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), MultiView.Result]()
-    // shared single-topic (status, price) pair state: ONE fold of the
-    // orders changelog serves cdc_minmax_view AND cdc_percentile_view —
-    // the same build-once-view-many shape as the join family
-    private val pairCache = new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), IncrementalAgg.DistinctState]()
+    // shared SINGLE-TOPIC fan-out (TableViews): one replay of the orders
+    // changelog — one decode, one state merge per batch — maintains the
+    // per-status top-k, both pair states (distinct customers; the price
+    // distribution behind min/max + percentiles), and the moments state
+    // behind avg/variance. The literal reference shape: N handlers
+    // registered on ONE table topic (cdc_manager.go:277-298).
+    val topkStatus =
+      IncrementalTopK.maintainer("o_orderstatus", "o_totalprice", k = 3)
+    val distCust =
+      IncrementalAgg.distinctMaintainer("o_orderstatus", "o_custkey")
+    val distPrice =
+      IncrementalAgg.distinctMaintainer("o_orderstatus", "o_totalprice")
+    val momentsPrice = IncrementalAgg.momentsMaintainer(
+      "o_orderstatus", "o_totalprice", _.cast("decimal(18,8)"))
+    private val tableCache = new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), TableViews.Result]()
     private val evictionHooked =
       new java.util.concurrent.atomic.AtomicBoolean(false)
     private def hookEviction(s: SparkSession): Unit = {
@@ -69,17 +80,17 @@ object CdcQueries {
             override def onApplicationEnd(
                 e: org.apache.spark.scheduler
                      .SparkListenerApplicationEnd): Unit = {
-              cache.clear(); pairCache.clear()
+              cache.clear(); tableCache.clear()
             }
           })
     }
-    def statusPriceState(s: SparkSession,
-                         dir: String): IncrementalAgg.DistinctState =
-      pairCache.computeIfAbsent((s, dir), _ => {
-        if (pairCache.size >= 8) pairCache.clear()
+    def tableResult(s: SparkSession, dir: String): TableViews.Result =
+      tableCache.computeIfAbsent((s, dir), _ => {
+        if (tableCache.size >= 8) tableCache.clear()
         hookEviction(s)
-        IncrementalAgg.pairState(ChangelogGen.ordersChangeEvents(s, dir),
-          groupCol = "o_orderstatus", valueCol = "o_totalprice")
+        TableViews.replay(ChangelogGen.ordersChangeEvents(s, dir),
+          cuts = Seq(SnapT1, SnapT2), pk = Seq("o_orderkey"),
+          maintainers = Seq(topkStatus, distCust, distPrice, momentsPrice))
       })
     def result(s: SparkSession, dir: String): MultiView.Result =
       cache.computeIfAbsent((s, dir), _ => {
@@ -273,8 +284,8 @@ object CdcQueries {
     // maintain under deletes (HLL is not subtractable); exact via net
     // per-(group, value) multiplicities (see IncrementalAgg.distinctCount).
     "cdc_distinct_view" -> ((s, dir) =>
-      graft.cdc.IncrementalAgg.distinctCount(
-          ChangelogGen.ordersChangeEvents(s, dir),
+      graft.cdc.IncrementalAgg.distinctCountView(
+          SharedJoin.tableResult(s, dir)(SharedJoin.distCust),
           groupCol = "o_orderstatus", valueCol = "o_custkey")
         .withColumnRenamed("n_distinct_o_custkey", "n_cust")
         .orderBy(col("o_orderstatus"))),
@@ -292,10 +303,8 @@ object CdcQueries {
     // DECIMAL(38,16) — the same exact rational as Spark's scale-16
     // square of the scale-8 cast.)
     "cdc_avg_view" -> ((s, dir) => {
-      val m = graft.cdc.IncrementalAgg.moments(
-        ChangelogGen.ordersChangeEvents(s, dir),
-        groupCol = "o_orderstatus", valueCol = "o_totalprice",
-        valueCast = _.cast("decimal(18,8)"))
+      val m = graft.cdc.IncrementalAgg.momentsView(
+        SharedJoin.tableResult(s, dir)(SharedJoin.momentsPrice))
       val s1 = col("sum_o_totalprice").cast("double")
       val s2 = col("sumsq_o_totalprice").cast("double")
       val n = col("n_rows")
@@ -315,7 +324,7 @@ object CdcQueries {
     // non-subtractable family: sum/count, distinct, top-k, min/max.
     "cdc_minmax_view" -> ((s, dir) =>
       graft.cdc.IncrementalAgg.minMaxView(
-          SharedJoin.statusPriceState(s, dir),
+          SharedJoin.tableResult(s, dir)(SharedJoin.distPrice),
           groupCol = "o_orderstatus", valueCol = "o_totalprice")
         .select(col("o_orderstatus"),
                 round(col("min_o_totalprice"), 2).as("min_price"),
@@ -333,7 +342,7 @@ object CdcQueries {
     "cdc_percentile_view" -> ((s, dir) => {
       val ps = Seq(0.25, 0.5, 0.75, 0.95)
       graft.cdc.IncrementalAgg.percentileView(
-          SharedJoin.statusPriceState(s, dir),
+          SharedJoin.tableResult(s, dir)(SharedJoin.distPrice),
           groupCol = "o_orderstatus", valueCol = "o_totalprice", ps)
         .select(col("o_orderstatus") +: ps.map { p =>
           val n = s"p${(p * 100).toInt}"
@@ -465,11 +474,7 @@ object CdcQueries {
     // recomputed; see IncrementalTopK). The delete events exercise the
     // promote-on-delete case plain incremental top-k cannot handle.
     "cdc_topk_view" -> ((s, dir) =>
-      graft.cdc.IncrementalTopK.replay(
-          ChangelogGen.ordersChangeEvents(s, dir),
-          cuts = Seq(SnapT1, SnapT2),
-          pk = ChangelogGen.ordersSpec.primaryKey,
-          groupCol = "o_orderstatus", orderCol = "o_totalprice", k = 3)
+      SharedJoin.tableResult(s, dir)(SharedJoin.topkStatus)
         .select(col("o_orderstatus"), col("rk"), col("o_orderkey"),
                 col("o_totalprice"))
         .orderBy(col("o_orderstatus"), col("rk"))))
