@@ -345,19 +345,6 @@ object IncrementalAgg {
         org.apache.spark.sql.graft.bridge.reRoot(st, to)
     }
 
-  /** The pair-multiplicity state built ONE-SHOT from a full changelog,
-    * pinned — for callers serving SEVERAL non-subtractable views
-    * (count-distinct, min/max, percentiles) from one fold: build once,
-    * view many. The (g, v) pre-aggregate is lazily localCheckpoint'ed so
-    * every view reads the persisted state instead of re-decoding and
-    * re-shuffling the log. */
-  def pairState(events: DataFrame, groupCol: String, valueCol: String,
-                allowNullableFallback: Boolean = false): DistinctState = {
-    val (p, g) = pairMultiplicities(events, "pairState", groupCol,
-      valueCol, allowNullableFallback, pin = true)
-    DistinctState(p, g)
-  }
-
   /** The COUNT(DISTINCT) view over a maintained [[DistinctState]] —
     * (groupCol, n_distinct_<valueCol>), same schema and semantics as the
     * one-shot [[distinctCount]]. */
