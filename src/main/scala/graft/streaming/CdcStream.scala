@@ -959,6 +959,135 @@ object CdcStream {
       .getOrElse(throw new IllegalStateException(
         s"no multi-view state at $rootPath"))
 
+  /** One maintained view registered with
+    * [[maintainTableViewsToParquet]] — the single-topic analogue of
+    * [[NamedView]]: a named [[graft.cdc.TableViews.Maintainer]] plus its
+    * parquet state layout, queryable face, and changelog keys. Build
+    * instances with the [[NamedTableView]] factories. */
+  final case class NamedTableView[S](
+      name: String,
+      maintainer: graft.cdc.TableViews.Maintainer[S],
+      fileNames: Seq[String],
+      files: S => Map[String, DataFrame],
+      load: Map[String, DataFrame] => S,
+      face: S => DataFrame,
+      faceKeys: Seq[String]) {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"NamedTableView name '$name' must be a plain path segment")
+  }
+
+  object NamedTableView {
+    import graft.cdc.{IncrementalAgg, IncrementalTopK}
+    /** Per-group top-k; changelog keyed by (group, rk). */
+    def topK(name: String, groupCol: String, orderCol: String,
+             k: Int): NamedTableView[DataFrame] =
+      NamedTableView(name, IncrementalTopK.maintainer(groupCol, orderCol, k),
+        Seq("ranked"), v => Map("ranked" -> v), m => m("ranked"),
+        v => v, Seq(groupCol, "rk"))
+    /** COUNT(DISTINCT valueCol) per group; changelog keyed by the group. */
+    def distinctCount(name: String, groupCol: String, valueCol: String)
+        : NamedTableView[IncrementalAgg.DistinctState] =
+      NamedTableView(name,
+        IncrementalAgg.distinctMaintainer(groupCol, valueCol),
+        Seq("pairs", "groups"),
+        st => Map("pairs" -> st.pairs, "groups" -> st.groups),
+        m => IncrementalAgg.DistinctState(m("pairs"), m("groups")),
+        st => IncrementalAgg.distinctCountView(st, groupCol, valueCol),
+        Seq(groupCol))
+    /** MIN/MAX(valueCol) per group off the same pair-state family. */
+    def minMax(name: String, groupCol: String, valueCol: String)
+        : NamedTableView[IncrementalAgg.DistinctState] =
+      NamedTableView(name,
+        IncrementalAgg.distinctMaintainer(groupCol, valueCol),
+        Seq("pairs", "groups"),
+        st => Map("pairs" -> st.pairs, "groups" -> st.groups),
+        m => IncrementalAgg.DistinctState(m("pairs"), m("groups")),
+        st => IncrementalAgg.minMaxView(st, groupCol, valueCol),
+        Seq(groupCol))
+    /** Moments (sum, sum², n) per group — AVG/VARIANCE state. */
+    def moments(name: String, groupCol: String, valueCol: String,
+                valueCast: org.apache.spark.sql.Column =>
+                  org.apache.spark.sql.Column = identity)
+        : NamedTableView[DataFrame] =
+      NamedTableView(name,
+        IncrementalAgg.momentsMaintainer(groupCol, valueCol, valueCast),
+        Seq("moments"), st => Map("moments" -> st), m => m("moments"),
+        st => IncrementalAgg.momentsView(st), Seq(groupCol))
+  }
+
+  /** Maintain N views of ONE table from its changelog stream — the
+    * streaming face of [[graft.cdc.TableViews.replay]] and the literal
+    * reference fan-out (`cdc_manager.go:277-298`: every handler
+    * registered on a topic receives each decoded event). Per batch:
+    * decode ONCE, derive the changed-key set ONCE, merge the
+    * tombstone-aware state ONCE, fold every registered view off the same
+    * [[graft.cdc.TableViews.BatchCtx]], emit each view's own changelog,
+    * and persist everything as ONE atomically-swapped generation with
+    * the applied-batch marker (exactly-once fold application). */
+  def maintainTableViewsToParquet(envelope: DataFrame, spec: TableSpec,
+                                  views: Seq[NamedTableView[_]],
+                                  rootPath: String, checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.TableViews
+    require(views.nonEmpty, "at least one view")
+    require(views.map(_.name).distinct.size == views.size,
+      s"view names must be distinct: ${views.map(_.name).mkString(", ")}")
+    val pk = spec.primaryKey
+    envelope.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = liveGenerationRoot(spark, s"$rootPath/current")
+        // fold faces double-count on replay; marker gates the whole body
+        if (!root.exists(r => isApplied(spark, r, batchId))) {
+          val delta = changeEvents(batch, spec).localCheckpoint()
+          def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], df.schema)
+          val st0 = root.map(r => spark.read.parquet(s"$r/state"))
+            .getOrElse(
+              emptyLike(Materializer.compact(delta.limit(0), pk)))
+          val events0 = emptyLike(delta.limit(0))
+          val vs = views.map(_.asInstanceOf[NamedTableView[Any]])
+          val vst0s: Seq[Any] = vs.map { v =>
+            root match {
+              case Some(r) => v.load(v.fileNames.map(f =>
+                f -> spark.read.parquet(s"$r/${v.name}__$f")).toMap)
+              case None => v.maintainer.empty(events0, pk)
+            }
+          }
+          // THE shared work: one key derivation, one state merge
+          val (ctx, stNext) = TableViews.batchCtx(st0, delta, pk,
+            graft.cdc.JoinView.DefaultMaxLocalKeys)
+          val nexts = vs.zip(vst0s).map { case (v, s) =>
+            v.maintainer.pin(v.maintainer.step(s, ctx)) }
+          val faces = vs.zip(nexts).map { case (v, s) =>
+            val nextFace = v.face(s).localCheckpoint()
+            val prevFace = root
+              .map(r => spark.read.parquet(s"$r/${v.name}__view"))
+              .getOrElse(emptyLike(nextFace.limit(0)))
+            viewDelta(prevFace, nextFace, v.faceKeys)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$rootPath/${v.name}/changes/batch=$batchId")
+            nextFace
+          }
+          swapGeneration(spark, s"$rootPath/current") { tmp =>
+            stNext.write.mode("overwrite").parquet(s"$tmp/state")
+            vs.zip(nexts).foreach { case (v, s) =>
+              v.files(s).foreach { case (f, df) =>
+                df.write.mode("overwrite").parquet(s"$tmp/${v.name}__$f") }
+            }
+            vs.zip(faces).foreach { case (v, f) =>
+              f.write.mode("overwrite").parquet(s"$tmp/${v.name}__view") }
+            writeMarker(spark, tmp, batchId)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Maintain an incrementally-updated COUNT(DISTINCT) view from the
     * changelog stream — the streaming face of
     * [[graft.cdc.IncrementalAgg.distinctCount]], and the last maintained

@@ -582,6 +582,68 @@ class StreamingSpec extends SparkSpec {
     assert(rev() == Set(("a", 1L, 5.0), ("b", 2L, 9.5)))
   }
 
+  test("streaming single-topic multi-view: one merge feeds N views") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("tvlog")
+    val root = tmpDir("tvstate")
+    val ckpt = tmpDir("tvckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", DoubleType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Double) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val views = Seq(
+      CdcStream.NamedTableView.topK("top", "grp", "v", k = 2),
+      CdcStream.NamedTableView.distinctCount("nids", "grp", "id"),
+      CdcStream.NamedTableView.minMax("bounds", "grp", "v"))
+    def run(): Unit = CdcStream.maintainTableViewsToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec, views, root, ckpt)
+      .awaitTermination()
+    def top(): Set[(String, Int, Long)] =
+      CdcStream.readMultiView(spark, root, "top").collect()
+        .map(r => (r.getAs[String]("grp"), r.getAs[Int]("rk"),
+                   r.getAs[Long]("id"))).toSet
+    def nids(): Set[(String, Long)] =
+      CdcStream.readMultiView(spark, root, "nids").collect()
+        .map(r => (r.getAs[String]("grp"),
+                   r.getAs[Long]("n_distinct_id"))).toSet
+    def bounds(): Set[(String, Double, Double)] =
+      CdcStream.readMultiView(spark, root, "bounds").collect()
+        .map(r => (r.getAs[String]("grp"), r.getAs[Double]("min_v"),
+                   r.getAs[Double]("max_v"))).toSet
+    append("b1.json", Seq(
+      ev("insert", 1, 1, "a", 9.0), ev("insert", 2, 2, "a", 5.0),
+      ev("insert", 3, 3, "a", 1.0), ev("insert", 4, 4, "b", 4.0)))
+    run()
+    assert(top() == Set(("a", 1, 1L), ("a", 2, 2L), ("b", 1, 4L)))
+    assert(nids() == Set(("a", 3L), ("b", 1L)))
+    assert(bounds() == Set(("a", 1.0, 9.0), ("b", 4.0, 4.0)))
+    // batch 2 (restart): delete the a-max -> promote; group-move 3 to b
+    append("b2.json", Seq(
+      ev("delete", 6, 1, "a", 9.0),
+      """{"database":"d","table":"t","type":"update","ts":7,"data":{"id":3,"grp":"b","v":6.0},"old":{"grp":"a","v":1.0}}"""))
+    run()
+    assert(top() == Set(("a", 1, 2L), ("b", 1, 3L), ("b", 2, 4L)),
+      s"delete-promote + group-move must re-rank both groups: ${top()}")
+    assert(nids() == Set(("a", 1L), ("b", 2L)))
+    assert(bounds() == Set(("a", 5.0, 5.0), ("b", 4.0, 6.0)))
+    // every view's changelog folds to its face
+    Seq("top", "nids", "bounds").foreach { n =>
+      val folded = CdcStream.viewAsOfBatch(spark, s"$root/$n", Long.MaxValue)
+      val face = CdcStream.readMultiView(spark, root, n)
+      assert(folded.collect().map(_.toString).toSet ==
+               face.collect().map(_.toString).toSet,
+        s"changelog fold != face for view '$n'")
+    }
+    // idempotent re-run
+    run()
+    assert(nids() == Set(("a", 1L), ("b", 2L)))
+  }
+
   test("streaming left-join view: pad/retract across restarts") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
