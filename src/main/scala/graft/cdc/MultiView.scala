@@ -93,7 +93,7 @@ object MultiView {
     * Returns the ctx plus the merged (pinned) states. Every single-view
     * `applyBatch` is this + that view's step, so the shared fan-out and
     * the standalone paths are THE SAME code. */
-  private[cdc] def batchCtx(stL: DataFrame, stR: DataFrame,
+  private[graft] def batchCtx(stL: DataFrame, stR: DataFrame,
       dl: DataFrame, dr: DataFrame,
       lPk: Seq[String], rPk: Seq[String], lJoinCols: Seq[String],
       keys: Option[(Option[DataFrame], Option[DataFrame])],
