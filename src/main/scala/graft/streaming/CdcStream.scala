@@ -873,10 +873,15 @@ object CdcStream {
     * single atomic swap, so the whole view family advances (and
     * crash-recovers) together. Exactly-once via the applied-batch marker,
     * exactly like the single-view faces. */
+  /** `maxEventsPerBatch` auto-cuts an oversized micro-batch into
+    * event-count-bounded sub-batches inside the foreachBatch body (see
+    * [[maintainTableViewsToParquet]]'s rationale — same swap/marker/
+    * changelog semantics). */
   def maintainMultiViewToParquet(envelope: DataFrame, lSpec: TableSpec,
                                  rSpec: TableSpec, lJoinCols: Seq[String],
                                  views: Seq[NamedView[_]],
-                                 rootPath: String, checkpointPath: String)
+                                 rootPath: String, checkpointPath: String,
+                                 maxEventsPerBatch: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.MultiView
     require(views.nonEmpty, "at least one view")
@@ -914,12 +919,28 @@ object CdcStream {
                 v.maintainer.empty(liveL0, liveR0, lPk, rPk, lJoinCols)
             }
           }
-          // THE shared work: one key derivation, one L/R merge
-          val (ctx, lNext, rNext) = MultiView.batchCtx(stL, stR, dl, dr,
-            lPk, rPk, lJoinCols, keys = None,
-            maxLocalKeys = graft.cdc.JoinView.DefaultMaxLocalKeys)
-          val nexts = vs.zip(st0s).map { case (v, s) =>
-            v.maintainer.pin(v.maintainer.step(s, ctx)) }
+          // THE shared work per (sub-)batch: one key derivation, one
+          // L/R merge. A backlog batch is auto-cut into ts windows so
+          // each sub-batch keeps the broadcast delta path.
+          val subCuts = maxEventsPerBatch
+            .map(m => MultiView.autoCuts(dl, dr, m))
+            .getOrElse(Seq.empty)
+          val subWindows = (Long.MinValue +: subCuts) :+ Long.MaxValue
+          var (lCur, rCur) = (stL, stR)
+          var vCur = st0s
+          subWindows.sliding(2).foreach { case Seq(lo, hi) =>
+            def sliced(d: DataFrame) =
+              d.filter(col("ts") > lo && col("ts") <= hi)
+            val (ctx, lN, rN) = MultiView.batchCtx(lCur, rCur,
+              sliced(dl), sliced(dr), lPk, rPk, lJoinCols, keys = None,
+              maxLocalKeys = graft.cdc.JoinView.DefaultMaxLocalKeys)
+            vCur = vs.zip(vCur).map { case (v, s) =>
+              v.maintainer.pin(v.maintainer.step(s, ctx)) }
+            lCur = lN
+            rCur = rN
+          }
+          val (lNext, rNext) = (lCur, rCur)
+          val nexts = vCur
           // faces + per-view changelogs (prev face read from the live
           // generation; overwrite of batch=<id> keeps crash-replay a
           // no-op rewrite)
@@ -1024,9 +1045,16 @@ object CdcStream {
     * [[graft.cdc.TableViews.BatchCtx]], emit each view's own changelog,
     * and persist everything as ONE atomically-swapped generation with
     * the applied-batch marker (exactly-once fold application). */
+  /** `maxEventsPerBatch` splits an oversized micro-batch (an
+    * AvailableNow backlog) into event-count-bounded sub-batches by ts
+    * ([[graft.cdc.MultiView.autoCuts]]) INSIDE the foreachBatch body, so
+    * catch-up keeps the |Δ|-bounded broadcast path per sub-batch; the
+    * generation swap, marker, and changelog emission still happen once
+    * per streaming batch, so crash semantics are unchanged. */
   def maintainTableViewsToParquet(envelope: DataFrame, spec: TableSpec,
                                   views: Seq[NamedTableView[_]],
-                                  rootPath: String, checkpointPath: String)
+                                  rootPath: String, checkpointPath: String,
+                                  maxEventsPerBatch: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.TableViews
     require(views.nonEmpty, "at least one view")
@@ -1057,11 +1085,25 @@ object CdcStream {
               case None => v.maintainer.empty(events0, pk)
             }
           }
-          // THE shared work: one key derivation, one state merge
-          val (ctx, stNext) = TableViews.batchCtx(st0, delta, pk,
-            graft.cdc.JoinView.DefaultMaxLocalKeys)
-          val nexts = vs.zip(vst0s).map { case (v, s) =>
-            v.maintainer.pin(v.maintainer.step(s, ctx)) }
+          // THE shared work per (sub-)batch: one key derivation, one
+          // state merge. A backlog batch is auto-cut into ts windows so
+          // each sub-batch keeps the broadcast delta path.
+          val subCuts = maxEventsPerBatch
+            .map(m => graft.cdc.MultiView.autoCuts(delta, m))
+            .getOrElse(Seq.empty)
+          val subWindows = (Long.MinValue +: subCuts) :+ Long.MaxValue
+          var stCur = st0
+          var vCur = vst0s
+          subWindows.sliding(2).foreach { case Seq(lo, hi) =>
+            val d = delta.filter(col("ts") > lo && col("ts") <= hi)
+            val (ctx, stNext) = TableViews.batchCtx(stCur, d, pk,
+              graft.cdc.JoinView.DefaultMaxLocalKeys)
+            vCur = vs.zip(vCur).map { case (v, s) =>
+              v.maintainer.pin(v.maintainer.step(s, ctx)) }
+            stCur = stNext
+          }
+          val stNext = stCur
+          val nexts = vCur
           val faces = vs.zip(nexts).map { case (v, s) =>
             val nextFace = v.face(s).localCheckpoint()
             val prevFace = root

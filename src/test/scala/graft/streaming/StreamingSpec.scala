@@ -644,6 +644,43 @@ class StreamingSpec extends SparkSpec {
     assert(nids() == Set(("a", 1L), ("b", 2L)))
   }
 
+  test("streaming backlog auto-cut equals the one-batch fold") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("aclog")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", DoubleType))))
+    // a 1200-event backlog landing in ONE AvailableNow batch: inserts,
+    // same-key updates, and deletes spread over distinct timestamps
+    val lines = (1 to 1200).map { i =>
+      val op = if (i % 11 == 0) "delete"
+               else if (i % 3 == 0) "update" else "insert"
+      val id = i % 400
+      val g = s"g${id % 5}"
+      s"""{"database":"d","table":"t","type":"$op","ts":$i,"data":{"id":$id,"grp":"$g","v":${i % 97}.0}${if (op == "update") s""","old":{"v":${(i - 1) % 97}.0}""" else ""}}"""
+    }
+    Files.write(java.nio.file.Paths.get(logDir, "backlog.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(maxPer: Option[Int], tag: String): Set[String] = {
+      val root = tmpDir(s"acroot$tag")
+      val ckpt = tmpDir(s"acckpt$tag")
+      val views = Seq(
+        CdcStream.NamedTableView.topK("top", "grp", "v", k = 2),
+        CdcStream.NamedTableView.distinctCount("nids", "grp", "id"))
+      CdcStream.maintainTableViewsToParquet(
+        CdcStream.fileChangelog(spark, logDir), spec, views, root, ckpt,
+        maxEventsPerBatch = maxPer).awaitTermination()
+      (CdcStream.readMultiView(spark, root, "top").collect().map(_.toString)
+        ++ CdcStream.readMultiView(spark, root, "nids").collect()
+             .map(_.toString)).toSet
+    }
+    val one = run(None, "one")
+    val cut = run(Some(300), "cut")
+    assert(cut == one,
+      "auto-cut streaming fold must equal the one-batch fold")
+  }
+
   test("streaming left-join view: pad/retract across restarts") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
