@@ -189,6 +189,49 @@ class JdbcSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("prefix pruned"), e.getMessage)
   }
 
+  test("a multi-view face serves into JDBC off its own changelog") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val dbDir = Files.createTempDirectory("derbymv").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val logDir = Files.createTempDirectory("mvjlog").toString
+    val root = Files.createTempDirectory("mvjroot").toString
+    val ckpt = Files.createTempDirectory("mvjckpt").toString
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", DoubleType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Double) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val views = Seq(CdcStream.NamedTableView.distinctCount("nids", "grp", "id"))
+    def run(): Unit = CdcStream.maintainTableViewsToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec, views, root, ckpt)
+      .awaitTermination()
+    // the per-view changelog root is <root>/<name> — the SAME layout the
+    // JDBC server drains, so dashboard serving composes with no glue
+    def applyJ(): Long = CdcStream.applyViewChangesToJdbc(spark,
+      s"$root/nids", Seq("grp"), url, "nids_view", props)
+    def served(): Set[(String, Long)] =
+      spark.read.jdbc(url, "nids_view", props).collect()
+        .map(r => (r.getAs[String]("grp"),
+                   r.getAs[Long]("n_distinct_id"))).toSet
+    append("b1.json", Seq(
+      ev("insert", 1, 1, "a", 9.0), ev("insert", 2, 2, "a", 5.0),
+      ev("insert", 3, 3, "b", 1.0)))
+    run()
+    assert(applyJ() > 0)
+    assert(served() == Set(("a", 2L), ("b", 1L)))
+    assert(applyJ() == 0L)
+    append("b2.json", Seq(ev("delete", 5, 2, "a", 5.0)))
+    run()
+    assert(applyJ() == 1L, "only the touched group pays DML")
+    assert(served() == Set(("a", 1L), ("b", 1L)))
+  }
+
   test("table identifiers are validated before reaching SQL text") {
     val root = Files.createTempDirectory("idroot").toString
     val props = new java.util.Properties()
