@@ -169,6 +169,11 @@ object MultiView {
              maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys,
              maxEventsPerBatch: Option[Int] = None): Result = {
     require(maintainers.nonEmpty, "at least one maintainer")
+    // results are keyed by maintainer IDENTITY — a repeated instance
+    // would collapse to one entry and silently drop a registration
+    require(maintainers.distinct.size == maintainers.size,
+      "each maintainer must be a distinct instance (results are keyed " +
+        "by identity); build a second instance for a second view")
     require(rPk.size == lJoinCols.size,
       s"lJoinCols (${lJoinCols.mkString(",")}) must match rPk " +
         s"(${rPk.mkString(",")}) positionally")

@@ -68,6 +68,11 @@ object TableViews {
              maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys,
              maxEventsPerBatch: Option[Int] = None): Result = {
     require(maintainers.nonEmpty, "at least one maintainer")
+    // results are keyed by maintainer IDENTITY — a repeated instance
+    // would collapse to one entry and silently drop a registration
+    require(maintainers.distinct.size == maintainers.size,
+      "each maintainer must be a distinct instance (results are keyed " +
+        "by identity); build a second instance for a second view")
     val parent = events.sparkSession
     val child = parent.newSession()
     child.conf.set("spark.sql.adaptive.enabled", "false")
