@@ -143,6 +143,41 @@ object Materializer {
       Seq(lit("insert").as("__op"), lit(ts0).as("__ts"),
           lit(0L).as("__seq")): _*)
 
+  /** Is `to` a LOSSLESS widening of `from`? The absorbable half of an
+    * upstream ALTER MODIFY COLUMN — the coercions TiDB routinely emits
+    * and the reference's decode absorbs by coercing every payload into
+    * the declared type (`cdc_utils.go:96-123`): integral promotions
+    * (TINYINT→…→BIGINT), FLOAT→DOUBLE, DECIMAL growing in BOTH integer
+    * digits and scale, integral→DECIMAL wide enough to hold every value,
+    * and small-integral→DOUBLE (exact below 2^53; LONG→DOUBLE is lossy
+    * and therefore NOT a widening). VARCHAR(n) widening is invisible
+    * here — Spark models all of them as STRING. */
+  private[cdc] def widensTo(from: org.apache.spark.sql.types.DataType,
+                            to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intRank(t: DataType): Option[Int] = t match {
+      case ByteType => Some(1); case ShortType => Some(2)
+      case IntegerType => Some(3); case LongType => Some(4); case _ => None
+    }
+    def intDigits(t: DataType): Int = t match {
+      case ByteType => 3; case ShortType => 5; case IntegerType => 10
+      case _ => 19
+    }
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (f, t) if intRank(f).isDefined && intRank(t).isDefined =>
+        intRank(f).get < intRank(t).get
+      case (FloatType, DoubleType) => true
+      case (f, DoubleType) if intRank(f).exists(_ <= 3) => true // ≤ INT exact
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale >= d1.scale &&
+          d2.precision - d2.scale >= d1.precision - d1.scale
+      case (f, d: DecimalType) if intRank(f).isDefined =>
+        d.precision - d.scale >= intDigits(f)
+      case _ => false
+    }
+  }
+
   def merge(state: DataFrame, events: DataFrame, primaryKey: Seq[String],
             tombstoneRetentionTs: Long = Long.MinValue,
             changedKeys: Option[DataFrame] = None,
@@ -181,6 +216,44 @@ object Materializer {
         }
       }
     val evts = events.select("op", "ts", "seq", "after")
+    // MODIFY-COLUMN evolution (upstream ALTER ... MODIFY widening a
+    // type — INT→BIGINT, DECIMAL(10,2)→DECIMAL(14,2), FLOAT→DOUBLE):
+    // with `allowEvolution`, a common column whose EVENT type is a
+    // lossless widening of the STATE type ([[widensTo]]) casts the prior
+    // state up front, so old generations read back in the new type and
+    // every downstream join/compact sees one type. Anything else —
+    // narrowing (the state may already hold values the new type cannot),
+    // or an incompatible change — fails loudly, evolution or not: the
+    // analyzer's implicit union coercion would otherwise silently widen
+    // in WHICHEVER direction, masking a narrowing ALTER as a no-op.
+    val evtsFields = evts.schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => f.name -> f.dataType).toMap
+    val typeChanged = st0.schema.fields
+      .filterNot(f => MetaCols.contains(f.name))
+      .flatMap(f => evtsFields.get(f.name).collect {
+        case t if t != f.dataType => (f.name, f.dataType, t) })
+    val st1 =
+      if (typeChanged.isEmpty) st0
+      else {
+        val bad = typeChanged.filterNot { case (_, from, to) =>
+          widensTo(from, to) }
+        require(bad.isEmpty,
+          s"merge: non-widening type change${if (bad.length == 1) "" else "s"} " +
+            bad.map { case (c, f, t) => s"$c: ${f.simpleString} -> " +
+              s"${t.simpleString}" }.mkString(", ") +
+            " — narrowing/incompatible ALTERs cannot be absorbed " +
+            "(state may hold values outside the new type); re-seed the state")
+        require(allowEvolution,
+          s"merge: column type${if (typeChanged.length == 1) "" else "s"} " +
+            "widened upstream (" +
+            typeChanged.map { case (c, f, t) => s"$c: ${f.simpleString} -> " +
+              s"${t.simpleString}" }.mkString(", ") +
+            "); pass allowEvolution=true to absorb the widening")
+        val widen = typeChanged.map { case (c, _, t) => c -> t }.toMap
+        st0.select(st0.columns.toSeq.map(c =>
+          widen.get(c).map(col(c).cast(_).as(c)).getOrElse(col(c))): _*)
+      }
     // callers that already hold the batch's changed-key set (e.g.
     // JoinView.applyBatch collects it once as a LocalRelation, making the
     // two key joins below driver-local broadcasts — no build job) pass it
@@ -188,7 +261,7 @@ object Materializer {
     val ck = changedKeys.getOrElse(evts
       .select(primaryKey.map(k => col(s"after.$k").as(k)): _*).distinct())
       .alias("__ck")
-    val st = st0.alias("__st")
+    val st = st1.alias("__st")
     val keyCond = primaryKey
       .map(k => col(s"__st.$k") <=> col(s"__ck.$k")).reduce(_ && _)
     val untouched0 = st.join(ck, keyCond, "left_anti")

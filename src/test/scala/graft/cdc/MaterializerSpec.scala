@@ -307,6 +307,102 @@ class MaterializerSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: MODIFY widening casts old generations up") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // state built before the upstream ALTER MODIFY (qty INT, price
+    // DECIMAL(10,2))
+    val oldEvents = Seq(("insert", 1L, 1L, 1L, 5, "10.25"),
+                        ("insert", 1L, 2L, 2L, 7, "20.50"))
+      .toDF("op", "ts", "seq", "key", "qty", "p")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("key"), col("qty"),
+                     col("p").cast("decimal(10,2)").as("price")).as("after"))
+    val state = Materializer.compact(oldEvents, Seq("key"))
+    // post-ALTER batch: qty is now BIGINT, price DECIMAL(14,4)
+    val newEvents = Seq(("update", 5L, 3L, 2L, 8L, "99.1234"),
+                        ("insert", 6L, 4L, 3L, 4L, "1.0001"))
+      .toDF("op", "ts", "seq", "key", "qty", "p")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("key"), col("qty"),
+                     col("p").cast("decimal(14,4)").as("price")).as("after"))
+    // strict mode refuses the widening loudly (opt-in required)
+    val eStrict = intercept[IllegalArgumentException] {
+      Materializer.merge(state, newEvents, Seq("key"))
+    }
+    assert(eStrict.getMessage.contains("allowEvolution"), eStrict.getMessage)
+    val evolved = Materializer.merge(state, newEvents, Seq("key"),
+      allowEvolution = true)
+    assert(evolved.schema("qty").dataType == LongType,
+      s"state column must widen to the new type: ${evolved.schema}")
+    assert(evolved.schema("price").dataType == DecimalType(14, 4),
+      s"decimal must widen: ${evolved.schema}")
+    val got = Materializer.liveView(evolved).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("qty"),
+                 r.getAs[java.math.BigDecimal]("price").doubleValue)).toSet
+    assert(got == Set((1L, 5L, 10.25), (2L, 8L, 99.1234), (3L, 4L, 1.0001)),
+      s"pre-ALTER rows must read back widened with values intact: $got")
+    // a later batch already in the wide type is a plain merge (idempotent
+    // across restarts — the widening happens once)
+    val more = Seq(("insert", 9L, 5L, 4L, 2L, "3.5000"))
+      .toDF("op", "ts", "seq", "key", "qty", "p")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("key"), col("qty"),
+                     col("p").cast("decimal(14,4)").as("price")).as("after"))
+    val again = Materializer.merge(evolved, more, Seq("key"),
+      allowEvolution = true)
+    assert(Materializer.liveView(again).count() == 4)
+  }
+
+  test("schema evolution: narrowing MODIFY fails loudly even when opted in") {
+    import spark.implicits._
+    val wideEvents = Seq(("insert", 1L, 1L, 1L, 5L))
+      .toDF("op", "ts", "seq", "key", "qty")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("key"), col("qty")).as("after"))
+    val state = Materializer.compact(wideEvents, Seq("key"))
+    val narrowEvents = Seq(("update", 5L, 2L, 1L, 6))
+      .toDF("op", "ts", "seq", "key", "qty")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("key"), col("qty").cast("int").as("qty")).as("after"))
+    val e = intercept[IllegalArgumentException] {
+      Materializer.merge(state, narrowEvents, Seq("key"),
+        allowEvolution = true)
+    }
+    assert(e.getMessage.contains("non-widening"), e.getMessage)
+    // incompatible change (numeric -> string) is equally loud
+    val stringEvents = Seq(("update", 5L, 2L, 1L, "six"))
+      .toDF("op", "ts", "seq", "key", "qty")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("key"), col("qty")).as("after"))
+    val e2 = intercept[IllegalArgumentException] {
+      Materializer.merge(state, stringEvents, Seq("key"),
+        allowEvolution = true)
+    }
+    assert(e2.getMessage.contains("non-widening"), e2.getMessage)
+  }
+
+  test("widensTo covers the TiDB ladder and rejects lossy coercions") {
+    import org.apache.spark.sql.types._
+    assert(Materializer.widensTo(IntegerType, LongType))
+    assert(Materializer.widensTo(ByteType, ShortType))
+    assert(Materializer.widensTo(FloatType, DoubleType))
+    assert(Materializer.widensTo(IntegerType, DoubleType))
+    assert(Materializer.widensTo(DecimalType(10, 2), DecimalType(14, 2)))
+    assert(Materializer.widensTo(DecimalType(10, 2), DecimalType(14, 4)))
+    assert(Materializer.widensTo(LongType, DecimalType(20, 0)))
+    assert(Materializer.widensTo(IntegerType, DecimalType(12, 2)))
+    // lossy or narrowing: refused
+    assert(!Materializer.widensTo(LongType, DoubleType))  // > 2^53 loses
+    assert(!Materializer.widensTo(LongType, IntegerType))
+    assert(!Materializer.widensTo(DecimalType(14, 4), DecimalType(10, 2)))
+    assert(!Materializer.widensTo(DecimalType(10, 2), DecimalType(11, 4))) // int digits shrink
+    assert(!Materializer.widensTo(LongType, DecimalType(18, 0))) // 19 digits needed
+    assert(!Materializer.widensTo(DoubleType, FloatType))
+    assert(!Materializer.widensTo(StringType, LongType))
+    assert(!Materializer.widensTo(LongType, StringType))
+  }
+
   test("tombstone retention horizon drops only old-enough tombstones") {
     val ops = List(
       Op(1, 1, 0, "insert", 1.0), Op(1, 2, 1, "delete", 1.0),   // old tombstone

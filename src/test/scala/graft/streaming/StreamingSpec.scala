@@ -138,6 +138,61 @@ class StreamingSpec extends SparkSpec {
       s"values must survive the narrowing merge: $got")
   }
 
+  test("schema evolution: ALTER MODIFY widening mid-stream, state casts up") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("modlog")
+    val stateDir = tmpDir("modstate") + "/state"
+    val ckptDir = tmpDir("modckpt")
+    val specV1 = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("qty", IntegerType),
+      StructField("price", DecimalType(10, 2)))))
+    // upstream ALTER MODIFY qty BIGINT, price DECIMAL(14,4) — the most
+    // common ALTER after ADD COLUMN; restart with the widened spec
+    val specV2 = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType),
+      StructField("price", DecimalType(14, 4)))))
+    Files.write(java.nio.file.Paths.get(logDir, "b1.json"),
+      (Seq("""{"database":"d","table":"t","type":"insert","ts":1,"data":{"id":1,"qty":5,"price":10.25}}""",
+           """{"database":"d","table":"t","type":"insert","ts":2,"data":{"id":2,"qty":7,"price":20.50}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    CdcStream.materializeToParquet(
+      CdcStream.fileChangelog(spark, logDir), specV1, stateDir, ckptDir)
+      .awaitTermination()
+    Files.write(java.nio.file.Paths.get(logDir, "b2.json"),
+      (Seq("""{"database":"d","table":"t","type":"update","ts":5,"data":{"id":2,"qty":8000000000,"price":99.1234},"old":{"qty":7}}""",
+           """{"database":"d","table":"t","type":"insert","ts":6,"data":{"id":3,"qty":4,"price":1.0001}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    CdcStream.materializeToParquet(
+      CdcStream.fileChangelog(spark, logDir), specV2, stateDir, ckptDir,
+      allowEvolution = true).awaitTermination()
+    val state = CdcStream.readCurrentState(spark, stateDir)
+    assert(state.schema("qty").dataType == LongType &&
+           state.schema("price").dataType == DecimalType(14, 4),
+      s"state must read back in the widened types: ${state.schema}")
+    val got = state.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("qty"),
+                 r.getAs[java.math.BigDecimal]("price").doubleValue)).toSet
+    assert(got == Set((1L, 5L, 10.25), (2L, 8000000000L, 99.1234),
+                      (3L, 4L, 1.0001)),
+      s"pre-ALTER rows must cast up with values intact: $got")
+    // a narrowing restart (back to INT) must fail the batch loudly, not
+    // silently re-widen: the state already holds a value outside INT
+    Files.write(java.nio.file.Paths.get(logDir, "b3.json"),
+      (Seq("""{"database":"d","table":"t","type":"insert","ts":9,"data":{"id":4,"qty":1,"price":2.00}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      CdcStream.materializeToParquet(
+        CdcStream.fileChangelog(spark, logDir), specV1, stateDir, ckptDir,
+        allowEvolution = true).awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("non-widening")),
+      messages(e).mkString(" | "))
+  }
+
   test("schema evolution: ALTER RENAME COLUMN mid-stream preserves history") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
