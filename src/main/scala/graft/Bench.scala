@@ -40,11 +40,16 @@ object Bench {
     // the SHARED multi-view replay behind every cdc_join_* query is
     // ingest-time state maintenance (the IVM states are built once per
     // session and then SERVED) — build it here so its one-time cost is
-    // not billed to whichever join query happens to run first
+    // not billed to whichever join query happens to run first. The build
+    // time is REPORTED SEPARATELY (`state_build_sec` below): the timed
+    // cdc_*_view queries therefore measure SERVE-ONLY cost, and readers
+    // comparing against runs predating this warm-up must add the two.
+    val tStateBuild = System.nanoTime()
     warm("shared join views")(
       ops.CdcQueries.queries("cdc_join_view")(spark, sfDir).count())
     warm("shared table views")(
       ops.CdcQueries.queries("cdc_topk_view")(spark, sfDir).count())
+    val stateBuildSec = (System.nanoTime() - tStateBuild) / 1e9
     // TWO timed passes, per-query MINIMUM, plus an ADAPTIVE THIRD pass
     // for any query whose two passes disagree by >3x. One pass is at the
     // mercy of whatever lands on the box mid-query (observed on this
@@ -114,7 +119,7 @@ object Bench {
           .map { case (t, ok) => fmt(if (ok) t else -t) }.mkString(",")
         "\"" + k + "\":[" + ps + "]"
       }.mkString("{", ",", "}")
-      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"passes":$passDetail,"sf":"$sfDir"}"""
+      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"passes":$passDetail,"state_build_sec":${fmt(stateBuildSec)},"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (txt + "\n").getBytes("UTF-8"))
     }.fold(e => { System.err.println(s"BENCH_FULL.json write failed: $e"); false },
@@ -127,7 +132,9 @@ object Bench {
     }
     val qs = kept.mkString("{", ",", "}")
     val fullKey = if (fullWritten) ""","full":"BENCH_FULL.json"""" else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$fullKey}""")
+    // state_build_sec: one-time warm build of the shared IVM replay
+    // states (cdc_*_view queries are timed serve-only; see warm-up above)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"state_build_sec":${fmt(stateBuildSec)},"sf":"$sfDir"$fullKey}""")
     spark.stop()
   }
 }

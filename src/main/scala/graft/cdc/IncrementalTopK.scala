@@ -214,28 +214,25 @@ object IncrementalTopK {
     // changed keys) off the per-batch critical path — they depend only
     // on the PINNED log, never on earlier batches (JoinView.replay
     // rationale; look-ahead bounded to one window)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    val prefetch = new Prefetch
     def slice(lo: Long, hi: Long) =
       pinned.filter(col("ts") > lo && col("ts") <= hi)
     def collectsFor(i: Int) = {
       val (lo, hi) = bounds(i)
       val d = slice(lo, hi)
-      (Future(touchedGroups(d, groupCol, maxLocalKeys)),
-       Future(localKeys(d, pk, maxLocalKeys)))
+      (prefetch.submit(touchedGroups(d, groupCol, maxLocalKeys)),
+       prefetch.submit(localKeys(d, pk, maxLocalKeys)))
     }
     var pending = collectsFor(0)
-    val fin = bounds.indices.foldLeft(State(stateSchema, emptyView)) {
+    val fin = try bounds.indices.foldLeft(State(stateSchema, emptyView)) {
       case (st, i) =>
         val (lo, hi) = bounds(i)
         val (tgF, ckF) = pending
         if (i + 1 < bounds.size) pending = collectsFor(i + 1)
         applyBatch(st, slice(lo, hi), pk, groupCol, orderCol, k,
                    maxLocalKeys,
-                   pre = Some((Await.result(tgF, Duration.Inf),
-                               Await.result(ckF, Duration.Inf))))
-    }
+                   pre = Some((prefetch.await(tgF), prefetch.await(ckF))))
+    } finally prefetch.shutdown()
     org.apache.spark.sql.graft.bridge.reRoot(fin.view, parent)
   }
 }

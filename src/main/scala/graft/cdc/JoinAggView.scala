@@ -348,16 +348,16 @@ object JoinAggView {
     // critical path (JoinView.replay rationale: a window's key sets
     // depend only on the PINNED logs, never on earlier batches;
     // look-ahead bounded to one window)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    val prefetch = new Prefetch
     def keysFor(i: Int) = {
       val (lo, hi) = bounds(i)
-      (Future(JoinView.localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
-       Future(JoinView.localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
+      (prefetch.submit(
+         JoinView.localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
+       prefetch.submit(
+         JoinView.localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
     }
     var pending = keysFor(0)
-    val fin = bounds.indices.foldLeft(State(lSchema, rSchema, emptyAgg)) {
+    val fin = try bounds.indices.foldLeft(State(lSchema, rSchema, emptyAgg)) {
       case (st, i) =>
         val (lo, hi) = bounds(i)
         val (ckLF, ckRF) = pending
@@ -365,11 +365,11 @@ object JoinAggView {
         val next = applyBatchNamed(st, slice(lPinned, lo, hi),
                               slice(rPinned, lo, hi),
                               lPk, rPk, lJoinCols, groupCols, measures,
-                              keys = Some((Await.result(ckLF, Duration.Inf),
-                                           Await.result(ckRF, Duration.Inf))),
+                              keys = Some((prefetch.await(ckLF),
+                                           prefetch.await(ckRF))),
                               maxLocalKeys = maxLocalKeys)
         next.copy(agg = next.agg.localCheckpoint(false))
-    }
+    } finally prefetch.shutdown()
     import org.apache.spark.sql.graft.bridge.reRoot
     State(reRoot(fin.left, parent), reRoot(fin.right, parent),
           reRoot(fin.agg, parent))

@@ -174,16 +174,16 @@ object JoinDistinctView {
     // prefetch the NEXT window's changed-key collects off the per-batch
     // critical path (JoinView.replay rationale: a window's key sets
     // depend only on the PINNED logs, never on earlier batches)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    val prefetch = new Prefetch
     def keysFor(i: Int) = {
       val (lo, hi) = bounds(i)
-      (Future(JoinView.localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
-       Future(JoinView.localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
+      (prefetch.submit(
+         JoinView.localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
+       prefetch.submit(
+         JoinView.localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
     }
     var pending = keysFor(0)
-    val fin = bounds.indices.foldLeft(
+    val fin = try bounds.indices.foldLeft(
         State(lSchema, rSchema, emptyPairs, emptyGroups)) {
       case (st, i) =>
         val (lo, hi) = bounds(i)
@@ -192,12 +192,12 @@ object JoinDistinctView {
         val next = applyBatch(st, slice(lPinned, lo, hi),
                               slice(rPinned, lo, hi),
                               lPk, rPk, lJoinCols, groupCol, valueCol,
-                              keys = Some((Await.result(ckLF, Duration.Inf),
-                                           Await.result(ckRF, Duration.Inf))),
+                              keys = Some((prefetch.await(ckLF),
+                                           prefetch.await(ckRF))),
                               maxLocalKeys = maxLocalKeys)
         next.copy(pairs = next.pairs.localCheckpoint(false),
                   groups = next.groups.localCheckpoint(false))
-    }
+    } finally prefetch.shutdown()
     import org.apache.spark.sql.graft.bridge.reRoot
     State(reRoot(fin.left, parent), reRoot(fin.right, parent),
           reRoot(fin.pairs, parent), reRoot(fin.groups, parent))

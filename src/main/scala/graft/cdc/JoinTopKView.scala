@@ -160,16 +160,16 @@ object JoinTopKView {
     val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
     // prefetch the NEXT window's changed-key collects off the per-batch
     // critical path (JoinView.replay rationale)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    val prefetch = new Prefetch
     def keysFor(i: Int) = {
       val (lo, hi) = bounds(i)
-      (Future(JoinView.localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
-       Future(JoinView.localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
+      (prefetch.submit(
+         JoinView.localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
+       prefetch.submit(
+         JoinView.localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
     }
     var pending = keysFor(0)
-    val fin = bounds.indices.foldLeft(
+    val fin = try bounds.indices.foldLeft(
         State(JoinView.State(lSchema, rSchema, emptyView), emptyRanked)) {
       case (st, i) =>
         val (lo, hi) = bounds(i)
@@ -179,11 +179,11 @@ object JoinTopKView {
                               slice(rPinned, lo, hi),
                               lPk, rPk, lJoinCols, viewCols, groupCol,
                               orderCol, k,
-                              keys = Some((Await.result(ckLF, Duration.Inf),
-                                           Await.result(ckRF, Duration.Inf))),
+                              keys = Some((prefetch.await(ckLF),
+                                           prefetch.await(ckRF))),
                               maxLocalKeys = maxLocalKeys)
         next.copy(ranked = next.ranked.localCheckpoint(false))
-    }
+    } finally prefetch.shutdown()
     import org.apache.spark.sql.graft.bridge.reRoot
     State(JoinView.State(reRoot(fin.join.left, parent),
                          reRoot(fin.join.right, parent),

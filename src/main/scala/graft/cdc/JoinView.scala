@@ -252,19 +252,17 @@ object JoinView {
     // eager all-windows wave would fire 2N concurrent collect jobs and
     // hold every window's key set in driver memory at once on long
     // replays.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    val prefetch = new Prefetch
     def slice(ev: DataFrame, lo: Long, hi: Long) =
       ev.filter(col("ts") > lo && col("ts") <= hi)
     val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
     def keysFor(i: Int) = {
       val (lo, hi) = bounds(i)
-      (Future(localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
-       Future(localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
+      (prefetch.submit(localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
+       prefetch.submit(localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
     }
     var pending = keysFor(0)
-    val fin = bounds.indices
+    val fin = try bounds.indices
       .foldLeft(State(lSchema, rSchema, emptyView)) { case (st, i) =>
         val (lo, hi) = bounds(i)
         val (ckLF, ckRF) = pending
@@ -272,14 +270,14 @@ object JoinView {
         val next = applyBatch(st, slice(lPinned, lo, hi),
                               slice(rPinned, lo, hi),
                               lPk, rPk, lJoinCols, viewCols,
-                              keys = Some((Await.result(ckLF, Duration.Inf),
-                                           Await.result(ckRF, Duration.Inf))),
+                              keys = Some((prefetch.await(ckLF),
+                                           prefetch.await(ckRF))),
                               maxLocalKeys = maxLocalKeys)
         // pin the view per batch, lazily, for the same reason as the
         // states in applyBatch: plan depth stays O(1) per batch with no
         // job until the caller's first action
         next.copy(view = next.view.localCheckpoint(false))
-      }
+      } finally prefetch.shutdown()
     // Hand results back rooted in the caller's session: states are pinned
     // (re-root is free); the lazy view plan is physically planned under
     // the child (micro-batch semantics, AQE off) and wrapped as an RDD

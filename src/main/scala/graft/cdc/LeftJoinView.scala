@@ -164,16 +164,16 @@ object LeftJoinView {
       ev.filter(col("ts") > lo && col("ts") <= hi)
     val windows = (Long.MinValue +: cuts) :+ Long.MaxValue
     val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    val prefetch = new Prefetch
     def keysFor(i: Int) = {
       val (lo, hi) = bounds(i)
-      (Future(JoinView.localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
-       Future(JoinView.localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
+      (prefetch.submit(
+         JoinView.localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
+       prefetch.submit(
+         JoinView.localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
     }
     var pending = keysFor(0)
-    val fin = bounds.indices
+    val fin = try bounds.indices
       .foldLeft(State(lSchema, rSchema, emptyView)) { case (st, i) =>
         val (lo, hi) = bounds(i)
         val (ckLF, ckRF) = pending
@@ -181,11 +181,11 @@ object LeftJoinView {
         val next = applyBatch(st, slice(lPinned, lo, hi),
                               slice(rPinned, lo, hi),
                               lPk, rPk, lJoinCols, viewCols,
-                              keys = Some((Await.result(ckLF, Duration.Inf),
-                                           Await.result(ckRF, Duration.Inf))),
+                              keys = Some((prefetch.await(ckLF),
+                                           prefetch.await(ckRF))),
                               maxLocalKeys = maxLocalKeys)
         next.copy(view = next.view.localCheckpoint(false))
-      }
+      } finally prefetch.shutdown()
     import org.apache.spark.sql.graft.bridge.reRoot
     State(reRoot(fin.left, parent), reRoot(fin.right, parent),
           reRoot(fin.view, parent))

@@ -78,6 +78,21 @@ object MultiView {
       val left: DataFrame, val right: DataFrame,
       states: Map[Maintainer[_], Any]) {
     def apply[S](m: Maintainer[S]): S = states(m).asInstanceOf[S]
+    /** Drop every pinned block this result holds (table states + each
+      * maintainer state's frames) — for cache eviction; the result is
+      * unusable afterwards. */
+    def release(): Unit =
+      (Seq(left, right) ++ states.valuesIterator.flatMap(stateFrames))
+        .foreach(org.apache.spark.sql.graft.bridge.unpersistPinned)
+  }
+
+  /** DataFrames reachable from an erased maintainer state (a bare frame,
+    * or a tuple/case class of frames). */
+  private def stateFrames(s: Any): Seq[DataFrame] = s match {
+    case df: DataFrame => Seq(df)
+    case p: Product =>
+      p.productIterator.collect { case df: DataFrame => df }.toSeq
+    case _ => Seq.empty
   }
 
   /** Empty LocalRelation with `df`'s schema in `df`'s session — flattens
@@ -215,32 +230,32 @@ object MultiView {
     val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
     // prefetch the NEXT window's changed-key collects off the per-batch
     // critical path (JoinView.replay rationale: a window's key sets
-    // depend only on the PINNED logs, never on earlier batches)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // depend only on the PINNED logs, never on earlier batches) — on a
+    // dedicated bounded pool with a finite loud-failure join (Prefetch)
+    val prefetch = new Prefetch
     def keysFor(i: Int) = {
       val (lo, hi) = bounds(i)
-      (Future(JoinView.localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
-       Future(JoinView.localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
+      (prefetch.submit(
+         JoinView.localKeys(slice(lPinned, lo, hi), lPk, maxLocalKeys)),
+       prefetch.submit(
+         JoinView.localKeys(slice(rPinned, lo, hi), rPk, maxLocalKeys)))
     }
     var pending = keysFor(0)
     var stL = lSchema
     var stR = rSchema
-    bounds.indices.foreach { i =>
+    try bounds.indices.foreach { i =>
       val (lo, hi) = bounds(i)
       val (ckLF, ckRF) = pending
       if (i + 1 < bounds.size) pending = keysFor(i + 1)
       val (ctx, lNext, rNext) = batchCtx(stL, stR,
         slice(lPinned, lo, hi), slice(rPinned, lo, hi),
         lPk, rPk, lJoinCols,
-        keys = Some((Await.result(ckLF, Duration.Inf),
-                     Await.result(ckRF, Duration.Inf))),
+        keys = Some((prefetch.await(ckLF), prefetch.await(ckRF))),
         maxLocalKeys = maxLocalKeys)
       states = ms.zip(states).map { case (m, s) => m.pin(m.step(s, ctx)) }
       stL = lNext
       stR = rNext
-    }
+    } finally prefetch.shutdown()
     import org.apache.spark.sql.graft.bridge.reRoot
     new Result(reRoot(stL, parent), reRoot(stR, parent),
       maintainers.zip(states).map { case (m, s) =>

@@ -44,17 +44,33 @@ object TableViews {
   final class Result private[TableViews] (
       val state: DataFrame, states: Map[Maintainer[_], Any]) {
     def apply[S](m: Maintainer[S]): S = states(m).asInstanceOf[S]
+    /** Drop every pinned block this result holds — for cache eviction;
+      * the result is unusable afterwards (MultiView.Result.release). */
+    def release(): Unit =
+      (Seq(state) ++ states.valuesIterator.flatMap {
+        case df: DataFrame => Seq(df)
+        case p: Product =>
+          p.productIterator.collect { case df: DataFrame => df }.toSeq
+        case _ => Seq.empty
+      }).foreach(org.apache.spark.sql.graft.bridge.unpersistPinned)
   }
 
   /** The per-batch SHARED work: the |Δ|-capped changed-key collect and
     * the delta-restricted state merge, pinned. Returns the ctx plus the
-    * merged state. */
+    * merged state. Over-cap batches (localKeys returns None — a backlog
+    * blew `maxLocalKeys`) derive the key set cluster-side ONCE and pin
+    * it (MultiView.batchCtx discipline) — passing None down to merge
+    * would let its anti and semi joins each recompute the distinct,
+    * two extra shuffles per backlog batch. `ctx.changedKeys` is
+    * therefore always populated. */
   private[graft] def batchCtx(state: DataFrame, delta: DataFrame,
       pk: Seq[String], maxLocalKeys: Int): (BatchCtx, DataFrame) = {
-    val ck = JoinView.localKeys(delta, pk, maxLocalKeys)
-    val next = Materializer.merge(state, delta, pk, changedKeys = ck)
+    val ck = JoinView.localKeys(delta, pk, maxLocalKeys).getOrElse(
+      delta.select(pk.map(k => col(s"after.$k").as(k)): _*)
+        .distinct().localCheckpoint(false))
+    val next = Materializer.merge(state, delta, pk, changedKeys = Some(ck))
       .localCheckpoint(false)
-    (BatchCtx(delta, ck, state, next, pk, maxLocalKeys), next)
+    (BatchCtx(delta, Some(ck), state, next, pk, maxLocalKeys), next)
   }
 
   /** Replay one event stream across `cuts`, maintaining every registered

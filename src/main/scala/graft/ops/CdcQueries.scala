@@ -53,7 +53,7 @@ object CdcQueries {
     val distinctPrice = JoinDistinctView.maintainer("c_nationkey",
                                                     "o_totalprice")
 
-    private val cache = new java.util.concurrent.ConcurrentHashMap[
+    private val cache = new java.util.LinkedHashMap[
       (SparkSession, String), MultiView.Result]()
     // shared SINGLE-TOPIC fan-out (TableViews): one replay of the orders
     // changelog — one decode, one state merge per batch — maintains the
@@ -69,7 +69,7 @@ object CdcQueries {
       IncrementalAgg.distinctMaintainer("o_orderstatus", "o_totalprice")
     val momentsPrice = IncrementalAgg.momentsMaintainer(
       "o_orderstatus", "o_totalprice", _.cast("decimal(18,8)"))
-    private val tableCache = new java.util.concurrent.ConcurrentHashMap[
+    private val tableCache = new java.util.LinkedHashMap[
       (SparkSession, String), TableViews.Result]()
     private val evictionHooked =
       new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -80,25 +80,50 @@ object CdcQueries {
             override def onApplicationEnd(
                 e: org.apache.spark.scheduler
                      .SparkListenerApplicationEnd): Unit = {
-              cache.clear(); tableCache.clear()
+              cache.synchronized(cache.clear())
+              tableCache.synchronized(tableCache.clear())
             }
           })
     }
+    /** Memo lookup with PER-ENTRY eviction: each entry pins per-state
+      * localCheckpoint RDDs for its session's lifetime, so the cache is
+      * size-bounded — but evicting by clearing the whole map would drop
+      * every live session's warm state (full replay on next query) while
+      * the pinned blocks waited on the ContextCleaner's GC cycle. Evict
+      * the ELDEST entry only and release its pinned blocks explicitly
+      * (`Result.release`). Insertion-ordered LinkedHashMap under the map
+      * lock; the build also runs under it — acceptable for a memo whose
+      * builders are per-session warm-up work. */
+    private def cached[V](m: java.util.LinkedHashMap[(SparkSession, String), V],
+                          s: SparkSession, dir: String, release: V => Unit)
+                         (build: => V): V =
+      m.synchronized {
+        val k = (s, dir)
+        val hit = m.get(k)
+        if (hit != null) hit
+        else {
+          if (m.size >= 8) {
+            val it = m.entrySet().iterator()
+            if (it.hasNext) {
+              val eldest = it.next()
+              release(eldest.getValue)
+              it.remove()
+            }
+          }
+          hookEviction(s)
+          val v = build
+          m.put(k, v)
+          v
+        }
+      }
     def tableResult(s: SparkSession, dir: String): TableViews.Result =
-      tableCache.computeIfAbsent((s, dir), _ => {
-        if (tableCache.size >= 8) tableCache.clear()
-        hookEviction(s)
+      cached(tableCache, s, dir, (_: TableViews.Result).release()) {
         TableViews.replay(ChangelogGen.ordersChangeEvents(s, dir),
           cuts = Seq(SnapT1, SnapT2), pk = Seq("o_orderkey"),
           maintainers = Seq(topkStatus, distCust, distPrice, momentsPrice))
-      })
+      }
     def result(s: SparkSession, dir: String): MultiView.Result =
-      cache.computeIfAbsent((s, dir), _ => {
-        // bound: each entry pins per-state localCheckpoint RDDs for its
-        // session's lifetime — across many sessions that is a leak, so
-        // drop everything rather than grow without limit
-        if (cache.size >= 8) cache.clear()
-        hookEviction(s)
+      cached(cache, s, dir, (_: MultiView.Result).release()) {
         MultiView.replay(
           ChangelogGen.ordersChangeEvents(s, dir),
           ChangelogGen.customerChangeEvents(s, dir),
@@ -107,7 +132,7 @@ object CdcQueries {
           lJoinCols = Seq("o_custkey"),
           maintainers = Seq(topk, leftJoin, agg, distinctCust,
                             distinctPrice))
-      })
+      }
     def aggState(s: SparkSession, dir: String): JoinAggView.State = {
       val r = result(s, dir)
       JoinAggView.State(r.left, r.right, r(agg))

@@ -157,6 +157,31 @@ object CdcStream {
             when(col("__n.__np").isNotNull, nRow).as("after")): _*)
   }
 
+  /** Write one changelog batch directory (`.../changes/batch=<id>`).
+    * The `_SUCCESS` marker IS the per-batch commit record
+    * ([[committedBatchIds]] treats unmarked directories as not yet
+    * existing), so the writer FORCES marker emission for this write even
+    * when the session/cluster disables it globally
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false` is common
+    * with cloud committers) — per-write options land on this job's
+    * hadoop conf only. Belt and braces: verify the marker actually
+    * landed and fail the PRODUCING batch if not, because a committed-
+    * but-markerless directory would be permanently invisible to every
+    * consumer while looking like a successful write. */
+  private def writeChangesBatch(delta: DataFrame, dir: String): Unit = {
+    delta.coalesce(1).write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = marker.getFileSystem(
+      delta.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      throw new IllegalStateException(
+        s"changelog batch at $dir was written without its _SUCCESS " +
+          "marker (output committer suppressed it); consumers would " +
+          "never see this batch — failing the producer")
+  }
+
   /** Batch directories under `root/changes` that are COMMITTED — i.e.
     * carry the writer's `_SUCCESS` marker. A `batch=<id>` directory is
     * written file-by-file (non-atomic); a consumer listing concurrently
@@ -194,6 +219,19 @@ object CdcStream {
     if (ids.isEmpty)
       throw new IllegalStateException(
         s"readViewChanges: no committed batches under $rootPath/changes")
+    readViewChanges(spark, rootPath, ids)
+  }
+
+  /** [[readViewChanges]] over an EXPLICIT batch-id set — for consumers
+    * that must act on exactly ONE listing: [[applyViewChangesToJdbc]]
+    * records `__progress` against the ids it listed, so re-listing
+    * inside the read could pick up a batch committed in between — its
+    * rows would be applied but not covered by the recorded progress,
+    * and re-applied on the next call. */
+  def readViewChanges(spark: SparkSession, rootPath: String,
+                      ids: Seq[Long]): DataFrame = {
+    require(ids.nonEmpty,
+      s"readViewChanges: empty batch id set for $rootPath/changes")
     spark.read.option("basePath", s"$rootPath/changes")
       .parquet(ids.map(id => s"$rootPath/changes/batch=$id"): _*)
   }
@@ -413,9 +451,8 @@ object CdcStream {
           val next = JoinView.applyBatch(st0, dl, dr, lSpec.primaryKey,
             rSpec.primaryKey, lJoinCols, viewCols)
           val nextView = next.view.localCheckpoint()
-          viewDelta(st0.view, nextView, lSpec.primaryKey)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$rootPath/changes/batch=$batchId")
+          writeChangesBatch(viewDelta(st0.view, nextView, lSpec.primaryKey),
+            s"$rootPath/changes/batch=$batchId")
           // write the whole generation to tmp (reads come from the live
           // generation — no read-own-truncation), then promote in one swap
           swapGeneration(spark, s"$rootPath/current") { tmp =>
@@ -472,9 +509,8 @@ object CdcStream {
           val next = LeftJoinView.applyBatch(st0, dl, dr, lSpec.primaryKey,
             rSpec.primaryKey, lJoinCols, viewCols)
           val nextView = next.view.localCheckpoint()
-          viewDelta(st0.view, nextView, lSpec.primaryKey)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$rootPath/changes/batch=$batchId")
+          writeChangesBatch(viewDelta(st0.view, nextView, lSpec.primaryKey),
+            s"$rootPath/changes/batch=$batchId")
           swapGeneration(spark, s"$rootPath/current") { tmp =>
             next.left.write.mode("overwrite").parquet(s"$tmp/left")
             next.right.write.mode("overwrite").parquet(s"$tmp/right")
@@ -536,11 +572,10 @@ object CdcStream {
           val next = JoinAggView.applyBatch(st0, dl, dr, lSpec.primaryKey,
             rSpec.primaryKey, lJoinCols, groupCols, valueCol, valueCast)
           val nextAgg = next.agg.localCheckpoint()
-          viewDelta(JoinAggView.view(st0, valueCol),
+          writeChangesBatch(viewDelta(JoinAggView.view(st0, valueCol),
                     JoinAggView.view(next.copy(agg = nextAgg), valueCol),
-                    groupCols)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$rootPath/changes/batch=$batchId")
+                    groupCols),
+            s"$rootPath/changes/batch=$batchId")
           swapGeneration(spark, s"$rootPath/current") { tmp =>
             next.left.write.mode("overwrite").parquet(s"$tmp/left")
             next.right.write.mode("overwrite").parquet(s"$tmp/right")
@@ -606,9 +641,8 @@ object CdcStream {
             .map(r => spark.read.parquet(s"$r/view"))
             .getOrElse(spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row], nextView.schema))
-          viewDelta(prevView, nextView, Seq(groupCol))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$rootPath/changes/batch=$batchId")
+          writeChangesBatch(viewDelta(prevView, nextView, Seq(groupCol)),
+            s"$rootPath/changes/batch=$batchId")
           swapGeneration(spark, s"$rootPath/current") { tmp =>
             next.left.write.mode("overwrite").parquet(s"$tmp/left")
             next.right.write.mode("overwrite").parquet(s"$tmp/right")
@@ -688,9 +722,8 @@ object CdcStream {
           // THIS row" — rank-slot semantics, the natural key of a top-k
           // leaderboard view (a promoted row emits an update on its new
           // rank slot). The view is k×|groups|-small, so the diff is tiny.
-          viewDelta(st0.view, nextView, Seq(groupCol, "rk"))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$rootPath/changes/batch=$batchId")
+          writeChangesBatch(viewDelta(st0.view, nextView, Seq(groupCol, "rk")),
+            s"$rootPath/changes/batch=$batchId")
           swapGeneration(spark, s"$rootPath/current") { tmp =>
             next.state.write.mode("overwrite").parquet(s"$tmp/state")
             nextView.write.mode("overwrite").parquet(s"$tmp/view")
@@ -766,9 +799,8 @@ object CdcStream {
           val next = JoinTopKView.applyBatch(st0, dl, dr, lSpec.primaryKey,
             rSpec.primaryKey, lJoinCols, viewCols, groupCol, orderCol, k)
           val nextRanked = next.ranked.localCheckpoint()
-          viewDelta(st0.ranked, nextRanked, Seq(groupCol, "rk"))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$rootPath/changes/batch=$batchId")
+          writeChangesBatch(viewDelta(st0.ranked, nextRanked, Seq(groupCol, "rk")),
+            s"$rootPath/changes/batch=$batchId")
           swapGeneration(spark, s"$rootPath/current") { tmp =>
             next.join.left.write.mode("overwrite").parquet(s"$tmp/left")
             next.join.right.write.mode("overwrite").parquet(s"$tmp/right")
@@ -898,8 +930,13 @@ object CdcStream {
         val root = liveGenerationRoot(spark, s"$rootPath/current")
         // emitted changes are not replay-idempotent — marker gates all
         if (!root.exists(r => isApplied(spark, r, batchId))) {
-          val dl = changeEvents(batch, lSpec).localCheckpoint()
-          val dr = changeEvents(batch, rSpec).localCheckpoint()
+          // LAZY pins: the first action over the deltas materializes
+          // them. With auto-cuts on, that first action IS the autoCuts
+          // count — a small batch pays ONE probe job total instead of an
+          // eager-pin job per side plus a separate count; everything
+          // downstream then reads the pinned RDDs.
+          val dl = changeEvents(batch, lSpec).localCheckpoint(false)
+          val dr = changeEvents(batch, rSpec).localCheckpoint(false)
           def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], df.schema)
           val (stL, stR) = root
@@ -949,9 +986,8 @@ object CdcStream {
             val prevFace = root
               .map(r => spark.read.parquet(s"$r/${v.name}__view"))
               .getOrElse(emptyLike(nextFace.limit(0)))
-            viewDelta(prevFace, nextFace, v.faceKeys)
-              .coalesce(1).write.mode("overwrite")
-              .parquet(s"$rootPath/${v.name}/changes/batch=$batchId")
+            writeChangesBatch(viewDelta(prevFace, nextFace, v.faceKeys),
+              s"$rootPath/${v.name}/changes/batch=$batchId")
             nextFace
           }
           swapGeneration(spark, s"$rootPath/current") { tmp =>
@@ -1070,7 +1106,9 @@ object CdcStream {
         val root = liveGenerationRoot(spark, s"$rootPath/current")
         // fold faces double-count on replay; marker gates the whole body
         if (!root.exists(r => isApplied(spark, r, batchId))) {
-          val delta = changeEvents(batch, spec).localCheckpoint()
+          // lazy pin — the autoCuts count (or the first fold action)
+          // materializes it; see maintainMultiViewToParquet's rationale
+          val delta = changeEvents(batch, spec).localCheckpoint(false)
           def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], df.schema)
           val st0 = root.map(r => spark.read.parquet(s"$r/state"))
@@ -1109,9 +1147,8 @@ object CdcStream {
             val prevFace = root
               .map(r => spark.read.parquet(s"$r/${v.name}__view"))
               .getOrElse(emptyLike(nextFace.limit(0)))
-            viewDelta(prevFace, nextFace, v.faceKeys)
-              .coalesce(1).write.mode("overwrite")
-              .parquet(s"$rootPath/${v.name}/changes/batch=$batchId")
+            writeChangesBatch(viewDelta(prevFace, nextFace, v.faceKeys),
+              s"$rootPath/${v.name}/changes/batch=$batchId")
             nextFace
           }
           swapGeneration(spark, s"$rootPath/current") { tmp =>
@@ -1232,9 +1269,8 @@ object CdcStream {
               spark.read.parquet(s"$r/state")))
             .getOrElse(spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row], nextView.schema))
-          viewDelta(prevView, nextView, Seq(groupCol))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$rootPath/changes/batch=$batchId")
+          writeChangesBatch(viewDelta(prevView, nextView, Seq(groupCol)),
+            s"$rootPath/changes/batch=$batchId")
           swapGeneration(spark, s"$rootPath/current") { tmp =>
             next.write.mode("overwrite").parquet(s"$tmp/state")
             nextView.write.mode("overwrite").parquet(s"$tmp/view")
@@ -1284,9 +1320,8 @@ object CdcStream {
             .map(r => spark.read.parquet(s"$r/view"))
             .getOrElse(spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row], nextView.schema))
-          viewDelta(prevView, nextView, Seq(groupCol))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$rootPath/changes/batch=$batchId")
+          writeChangesBatch(viewDelta(prevView, nextView, Seq(groupCol)),
+            s"$rootPath/changes/batch=$batchId")
           swapGeneration(spark, s"$rootPath/current") { tmp =>
             next.pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
             next.groups.write.mode("overwrite").parquet(s"$tmp/groups")
@@ -1470,10 +1505,13 @@ object CdcStream {
       s"applyViewChangesToJdbc: changelog gap — last applied batch " +
         s"$appliedUpTo but earliest surviving batch is ${dirIds.min} " +
         s"(retention pruned past this consumer); re-seed $table from the view")
-    // readViewChanges reads ONLY committed directories, so the suffix
-    // read here can never include the torn batch being written
-    val ch = readViewChanges(spark, rootPath)
-      .filter(col("batch") > appliedUpTo)
+    // read EXACTLY the ids captured above (one listing): a batch
+    // committed between two listings would otherwise be applied while
+    // `__progress` records only the earlier max — its rows re-applied
+    // on the next call. Committed-only by construction, so the torn
+    // batch a concurrent producer is mid-writing stays invisible.
+    val ch = readViewChanges(spark, rootPath,
+      dirIds.filter(_ > appliedUpTo))
     val hi = dirIds.max
     if (ch.isEmpty) {
       // only empty batches beyond the marker: nothing to apply

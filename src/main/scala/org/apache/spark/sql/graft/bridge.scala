@@ -27,6 +27,27 @@ object bridge {
     t.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
   }
 
+  /** Release the persisted storage pinned under a frame built from
+    * `localCheckpoint` + [[reRoot]] — the explicit-eviction half the
+    * lazy-pin discipline otherwise lacks (ContextCleaner frees pinned
+    * blocks only when the RDD object is garbage collected, which an
+    * evicting cache should not wait for). Walks each `LogicalRDD` leaf's
+    * narrow ancestry a few steps (the reRoot wrapper can interpose a
+    * scan/projection RDD over the checkpointed one) and unpersists
+    * whatever is persisted. Only call on frames no live query will scan
+    * again: a locally-checkpointed RDD is unrecoverable once dropped. */
+  def unpersistPinned(df: org.apache.spark.sql.DataFrame): Unit = {
+    def walk(rdd: org.apache.spark.rdd.RDD[_], depth: Int): Unit =
+      if (depth < 6) {
+        if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          rdd.unpersist(blocking = false)
+        rdd.dependencies.foreach(d => walk(d.rdd, depth + 1))
+      }
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(walk(_, 0))
+  }
+
   /** Install graft's SQL functions + optimizer rule into an EXISTING
     * session (extensions only apply at session build time). The
     * function table lives in `graft.plans.GraftFunctions`, shared with
