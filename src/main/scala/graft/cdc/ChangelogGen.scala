@@ -215,4 +215,92 @@ object ChangelogGen {
   def customerState(spark: SparkSession, sfDir: String): DataFrame =
     Materializer.currentState(
       customerChangeEvents(spark, sfDir), customerSpec.primaryKey)
+
+  // ---------- lineitem changelog (third topic: the snowflake fact) ----------
+
+  val lineitemSpec: TableSpec = TableSpec(
+    database = Database,
+    table = "lineitem",
+    primaryKey = Seq("l_orderkey", "l_linenumber"),
+    schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_returnflag", StringType))))
+
+  /** Deterministic lineitem changelog — the THIRD topic, the fact of the
+    * snowflake chain lineitem→orders→customer, with a COMPOSITE primary
+    * key. Event plan (closed-form final state: l_orderkey % 7 != 0
+    * survives, extendedprice * 0.95 when l_linenumber is even):
+    *   - INSERT every lineitem at ts = epoch(l_shipdate) — ship dates
+    *     span 1992-1998, so events land in every replay window and facts
+    *     arrive both BEFORE and AFTER the dimension rows they reference
+    *   - UPDATE l_extendedprice *= 0.95 for even l_linenumber at ts+3600
+    *     (`old` carries only the changed column)
+    *   - DELETE l_orderkey % 7 == 0 at ts+7200 (full row image) */
+  def lineitemChangelog(spark: SparkSession, sfDir: String): DataFrame =
+    logCache.computeIfAbsent((spark, s"lineitem:$sfDir"),
+      _ => buildLineitemChangelog(spark, sfDir).cache())
+
+  private def buildLineitemChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    // the synthetic lineitem is NOT unique on (l_orderkey, l_linenumber)
+    // — a changelog keyed on it would collapse duplicate keys by
+    // last-writer-wins with NONDETERMINISTIC ties (identical ts + seq).
+    // Dedup deterministically first: one row per pk, smallest by the
+    // carried columns (total order; fully-identical dups pick an
+    // identical row), mirrored verbatim in the DuckDB oracle.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_extendedprice"), col("l_discount"),
+               col("l_returnflag"), col("l_shipdate"))
+    val li = graft.Tables.ensureParallelism(
+        graft.Tables.load(spark, sfDir, "lineitem"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice"), col("l_discount"),
+              col("l_returnflag"), col("l_shipdate"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val base = unix_timestamp(col("l_shipdate"))
+    // l_linenumber is 1..7, so orderkey*8 + linenumber is injective
+    val rowId = col("l_orderkey") * 8 + col("l_linenumber")
+    val rowImage = struct(col("l_orderkey"), col("l_linenumber"),
+                          col("l_extendedprice"), col("l_discount"),
+                          col("l_returnflag"))
+    def envelope(typ: String, ts: org.apache.spark.sql.Column,
+                 data: org.apache.spark.sql.Column,
+                 old: Option[org.apache.spark.sql.Column]) = {
+      val fields = Seq(
+        lit(Database).as("database"), lit("lineitem").as("table"),
+        lit(typ).as("type"), ts.as("ts"), data.as("data")) ++
+        old.map(_.as("old")).toSeq
+      to_json(struct(fields: _*))
+    }
+    val inserts = li.select(
+      envelope("insert", base, rowImage, None).as("value"),
+      (rowId * 3).as("seq"))
+    val updated = rowImage.withField("l_extendedprice",
+                                     col("l_extendedprice") * 0.95)
+    val updates = li.filter(col("l_linenumber") % 2 === 0).select(
+      envelope("update", base + 3600, updated,
+        Some(struct(col("l_extendedprice")))).as("value"),
+      (rowId * 3 + 1).as("seq"))
+    val deleted = when(col("l_linenumber") % 2 === 0, updated)
+      .otherwise(rowImage)
+    val deletes = li.filter(col("l_orderkey") % 7 === 0).select(
+      envelope("delete", base + 7200, deleted, None).as("value"),
+      (rowId * 3 + 2).as("seq"))
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  def lineitemChangeEvents(spark: SparkSession, sfDir: String): DataFrame =
+    envCache.computeIfAbsent((spark, s"lineitem:$sfDir"), _ => {
+      val log = lineitemChangelog(spark, sfDir)
+      RowDecoder.changeEvents(
+        log.select(
+            from_json(col("value"), Maxwell.envelopeSchema).as("e"),
+            col("seq"))
+          .select(col("e.*"), col("seq")),
+        lineitemSpec).cache()
+    })
 }

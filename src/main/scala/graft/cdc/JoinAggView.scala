@@ -57,11 +57,17 @@ object JoinAggView {
   /** Public face of the aggregate state: `groupCols…, n_rows,
     * sum_<c>…` — NULL sum for live groups whose values for that measure
     * are all NULL; the per-measure `n_vals_<c>` stay internal. */
-  def viewMulti(st: State, valueCols: Seq[String]): DataFrame = {
+  def viewMulti(st: State, valueCols: Seq[String]): DataFrame =
+    viewOfAgg(st.agg, valueCols)
+
+  /** [[viewMulti]] over a bare aggregate-state frame (a maintainer's
+    * state from a shared replay, where the table states live in the
+    * replay's own result). */
+  def viewOfAgg(agg: DataFrame, valueCols: Seq[String]): DataFrame = {
     val hidden = valueCols
       .flatMap(c => Seq(s"n_vals_$c", s"sum_$c")).toSet + "n_rows"
-    st.agg.select(
-      st.agg.columns.filterNot(hidden).map(col) ++
+    agg.select(
+      agg.columns.filterNot(hidden).map(col) ++
         (col("n_rows") +: valueCols.map(c =>
           when(col(s"n_vals_$c") > 0, col(s"sum_$c")).as(s"sum_$c"))): _*)
   }

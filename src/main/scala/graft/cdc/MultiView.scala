@@ -88,7 +88,7 @@ object MultiView {
 
   /** DataFrames reachable from an erased maintainer state (a bare frame,
     * or a tuple/case class of frames). */
-  private def stateFrames(s: Any): Seq[DataFrame] = s match {
+  private[cdc] def stateFrames(s: Any): Seq[DataFrame] = s match {
     case df: DataFrame => Seq(df)
     case p: Product =>
       p.productIterator.collect { case df: DataFrame => df }.toSeq

@@ -11,8 +11,8 @@ package graft.cdc
   * by design, see JoinView.replay) and joins with a generous but FINITE
   * timeout that fails loudly instead of wedging.
   */
-private[cdc] final class Prefetch {
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+private[cdc] final class Prefetch(threads: Int = 2) {
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads,
     (r: Runnable) => {
       val t = new Thread(r, "graft-replay-prefetch")
       t.setDaemon(true)

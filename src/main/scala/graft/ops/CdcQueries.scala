@@ -71,6 +71,17 @@ object CdcQueries {
       "o_orderstatus", "o_totalprice", _.cast("decimal(18,8)"))
     private val tableCache = new java.util.LinkedHashMap[
       (SparkSession, String), TableViews.Result]()
+    // N-TOPIC (snowflake) shared replay: lineitem⋈orders⋈customer in ONE
+    // replay of the three changelogs (SnowflakeView — the dim-side chain
+    // orders⋈customer is maintained inside the loop; no changelog
+    // cascade). The revenue measure exercises a cross-column expression
+    // measure (extendedprice × (1 − discount)) through the shared ctx.
+    val snowAgg = JoinAggView.maintainerNamed(Seq("c_nationkey"),
+      Seq(("revenue", "l_extendedprice",
+           (c: Column) => (c * (lit(1.0) - col("l_discount")))
+             .cast("decimal(25,10)"))))
+    private val snowCache = new java.util.LinkedHashMap[
+      (SparkSession, String), SnowflakeView.Result]()
     private val evictionHooked =
       new java.util.concurrent.atomic.AtomicBoolean(false)
     private def hookEviction(s: SparkSession): Unit = {
@@ -82,6 +93,7 @@ object CdcQueries {
                      .SparkListenerApplicationEnd): Unit = {
               cache.synchronized(cache.clear())
               tableCache.synchronized(tableCache.clear())
+              snowCache.synchronized(snowCache.clear())
             }
           })
     }
@@ -121,6 +133,18 @@ object CdcQueries {
         TableViews.replay(ChangelogGen.ordersChangeEvents(s, dir),
           cuts = Seq(SnapT1, SnapT2), pk = Seq("o_orderkey"),
           maintainers = Seq(topkStatus, distCust, distPrice, momentsPrice))
+      }
+    def snowResult(s: SparkSession, dir: String): SnowflakeView.Result =
+      cached(snowCache, s, dir, (_: SnowflakeView.Result).release()) {
+        SnowflakeView.replay(
+          Seq(ChangelogGen.lineitemChangeEvents(s, dir),
+              ChangelogGen.ordersChangeEvents(s, dir),
+              ChangelogGen.customerChangeEvents(s, dir)),
+          pks = Seq(Seq("l_orderkey", "l_linenumber"),
+                    Seq("o_orderkey"), Seq("c_custkey")),
+          fks = Seq(Seq("l_orderkey"), Seq("o_custkey")),
+          cuts = Seq(SnapT1, SnapT2),
+          maintainers = Seq(snowAgg))
       }
     def result(s: SparkSession, dir: String): MultiView.Result =
       cached(cache, s, dir, (_: MultiView.Result).release()) {
@@ -493,6 +517,21 @@ object CdcQueries {
                 col("o_totalprice"), col("c_name"))
         .orderBy(col("c_nationkey"), col("rk"))),
 
+    // SNOWFLAKE (3-table chain) aggregate view in ONE shared replay:
+    // net revenue per customer nation over lineitem⋈orders⋈customer,
+    // maintained from the THREE changelogs' deltas alone (SnowflakeView:
+    // the dim-side chain orders⋈customer is itself incrementally
+    // maintained inside the replay; changed keys propagate upward as
+    // effective key sets, so a customer delete retracts every one of its
+    // orders' lineitems from the rollup). Composite fact pk, deletes at
+    // every level, and facts arriving before AND after their dimensions.
+    "cdc_snowflake_view" -> ((s, dir) =>
+      graft.cdc.JoinAggView.viewOfAgg(
+          SharedJoin.snowResult(s, dir)(SharedJoin.snowAgg), Seq("revenue"))
+        .select(col("c_nationkey"), col("n_rows").as("n_items"),
+                round(col("sum_revenue"), 2).cast("double").as("revenue"))
+        .orderBy(col("c_nationkey"))),
+
     // Incremental TOP-K view maintenance: 3 most expensive live orders
     // per status, kept current across three replay windows by
     // delta-restricted re-ranking (only statuses the batch touched are
@@ -760,6 +799,31 @@ object CdcQueries {
         |  round(quantile_disc(o_totalprice, 0.95), 2) AS p95_price
         |FROM ($expectedStateSql)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "cdc_snowflake_view" ->
+      s"""WITH lbase AS (
+        |  SELECT * FROM (
+        |    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+        |      row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |        ORDER BY l_extendedprice, l_discount, l_returnflag,
+        |                 l_shipdate) AS rn
+        |    FROM lineitem) WHERE rn = 1),
+        |lstate AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_linenumber % 2 = 0 THEN l_extendedprice * 0.95
+        |         ELSE l_extendedprice END AS l_extendedprice,
+        |    l_discount
+        |  FROM lbase WHERE l_orderkey % 7 <> 0),
+        |ostate AS ($expectedStateSql),
+        |cstate AS (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM customer WHERE c_custkey % 25 <> 0)
+        |SELECT c_nationkey, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                      AS DECIMAL(25,10))), 2) AS DOUBLE) AS revenue
+        |FROM lstate
+        |JOIN ostate ON l_orderkey = o_orderkey
+        |JOIN cstate ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "cdc_join_topk_view" ->
       s"""WITH ostate AS ($expectedStateSql),
         |cstate AS (

@@ -844,6 +844,29 @@ class StreamingSpec extends SparkSpec {
                  r.getLong(3), r.getString(4))).toSet
     assert(got == Set((1L, 6.0, "a", 100L, "EU")),
       s"snowflake cascade view wrong: $got")
+    // the FIRST-CLASS N-topic replay (SnowflakeView: one replay, the
+    // dim⋈dim2 chain maintained inside the loop) must equal the two-level
+    // changelog cascade above
+    val batch = spark.read.textFile(logDir).toDF("value")
+      .select(org.apache.spark.sql.functions.from_json(col("value"),
+        graft.cdc.Maxwell.envelopeSchema).as("e"))
+      .select(col("e.*"))
+    val factEv = graft.cdc.RowDecoder.changeEvents(batch, lSpec)
+    val dimEv = graft.cdc.RowDecoder.changeEvents(batch, rSpec)
+    val m = JoinView.maintainer(Seq("k", "fk", "price", "name", "nk",
+                                    "region"))
+    val snow = graft.cdc.SnowflakeView.replay(
+      Seq(factEv, dimEv, dim2Events),
+      pks = Seq(Seq("k"), Seq("ck"), Seq("nkey")),
+      fks = Seq(Seq("fk"), Seq("nk")),
+      cuts = Seq(2L, 5L), maintainers = Seq(m))
+    val gotSnow = snow(m)
+      .select(col("k"), col("price"), col("name"), col("nk"), col("region"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+                 r.getLong(3), r.getString(4))).toSet
+    assert(gotSnow == got,
+      s"single-replay snowflake view != changelog cascade: $gotSnow vs $got")
   }
 
   test("streaming join-agg view: two-topic stream, late dim, restarts") {
