@@ -91,6 +91,85 @@ object SnowflakeView {
     }
   }
 
+  /** The per-batch SHARED chain work, used by both [[replay]] and the
+    * streaming face
+    * ([[graft.streaming.CdcStream.maintainSnowflakeViewToParquet]]):
+    * resolve per-table changed keys (pre-collected via `keys`, else
+    * derived under the cap with the distributed fallback), merge all N
+    * table states, cascade effective keys bottom-up, step the
+    * intermediate chain views, and assemble the maintainers' two-sided
+    * top-level ctx. `vPre` holds the previous batch's intermediate views
+    * `V_k = T_k ⋈ … ⋈ Tₙ` for k = 1..n−2 (empty for n = 2). Returns the
+    * merged states (pinned), the new intermediates (pinned, same
+    * indexing), and the top ctx. */
+  private[graft] def chainStep(states: Seq[DataFrame], vPre: Seq[DataFrame],
+      deltas: Seq[DataFrame], pks: Seq[Seq[String]], fks: Seq[Seq[String]],
+      keys: Option[Seq[Option[DataFrame]]], maxLocalKeys: Int)
+      : (Seq[DataFrame], Seq[DataFrame], MultiView.BatchCtx) = {
+    val n = states.size
+    require(vPre.size == math.max(n - 2, 0),
+      s"vPre must carry the ${math.max(n - 2, 0)} intermediate views, " +
+        s"got ${vPre.size}")
+    def distributedKeys(delta: DataFrame, ks: Seq[String]): DataFrame =
+      delta.select(ks.map(k => col(s"after.$k").as(k)): _*)
+        .distinct().localCheckpoint(false)
+    val resolved: Seq[(DataFrame, Boolean)] = (0 until n).map { t =>
+      keys.map(_(t))
+        .getOrElse(JoinView.localKeys(deltas(t), pks(t), maxLocalKeys)) match {
+        case Some(k) => (k, true)
+        case None    => (distributedKeys(deltas(t), pks(t)), false)
+      }
+    }
+    val merged = states.indices.map(t =>
+      Materializer.merge(states(t), deltas(t), pks(t),
+        changedKeys = Some(resolved(t)._1)).localCheckpoint(false))
+    val liveCols: Int => Seq[String] = k =>
+      states(k).columns.toSeq.filterNot(Materializer.MetaCols.contains)
+    val chainCols: Int => Seq[String] = k => (k until n).flatMap(liveCols)
+    // bottom-up: effective key sets + intermediate chain views
+    val effK = new Array[(DataFrame, Boolean)](n)
+    val preV = new Array[DataFrame](n)
+    val postV = new Array[DataFrame](n)
+    effK(n - 1) = resolved(n - 1)
+    preV(n - 1) = Materializer.liveView(states(n - 1))
+    postV(n - 1) = Materializer.liveView(merged(n - 1))
+    for (k <- n - 2 to 1 by -1) {
+      effK(k) = extendKeys(resolved(k), merged(k), fks(k), pks(k),
+                           pks(k + 1), effK(k + 1), maxLocalKeys)
+      val ctx = MultiView.BatchCtx(pks(k), pks(k + 1), fks(k),
+        resolved(k)._1, resolved(k)._2, effK(k + 1)._1, effK(k + 1)._2,
+        Materializer.liveView(states(k)), preV(k + 1),
+        Materializer.liveView(merged(k)), postV(k + 1), maxLocalKeys)
+      preV(k) = vPre(k - 1)
+      postV(k) = JoinView.stepView(vPre(k - 1), ctx, chainCols(k))
+        .localCheckpoint(false)
+    }
+    val ctx0 = MultiView.BatchCtx(pks(0), pks(1), fks(0),
+      resolved(0)._1, resolved(0)._2, effK(1)._1, effK(1)._2,
+      Materializer.liveView(states(0)), preV(1),
+      Materializer.liveView(merged(0)), postV(1), maxLocalKeys)
+    (merged, (1 to n - 2).map(postV), ctx0)
+  }
+
+  /** Validate the chain shape shared by [[replay]] and the streaming
+    * face: one pk per table, fks positional into the next table's pk,
+    * no shared column names between a fk and its target pk. */
+  private[graft] def requireChain(n: Int, pks: Seq[Seq[String]],
+                                  fks: Seq[Seq[String]]): Unit = {
+    require(n >= 2, s"snowflake chain needs at least 2 tables, got $n")
+    require(pks.size == n, s"pks.size (${pks.size}) must equal tables ($n)")
+    require(fks.size == n - 1,
+      s"fks.size (${fks.size}) must be tables − 1 (${n - 1})")
+    (0 until n - 1).foreach { i =>
+      require(fks(i).size == pks(i + 1).size,
+        s"fks($i) (${fks(i).mkString(",")}) must match pks(${i + 1}) " +
+          s"(${pks(i + 1).mkString(",")}) positionally")
+      require(fks(i).intersect(pks(i + 1)).isEmpty,
+        s"fks($i) and pks(${i + 1}) must not share column names " +
+          s"(got ${fks(i).intersect(pks(i + 1)).mkString(",")})")
+    }
+  }
+
   /** Replay N event streams across `cuts` ONCE, maintaining every
     * registered view over the chain join. `events(i)` is table i's
     * decoded changelog (fact first, deepest dimension last), `pks(i)`
@@ -110,22 +189,11 @@ object SnowflakeView {
              maxLocalKeys: Int = JoinView.DefaultMaxLocalKeys,
              maxEventsPerBatch: Option[Int] = None): Result = {
     val n = events.size
-    require(n >= 2, s"snowflake chain needs at least 2 tables, got $n")
-    require(pks.size == n, s"pks.size (${pks.size}) must equal tables ($n)")
-    require(fks.size == n - 1,
-      s"fks.size (${fks.size}) must be tables − 1 (${n - 1})")
+    requireChain(n, pks, fks)
     require(maintainers.nonEmpty, "at least one maintainer")
     require(maintainers.distinct.size == maintainers.size,
       "each maintainer must be a distinct instance (results are keyed " +
         "by identity); build a second instance for a second view")
-    (0 until n - 1).foreach { i =>
-      require(fks(i).size == pks(i + 1).size,
-        s"fks($i) (${fks(i).mkString(",")}) must match pks(${i + 1}) " +
-          s"(${pks(i + 1).mkString(",")}) positionally")
-      require(fks(i).intersect(pks(i + 1)).isEmpty,
-        s"fks($i) and pks(${i + 1}) must not share column names " +
-          s"(got ${fks(i).intersect(pks(i + 1)).mkString(",")})")
-    }
     val parent = events.head.sparkSession
     val child = parent.newSession()
     child.conf.set("spark.sql.adaptive.enabled", "false")
@@ -155,8 +223,6 @@ object SnowflakeView {
     for (k <- n - 2 to 0 by -1)
       chain0(k) = MultiView.emptyLike(
         live0(k).join(chain0(k + 1), joinCondFor(k)))
-    val chainCols: Int => Seq[String] =
-      k => (k until n).flatMap(live0(_).columns)
     val ms = maintainers.map(_.asInstanceOf[MultiView.Maintainer[Any]])
     var mStates: Seq[Any] =
       ms.map(_.empty(live0(0), chain0(1), pks(0), pks(1), fks(0)))
@@ -179,52 +245,20 @@ object SnowflakeView {
         prefetch.submit(JoinView.localKeys(slice(p, lo, hi), pk, maxLocalKeys))
       }
     }
-    def distributedKeys(delta: DataFrame, ks: Seq[String]): DataFrame =
-      delta.select(ks.map(k => col(s"after.$k").as(k)): _*)
-        .distinct().localCheckpoint(false)
     var pending = keysFor(0)
     var states: Seq[DataFrame] = schemas
-    // vPre(k), 1 ≤ k ≤ n−2: the previous batch's intermediate view
-    val vPre = new Array[DataFrame](n)
-    for (k <- 1 to n - 2) vPre(k) = chain0(k)
+    // previous batch's intermediate views V_k, k = 1..n−2
+    var vPre: Seq[DataFrame] = (1 to n - 2).map(chain0)
     try bounds.indices.foreach { i =>
       val (lo, hi) = bounds(i)
       val collected = pending.map(prefetch.await)
       if (i + 1 < bounds.size) pending = keysFor(i + 1)
       val deltas = pinned.map(slice(_, lo, hi))
-      val resolved: Seq[(DataFrame, Boolean)] =
-        collected.zipWithIndex.map {
-          case (Some(k), _) => (k, true)
-          case (None, t)    => (distributedKeys(deltas(t), pks(t)), false)
-        }
-      val merged = states.indices.map(t =>
-        Materializer.merge(states(t), deltas(t), pks(t),
-          changedKeys = Some(resolved(t)._1)).localCheckpoint(false))
-      // bottom-up: effective key sets + intermediate chain views
-      val effK = new Array[(DataFrame, Boolean)](n)
-      val preV = new Array[DataFrame](n)
-      val postV = new Array[DataFrame](n)
-      effK(n - 1) = resolved(n - 1)
-      preV(n - 1) = Materializer.liveView(states(n - 1))
-      postV(n - 1) = Materializer.liveView(merged(n - 1))
-      for (k <- n - 2 to 1 by -1) {
-        effK(k) = extendKeys(resolved(k), merged(k), fks(k), pks(k),
-                             pks(k + 1), effK(k + 1), maxLocalKeys)
-        val ctx = MultiView.BatchCtx(pks(k), pks(k + 1), fks(k),
-          resolved(k)._1, resolved(k)._2, effK(k + 1)._1, effK(k + 1)._2,
-          Materializer.liveView(states(k)), preV(k + 1),
-          Materializer.liveView(merged(k)), postV(k + 1), maxLocalKeys)
-        preV(k) = vPre(k)
-        postV(k) = JoinView.stepView(vPre(k), ctx, chainCols(k))
-          .localCheckpoint(false)
-      }
-      val ctx0 = MultiView.BatchCtx(pks(0), pks(1), fks(0),
-        resolved(0)._1, resolved(0)._2, effK(1)._1, effK(1)._2,
-        Materializer.liveView(states(0)), preV(1),
-        Materializer.liveView(merged(0)), postV(1), maxLocalKeys)
+      val (merged, vPost, ctx0) = chainStep(states, vPre, deltas, pks, fks,
+        keys = Some(collected), maxLocalKeys = maxLocalKeys)
       mStates = ms.zip(mStates).map { case (m, s) => m.pin(m.step(s, ctx0)) }
       states = merged
-      for (k <- 1 to n - 2) vPre(k) = postV(k)
+      vPre = vPost
     } finally prefetch.shutdown()
     import org.apache.spark.sql.graft.bridge.reRoot
     new Result(states.map(reRoot(_, parent)),

@@ -1016,6 +1016,136 @@ object CdcStream {
       .getOrElse(throw new IllegalStateException(
         s"no multi-view state at $rootPath"))
 
+  /** Maintain N views of a SNOWFLAKE CHAIN `T₁ ⋈ T₂ ⋈ … ⋈ Tₙ` from ONE
+    * N-topic changelog stream — the streaming face of
+    * [[graft.cdc.SnowflakeView.replay]]. Per batch: decode each topic
+    * ONCE, run one shared [[graft.cdc.SnowflakeView.chainStep]] (N key
+    * derivations + N state merges + the bottom-up effective-key cascade
+    * and intermediate chain-view steps), then fold every registered view
+    * off the same two-sided top ctx; emit each view's own changelog;
+    * persist the N table states, the n−2 intermediate chain views, and
+    * every view's state + face as ONE generation with a single atomic
+    * swap — the whole family advances (and crash-recovers) together.
+    * Exactly-once via the applied-batch marker; `maxEventsPerBatch`
+    * auto-cuts an oversized catch-up batch into event-count-bounded
+    * sub-batches (same rationale as [[maintainMultiViewToParquet]]).
+    * `specs` are ordered fact-first (deepest dimension last); `fks(i)`
+    * is table i's foreign key into `specs(i+1)`'s primary key.
+    * Maintainers see `L = T₁, R = T₂⋈…⋈Tₙ`, so the same [[NamedView]]
+    * factories work over N tables unchanged. */
+  def maintainSnowflakeViewToParquet(envelope: DataFrame,
+                                     specs: Seq[TableSpec],
+                                     fks: Seq[Seq[String]],
+                                     views: Seq[NamedView[_]],
+                                     rootPath: String, checkpointPath: String,
+                                     maxEventsPerBatch: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.{MultiView, SnowflakeView}
+    val n = specs.size
+    val pks = specs.map(_.primaryKey)
+    SnowflakeView.requireChain(n, pks, fks)
+    require(views.nonEmpty, "at least one view")
+    require(views.map(_.name).distinct.size == views.size,
+      s"view names must be distinct: ${views.map(_.name).mkString(", ")}")
+    envelope.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = liveGenerationRoot(spark, s"$rootPath/current")
+        if (!root.exists(r => isApplied(spark, r, batchId))) {
+          // lazy pins: with auto-cuts on, the probe count is the action
+          // that materializes the deltas (multi-view face rationale)
+          val deltas = specs.map(sp =>
+            changeEvents(batch, sp).localCheckpoint(false))
+          def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], df.schema)
+          val states0: Seq[DataFrame] = root match {
+            case Some(r) =>
+              (0 until n).map(t => spark.read.parquet(s"$r/table_$t"))
+            case None => deltas.zip(pks).map { case (d, pk) =>
+              emptyLike(Materializer.compact(d.limit(0), pk)) }
+          }
+          val live0 = states0.map(st =>
+            emptyLike(st.limit(0).drop(Materializer.MetaCols: _*)))
+          def joinCondFor(k: Int) = fks(k).zip(pks(k + 1))
+            .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+          val chain0 = new Array[DataFrame](n)
+          chain0(n - 1) = live0(n - 1)
+          for (k <- n - 2 to 0 by -1)
+            chain0(k) = emptyLike(
+              live0(k).join(chain0(k + 1), joinCondFor(k)).limit(0))
+          val vPre0: Seq[DataFrame] = root match {
+            case Some(r) =>
+              (1 to n - 2).map(k => spark.read.parquet(s"$r/chain_$k"))
+            case None => (1 to n - 2).map(chain0)
+          }
+          val vs = views.map(_.asInstanceOf[NamedView[Any]])
+          val st0s: Seq[Any] = vs.map { v =>
+            root match {
+              case Some(r) => v.load(v.fileNames.map(f =>
+                f -> spark.read.parquet(s"$r/${v.name}__$f")).toMap)
+              case None => v.maintainer.empty(live0(0), chain0(1),
+                                              pks(0), pks(1), fks(0))
+            }
+          }
+          val subCuts = maxEventsPerBatch
+            .map(m => MultiView.autoCuts(
+              deltas.map(_.select(col("ts"))).reduce(_ unionByName _), m))
+            .getOrElse(Seq.empty)
+          val subWindows = (Long.MinValue +: subCuts) :+ Long.MaxValue
+          var stCur = states0
+          var vpCur = vPre0
+          var vCur = st0s
+          subWindows.sliding(2).foreach { case Seq(lo, hi) =>
+            val sliced = deltas.map(
+              _.filter(col("ts") > lo && col("ts") <= hi))
+            val (merged, vPost, ctx0) = SnowflakeView.chainStep(
+              stCur, vpCur, sliced, pks, fks, keys = None,
+              maxLocalKeys = graft.cdc.JoinView.DefaultMaxLocalKeys)
+            vCur = vs.zip(vCur).map { case (v, s) =>
+              v.maintainer.pin(v.maintainer.step(s, ctx0)) }
+            stCur = merged
+            vpCur = vPost
+          }
+          val faces = vs.zip(vCur).map { case (v, s) =>
+            val nextFace = v.face(s).localCheckpoint()
+            val prevFace = root
+              .map(r => spark.read.parquet(s"$r/${v.name}__view"))
+              .getOrElse(emptyLike(nextFace.limit(0)))
+            writeChangesBatch(viewDelta(prevFace, nextFace, v.faceKeys),
+              s"$rootPath/${v.name}/changes/batch=$batchId")
+            nextFace
+          }
+          swapGeneration(spark, s"$rootPath/current") { tmp =>
+            stCur.zipWithIndex.foreach { case (st, t) =>
+              st.write.mode("overwrite").parquet(s"$tmp/table_$t") }
+            vpCur.zipWithIndex.foreach { case (vp, i) =>
+              vp.write.mode("overwrite").parquet(s"$tmp/chain_${i + 1}") }
+            vs.zip(vCur).foreach { case (v, s) =>
+              v.files(s).foreach { case (f, df) =>
+                df.write.mode("overwrite").parquet(s"$tmp/${v.name}__$f") }
+            }
+            vs.zip(faces).foreach { case (v, f) =>
+              f.write.mode("overwrite").parquet(s"$tmp/${v.name}__view") }
+            writeMarker(spark, tmp, batchId)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Read a [[maintainSnowflakeViewToParquet]] view's face by name,
+    * tolerating the swap crash window. */
+  def readSnowflakeView(spark: SparkSession, rootPath: String,
+                        name: String): DataFrame =
+    liveGenerationRoot(spark, s"$rootPath/current")
+      .map(r => spark.read.parquet(s"$r/${name}__view"))
+      .getOrElse(throw new IllegalStateException(
+        s"no snowflake-view state at $rootPath"))
+
   /** One maintained view registered with
     * [[maintainTableViewsToParquet]] — the single-topic analogue of
     * [[NamedView]]: a named [[graft.cdc.TableViews.Maintainer]] plus its

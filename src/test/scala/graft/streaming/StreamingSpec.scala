@@ -637,6 +637,84 @@ class StreamingSpec extends SparkSpec {
     assert(rev() == Set(("a", 1L, 5.0), ("b", 2L, 9.5)))
   }
 
+  test("streaming snowflake: 3-topic chain advances atomically, deep deletes propagate") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("sfslog")
+    val root = tmpDir("sfsstate")
+    val ckpt = tmpDir("sfsckpt")
+    val lSpec = TableSpec("d", "fact", Seq("k"), StructType(Seq(
+      StructField("k", LongType), StructField("fk", LongType),
+      StructField("price", DoubleType))))
+    val mSpec = TableSpec("d", "dim", Seq("ck"), StructType(Seq(
+      StructField("ck", LongType), StructField("name", StringType),
+      StructField("nk", LongType))))
+    val dSpec = TableSpec("d", "dim2", Seq("nkey"), StructType(Seq(
+      StructField("nkey", LongType), StructField("region", StringType))))
+    def fact(op: String, ts: Long, k: Long, fk: Long, p: Double) =
+      s"""{"database":"d","table":"fact","type":"$op","ts":$ts,"data":{"k":$k,"fk":$fk,"price":$p}}"""
+    def dim(op: String, ts: Long, ck: Long, name: String, nk: Long) =
+      s"""{"database":"d","table":"dim","type":"$op","ts":$ts,"data":{"ck":$ck,"name":"$name","nk":$nk}}"""
+    def dim2(op: String, ts: Long, nkey: Long, region: String) =
+      s"""{"database":"d","table":"dim2","type":"$op","ts":$ts,"data":{"nkey":$nkey,"region":"$region"}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(25,10)")
+    val views = Seq(
+      CdcStream.NamedView.joinView("snow",
+        Seq("k", "fk", "price", "name", "nk", "region"), Seq("k")),
+      CdcStream.NamedView.joinAgg("rev", Seq("region"),
+        Seq(("price", "price", dec))))
+    def run(): Unit = CdcStream.maintainSnowflakeViewToParquet(
+      CdcStream.fileChangelog(spark, logDir), Seq(lSpec, mSpec, dSpec),
+      fks = Seq(Seq("fk"), Seq("nk")), views, root, ckpt)
+      .awaitTermination()
+    def snow(): Set[(Long, Double, String, String)] =
+      CdcStream.readSnowflakeView(spark, root, "snow").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Double]("price"),
+                   r.getAs[String]("name"), r.getAs[String]("region"))).toSet
+    def rev(): Set[(String, Long, Double)] =
+      CdcStream.readSnowflakeView(spark, root, "rev").collect()
+        .map(r => (r.getAs[String]("region"), r.getAs[Long]("n_rows"),
+                   r.getAs[java.math.BigDecimal]("sum_price")
+                     .doubleValue())).toSet
+    // batch 1: only fact 2's chain is complete (dim 20 -> dim2 200);
+    // fact 1 references dim 10, not arrived yet
+    append("b1.json", Seq(
+      fact("insert", 1, 1, 10, 5.0), fact("insert", 1, 2, 20, 7.0),
+      dim("insert", 2, 20, "b", 200),
+      dim2("insert", 0, 200, "AS"), dim2("insert", 0, 100, "EU")))
+    run()
+    assert(snow() == Set((2L, 7.0, "b", "AS")), s"b1 snow: ${snow()}")
+    assert(rev() == Set(("AS", 1L, 7.0)), s"b1 rev: ${rev()}")
+    // batch 2 (restart): mid-level dim arrives late; fact price update
+    append("b2.json", Seq(
+      dim("insert", 4, 10, "a", 100), fact("update", 5, 1, 10, 6.0)))
+    run()
+    assert(snow() == Set((1L, 6.0, "a", "EU"), (2L, 7.0, "b", "AS")),
+      s"b2 snow: ${snow()}")
+    assert(rev() == Set(("EU", 1L, 6.0), ("AS", 1L, 7.0)), s"b2 rev: ${rev()}")
+    // batch 3 (restart): DEEP delete at the bottom topic — no fact or
+    // dim event, yet fact 2 must drop via two-level key propagation
+    append("b3.json", Seq(dim2("delete", 8, 200, "AS")))
+    run()
+    assert(snow() == Set((1L, 6.0, "a", "EU")),
+      s"deep dim2 delete must retract fact 2: ${snow()}")
+    assert(rev() == Set(("EU", 1L, 6.0)), s"b3 rev: ${rev()}")
+    // every view's OWN changelog folds back to its face
+    Seq("snow", "rev").foreach { n =>
+      val folded = CdcStream.viewAsOfBatch(spark, s"$root/$n", Long.MaxValue)
+      val face = CdcStream.readSnowflakeView(spark, root, n)
+      assert(folded.collect().map(_.toString).toSet ==
+               face.collect().map(_.toString).toSet,
+        s"changelog fold != face for view '$n'")
+    }
+    // re-run with nothing new: the applied marker makes it a no-op
+    run()
+    assert(rev() == Set(("EU", 1L, 6.0)))
+  }
+
   test("streaming single-topic multi-view: one merge feeds N views") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
