@@ -37,13 +37,20 @@ object Dedup {
   // ---------- MinHash + LSH ----------
 
   /** Word n-gram shingles as an array column (scan-side, no explode). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), n)
+
+  /** [[shingles]] over a PRE-TOKENIZED array column — the shared-corpus
+    * path: when several dedup queries run over one corpus, tokenization
+    * is computed once and pinned (see ops.SharedCorpus) instead of
+    * re-split per query. Tokens contain no whitespace, so re-tokenizing
+    * their space-join is the identity — both forms yield the same
+    * shingles. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-  }
 
   /** Mersenne prime 2^31-1 for the universal hash family
     * h_i(x) = (a_i·x + b_i) mod p — products stay < 2^62, safe under
@@ -65,11 +72,22 @@ object Dedup {
     * the shingle strings. (A per-row HOF formulation avoids the shuffle
     * entirely but runs interpreted: measured 60x slower at sf0.1.) */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, nGram: Int, seed: Long = 42L): DataFrame = {
+                        k: Int, nGram: Int, seed: Long = 42L): DataFrame =
+    minhashFromShingles(docs, idCol, shingles(col(textCol), nGram), k, seed)
+
+  /** [[minhashSignatures]] over a pre-tokenized array column (shared-
+    * corpus path — same value, tokenization not re-run). */
+  def minhashSignaturesFromTokens(docs: DataFrame, idCol: String,
+                                  toksCol: String, k: Int, nGram: Int,
+                                  seed: Long = 42L): DataFrame =
+    minhashFromShingles(docs, idCol,
+                        shinglesFromTokens(col(toksCol), nGram), k, seed)
+
+  private def minhashFromShingles(docs: DataFrame, idCol: String,
+                                  sh: Column, k: Int, seed: Long): DataFrame = {
     val (as, bs) = hashFamily(k, seed)
     val spread = graft.Tables.ensureParallelism(docs)
-    val exploded = spread.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), nGram)).as("sh"))
+    val exploded = spread.select(col(idCol).as("id"), explode(sh).as("sh"))
       .select(col("id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
     val minCols = (0 until k).map(i =>
       min(pmod(col("h") * as(i) + bs(i), lit(P))).as(s"m$i"))
@@ -94,8 +112,27 @@ object Dedup {
     * hot bucket would otherwise produce a quadratic pair blowup. */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                         b: Int = 16, r: Int = 2, nGram: Int = 5,
-                        maxBucket: Int = 1000): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol, b * r, nGram)
+                        maxBucket: Int = 1000): DataFrame =
+    lshCandidatePairsFromSigs(minhashSignatures(docs, idCol, textCol, b * r, nGram),
+                     b, r, maxBucket)
+
+  /** [[lshCandidatePairs]] over a pre-tokenized array column (shared-
+    * corpus path — same pairs, tokenization not re-run). */
+  def lshCandidatePairsFromTokens(docs: DataFrame, idCol: String,
+                                  toksCol: String, b: Int = 16, r: Int = 2,
+                                  nGram: Int = 5,
+                                  maxBucket: Int = 1000): DataFrame =
+    lshCandidatePairsFromSigs(
+      minhashSignaturesFromTokens(docs, idCol, toksCol, b * r, nGram),
+      b, r, maxBucket)
+
+  /** Candidate-pair generation from precomputed `(id, sig)` MinHash
+    * signatures — the stage after a memoized shared signature frame
+    * (ops.SharedCorpus): signatures are computed once per corpus and
+    * every dedup stage (banding here, clustering, verification) reads
+    * them. */
+  def lshCandidatePairsFromSigs(sig: DataFrame, b: Int, r: Int,
+                                maxBucket: Int = 1000): DataFrame = {
     val bucketed = sig
       .select(col("id"), explode(bands(col("sig"), b, r)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bandHash"))
@@ -121,9 +158,14 @@ object Dedup {
   }
 
   /** n-gram (shingle) set Jaccard — stricter than token Jaccard. */
-  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    val sa = array_distinct(shingles(a, n))
-    val sb = array_distinct(shingles(b, n))
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    ngramJaccardFromTokens(TextAnalysis.tokens(a), TextAnalysis.tokens(b), n)
+
+  /** [[ngramJaccard]] over pre-tokenized array columns (shared-corpus
+    * path; identical value — see [[shinglesFromTokens]]). */
+  def ngramJaccardFromTokens(ta: Column, tb: Column, n: Int): Column = {
+    val sa = array_distinct(shinglesFromTokens(ta, n))
+    val sb = array_distinct(shinglesFromTokens(tb, n))
     size(array_intersect(sa, sb)).cast("double") /
       size(array_union(sa, sb)).cast("double")
   }
@@ -171,10 +213,20 @@ object Dedup {
     * lane weight and would throw ArithmeticException under ANSI for valid
     * docs.) The n >= 2^31 bound is still guarded with raise_error rather
     * than silently mis-signed. */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFromTokCol(docs, idCol, TextAnalysis.tokens(col(textCol)))
+
+  /** [[simhashSignatures]] over a pre-tokenized array column (shared-
+    * corpus path — same signatures, tokenization not re-run). */
+  def simhashSignaturesFromTokens(docs: DataFrame, idCol: String,
+                                  toksCol: String): DataFrame =
+    simhashFromTokCol(docs, idCol, col(toksCol))
+
+  private def simhashFromTokCol(docs: DataFrame, idCol: String,
+                                toks: Column): DataFrame = {
     val spread = graft.Tables.ensureParallelism(docs)
     val exploded = spread.select(col(idCol).as("id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("t"))
+        explode(toks).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
     val laneMask = lit(0x0000000100000001L)
     val sums = (0 until 32).map(k =>
@@ -487,14 +539,31 @@ object Dedup {
     * (cos ≥ 0.9) the defaults give recall > 0.99. */
   def embeddingLshCandidates(corpus: DataFrame, idCol: String, vecCol: String,
                              dim: Int, tables: Int = 8, planes: Int = 12,
-                             seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+                             seed: Long = 42L, maxBucket: Int = 1000): DataFrame =
+    embeddingLshPairsFromBuckets(
+      embeddingLshBuckets(corpus, idCol, vecCol, dim, tables, planes, seed),
+      maxBucket)
+
+  /** The SIGNATURE half of [[embeddingLshCandidates]]: per-table
+    * random-hyperplane bucket assignments `(id, tbl, bucket)` — the
+    * shareable frame (one scan-side signature pass per corpus,
+    * ops.SharedCorpus) that pair generation and any rerank stage read. */
+  def embeddingLshBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, tables: Int = 8, planes: Int = 12,
+                          seed: Long = 42L): DataFrame = {
     import graft.similarity.Similarity.lshSignature
     val sigCols = (0 until tables).map(t =>
       struct(lit(t).as("tbl"),
              lshSignature(col(vecCol), dim, planes, seed + t).as("bucket")))
-    val bucketed = corpus.select(col(idCol).as("id"),
+    corpus.select(col(idCol).as("id"),
         explode(array(sigCols: _*)).as("tb"))
       .select(col("id"), col("tb.tbl"), col("tb.bucket"))
+  }
+
+  /** The PAIR half of [[embeddingLshCandidates]], from precomputed
+    * bucket assignments. */
+  def embeddingLshPairsFromBuckets(bucketed: DataFrame,
+                                   maxBucket: Int = 1000): DataFrame = {
     val buckets = bucketed.groupBy(col("tbl"), col("bucket"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))

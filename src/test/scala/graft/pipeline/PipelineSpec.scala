@@ -23,6 +23,35 @@ class PipelineSpec extends SparkSpec {
     assert(groups.filter(col("keep_id") >= 10000).count() == 0) // keeps originals
   }
 
+  test("from-tokens signature paths equal the text-column paths") {
+    // the shared-corpus formulation (one pinned tokenization, see
+    // ops.SharedCorpus) must be value-identical to tokenizing per query
+    val tok = docs.select(col("doc_id"),
+                          TextAnalysis.tokens(col("text")).as("toks"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    assert(rows(Dedup.minhashSignaturesFromTokens(tok, "doc_id", "toks",
+                                                  k = 8, nGram = 5)) ==
+             rows(Dedup.minhashSignatures(docs, "doc_id", "text",
+                                          k = 8, nGram = 5)),
+      "minhash signatures diverge between token-array and text paths")
+    assert(rows(Dedup.simhashSignaturesFromTokens(tok, "doc_id", "toks")) ==
+             rows(Dedup.simhashSignatures(docs, "doc_id", "text")),
+      "simhash signatures diverge between token-array and text paths")
+    // jaccard: token slices (the perturbed-corpus shape) vs re-tokenized
+    // space-joins of the same slices
+    val ta = col("toks")
+    val tb = slice(col("toks"), lit(3), size(col("toks")))
+    val viaTok = tok.select(col("doc_id"),
+      round(Dedup.ngramJaccardFromTokens(ta, tb, 5), 6).as("j"))
+    val viaText = docs.select(col("doc_id"),
+      round(Dedup.ngramJaccard(col("text"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), lit(3),
+          size(TextAnalysis.tokens(col("text"))))), 5), 6).as("j"))
+    assert(rows(viaTok) == rows(viaText),
+      "ngram jaccard diverges between token-array and text paths")
+  }
+
   test("minhash LSH recovers planted near-duplicates (full recall here)") {
     val planted = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 10000).as("doc_id"),
