@@ -303,4 +303,94 @@ object ChangelogGen {
           .select(col("e.*"), col("seq")),
         lineitemSpec).cache()
     })
+
+  // ---------- documents changelog (the corpus topic) ----------
+
+  val documentsSpec: TableSpec = TableSpec(
+    database = Database,
+    table = "documents",
+    primaryKey = Seq("doc_id"),
+    schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType))))
+
+  /** Event-plan phase boundaries for the documents changelog — replay
+    * cuts at these timestamps split it into all-inserts / all-updates /
+    * all-deletes batches (per-doc ts offsets keep each phase internally
+    * ordered for any corpus under 10M docs). */
+  val DocT1 = 1505000000L
+  val DocT2 = 1515000000L
+
+  /** Deterministic Maxwell changelog over the `documents` corpus — the
+    * topic behind the INCREMENTAL dedup-index family. Event plan (chosen
+    * so the final live corpus has a closed-form SQL oracle AND contains
+    * planted exact duplicates):
+    *   - INSERT every doc            at ts = 1.5e9 + doc_id
+    *   - UPDATE doc_id % 7 == 0      at ts = 1.51e9 + doc_id: the doc's
+    *     text/n_chars are REPLACED with doc_id+1's (when that doc
+    *     exists), planting an exact-duplicate pair — the shape of a
+    *     re-crawl picking up a mirrored page; `old` carries the two
+    *     changed columns (Maxwell partial-old)
+    *   - DELETE doc_id % 10 == 0     at ts = 1.52e9 + doc_id, full image
+    *
+    * Live state = docs with doc_id % 10 != 0, text/n_chars swapped to
+    * the successor doc's for doc_id % 7 == 0. */
+  def documentsChangelog(spark: SparkSession, sfDir: String): DataFrame =
+    logCache.computeIfAbsent((spark, s"documents:$sfDir"),
+      _ => buildDocumentsChangelog(spark, sfDir).cache())
+
+  private def buildDocumentsChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.ensureParallelism(
+        graft.Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+              col("n_chars"))
+    // donor row for the update phase: doc_id + 1's text (broadcast-safe
+    // equi self-join; missing donor -> keep own text, mirrored in SQL)
+    val donor = docs.select((col("doc_id") - 1).as("doc_id"),
+                            col("text").as("__donor_text"),
+                            col("n_chars").as("__donor_n"))
+    val joined = docs.join(donor, Seq("doc_id"), "left")
+    val rowImage = struct(col("doc_id"), col("text"), col("lang"),
+                          col("source"), col("n_chars"))
+    def envelope(typ: String, ts: org.apache.spark.sql.Column,
+                 data: org.apache.spark.sql.Column,
+                 old: Option[org.apache.spark.sql.Column]) = {
+      val fields = Seq(
+        lit(Database).as("database"), lit("documents").as("table"),
+        lit(typ).as("type"), ts.as("ts"), data.as("data")) ++
+        old.map(_.as("old")).toSeq
+      to_json(struct(fields: _*))
+    }
+    val inserts = joined.select(
+      envelope("insert", lit(1500000000L) + col("doc_id"), rowImage,
+               None).as("value"),
+      (col("doc_id") * 3).as("seq"))
+    val updated = rowImage
+      .withField("text", coalesce(col("__donor_text"), col("text")))
+      .withField("n_chars", coalesce(col("__donor_n"), col("n_chars")))
+    val updates = joined.filter(col("doc_id") % 7 === 0).select(
+      envelope("update", lit(1510000000L) + col("doc_id"), updated,
+        Some(struct(col("text"), col("n_chars")))).as("value"),
+      (col("doc_id") * 3 + 1).as("seq"))
+    val deleted = when(col("doc_id") % 7 === 0, updated).otherwise(rowImage)
+    val deletes = joined.filter(col("doc_id") % 10 === 0).select(
+      envelope("delete", lit(1520000000L) + col("doc_id"), deleted,
+               None).as("value"),
+      (col("doc_id") * 3 + 2).as("seq"))
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  def documentsChangeEvents(spark: SparkSession, sfDir: String): DataFrame =
+    envCache.computeIfAbsent((spark, s"documents:$sfDir"), _ => {
+      val log = documentsChangelog(spark, sfDir)
+      RowDecoder.changeEvents(
+        log.select(
+            from_json(col("value"), Maxwell.envelopeSchema).as("e"),
+            col("seq"))
+          .select(col("e.*"), col("seq")),
+        documentsSpec).cache()
+    })
 }

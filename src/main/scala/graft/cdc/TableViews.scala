@@ -27,7 +27,11 @@ object TableViews {
       delta: DataFrame,
       changedKeys: Option[DataFrame],
       preState: DataFrame, postState: DataFrame,
-      pk: Seq[String], maxLocalKeys: Int)
+      pk: Seq[String], maxLocalKeys: Int,
+      /** true when `changedKeys` is a driver-local relation (the |Δ|-
+        * capped collect stayed under `maxLocalKeys`) — maintainers use
+        * it to decide whether delta-derived frames are broadcast-safe. */
+      ckLocal: Boolean = false)
 
   /** One maintained view over the shared single-topic replay. */
   trait Maintainer[S] {
@@ -65,12 +69,30 @@ object TableViews {
     * therefore always populated. */
   private[graft] def batchCtx(state: DataFrame, delta: DataFrame,
       pk: Seq[String], maxLocalKeys: Int): (BatchCtx, DataFrame) = {
-    val ck = JoinView.localKeys(delta, pk, maxLocalKeys).getOrElse(
+    val local = JoinView.localKeys(delta, pk, maxLocalKeys)
+    val ck = local.getOrElse(
       delta.select(pk.map(k => col(s"after.$k").as(k)): _*)
         .distinct().localCheckpoint(false))
     val next = Materializer.merge(state, delta, pk, changedKeys = Some(ck))
       .localCheckpoint(false)
-    (BatchCtx(delta, Some(ck), state, next, pk, maxLocalKeys), next)
+    (BatchCtx(delta, Some(ck), state, next, pk, maxLocalKeys,
+              ckLocal = local.isDefined), next)
+  }
+
+  /** Wrap a maintainer so every delta (and the schema-carrying empty
+    * frame) passes through `f` first — for views over DERIVED columns
+    * (e.g. a fingerprint of a text column) that the decoded events don't
+    * carry. `f` must preserve the change-event contract (op/ts/before/
+    * after/changed_cols semantics) for the inner maintainer to stay
+    * exact. */
+  def mapDelta[S](inner: Maintainer[S])(f: DataFrame => DataFrame)
+      : Maintainer[S] = new Maintainer[S] {
+    def empty(events0: DataFrame, pk: Seq[String]): S =
+      inner.empty(f(events0), pk)
+    def step(st: S, ctx: BatchCtx): S =
+      inner.step(st, ctx.copy(delta = f(ctx.delta)))
+    def pin(st: S): S = inner.pin(st)
+    def reRoot(st: S, to: SparkSession): S = inner.reRoot(st, to)
   }
 
   /** Replay one event stream across `cuts`, maintaining every registered

@@ -82,6 +82,17 @@ object CdcQueries {
              .cast("decimal(25,10)"))))
     private val snowCache = new java.util.LinkedHashMap[
       (SparkSession, String), SnowflakeView.Result]()
+    // shared DOCUMENTS-TOPIC fan-out: one replay of the corpus changelog
+    // maintains the exact-duplicate fingerprint groups AND the
+    // incremental MinHash-LSH near-dup index (graft.dedup.DedupIndexView)
+    // — the CDC machinery applied to the training-data dedup operators.
+    val fpGroups = TableViews.mapDelta(
+      IncrementalAgg.distinctMaintainer("fp", "doc_id"))(
+      graft.dedup.DedupIndexView.withFingerprint("text"))
+    val dedupIdx = graft.dedup.DedupIndexView.maintainer(
+      "doc_id", "text", b = 16, r = 2, nGram = 5)
+    private val docsCache = new java.util.LinkedHashMap[
+      (SparkSession, String), TableViews.Result]()
     private val evictionHooked =
       new java.util.concurrent.atomic.AtomicBoolean(false)
     private def hookEviction(s: SparkSession): Unit = {
@@ -94,6 +105,7 @@ object CdcQueries {
               cache.synchronized(cache.clear())
               tableCache.synchronized(tableCache.clear())
               snowCache.synchronized(snowCache.clear())
+              docsCache.synchronized(docsCache.clear())
             }
           })
     }
@@ -133,6 +145,13 @@ object CdcQueries {
         TableViews.replay(ChangelogGen.ordersChangeEvents(s, dir),
           cuts = Seq(SnapT1, SnapT2), pk = Seq("o_orderkey"),
           maintainers = Seq(topkStatus, distCust, distPrice, momentsPrice))
+      }
+    def docsResult(s: SparkSession, dir: String): TableViews.Result =
+      cached(docsCache, s, dir, (_: TableViews.Result).release()) {
+        TableViews.replay(ChangelogGen.documentsChangeEvents(s, dir),
+          cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
+          pk = Seq("doc_id"),
+          maintainers = Seq(fpGroups, dedupIdx))
       }
     def snowResult(s: SparkSession, dir: String): SnowflakeView.Result =
       cached(snowCache, s, dir, (_: SnowflakeView.Result).release()) {
@@ -541,7 +560,39 @@ object CdcQueries {
       SharedJoin.tableResult(s, dir)(SharedJoin.topkStatus)
         .select(col("o_orderstatus"), col("rk"), col("o_orderkey"),
                 col("o_totalprice"))
-        .orderBy(col("o_orderstatus"), col("rk"))))
+        .orderBy(col("o_orderstatus"), col("rk"))),
+
+    // INCREMENTAL EXACT-DEDUP groups: the duplicate groups of the LIVE
+    // corpus, maintained from the documents changelog's deltas alone —
+    // the update phase plants exact-duplicate pairs (a doc's text is
+    // replaced with its successor's), the delete phase retracts members,
+    // and the min-id representative promotes when a group's
+    // representative dies (the pair-multiplicity state the aggregate
+    // fingerprint-count could not maintain under deletes).
+    "cdc_dedup_groups" -> ((s, dir) =>
+      graft.dedup.DedupIndexView.dupGroups(
+          SharedJoin.docsResult(s, dir)(SharedJoin.fpGroups))
+        .orderBy(col("fp"))),
+
+    // INCREMENTAL NEAR-DUP INDEX: the MinHash-LSH candidate-pair view of
+    // the live corpus, maintained per batch from changed docs' signatures
+    // alone (DedupIndexView — |Δ| signature scans, index patched never
+    // rebuilt), then Jaccard-verified against the maintained live texts.
+    // rows-only: xxhash64 signatures are Spark-specific; the stepwise
+    // == from-scratch equality is spec'd in DedupIndexViewSpec.
+    "cdc_dedup_index" -> ((s, dir) => {
+      val r = SharedJoin.docsResult(s, dir)
+      val pairs = r(SharedJoin.dedupIdx).pairs
+      val live = graft.cdc.Materializer.liveView(r.state)
+      val a = live.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = live.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      pairs.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"),
+                round(graft.dedup.Dedup.ngramJaccard(
+                  col("ta"), col("tb"), 5), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }))
 
   /** Snapshot cut times (epoch seconds, UTC): 1995-01-01 and 1997-01-01 —
     * inside the orders date range at every sf, so all three diff classes
@@ -552,6 +603,21 @@ object CdcQueries {
   val oracle: Map[String, String] = Map(
     "cdc_materialize" ->
       s"""SELECT * FROM ($expectedStateSql) ORDER BY o_orderkey""",
+    // live corpus after the documents changelog (insert all / swap
+    // doc_id%7==0's text to its successor's / delete doc_id%10==0),
+    // grouped by content hash — Spark md5 == DuckDB md5 (lowercase hex)
+    "cdc_dedup_groups" ->
+      """WITH dstate AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 0 THEN coalesce(d2.text, d.text)
+        |         ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <> 0)
+        |SELECT md5(text) AS fp, count(*) AS n_docs,
+        |  min(doc_id) AS rep_id
+        |FROM dstate GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY fp""".stripMargin,
     "cdc_op_counts" ->
       """SELECT op, n FROM (
         |  SELECT 'insert' AS op, count(*) AS n FROM orders

@@ -1,0 +1,158 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.cdc.{ChangelogGen, IncrementalAgg, Materializer, TableViews}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The incrementally maintained MinHash-LSH index and exact-dup groups
+  * must equal their from-scratch batch computations over the live corpus
+  * after EVERY batch — while only ever computing signatures for changed
+  * docs. */
+class DedupIndexViewSpec extends SparkSpec {
+
+  private def rowsOf(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  /** Decoded change events from hand-written Maxwell lines. */
+  private def events(lines: Seq[String]): DataFrame =
+    graft.cdc.RowDecoder.changeEvents(
+      graft.cdc.Maxwell.parseEnvelope(
+        spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)),
+      ChangelogGen.documentsSpec)
+
+  private def doc(op: String, ts: Long, id: Long, text: String,
+                  old: Option[String] = None): String = {
+    val oldPart = old.map(o =>
+      s""","old":{"text":${ujson(o)},"n_chars":${o.length}}""").getOrElse("")
+    s"""{"database":"${ChangelogGen.Database}","table":"documents",""" +
+      s""""type":"$op","ts":$ts,"data":{"doc_id":$id,"text":${ujson(text)},""" +
+      s""""lang":"en","source":"t","n_chars":${text.length}}$oldPart}"""
+  }
+  private def ujson(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private val B = 4
+  private val R = 2
+  private val N = 3
+
+  /** From-scratch batch candidate pairs over a live corpus. */
+  private def batchPairs(live: DataFrame): Set[String] =
+    rowsOf(Dedup.lshCandidatePairs(live, "doc_id", "text",
+                                   b = B, r = R, nGram = N))
+
+  /** Replay `ev` with `cuts`, return (live state, maintained pairs,
+    * maintained index). */
+  private def replayed(ev: DataFrame, cuts: Seq[Long],
+                       maxLocalKeys: Int = 100000)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val m = DedupIndexView.maintainer("doc_id", "text", b = B, r = R,
+                                      nGram = N)
+    val res = TableViews.replay(ev, cuts, Seq("doc_id"), Seq(m),
+                                maxLocalKeys = maxLocalKeys)
+    (Materializer.liveView(res.state), res(m).pairs, res(m).index)
+  }
+
+  private val wolf = "the quick brown fox jumps over the lazy dog and " +
+    "then runs far away into the deep dark forest tonight"
+  private val wolf2 = "a quick brown fox jumps over the lazy dog and " +
+    "then runs far away into the deep dark forest tonight"
+  private val metal = "heavy metal pipes clang loudly in the empty " +
+    "warehouse while workers assemble the giant turbine frame"
+  private val metal2 = "heavy metal pipes clang loudly in the empty " +
+    "warehouse while workers assemble the giant turbine core"
+
+  test("maintained index/pairs equal the from-scratch batch build after every batch") {
+    val log = Seq(
+      // batch 1 (ts <= 10): two near-dups + one distinct
+      doc("insert", 1, 1, wolf), doc("insert", 2, 2, wolf2),
+      doc("insert", 3, 3, metal),
+      // batch 2 (ts <= 20): doc 2 rewritten AWAY from 1 and INTO metal's
+      // neighborhood; doc 4 arrives as a near-dup of 1
+      doc("update", 11, 2, metal2, old = Some(wolf2)),
+      doc("insert", 12, 4, wolf2),
+      // batch 3: delete doc 3 — its pairs must retract with it
+      doc("delete", 21, 3, metal2)
+    )
+    val ev = events(log)
+    // batching invariance: one batch, two batches, or three must all
+    // land on the same index/pairs as the from-scratch batch build
+    // (per-prefix stepwise equality is the next test)
+    for (cuts <- Seq(Seq.empty[Long], Seq(10L), Seq(10L, 20L))) {
+      val (live, pairs, index) = replayed(ev, cuts)
+      assert(rowsOf(pairs) == batchPairs(live),
+        s"maintained pairs != batch build with cuts=$cuts")
+      val scratch = Dedup.minhashSignatures(live, "doc_id", "text",
+          k = B * R, nGram = N)
+        .select(col("id"), explode(Dedup.bands(col("sig"), B, R)).as("bb"))
+        .select(col("id"), col("bb.band"), col("bb.bandHash"))
+      assert(rowsOf(index) == rowsOf(scratch),
+        s"maintained index != batch signatures with cuts=$cuts")
+    }
+  }
+
+  test("per-batch semantics: retract on rewrite, emit on arrival, retract on delete") {
+    val b1 = events(Seq(
+      doc("insert", 1, 1, wolf), doc("insert", 2, 2, wolf2),
+      doc("insert", 3, 3, metal)))
+    val (_, p1, _) = replayed(b1, Seq.empty)
+    assert(rowsOf(p1) == Set("[1,2]"), s"batch1 pairs: ${rowsOf(p1)}")
+
+    val b2 = events(Seq(
+      doc("insert", 1, 1, wolf), doc("insert", 2, 2, wolf2),
+      doc("insert", 3, 3, metal),
+      doc("update", 11, 2, metal2, old = Some(wolf2)),
+      doc("insert", 12, 4, wolf2)))
+    val (_, p2, _) = replayed(b2, Seq(10L))
+    assert(rowsOf(p2) == Set("[1,4]", "[2,3]"),
+      s"rewrite must move doc 2 across neighborhoods: ${rowsOf(p2)}")
+
+    val b3 = events(Seq(
+      doc("insert", 1, 1, wolf), doc("insert", 2, 2, wolf2),
+      doc("insert", 3, 3, metal),
+      doc("update", 11, 2, metal2, old = Some(wolf2)),
+      doc("insert", 12, 4, wolf2),
+      doc("delete", 21, 3, metal2)))
+    val (_, p3, i3) = replayed(b3, Seq(10L, 20L))
+    assert(rowsOf(p3) == Set("[1,4]"),
+      s"deleting doc 3 must retract its pairs: ${rowsOf(p3)}")
+    assert(i3.filter(col("id") === 3).count() == 0,
+      "deleted doc's bands must leave the index")
+  }
+
+  test("over-cap (distributed fallback) replay equals the local-keys replay") {
+    val ev = ChangelogGen.documentsChangeEvents(spark, sfDir)
+    val cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2)
+    val (liveA, pairsA, _) = replayed(ev, cuts)
+    val (_, pairsB, _) = replayed(ev, cuts, maxLocalKeys = 1)
+    assert(rowsOf(pairsA) == rowsOf(pairsB),
+      "over-cap distributed path diverges from the local-keys path")
+    assert(rowsOf(pairsA) == batchPairs(liveA),
+      "testdata replay != from-scratch batch build")
+  }
+
+  test("dup groups: plant, promote representative on delete, dissolve") {
+    val same = "identical corpus text planted three times over"
+    def grp(lines: Seq[String]): Set[String] = {
+      val m = TableViews.mapDelta(
+        IncrementalAgg.distinctMaintainer("fp", "doc_id"))(
+        DedupIndexView.withFingerprint("text"))
+      val res = TableViews.replay(events(lines), Seq(10L, 20L),
+                                  Seq("doc_id"), Seq(m))
+      rowsOf(DedupIndexView.dupGroups(res(m))
+        .select(col("n_docs"), col("rep_id")))
+    }
+    val base = Seq(
+      doc("insert", 1, 1, same), doc("insert", 2, 2, same),
+      doc("insert", 3, 3, same), doc("insert", 4, 4, metal))
+    assert(grp(base) == Set("[3,1]"), "planted group must surface")
+    // deleting the representative promotes the next-smallest id
+    assert(grp(base :+ doc("delete", 11, 1, same)) == Set("[2,2]"),
+      "rep must promote on delete")
+    // an update moving doc 2 out dissolves the group below 2 members
+    assert(grp(base ++ Seq(doc("delete", 11, 1, same),
+                           doc("update", 21, 2, metal2,
+                               old = Some(same)))).isEmpty,
+      "group must dissolve under 2 members")
+  }
+}
