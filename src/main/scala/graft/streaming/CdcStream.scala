@@ -1016,6 +1016,18 @@ object CdcStream {
       .getOrElse(throw new IllegalStateException(
         s"no multi-view state at $rootPath"))
 
+  /** Read ONE persisted state file of a maintained view (the view's
+    * `fileNames` layout) from the live generation — e.g. a dedup
+    * index's banded `index` frame for ad-hoc probing, or a pair state's
+    * `pairs` table. The face readers cover the common case; this is the
+    * escape hatch to the rest of a view's state. */
+  def readViewStateFile(spark: SparkSession, rootPath: String,
+                        name: String, file: String): DataFrame =
+    liveGenerationRoot(spark, s"$rootPath/current")
+      .map(r => spark.read.parquet(s"$r/${name}__$file"))
+      .getOrElse(throw new IllegalStateException(
+        s"no view state at $rootPath"))
+
   /** Maintain N views of a SNOWFLAKE CHAIN `T₁ ⋈ T₂ ⋈ … ⋈ Tₙ` from ONE
     * N-topic changelog stream — the streaming face of
     * [[graft.cdc.SnowflakeView.replay]]. Per batch: decode each topic
@@ -1200,6 +1212,34 @@ object CdcStream {
         IncrementalAgg.momentsMaintainer(groupCol, valueCol, valueCast),
         Seq("moments"), st => Map("moments" -> st), m => m("moments"),
         st => IncrementalAgg.momentsView(st), Seq(groupCol))
+    /** Incrementally maintained MinHash-LSH near-dup index
+      * ([[graft.dedup.DedupIndexView]]): per batch, signatures for the
+      * CHANGED docs only patch the banded index and the candidate-pair
+      * face; changelog keyed by the pair. */
+    def dedupIndex(name: String, idCol: String, textCol: String,
+                   b: Int = 16, r: Int = 2, nGram: Int = 5,
+                   maxBucket: Int = 1000)
+        : NamedTableView[graft.dedup.DedupIndexView.IndexState] =
+      NamedTableView(name,
+        graft.dedup.DedupIndexView.maintainer(idCol, textCol, b, r,
+                                              nGram, maxBucket),
+        Seq("index", "pairs"),
+        st => Map("index" -> st.index, "pairs" -> st.pairs),
+        m => graft.dedup.DedupIndexView.IndexState(m("index"), m("pairs")),
+        st => st.pairs, Seq("id_a", "id_b"))
+    /** Exact-duplicate groups of the live corpus (content-fingerprint
+      * pair state, min-id representative promoting on delete);
+      * changelog keyed by the fingerprint. */
+    def dupGroups(name: String, idCol: String, textCol: String)
+        : NamedTableView[IncrementalAgg.DistinctState] =
+      NamedTableView(name,
+        graft.cdc.TableViews.mapDelta(
+          IncrementalAgg.distinctMaintainer("fp", idCol))(
+          graft.dedup.DedupIndexView.withFingerprint(textCol)),
+        Seq("pairs", "groups"),
+        st => Map("pairs" -> st.pairs, "groups" -> st.groups),
+        m => IncrementalAgg.DistinctState(m("pairs"), m("groups")),
+        st => graft.dedup.DedupIndexView.dupGroups(st), Seq("fp"))
   }
 
   /** Maintain N views of ONE table from its changelog stream — the

@@ -715,6 +715,76 @@ class StreamingSpec extends SparkSpec {
     assert(rev() == Set(("EU", 1L, 6.0)))
   }
 
+  test("streaming dedup index: near-dup pairs and exact-dup groups stay current") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("ddxlog")
+    val root = tmpDir("ddxstate")
+    val ckpt = tmpDir("ddxckpt")
+    val spec = TableSpec("d", "docs", Seq("doc_id"), StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))))
+    def ev(op: String, ts: Long, id: Long, text: String,
+           old: Option[String] = None) = {
+      val o = old.map(t => s""","old":{"text":"$t"}""").getOrElse("")
+      s"""{"database":"d","table":"docs","type":"$op","ts":$ts,"data":{"doc_id":$id,"text":"$text"}$o}"""
+    }
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val wolf = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val wolf2 = "a quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val metal = "heavy metal pipes clang loudly in the empty warehouse " +
+      "while workers assemble the giant turbine frame"
+    val views = Seq(
+      CdcStream.NamedTableView.dedupIndex("nearidx", "doc_id", "text",
+        b = 4, r = 2, nGram = 3),
+      CdcStream.NamedTableView.dupGroups("exact", "doc_id", "text"))
+    def run(): Unit = CdcStream.maintainTableViewsToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec, views, root, ckpt)
+      .awaitTermination()
+    def pairs(): Set[(Long, Long)] =
+      CdcStream.readMultiView(spark, root, "nearidx").collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    def groups(): Set[(Long, Long)] =
+      CdcStream.readMultiView(spark, root, "exact").collect()
+        .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("rep_id"))).toSet
+    // batch 1: near-dup pair (1,2), exact dups (3,4)
+    append("b1.json", Seq(
+      ev("insert", 1, 1, wolf), ev("insert", 2, 2, wolf2),
+      ev("insert", 3, 3, metal), ev("insert", 4, 4, metal)))
+    run()
+    assert(pairs().contains((1L, 2L)), s"b1 pairs: ${pairs()}")
+    assert(groups() == Set((2L, 3L)), s"b1 groups: ${groups()}")
+    // batch 2 (restart): doc 2 rewritten to a third exact copy of metal
+    // -> near-dup pair retracts, exact group grows
+    append("b2.json", Seq(ev("update", 11, 2, metal, old = Some(wolf2))))
+    run()
+    assert(!pairs().contains((1L, 2L)),
+      s"rewrite must retract the near-dup pair: ${pairs()}")
+    assert(groups() == Set((3L, 2L)),
+      s"group must absorb doc 2 and re-point rep: ${groups()}")
+    // batch 3 (restart): delete the representative -> promote
+    append("b3.json", Seq(ev("delete", 21, 2, metal)))
+    run()
+    assert(groups() == Set((2L, 3L)), s"rep must promote: ${groups()}")
+    // the index never grew signatures for unchanged docs: wolf (doc 1)
+    // kept its batch-1 bands bit-for-bit through two later generations
+    val idxNow = CdcStream.readViewStateFile(spark, root, "nearidx", "index")
+    assert(idxNow.filter(col("id") === 1).count() == 4, "doc 1 bands")
+    // changelogs fold to faces; replayed batch is a no-op
+    Seq("nearidx", "exact").foreach { n =>
+      val folded = CdcStream.viewAsOfBatch(spark, s"$root/$n", Long.MaxValue)
+      val face = CdcStream.readMultiView(spark, root, n)
+      assert(folded.collect().map(_.toString).toSet ==
+               face.collect().map(_.toString).toSet,
+        s"changelog fold != face for view '$n'")
+    }
+    run()
+    assert(groups() == Set((2L, 3L)))
+  }
+
   test("streaming single-topic multi-view: one merge feeds N views") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
