@@ -393,4 +393,77 @@ object ChangelogGen {
           .select(col("e.*"), col("seq")),
         documentsSpec).cache()
     })
+
+  // ---------- embeddings changelog (the vector-corpus topic) ----------
+
+  val embeddingsSpec: TableSpec = TableSpec(
+    database = Database,
+    table = "embeddings",
+    primaryKey = Seq("vec_id"),
+    schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+
+  /** Deterministic Maxwell changelog over the `embeddings` corpus — the
+    * topic behind the incremental ANN index. Same phase plan and cut
+    * boundaries ([[DocT1]]/[[DocT2]]) as the documents changelog:
+    *   - INSERT every vector        at ts = 1.5e9 + vec_id
+    *   - UPDATE vec_id % 7 == 0     at ts = 1.51e9 + vec_id: the vector
+    *     is REPLACED with vec_id+1's (re-embedding after a content
+    *     change; `old` carries the changed column)
+    *   - DELETE vec_id % 10 == 0    at ts = 1.52e9 + vec_id
+    *
+    * The float array rides the JSON envelope as a JSON array; Spark's
+    * shortest-roundtrip float formatting makes decode bit-exact, so the
+    * maintained state's vectors equal the parquet originals. */
+  def embeddingsChangelog(spark: SparkSession, sfDir: String): DataFrame =
+    logCache.computeIfAbsent((spark, s"embeddings:$sfDir"),
+      _ => buildEmbeddingsChangelog(spark, sfDir).cache())
+
+  private def buildEmbeddingsChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    val embs = graft.Tables.ensureParallelism(
+        graft.Tables.load(spark, sfDir, "embeddings"))
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val donor = embs.select((col("vec_id") - 1).as("vec_id"),
+                            col("embedding").as("__donor_vec"))
+    val joined = embs.join(donor, Seq("vec_id"), "left")
+    val rowImage = struct(col("vec_id"), col("embedding"), col("label"))
+    def envelope(typ: String, ts: org.apache.spark.sql.Column,
+                 data: org.apache.spark.sql.Column,
+                 old: Option[org.apache.spark.sql.Column]) = {
+      val fields = Seq(
+        lit(Database).as("database"), lit("embeddings").as("table"),
+        lit(typ).as("type"), ts.as("ts"), data.as("data")) ++
+        old.map(_.as("old")).toSeq
+      to_json(struct(fields: _*))
+    }
+    val inserts = joined.select(
+      envelope("insert", lit(1500000000L) + col("vec_id"), rowImage,
+               None).as("value"),
+      (col("vec_id") * 3).as("seq"))
+    val updated = rowImage.withField("embedding",
+      coalesce(col("__donor_vec"), col("embedding")))
+    val updates = joined.filter(col("vec_id") % 7 === 0).select(
+      envelope("update", lit(1510000000L) + col("vec_id"), updated,
+        Some(struct(col("embedding")))).as("value"),
+      (col("vec_id") * 3 + 1).as("seq"))
+    val deleted = when(col("vec_id") % 7 === 0, updated).otherwise(rowImage)
+    val deletes = joined.filter(col("vec_id") % 10 === 0).select(
+      envelope("delete", lit(1520000000L) + col("vec_id"), deleted,
+               None).as("value"),
+      (col("vec_id") * 3 + 2).as("seq"))
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  def embeddingsChangeEvents(spark: SparkSession, sfDir: String): DataFrame =
+    envCache.computeIfAbsent((spark, s"embeddings:$sfDir"), _ => {
+      val log = embeddingsChangelog(spark, sfDir)
+      RowDecoder.changeEvents(
+        log.select(
+            from_json(col("value"), Maxwell.envelopeSchema).as("e"),
+            col("seq"))
+          .select(col("e.*"), col("seq")),
+        embeddingsSpec).cache()
+    })
 }

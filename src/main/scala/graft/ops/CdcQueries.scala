@@ -93,6 +93,14 @@ object CdcQueries {
       "doc_id", "text", b = 16, r = 2, nGram = 5)
     private val docsCache = new java.util.LinkedHashMap[
       (SparkSession, String), TableViews.Result]()
+    // shared EMBEDDINGS-TOPIC fan-out: one replay of the vector-corpus
+    // changelog maintains the live embedding state and the incremental
+    // IVF assignment index (graft.similarity.AnnIndexView). The coarse
+    // quantizer depends on (session, sfDir), so the maintainer instance
+    // is memoized WITH its replay result.
+    private val embCache = new java.util.LinkedHashMap[
+      (SparkSession, String),
+      (TableViews.Result, TableViews.Maintainer[org.apache.spark.sql.DataFrame])]()
     private val evictionHooked =
       new java.util.concurrent.atomic.AtomicBoolean(false)
     private def hookEviction(s: SparkSession): Unit = {
@@ -106,6 +114,7 @@ object CdcQueries {
               tableCache.synchronized(tableCache.clear())
               snowCache.synchronized(snowCache.clear())
               docsCache.synchronized(docsCache.clear())
+              embCache.synchronized(embCache.clear())
             }
           })
     }
@@ -153,6 +162,27 @@ object CdcQueries {
           pk = Seq("doc_id"),
           maintainers = Seq(fpGroups, dedupIdx))
       }
+    def embResult(s: SparkSession, dir: String)
+        : (TableViews.Result,
+           TableViews.Maintainer[org.apache.spark.sql.DataFrame]) =
+      cached(embCache, s, dir,
+             (v: (TableViews.Result, _)) => v._1.release()) {
+        val m = graft.similarity.AnnIndexView.maintainer(
+          "vec_id", "embedding",
+          graft.similarity.AnnIndexView.localCentroids(annCentroids(s, dir)))
+        (TableViews.replay(ChangelogGen.embeddingsChangeEvents(s, dir),
+           cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
+           pk = Seq("vec_id"), maintainers = Seq(m)),
+         m)
+      }
+    /** The fixed coarse quantizer: a deterministic subset of the BASE
+      * corpus (trained once at index build; vectors churn, the codebook
+      * does not — q_sim_ivf's stand-in discipline). */
+    def annCentroids(s: SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame =
+      graft.Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
     def snowResult(s: SparkSession, dir: String): SnowflakeView.Result =
       cached(snowCache, s, dir, (_: SnowflakeView.Result).release()) {
         SnowflakeView.replay(
@@ -592,6 +622,43 @@ object CdcQueries {
                   col("ta"), col("tb"), 5), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ANN over CDC: exact top-k cosine neighbors served off the LIVE
+    // vector corpus maintained from the embeddings changelog — probes
+    // are fixed original vectors, the corpus churns underneath them
+    // (re-embedded vectors swap in, deleted ones drop out). The decode
+    // path carries float arrays through the Maxwell JSON envelope
+    // bit-exact, so this is oracle-checkable against DuckDB.
+    "cdc_ann_topk" -> ((s, dir) => {
+      val live = graft.cdc.Materializer.liveView(
+          SharedJoin.embResult(s, dir)._1.state)
+        .select(col("vec_id"), col("embedding"))
+      val probes = graft.Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.similarity.Similarity.bruteForceTopK(live, probes, k = 3)
+        .select(col("q_id"), col("rk"), col("neighbor_id"),
+                round(col("cos"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // INCREMENTAL IVF INDEX: probes served off the maintained inverted
+    // lists (AnnIndexView — only changed vectors re-assign per batch;
+    // the coarse quantizer is fixed at index build). rows-only: the
+    // nprobe-bounded candidate set is engine-specific; maintained ==
+    // from-scratch ivfAssign is spec'd in AnnIndexViewSpec.
+    "cdc_ann_ivf" -> ((s, dir) => {
+      val (r, m) = SharedJoin.embResult(s, dir)
+      val probes = graft.Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.similarity.Similarity.ivfTopK(
+          r(m), SharedJoin.annCentroids(s, dir), probes,
+          k = 3, nprobe = 3)
+        .select(col("q_id"), col("rk"), col("neighbor_id"),
+                round(col("cos"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rk"))
     }))
 
   /** Snapshot cut times (epoch seconds, UTC): 1995-01-01 and 1997-01-01 —
@@ -618,6 +685,29 @@ object CdcQueries {
         |  min(doc_id) AS rep_id
         |FROM dstate GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY fp""".stripMargin,
+    // live vector corpus after the embeddings changelog (same phase plan
+    // as documents: swap vec_id%7==0's vector to its successor's, delete
+    // vec_id%10==0), probed by the fixed original vectors vec_id < 5
+    "cdc_ann_topk" ->
+      """WITH estate AS (
+        |  SELECT e.vec_id,
+        |    CASE WHEN e.vec_id % 7 = 0 THEN coalesce(e2.embedding, e.embedding)
+        |         ELSE e.embedding END AS embedding
+        |  FROM embeddings e
+        |  LEFT JOIN embeddings e2 ON e2.vec_id = e.vec_id + 1
+        |  WHERE e.vec_id % 10 <> 0),
+        |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM estate),
+        |s AS (SELECT q_id, vec_id AS neighbor_id,
+        |        list_cosine_similarity(qv, v) AS cos,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY list_cosine_similarity(qv, v) DESC, vec_id)
+        |          AS rk
+        |      FROM q, c WHERE vec_id <> q_id)
+        |SELECT q_id, CAST(rk AS INT) AS rk, neighbor_id,
+        |  round(cos, 6) AS cos
+        |FROM s WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
     "cdc_op_counts" ->
       """SELECT op, n FROM (
         |  SELECT 'insert' AS op, count(*) AS n FROM orders

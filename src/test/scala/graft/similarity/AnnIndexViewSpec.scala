@@ -1,0 +1,76 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.cdc.{ChangelogGen, Materializer, TableViews}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The incrementally maintained IVF assignment table must equal a
+  * from-scratch `ivfAssign` over the live corpus after every batch —
+  * while only re-assigning changed vectors; the float arrays must ride
+  * the Maxwell JSON envelope bit-exact. */
+class AnnIndexViewSpec extends SparkSpec {
+
+  private def rowsOf(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def centroids: DataFrame =
+    graft.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+
+  test("maintained IVF assignments equal the from-scratch build; floats decode bit-exact") {
+    val ev = ChangelogGen.embeddingsChangeEvents(spark, sfDir)
+    val m = AnnIndexView.maintainer("vec_id", "embedding",
+      AnnIndexView.localCentroids(centroids))
+    val res = TableViews.replay(ev,
+      Seq(ChangelogGen.DocT1, ChangelogGen.DocT2), Seq("vec_id"), Seq(m))
+    val live = Materializer.liveView(res.state)
+      .select(col("vec_id"), col("embedding"))
+
+    // float arrays survived the JSON envelope bit-exact: the live state
+    // IS the closed-form expected state over the parquet originals
+    val base = graft.Tables.load(spark, sfDir, "embeddings")
+    val donor = base.select((col("vec_id") - 1).as("vec_id"),
+                            col("embedding").as("dv"))
+    val expected = base.join(donor, Seq("vec_id"), "left")
+      .filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id"),
+              when(col("vec_id") % 7 === 0,
+                   coalesce(col("dv"), col("embedding")))
+                .otherwise(col("embedding")).as("embedding"))
+    assert(rowsOf(live) == rowsOf(expected),
+      "live vector state != closed-form expected state (JSON decode drift?)")
+
+    // maintained inverted lists == from-scratch assignment of the live corpus
+    assert(rowsOf(res(m)) == rowsOf(Similarity.ivfAssign(live, centroids)),
+      "maintained IVF assignments != from-scratch ivfAssign")
+
+    // over-cap distributed path lands on the same table
+    val res2 = TableViews.replay(ev,
+      Seq(ChangelogGen.DocT1, ChangelogGen.DocT2), Seq("vec_id"),
+      Seq(m), maxLocalKeys = 1)
+    assert(rowsOf(res2(m)) == rowsOf(res(m)),
+      "over-cap distributed path diverges")
+  }
+
+  test("IVF probe off the maintained index matches the batch-built index") {
+    val ev = ChangelogGen.embeddingsChangeEvents(spark, sfDir)
+    val m = AnnIndexView.maintainer("vec_id", "embedding",
+      AnnIndexView.localCentroids(centroids))
+    val res = TableViews.replay(ev,
+      Seq(ChangelogGen.DocT1, ChangelogGen.DocT2), Seq("vec_id"), Seq(m))
+    val live = Materializer.liveView(res.state)
+      .select(col("vec_id"), col("embedding"))
+    val probes = graft.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def served(assigned: DataFrame): Set[String] =
+      rowsOf(Similarity.ivfTopK(assigned, centroids, probes,
+                                k = 3, nprobe = 3)
+        .select(col("q_id"), col("rk"), col("neighbor_id"),
+                round(col("cos"), 6).as("cos")))
+    assert(served(res(m)) == served(Similarity.ivfAssign(live, centroids)),
+      "probe results diverge between maintained and batch-built index")
+  }
+}
