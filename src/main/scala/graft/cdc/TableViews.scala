@@ -95,6 +95,35 @@ object TableViews {
     def reRoot(st: S, to: SparkSession): S = inner.reRoot(st, to)
   }
 
+  /** The standard [[mapDelta]] transform: plant a column DERIVED from
+    * `srcCol` into the before/after images, resolving the Maxwell
+    * partial-`old` contract exactly — the before-image value applies `f`
+    * to the before `srcCol` when it is among the changed columns and to
+    * the (unchanged) after value otherwise, and `outCol` joins
+    * `changed_cols` so exact retraction reads it from the before image.
+    * Any scan-side expression works (a fingerprint, a token count, a
+    * quality score): the derived column then feeds every existing
+    * maintainer as if the upstream table carried it. */
+  def withDerived(srcCol: String, outCol: String)
+                 (f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+                 (events: DataFrame): DataFrame = {
+    val beforeSrc =
+      when(array_contains(col("changed_cols"), srcCol),
+           col(s"before.$srcCol"))
+        .otherwise(col(s"after.$srcCol"))
+    events
+      .withColumn("after",
+        when(col("after").isNotNull,
+             col("after").withField(outCol, f(col(s"after.$srcCol")))))
+      .withColumn("before",
+        when(col("before").isNotNull,
+             col("before").withField(outCol, f(beforeSrc))))
+      .withColumn("changed_cols",
+        when(col("changed_cols").isNotNull,
+             array_union(col("changed_cols"), array(lit(outCol))))
+          .otherwise(col("changed_cols")))
+  }
+
   /** Replay one event stream across `cuts`, maintaining every registered
     * view off one shared decode + merge per batch. Same micro-batch
     * discipline as the other replay loops (child session, AQE off,

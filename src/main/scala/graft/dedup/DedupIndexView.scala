@@ -135,31 +135,13 @@ object DedupIndexView {
     }
 
   /** Change-event transform planting a content FINGERPRINT column into
-    * the before/after images (for [[TableViews.mapDelta]]) — the derived
-    * column behind the maintained EXACT-duplicate groups view. Resolves
-    * the Maxwell partial-`old` contract explicitly: the before-image
-    * fingerprint hashes the before text when `textCol` is among the
-    * changed columns, the (unchanged) after text otherwise, and `fpCol`
-    * joins `changed_cols` so downstream exact retraction reads it from
-    * the before image. */
+    * the before/after images — the derived column behind the maintained
+    * EXACT-duplicate groups view ([[TableViews.withDerived]] with
+    * `md5`; that helper owns the exact Maxwell partial-`old`
+    * resolution). */
   def withFingerprint(textCol: String, fpCol: String = "fp")
-                     (events: DataFrame): DataFrame = {
-    val beforeText =
-      when(array_contains(col("changed_cols"), textCol),
-           col(s"before.$textCol"))
-        .otherwise(col(s"after.$textCol"))
-    events
-      .withColumn("after",
-        when(col("after").isNotNull,
-             col("after").withField(fpCol, md5(col(s"after.$textCol")))))
-      .withColumn("before",
-        when(col("before").isNotNull,
-             col("before").withField(fpCol, md5(beforeText))))
-      .withColumn("changed_cols",
-        when(col("changed_cols").isNotNull,
-             array_union(col("changed_cols"), array(lit(fpCol))))
-          .otherwise(col("changed_cols")))
-  }
+                     (events: DataFrame): DataFrame =
+    TableViews.withDerived(textCol, fpCol)(md5)(events)
 
   /** Serve the EXACT-duplicate groups of the live corpus off a
     * maintained fingerprint pair state

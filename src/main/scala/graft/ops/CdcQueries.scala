@@ -91,6 +91,18 @@ object CdcQueries {
       graft.dedup.DedupIndexView.withFingerprint("text"))
     val dedupIdx = graft.dedup.DedupIndexView.maintainer(
       "doc_id", "text", b = 16, r = 2, nGram = 5)
+    // corpus-health views riding the SAME documents replay: per-language
+    // size moments directly off the carried n_chars column, and
+    // per-source TOKEN-BUDGET moments off a DERIVED token count
+    // (TableViews.withDerived plants it into the images with exact
+    // partial-old resolution, so the existing moments maintainer tracks
+    // a column the upstream table never carried)
+    val langMoments = IncrementalAgg.momentsMaintainer(
+      "lang", "n_chars", _.cast("decimal(18,4)"))
+    val tokMoments = TableViews.mapDelta(
+      IncrementalAgg.momentsMaintainer("source", "n_tokens"))(
+      TableViews.withDerived("text", "n_tokens")(
+        graft.text.TextAnalysis.tokenCount))
     private val docsCache = new java.util.LinkedHashMap[
       (SparkSession, String), TableViews.Result]()
     // shared EMBEDDINGS-TOPIC fan-out: one replay of the vector-corpus
@@ -160,7 +172,7 @@ object CdcQueries {
         TableViews.replay(ChangelogGen.documentsChangeEvents(s, dir),
           cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
           pk = Seq("doc_id"),
-          maintainers = Seq(fpGroups, dedupIdx))
+          maintainers = Seq(fpGroups, dedupIdx, langMoments, tokMoments))
       }
     def embResult(s: SparkSession, dir: String)
         : (TableViews.Result,
@@ -624,6 +636,33 @@ object CdcQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // CORPUS-HEALTH DASHBOARD over CDC: per-language live doc counts and
+    // size moments (count/sum/avg of n_chars) maintained from the
+    // documents changelog's deltas alone — the curation dashboard a
+    // churning corpus needs, riding the same shared replay as the dedup
+    // index.
+    "cdc_corpus_stats" -> ((s, dir) =>
+      graft.cdc.IncrementalAgg.momentsView(
+          SharedJoin.docsResult(s, dir)(SharedJoin.langMoments))
+        .select(col("lang"), col("n_rows").as("n_docs"),
+                col("sum_n_chars").cast("long").as("sum_chars"),
+                round(col("sum_n_chars").cast("double") / col("n_rows"), 4)
+                  .as("avg_chars"))
+        .orderBy(col("lang"))),
+
+    // TOKEN-BUDGET view over CDC: per-source live token totals from a
+    // DERIVED token-count column the upstream table never carried
+    // (TableViews.withDerived + the moments maintainer) — data-mixture
+    // budgets stay current as the corpus churns.
+    "cdc_token_budget" -> ((s, dir) =>
+      graft.cdc.IncrementalAgg.momentsView(
+          SharedJoin.docsResult(s, dir)(SharedJoin.tokMoments))
+        .select(col("source"), col("n_rows").as("n_docs"),
+                col("sum_n_tokens").cast("long").as("sum_tokens"),
+                round(col("sum_n_tokens").cast("double") / col("n_rows"), 4)
+                  .as("avg_tokens"))
+        .orderBy(col("source"))),
+
     // ANN over CDC: exact top-k cosine neighbors served off the LIVE
     // vector corpus maintained from the embeddings changelog — probes
     // are fixed original vectors, the corpus churns underneath them
@@ -685,6 +724,35 @@ object CdcQueries {
         |  min(doc_id) AS rep_id
         |FROM dstate GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY fp""".stripMargin,
+    "cdc_corpus_stats" ->
+      """WITH dstate AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CASE WHEN d.doc_id % 7 = 0 THEN coalesce(d2.n_chars, d.n_chars)
+        |         ELSE d.n_chars END AS n_chars
+        |  FROM documents d
+        |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <> 0)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+        |FROM dstate GROUP BY lang ORDER BY lang""".stripMargin,
+    "cdc_token_budget" ->
+      """WITH dstate AS (
+        |  SELECT d.doc_id, d.source,
+        |    CASE WHEN d.doc_id % 7 = 0 THEN coalesce(d2.text, d.text)
+        |         ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <> 0),
+        |toks AS (
+        |  SELECT source,
+        |    len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+        |        ' ')) AS n_tokens
+        |  FROM dstate)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens
+        |FROM toks GROUP BY source ORDER BY source""".stripMargin,
     // live vector corpus after the embeddings changelog (same phase plan
     // as documents: swap vec_id%7==0's vector to its successor's, delete
     // vec_id%10==0), probed by the fixed original vectors vec_id < 5
