@@ -42,14 +42,47 @@ object DedupIndexView {
     * one band bucket. */
   final case class IndexState(index: DataFrame, pairs: DataFrame)
 
-  /** The dedup index as a [[TableViews.Maintainer]] — registers on the
-    * shared single-topic fan-out next to any other maintained view of
-    * the documents table. `idCol` must be the table's (single-column)
-    * primary key; `b`×`r` minhash permutations, `nGram`-token shingles
-    * ([[Dedup.lshCandidatePairs]] parameters). */
+  /** The MinHash-LSH dedup index as a [[TableViews.Maintainer]] —
+    * registers on the shared single-topic fan-out next to any other
+    * maintained view of the documents table. `idCol` must be the
+    * table's (single-column) primary key; `b`×`r` minhash permutations,
+    * `nGram`-token shingles ([[Dedup.lshCandidatePairs]] parameters). */
   def maintainer(idCol: String, textCol: String,
                  b: Int = 16, r: Int = 2, nGram: Int = 5,
                  maxBucket: Int = 1000, seed: Long = 42L)
+      : TableViews.Maintainer[IndexState] =
+    bandIndexMaintainer(idCol, Seq(textCol), maxBucket, changedLive =>
+      Dedup.minhashSignatures(changedLive, idCol, textCol,
+                              k = b * r, nGram = nGram, seed = seed)
+        .select(col("id"), explode(Dedup.bands(col("sig"), b, r)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"),
+                col("bb.bandHash").as("bandHash")))
+
+  /** The EMBEDDING near-dup (random-hyperplane LSH) index as a
+    * maintainer — the semantic-dedup modality of the same living index:
+    * per batch only changed vectors are re-hashed
+    * ([[Dedup.embeddingLshBuckets]] over the delta), with the table
+    * slot as the band and the hyperplane signature as the band hash.
+    * The maintained pair view equals
+    * [[Dedup.embeddingLshCandidates]] over the live corpus. */
+  def embeddingMaintainer(idCol: String, vecCol: String, dim: Int,
+                          tables: Int = 8, planes: Int = 12,
+                          seed: Long = 42L, maxBucket: Int = 1000)
+      : TableViews.Maintainer[IndexState] =
+    bandIndexMaintainer(idCol, Seq(vecCol), maxBucket, changedLive =>
+      Dedup.embeddingLshBuckets(changedLive, idCol, vecCol, dim,
+                                tables, planes, seed)
+        .select(col("id"), col("tbl").cast("int").as("band"),
+                col("bucket").cast("long").as("bandHash")))
+
+  /** The shared skeleton of every banded signature index: `bandsOf`
+    * turns the batch's changed LIVE rows (`idCol` + `payloadCols`) into
+    * their `(id, band, bandHash)` rows; everything else — the patch
+    * algebra, the retract/probe pair maintenance, the broadcast
+    * discipline, the hot-bucket guard — is modality-independent. */
+  private def bandIndexMaintainer(idCol: String, payloadCols: Seq[String],
+                                  maxBucket: Int,
+                                  bandsOf: DataFrame => DataFrame)
       : TableViews.Maintainer[IndexState] =
     new TableViews.Maintainer[IndexState] {
       def empty(events0: DataFrame, pk: Seq[String]): IndexState = {
@@ -80,14 +113,8 @@ object DedupIndexView {
         val changedLive = Materializer.liveView(ctx.postState)
           .join(hinted(ck.select(col("id").as(idCol))), Seq(idCol),
                 "left_semi")
-          .select(col(idCol), col(textCol))
-        val sigs = Dedup.minhashSignatures(changedLive, idCol, textCol,
-                                           k = b * r, nGram = nGram,
-                                           seed = seed)
-        val newBands = sigs
-          .select(col("id"), explode(Dedup.bands(col("sig"), b, r)).as("bb"))
-          .select(col("id"), col("bb.band").as("band"),
-                  col("bb.bandHash").as("bandHash"))
+          .select((idCol +: payloadCols).map(col): _*)
+        val newBands = bandsOf(changedLive)
         // patch the index: drop every changed id's old bands (deleted
         // docs contribute no new ones), append the new bands
         val index1 = st.index.join(hinted(ck), Seq("id"), "left_anti")

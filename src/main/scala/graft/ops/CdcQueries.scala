@@ -112,7 +112,9 @@ object CdcQueries {
     // is memoized WITH its replay result.
     private val embCache = new java.util.LinkedHashMap[
       (SparkSession, String),
-      (TableViews.Result, TableViews.Maintainer[org.apache.spark.sql.DataFrame])]()
+      (TableViews.Result,
+       TableViews.Maintainer[org.apache.spark.sql.DataFrame],
+       TableViews.Maintainer[graft.dedup.DedupIndexView.IndexState])]()
     private val evictionHooked =
       new java.util.concurrent.atomic.AtomicBoolean(false)
     private def hookEviction(s: SparkSession): Unit = {
@@ -176,16 +178,19 @@ object CdcQueries {
       }
     def embResult(s: SparkSession, dir: String)
         : (TableViews.Result,
-           TableViews.Maintainer[org.apache.spark.sql.DataFrame]) =
+           TableViews.Maintainer[org.apache.spark.sql.DataFrame],
+           TableViews.Maintainer[graft.dedup.DedupIndexView.IndexState]) =
       cached(embCache, s, dir,
-             (v: (TableViews.Result, _)) => v._1.release()) {
-        val m = graft.similarity.AnnIndexView.maintainer(
+             (v: (TableViews.Result, _, _)) => v._1.release()) {
+        val ann = graft.similarity.AnnIndexView.maintainer(
           "vec_id", "embedding",
           graft.similarity.AnnIndexView.localCentroids(annCentroids(s, dir)))
+        val sem = graft.dedup.DedupIndexView.embeddingMaintainer(
+          "vec_id", "embedding", dim = 64)
         (TableViews.replay(ChangelogGen.embeddingsChangeEvents(s, dir),
            cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
-           pk = Seq("vec_id"), maintainers = Seq(m)),
-         m)
+           pk = Seq("vec_id"), maintainers = Seq(ann, sem)),
+         ann, sem)
       }
     /** The fixed coarse quantizer: a deterministic subset of the BASE
       * corpus (trained once at index build; vectors churn, the codebook
@@ -688,7 +693,7 @@ object CdcQueries {
     // nprobe-bounded candidate set is engine-specific; maintained ==
     // from-scratch ivfAssign is spec'd in AnnIndexViewSpec.
     "cdc_ann_ivf" -> ((s, dir) => {
-      val (r, m) = SharedJoin.embResult(s, dir)
+      val (r, m, _) = SharedJoin.embResult(s, dir)
       val probes = graft.Tables.load(s, dir, "embeddings")
         .filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -698,6 +703,27 @@ object CdcQueries {
         .select(col("q_id"), col("rk"), col("neighbor_id"),
                 round(col("cos"), 6).as("cos"))
         .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // SEMANTIC-DEDUP INDEX over CDC: the embedding near-dup pair view
+    // (random-hyperplane LSH buckets + exact-cosine rerank) maintained
+    // incrementally — only changed vectors re-hash per batch; the same
+    // band-index algebra as cdc_dedup_index with the table slot as the
+    // band. rows-only: bucket signatures are engine-specific; maintained
+    // == from-scratch embeddingLshCandidates is spec'd.
+    "cdc_semantic_index" -> ((s, dir) => {
+      val (r, _, sem) = SharedJoin.embResult(s, dir)
+      val live = graft.cdc.Materializer.liveView(r.state)
+      val a = live.select(col("vec_id").as("id_a"),
+                          col("embedding").as("va"))
+      val b = live.select(col("vec_id").as("id_b"),
+                          col("embedding").as("vb"))
+      r(sem).pairs.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"),
+                round(graft.functions.VectorFunctions.cosine(
+                  col("va"), col("vb")), 6).as("cos"))
+        .filter(col("cos") >= 0.9)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** Snapshot cut times (epoch seconds, UTC): 1995-01-01 and 1997-01-01 —

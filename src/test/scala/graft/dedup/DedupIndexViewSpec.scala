@@ -131,6 +131,24 @@ class DedupIndexViewSpec extends SparkSpec {
       "testdata replay != from-scratch batch build")
   }
 
+  test("embedding-LSH index: maintained pairs equal the from-scratch build") {
+    val ev = ChangelogGen.embeddingsChangeEvents(spark, sfDir)
+    val m = DedupIndexView.embeddingMaintainer("vec_id", "embedding",
+                                               dim = 64)
+    val res = TableViews.replay(ev,
+      Seq(ChangelogGen.DocT1, ChangelogGen.DocT2), Seq("vec_id"), Seq(m))
+    val live = Materializer.liveView(res.state)
+      .select(col("vec_id"), col("embedding"))
+    assert(rowsOf(res(m).pairs) ==
+             rowsOf(Dedup.embeddingLshCandidates(live, "vec_id",
+                                                 "embedding", dim = 64)),
+      "maintained embedding-LSH pairs != from-scratch build")
+    // updated vectors moved buckets: no stale bands for deleted ids
+    assert(res(m).index.join(live, res(m).index("id") === live("vec_id"),
+                             "left_anti").count() == 0,
+      "index carries bands for non-live vectors")
+  }
+
   test("dup groups: plant, promote representative on delete, dissolve") {
     val same = "identical corpus text planted three times over"
     def grp(lines: Seq[String]): Set[String] = {
