@@ -1240,6 +1240,31 @@ object CdcStream {
         st => Map("pairs" -> st.pairs, "groups" -> st.groups),
         m => IncrementalAgg.DistinctState(m("pairs"), m("groups")),
         st => graft.dedup.DedupIndexView.dupGroups(st), Seq("fp"))
+    /** Incrementally maintained IVF ANN index
+      * ([[graft.similarity.AnnIndexView]]): only changed vectors
+      * re-assign per batch; the face IS the assignment table,
+      * changelog keyed by the vector id. */
+    def annIvf(name: String, idCol: String, vecCol: String,
+               centroids: Seq[(Long, Seq[Float])])
+        : NamedTableView[DataFrame] =
+      NamedTableView(name,
+        graft.similarity.AnnIndexView.maintainer(idCol, vecCol, centroids),
+        Seq("assigned"), st => Map("assigned" -> st), m => m("assigned"),
+        st => st, Seq("vec_id"))
+    /** Incrementally maintained embedding near-dup (semantic) index —
+      * [[dedupIndex]]'s algebra with random-hyperplane LSH bands
+      * ([[graft.dedup.DedupIndexView.embeddingMaintainer]]). */
+    def semanticIndex(name: String, idCol: String, vecCol: String,
+                      dim: Int, tables: Int = 8, planes: Int = 12,
+                      maxBucket: Int = 1000)
+        : NamedTableView[graft.dedup.DedupIndexView.IndexState] =
+      NamedTableView(name,
+        graft.dedup.DedupIndexView.embeddingMaintainer(idCol, vecCol,
+          dim, tables, planes, maxBucket = maxBucket),
+        Seq("index", "pairs"),
+        st => Map("index" -> st.index, "pairs" -> st.pairs),
+        m => graft.dedup.DedupIndexView.IndexState(m("index"), m("pairs")),
+        st => st.pairs, Seq("id_a", "id_b"))
   }
 
   /** Maintain N views of ONE table from its changelog stream — the

@@ -149,6 +149,32 @@ class DedupIndexViewSpec extends SparkSpec {
       "index carries bands for non-live vectors")
   }
 
+  test("under local keys a step never sort-merge-joins the index (broadcast-only patch)") {
+    // state after two batches, then hand-step a tiny third batch and
+    // inspect its physical plan: every join against the persisted index
+    // and pair view must be broadcast (the delta side is the build side)
+    // — Exchange for |Δ|-bounded aggregations is fine, SortMergeJoin of
+    // the index is the scale bug this spec guards against
+    val m = DedupIndexView.maintainer("doc_id", "text", b = B, r = R,
+                                      nGram = N)
+    val base = Seq(
+      doc("insert", 1, 1, wolf), doc("insert", 2, 2, wolf2),
+      doc("insert", 3, 3, metal))
+    val res = TableViews.replay(events(base), Seq(10L), Seq("doc_id"),
+                                Seq(m))
+    val delta = events(Seq(doc("insert", 21, 4, metal2)))
+    val (ctx, _) = TableViews.batchCtx(res.state, delta, Seq("doc_id"),
+                                       maxLocalKeys = 100000)
+    assert(ctx.ckLocal, "tiny delta must take the local-keys path")
+    val next = m.step(res(m), ctx)
+    Seq("pairs" -> next.pairs, "index" -> next.index).foreach {
+      case (what, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("SortMergeJoin"),
+          s"$what step plan sort-merge-joins the index:\n$plan")
+    }
+  }
+
   test("dup groups: plant, promote representative on delete, dissolve") {
     val same = "identical corpus text planted three times over"
     def grp(lines: Seq[String]): Set[String] = {

@@ -785,6 +785,76 @@ class StreamingSpec extends SparkSpec {
     assert(groups() == Set((2L, 3L)))
   }
 
+  test("streaming ANN + semantic index: assignments and near-dup pairs stay current") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("annlog")
+    val root = tmpDir("annstate")
+    val ckpt = tmpDir("annckpt")
+    val spec = TableSpec("d", "vecs", Seq("vec_id"), StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    def ev(op: String, ts: Long, id: Long, v: Seq[Double],
+           old: Option[Seq[Double]] = None) = {
+      val o = old.map(w =>
+        s""","old":{"embedding":[${w.mkString(",")}]}""").getOrElse("")
+      s"""{"database":"d","table":"vecs","type":"$op","ts":$ts,"data":{"vec_id":$id,"embedding":[${v.mkString(",")}]}$o}"""
+    }
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    // two well-separated directions in R^4; centroids sit on the axes
+    val ex = Seq(1.0, 0.0, 0.0, 0.0)
+    val ey = Seq(0.0, 1.0, 0.0, 0.0)
+    val nearX = Seq(0.99, 0.01, 0.0, 0.0)
+    val views = Seq(
+      CdcStream.NamedTableView.annIvf("ivf", "vec_id", "embedding",
+        Seq((0L, ex.map(_.toFloat)), (1L, ey.map(_.toFloat)))),
+      CdcStream.NamedTableView.semanticIndex("sem", "vec_id", "embedding",
+        dim = 4, tables = 4, planes = 6))
+    def run(): Unit = CdcStream.maintainTableViewsToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec, views, root, ckpt)
+      .awaitTermination()
+    def assigned(): Map[Long, Long] =
+      CdcStream.readMultiView(spark, root, "ivf").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id"))
+        .toMap
+    def pairs(): Set[(Long, Long)] =
+      CdcStream.readMultiView(spark, root, "sem").collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // batch 1: 10 near-x, 11 near-y
+    append("b1.json", Seq(ev("insert", 1, 10, nearX),
+                          ev("insert", 2, 11, ey)))
+    run()
+    assert(assigned() == Map(10L -> 0L, 11L -> 1L), s"b1: ${assigned()}")
+    assert(pairs().isEmpty, s"b1 pairs: ${pairs()}")
+    // batch 2 (restart): 11 re-embeds next to 10 -> moves cell, pair
+    // appears; 12 arrives on y
+    append("b2.json", Seq(
+      ev("update", 11, 11, Seq(0.98, 0.02, 0.0, 0.0), old = Some(ey)),
+      ev("insert", 12, 12, ey)))
+    run()
+    assert(assigned() == Map(10L -> 0L, 11L -> 0L, 12L -> 1L),
+      s"re-embedded vector must move cells: ${assigned()}")
+    assert(pairs() == Set((10L, 11L)),
+      s"re-embedding must surface the near-dup pair: ${pairs()}")
+    // batch 3 (restart): delete 10 -> assignment drops, pair retracts
+    append("b3.json", Seq(ev("delete", 21, 10, nearX)))
+    run()
+    assert(assigned() == Map(11L -> 0L, 12L -> 1L), s"b3: ${assigned()}")
+    assert(pairs().isEmpty, s"delete must retract the pair: ${pairs()}")
+    // changelogs fold to faces; replayed batch is a no-op
+    Seq("ivf", "sem").foreach { n =>
+      val folded = CdcStream.viewAsOfBatch(spark, s"$root/$n", Long.MaxValue)
+      val face = CdcStream.readMultiView(spark, root, n)
+      assert(folded.collect().map(_.toString).toSet ==
+               face.collect().map(_.toString).toSet,
+        s"changelog fold != face for view '$n'")
+    }
+    run()
+    assert(pairs().isEmpty)
+  }
+
   test("streaming single-topic multi-view: one merge feeds N views") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
