@@ -103,6 +103,9 @@ object CdcQueries {
       IncrementalAgg.momentsMaintainer("source", "n_tokens"))(
       TableViews.withDerived("text", "n_tokens")(
         graft.text.TextAnalysis.tokenCount))
+    // the UDTF-shaped maintained view: per-token live occurrence counts
+    // from exploded ±1 deltas (TokenFreqView)
+    val tokenFreq = TokenFreqView.maintainer("text")
     private val docsCache = new java.util.LinkedHashMap[
       (SparkSession, String), TableViews.Result]()
     // shared EMBEDDINGS-TOPIC fan-out: one replay of the vector-corpus
@@ -174,7 +177,8 @@ object CdcQueries {
         TableViews.replay(ChangelogGen.documentsChangeEvents(s, dir),
           cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
           pk = Seq("doc_id"),
-          maintainers = Seq(fpGroups, dedupIdx, langMoments, tokMoments))
+          maintainers = Seq(fpGroups, dedupIdx, langMoments, tokMoments,
+                            tokenFreq))
       }
     def embResult(s: SparkSession, dir: String)
         : (TableViews.Result,
@@ -668,6 +672,18 @@ object CdcQueries {
                   .as("avg_tokens"))
         .orderBy(col("source"))),
 
+    // MAINTAINED TOKEN FREQUENCIES: the UDTF-shaped view — each change
+    // event explodes into per-token-occurrence deltas, map-side collapsed
+    // before the shuffle; the vocabulary-bounded (token, n) state is
+    // q_token_freq's aggregate kept current as the corpus churns, exact
+    // under deletes (a dead doc's tokens retract).
+    "cdc_token_freq" -> ((s, dir) =>
+      graft.cdc.TokenFreqView.view(
+          SharedJoin.docsResult(s, dir)(SharedJoin.tokenFreq))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+        .select(col("token"), col("n"))),
+
     // ANN over CDC: exact top-k cosine neighbors served off the LIVE
     // vector corpus maintained from the embeddings changelog — probes
     // are fixed original vectors, the corpus churns underneath them
@@ -779,6 +795,20 @@ object CdcQueries {
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens
         |FROM toks GROUP BY source ORDER BY source""".stripMargin,
+    "cdc_token_freq" ->
+      """WITH dstate AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 0 THEN coalesce(d2.text, d.text)
+        |         ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <> 0),
+        |tok AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ',
+        |    'g')), ' ')) AS token
+        |  FROM dstate)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
     // live vector corpus after the embeddings changelog (same phase plan
     // as documents: swap vec_id%7==0's vector to its successor's, delete
     // vec_id%10==0), probed by the fixed original vectors vec_id < 5
