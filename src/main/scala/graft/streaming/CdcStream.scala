@@ -1240,6 +1240,14 @@ object CdcStream {
         st => Map("pairs" -> st.pairs, "groups" -> st.groups),
         m => IncrementalAgg.DistinctState(m("pairs"), m("groups")),
         st => graft.dedup.DedupIndexView.dupGroups(st), Seq("fp"))
+    /** Maintained token-frequency table
+      * ([[graft.cdc.TokenFreqView]] — UDTF-shaped exploded deltas);
+      * changelog keyed by the token. */
+    def tokenFreq(name: String, textCol: String)
+        : NamedTableView[DataFrame] =
+      NamedTableView(name, graft.cdc.TokenFreqView.maintainer(textCol),
+        Seq("freq"), st => Map("freq" -> st), m => m("freq"),
+        st => graft.cdc.TokenFreqView.view(st), Seq("token"))
     /** Incrementally maintained IVF ANN index
       * ([[graft.similarity.AnnIndexView]]): only changed vectors
       * re-assign per batch; the face IS the assignment table,

@@ -740,7 +740,8 @@ class StreamingSpec extends SparkSpec {
     val views = Seq(
       CdcStream.NamedTableView.dedupIndex("nearidx", "doc_id", "text",
         b = 4, r = 2, nGram = 3),
-      CdcStream.NamedTableView.dupGroups("exact", "doc_id", "text"))
+      CdcStream.NamedTableView.dupGroups("exact", "doc_id", "text"),
+      CdcStream.NamedTableView.tokenFreq("tokfreq", "text"))
     def run(): Unit = CdcStream.maintainTableViewsToParquet(
       CdcStream.fileChangelog(spark, logDir), spec, views, root, ckpt)
       .awaitTermination()
@@ -773,8 +774,14 @@ class StreamingSpec extends SparkSpec {
     // kept its batch-1 bands bit-for-bit through two later generations
     val idxNow = CdcStream.readViewStateFile(spark, root, "nearidx", "index")
     assert(idxNow.filter(col("id") === 1).count() == 4, "doc 1 bands")
+    // maintained token counts: 3 live docs (1 wolf + 3,4 metal) — the
+    // word "metal" appears once in each of docs 3 and 4 (doc 2 deleted)
+    val tok = CdcStream.readMultiView(spark, root, "tokfreq")
+      .filter(col("token") === "metal").collect()
+    assert(tok.length == 1 && tok.head.getLong(1) == 2L,
+      s"token 'metal' must count its two live docs: ${tok.mkString}")
     // changelogs fold to faces; replayed batch is a no-op
-    Seq("nearidx", "exact").foreach { n =>
+    Seq("nearidx", "exact", "tokfreq").foreach { n =>
       val folded = CdcStream.viewAsOfBatch(spark, s"$root/$n", Long.MaxValue)
       val face = CdcStream.readMultiView(spark, root, n)
       assert(folded.collect().map(_.toString).toSet ==
