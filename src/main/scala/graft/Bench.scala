@@ -38,6 +38,7 @@ object Bench {
     warm("lineitem events")(cdc.ChangelogGen.lineitemChangeEvents(spark, sfDir).count())
     warm("documents events")(cdc.ChangelogGen.documentsChangeEvents(spark, sfDir).count())
     warm("embeddings events")(cdc.ChangelogGen.embeddingsChangeEvents(spark, sfDir).count())
+    warm("events events")(cdc.ChangelogGen.eventsChangeEvents(spark, sfDir).count())
     // bucketed-layout write is ingest-time work, not join time
     warm("bucketed layout")(ops.BucketedTables.ensure(spark, sfDir))
     // the SHARED multi-view replay behind every cdc_join_* query is
@@ -58,6 +59,8 @@ object Bench {
       ops.CdcQueries.queries("cdc_dedup_groups")(spark, sfDir).count())
     warm("shared ann index")(
       ops.CdcQueries.queries("cdc_ann_topk")(spark, sfDir).count())
+    warm("shared event views")(
+      ops.CdcQueries.queries("cdc_session_view")(spark, sfDir).count())
     val stateBuildSec = (System.nanoTime() - tStateBuild) / 1e9
     // the shared dedup corpus (one pinned tokenization + embedding
     // decode feeding the q_dedup_* family — SharedCorpus) is likewise

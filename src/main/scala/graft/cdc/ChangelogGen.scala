@@ -466,4 +466,95 @@ object ChangelogGen {
           .select(col("e.*"), col("seq")),
         embeddingsSpec).cache()
     })
+
+  // ---------- events changelog (the behavioral-stream topic) ----------
+
+  /** The event timestamp travels as EPOCH MICROS (`ts_us`, BIGINT) —
+    * an event log's native wire form, and exact by construction: JSON
+    * round-trips the integer bit-for-bit where a formatted timestamp
+    * string depends on the serializer's fractional-second width
+    * (`to_json`'s default truncates to millis). Consumers rebuild a
+    * session-zoned timestamp with `timestamp_micros` where they need
+    * one. */
+  val eventsSpec: TableSpec = TableSpec(
+    database = Database,
+    table = "events",
+    primaryKey = Seq("event_id"),
+    schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts_us", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType))))
+
+  /** Event-plan phase boundaries for the events changelog (same
+    * three-phase plan as the documents topic). */
+  val EvT1 = 1705000000L
+  val EvT2 = 1715000000L
+
+  /** Deterministic Maxwell changelog over the `events` stream table —
+    * the topic behind the maintained SEQUENTIAL-PATTERN views
+    * (sessions, funnel, transitions, sampling). Event plan (closed-form
+    * live state, and perturbations that actually exercise sequential
+    * semantics):
+    *   - INSERT every event            at ts = 1.70e9 + event_id
+    *   - UPDATE event_id % 7 == 0      at ts = 1.71e9 + event_id:
+    *     event_type FLIPS ('click' -> 'view', anything else -> 'click')
+    *     — moves the row across funnel steps and transition pairs;
+    *     `old` carries only the changed column (Maxwell partial-old)
+    *   - DELETE event_id % 10 == 0     at ts = 1.72e9 + event_id, full
+    *     image — removing events merges/splits sessions and retracts
+    *     funnel stages
+    *
+    * Live state = events with event_id % 10 != 0, event_type flipped
+    * for event_id % 7 == 0. */
+  def eventsChangelog(spark: SparkSession, sfDir: String): DataFrame =
+    logCache.computeIfAbsent((spark, s"events:$sfDir"),
+      _ => buildEventsChangelog(spark, sfDir).cache())
+
+  private def buildEventsChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = graft.Tables.ensureParallelism(
+        graft.Tables.load(spark, sfDir, "events"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              col("user_id"), col("event_type"), col("value"))
+    val rowImage = struct(col("event_id"), col("ts_us"), col("user_id"),
+                          col("event_type"), col("value"))
+    def envelope(typ: String, ts: org.apache.spark.sql.Column,
+                 data: org.apache.spark.sql.Column,
+                 old: Option[org.apache.spark.sql.Column]) = {
+      val fields = Seq(
+        lit(Database).as("database"), lit("events").as("table"),
+        lit(typ).as("type"), ts.as("ts"), data.as("data")) ++
+        old.map(_.as("old")).toSeq
+      to_json(struct(fields: _*))
+    }
+    val inserts = events.select(
+      envelope("insert", lit(1700000000L) + col("event_id"), rowImage,
+               None).as("value"),
+      (col("event_id") * 3).as("seq"))
+    val flipped = when(col("event_type") === "click", lit("view"))
+      .otherwise(lit("click"))
+    val updated = rowImage.withField("event_type", flipped)
+    val updates = events.filter(col("event_id") % 7 === 0).select(
+      envelope("update", lit(1710000000L) + col("event_id"), updated,
+        Some(struct(col("event_type")))).as("value"),
+      (col("event_id") * 3 + 1).as("seq"))
+    val deleted = when(col("event_id") % 7 === 0, updated).otherwise(rowImage)
+    val deletes = events.filter(col("event_id") % 10 === 0).select(
+      envelope("delete", lit(1720000000L) + col("event_id"), deleted,
+               None).as("value"),
+      (col("event_id") * 3 + 2).as("seq"))
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  def eventsChangeEvents(spark: SparkSession, sfDir: String): DataFrame =
+    envCache.computeIfAbsent((spark, s"events:$sfDir"), _ => {
+      val log = eventsChangelog(spark, sfDir)
+      RowDecoder.changeEvents(
+        log.select(
+            from_json(col("value"), Maxwell.envelopeSchema).as("e"),
+            col("seq"))
+          .select(col("e.*"), col("seq")),
+        eventsSpec).cache()
+    })
 }

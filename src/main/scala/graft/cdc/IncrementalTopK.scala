@@ -65,8 +65,8 @@ object IncrementalTopK {
     * would sit in the view under both groups. Same discipline as
     * IncrementalAgg.changeDeltas (the two maintainers share the
     * exactness contract). */
-  private def touchedGroups(delta: DataFrame, groupCol: String,
-                            cap: Int): (DataFrame, Boolean) = {
+  private[cdc] def touchedGroups(delta: DataFrame, groupCol: String,
+                                 cap: Int): (DataFrame, Boolean) = {
     val hasChangedCols = delta.columns.contains("changed_cols")
     val afterG = delta.select(col(s"after.$groupCol").as(groupCol))
     val beforeG =

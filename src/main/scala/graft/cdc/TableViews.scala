@@ -95,6 +95,25 @@ object TableViews {
     def reRoot(st: S, to: SparkSession): S = inner.reRoot(st, to)
   }
 
+  /** [[mapDelta]] for maintainers that ALSO read the shared table state
+    * (top-k re-rank, GroupViews per-group recompute): `fState` plants
+    * the same derived column into the flat pre/post state images that
+    * `fDelta` plants into the delta's before/after structs — the shared
+    * merge never sees the derived column (it is a pure function of
+    * source columns, recomputed scan-side on both shapes). */
+  def mapCtx[S](inner: Maintainer[S])(fDelta: DataFrame => DataFrame)
+               (fState: DataFrame => DataFrame): Maintainer[S] =
+    new Maintainer[S] {
+      def empty(events0: DataFrame, pk: Seq[String]): S =
+        inner.empty(fDelta(events0), pk)
+      def step(st: S, ctx: BatchCtx): S =
+        inner.step(st, ctx.copy(delta = fDelta(ctx.delta),
+                                preState = fState(ctx.preState),
+                                postState = fState(ctx.postState)))
+      def pin(st: S): S = inner.pin(st)
+      def reRoot(st: S, to: SparkSession): S = inner.reRoot(st, to)
+    }
+
   /** The standard [[mapDelta]] transform: plant a column DERIVED from
     * `srcCol` into the before/after images, resolving the Maxwell
     * partial-`old` contract exactly — the before-image value applies `f`

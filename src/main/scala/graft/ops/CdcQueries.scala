@@ -118,6 +118,24 @@ object CdcQueries {
       (TableViews.Result,
        TableViews.Maintainer[org.apache.spark.sql.DataFrame],
        TableViews.Maintainer[graft.dedup.DedupIndexView.IndexState])]()
+    // shared EVENTS-TOPIC fan-out: one replay of the behavioral-event
+    // changelog maintains the SEQUENTIAL-PATTERN views no per-row
+    // algebra can (GroupViews delta-restricted per-group recompute):
+    // per-user sessions, the ordered funnel (per-user stage times +
+    // additive stage counts), global transition-pair totals — plus a
+    // delete-tolerant per-type UNIFORM SAMPLE as top-k over a planted
+    // md5 priority (bottom-k-by-hash sampling: mergeable, and a deleted
+    // sample member promotes its replacement deterministically).
+    val sessions = SequentialViews.sessionMaintainer()
+    val FunnelSteps = Seq("view", "click", "purchase")
+    val funnel = SequentialViews.funnelMaintainer(FunnelSteps)
+    val transitions = SequentialViews.transitionMaintainer()
+    val sampler = TableViews.mapCtx(
+      IncrementalTopK.maintainer("event_type", "__h", k = 5))(
+      TableViews.withDerived("event_id", "__h")(c => md5(c.cast("string"))))(
+      _.withColumn("__h", md5(col("event_id").cast("string"))))
+    private val eventsCache = new java.util.LinkedHashMap[
+      (SparkSession, String), TableViews.Result]()
     private val evictionHooked =
       new java.util.concurrent.atomic.AtomicBoolean(false)
     private def hookEviction(s: SparkSession): Unit = {
@@ -132,6 +150,7 @@ object CdcQueries {
               snowCache.synchronized(snowCache.clear())
               docsCache.synchronized(docsCache.clear())
               embCache.synchronized(embCache.clear())
+              eventsCache.synchronized(eventsCache.clear())
             }
           })
     }
@@ -179,6 +198,13 @@ object CdcQueries {
           pk = Seq("doc_id"),
           maintainers = Seq(fpGroups, dedupIdx, langMoments, tokMoments,
                             tokenFreq))
+      }
+    def eventsResult(s: SparkSession, dir: String): TableViews.Result =
+      cached(eventsCache, s, dir, (_: TableViews.Result).release()) {
+        TableViews.replay(ChangelogGen.eventsChangeEvents(s, dir),
+          cuts = Seq(ChangelogGen.EvT1, ChangelogGen.EvT2),
+          pk = Seq("event_id"),
+          maintainers = Seq(sessions, funnel, transitions, sampler))
       }
     def embResult(s: SparkSession, dir: String)
         : (TableViews.Result,
@@ -740,7 +766,61 @@ object CdcQueries {
                   col("va"), col("vb")), 6).as("cos"))
         .filter(col("cos") >= 0.9)
         .orderBy(col("id_a"), col("id_b"))
-    }))
+    }),
+
+    // MAINTAINED SESSIONIZATION: the per-user 30-min-gap session table
+    // kept current from the events changelog's deltas alone — the
+    // sequential operator no per-row algebra maintains (deleting one
+    // bridging event merges or splits its user's sessions), handled by
+    // GroupViews' delta-restricted per-group recompute: only users the
+    // batch touched re-sessionize, against the maintained live state.
+    "cdc_session_view" -> ((s, dir) =>
+      SharedJoin.eventsResult(s, dir)(SharedJoin.sessions)
+        .orderBy(col("user_id"), col("sess_id"))),
+
+    // MAINTAINED FUNNEL: strictly-ordered view->click->purchase stage
+    // counts as an ADDITIVELY-maintained 3-row rollup — per batch only
+    // the touched users' stage times recompute, and the counts fold
+    // their before/after contributions (serving is O(1), never a scan
+    // of the per-user stage table). The update phase flips event types
+    // across funnel steps; deletes retract stages.
+    "cdc_funnel_view" -> ((s, dir) => {
+      val t = SharedJoin.eventsResult(s, dir)(SharedJoin.funnel).totals
+      val base = s.createDataFrame(
+          SharedJoin.FunnelSteps.zipWithIndex.map { case (n, i) =>
+            (i + 1, n) })
+        .toDF("stage", "step")
+      base.join(t, Seq("stage", "step"), "left")
+        .select(col("stage"), col("step"),
+                coalesce(col("n_users"), lit(0L)).as("n_users"))
+        .orderBy(col("stage"))
+    }),
+
+    // MAINTAINED TRANSITION MATRIX: global consecutive-event (from, to)
+    // totals additively maintained from per-user pair deltas; the
+    // conditional probability is derived at serve time over the
+    // |types|²-bounded totals (a window over a tiny frame, never the
+    // event log).
+    "cdc_transitions_view" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = SharedJoin.eventsResult(s, dir)(SharedJoin.transitions)
+        .totals
+      t.select(col("from_type"), col("to_type"), col("n"),
+          round(col("n") / sum(col("n"))
+            .over(Window.partitionBy(col("from_type"))), 4).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // MAINTAINED UNIFORM SAMPLE: 5 events per type sampled by md5
+    // priority (top-k over a hash planted via TableViews.withDerived) —
+    // the delete-tolerant reservoir: membership is a pure function of
+    // the live key set, so a deleted member's replacement promotes
+    // deterministically and the oracle can reproduce the exact sample.
+    "cdc_sample_view" -> ((s, dir) =>
+      SharedJoin.eventsResult(s, dir)(SharedJoin.sampler)
+        .select(col("event_type"), col("rk"), col("event_id"),
+                col("user_id"))
+        .orderBy(col("event_type"), col("rk"))))
 
   /** Snapshot cut times (epoch seconds, UTC): 1995-01-01 and 1997-01-01 —
     * inside the orders date range at every sf, so all three diff classes
@@ -809,6 +889,85 @@ object CdcQueries {
         |  FROM dstate)
         |SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    // live events state after the events changelog (insert all / flip
+    // event_id%7==0's type click<->view->click / delete event_id%10==0)
+    "cdc_session_view" ->
+      """WITH estate AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id
+        |  FROM events WHERE event_id % 10 <> 0),
+        |e AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM estate
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us,
+        |      event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sess_id
+        |  FROM e)
+        |SELECT user_id, CAST(sess_id AS INT) AS sess_id,
+        |  count(*) AS n_events, make_timestamp(min(ts_us)) AS sess_start,
+        |  round((max(ts_us) - min(ts_us)) / 1000000.0, 3) AS dur_sec
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
+    "cdc_funnel_view" ->
+      """WITH estate AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+        |    CASE WHEN event_id % 7 = 0 THEN
+        |      CASE WHEN event_type = 'click' THEN 'view' ELSE 'click' END
+        |    ELSE event_type END AS event_type
+        |  FROM events WHERE event_id % 10 <> 0),
+        |t1 AS (SELECT user_id, min(ts_us) AS t1 FROM estate
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(ts_us) AS t2
+        |       FROM estate e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts_us > t1
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(ts_us) AS t3
+        |       FROM estate e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > t2
+        |       GROUP BY e.user_id)
+        |SELECT stage, step, n_users FROM (
+        |  SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM t1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM t2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM t3)
+        |ORDER BY stage""".stripMargin,
+    "cdc_transitions_view" ->
+      """WITH estate AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+        |    CASE WHEN event_id % 7 = 0 THEN
+        |      CASE WHEN event_type = 'click' THEN 'view' ELSE 'click' END
+        |    ELSE event_type END AS event_type
+        |  FROM events WHERE event_id % 10 <> 0),
+        |seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts_us, event_id) AS to_type
+        |  FROM estate),
+        |pairs AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        |FROM pairs ORDER BY from_type, to_type""".stripMargin,
+    "cdc_sample_view" ->
+      """WITH estate AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 7 = 0 THEN
+        |      CASE WHEN event_type = 'click' THEN 'view' ELSE 'click' END
+        |    ELSE event_type END AS event_type
+        |  FROM events WHERE event_id % 10 <> 0),
+        |r AS (
+        |  SELECT event_type, event_id, user_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)) DESC, event_id)
+        |      AS rk
+        |  FROM estate)
+        |SELECT event_type, CAST(rk AS INT) AS rk, event_id, user_id
+        |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
     // live vector corpus after the embeddings changelog (same phase plan
     // as documents: swap vec_id%7==0's vector to its successor's, delete
     // vec_id%10==0), probed by the fixed original vectors vec_id < 5
