@@ -1273,6 +1273,36 @@ object CdcStream {
         st => Map("index" -> st.index, "pairs" -> st.pairs),
         m => graft.dedup.DedupIndexView.IndexState(m("index"), m("pairs")),
         st => st.pairs, Seq("id_a", "id_b"))
+    /** Maintained per-user sessionization
+      * ([[graft.cdc.SequentialViews]] via GroupViews delta-restricted
+      * per-group recompute); changelog keyed by (user, session). */
+    def sessions(name: String, gapUs: Long = 1800L * 1000000L)
+        : NamedTableView[DataFrame] =
+      NamedTableView(name,
+        graft.cdc.SequentialViews.sessionMaintainer(gapUs),
+        Seq("sessions"), st => Map("sessions" -> st), m => m("sessions"),
+        st => st, Seq("user_id", "sess_id"))
+    /** Maintained strictly-ordered funnel: per-user stage rows plus the
+      * additively-maintained stage counts; the face is the counts,
+      * changelog keyed by (stage, step). */
+    def funnel(name: String, steps: Seq[String])
+        : NamedTableView[graft.cdc.GroupViews.RollupState] =
+      NamedTableView(name,
+        graft.cdc.SequentialViews.funnelMaintainer(steps),
+        Seq("stages", "totals"),
+        st => Map("stages" -> st.rows, "totals" -> st.totals),
+        m => graft.cdc.GroupViews.RollupState(m("stages"), m("totals")),
+        st => st.totals, Seq("stage", "step"))
+    /** Maintained transition matrix: per-user consecutive-pair rows
+      * plus global (from, to) totals; the face is the totals. */
+    def transitions(name: String)
+        : NamedTableView[graft.cdc.GroupViews.RollupState] =
+      NamedTableView(name,
+        graft.cdc.SequentialViews.transitionMaintainer(),
+        Seq("pairs", "totals"),
+        st => Map("pairs" -> st.rows, "totals" -> st.totals),
+        m => graft.cdc.GroupViews.RollupState(m("pairs"), m("totals")),
+        st => st.totals, Seq("from_type", "to_type"))
   }
 
   /** Maintain N views of ONE table from its changelog stream — the

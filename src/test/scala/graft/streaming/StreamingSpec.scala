@@ -1723,4 +1723,79 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(col("ws") > col("we")).count() == 0)
     assert(got.filter(col("n") <= 0).count() == 0)
   }
+
+  test("streaming sequential views: sessions split, funnel retracts, transitions re-pair") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("seqlog")
+    val root = tmpDir("seqstate")
+    val ckpt = tmpDir("seqckpt")
+    val spec = TableSpec("d", "events", Seq("event_id"), StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType))))
+    def ev(op: String, ts: Long, id: Long, us: Long, user: Long,
+           typ: String) =
+      s"""{"database":"d","table":"events","type":"$op","ts":$ts,""" +
+        s""""data":{"event_id":$id,"ts_us":$us,"user_id":$user,""" +
+        s""""event_type":"$typ"}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val gap = 1800L * 1000000L
+    val t0 = 1000L * 1000000L
+    val views = Seq(
+      CdcStream.NamedTableView.sessions("sess", gap),
+      CdcStream.NamedTableView.funnel("fun",
+        Seq("view", "click", "purchase")),
+      CdcStream.NamedTableView.transitions("trans"))
+    def run(): Unit = CdcStream.maintainTableViewsToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec, views, root, ckpt)
+      .awaitTermination()
+    def sess(): Set[(Long, Int, Long)] =
+      CdcStream.readMultiView(spark, root, "sess").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("sess_id"),
+                   r.getAs[Long]("n_events"))).toSet
+    def fun(): Set[(Int, String, Long)] =
+      CdcStream.readMultiView(spark, root, "fun").collect()
+        .map(r => (r.getAs[Int]("stage"), r.getAs[String]("step"),
+                   r.getAs[Long]("n_users"))).toSet
+    def trans(): Set[(String, String, Long)] =
+      CdcStream.readMultiView(spark, root, "trans").collect()
+        .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+                   r.getAs[Long]("n"))).toSet
+    // batch 1: user 1 walks the funnel with the click BRIDGING two
+    // session windows; user 2 only views
+    append("b1.json", Seq(
+      ev("insert", 1, 1, t0, 1, "view"),
+      ev("insert", 2, 2, t0 + gap - 1, 1, "click"),
+      ev("insert", 3, 3, t0 + 2 * gap - 2, 1, "purchase"),
+      ev("insert", 4, 4, t0, 2, "view")))
+    run()
+    assert(sess() == Set((1L, 1, 3L), (2L, 1, 1L)), s"b1 sess: ${sess()}")
+    assert(fun() == Set((1, "view", 2L), (2, "click", 1L),
+                        (3, "purchase", 1L)), s"b1 fun: ${fun()}")
+    assert(trans() == Set(("view", "click", 1L),
+                          ("click", "purchase", 1L)), s"b1 trans: ${trans()}")
+    // batch 2 (restart): delete the bridging click -> the session
+    // SPLITS, funnel stages 2+3 net to zero and drop, and the
+    // transition re-pairs view->purchase
+    append("b2.json", Seq(ev("delete", 11, 2, t0 + gap - 1, 1, "click")))
+    run()
+    assert(sess() == Set((1L, 1, 1L), (1L, 2, 1L), (2L, 1, 1L)),
+      s"split-on-delete sessions: ${sess()}")
+    assert(fun() == Set((1, "view", 2L)), s"retracted funnel: ${fun()}")
+    assert(trans() == Set(("view", "purchase", 1L)),
+      s"re-paired transitions: ${trans()}")
+    // every view's changelog folds to its face; replay is a no-op
+    Seq("sess", "fun", "trans").foreach { n =>
+      val folded = CdcStream.viewAsOfBatch(spark, s"$root/$n", Long.MaxValue)
+      val face = CdcStream.readMultiView(spark, root, n)
+      assert(folded.collect().map(_.toString).toSet ==
+               face.collect().map(_.toString).toSet,
+        s"changelog fold != face for view '$n'")
+    }
+    run()
+    assert(fun() == Set((1, "view", 2L)))
+  }
 }
