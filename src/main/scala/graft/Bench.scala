@@ -61,6 +61,9 @@ object Bench {
       ops.CdcQueries.queries("cdc_ann_topk")(spark, sfDir).count())
     warm("shared event views")(
       ops.CdcQueries.queries("cdc_session_view")(spark, sfDir).count())
+    warm("shared scd2 history")(
+      ops.CdcQueries.queries("cdc_history")(spark, sfDir).count())
+    warm("kmeans quantizer")(ops.PipelineQueries.kmCentroids(spark, sfDir))
     val stateBuildSec = (System.nanoTime() - tStateBuild) / 1e9
     // the shared dedup corpus (one pinned tokenization + embedding
     // decode feeding the q_dedup_* family — SharedCorpus) is likewise

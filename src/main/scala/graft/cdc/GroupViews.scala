@@ -244,4 +244,58 @@ object SequentialViews {
       : TableViews.Maintainer[GroupViews.RollupState] =
     GroupViews.groupedWithRollup("user_id", Seq("from_type", "to_type"))(
       transitionPairs)(transitionRollup)
+
+  /** Per-user cohort-retention cells: the user's cohort is the ISO week
+    * of their FIRST live event (group-local — it moves when their
+    * earliest event is deleted), and one DISTINCT (user, cohort, k) row
+    * marks activity k weeks later. Distinctness makes the (cohort, k)
+    * rollup additive: each user contributes exactly 0 or 1 to a cell,
+    * so n_active stays exact under deletes. */
+  def retentionCells(maxWeeks: Int)(live: DataFrame): DataFrame = {
+    val ev = live.select(col("user_id"),
+        date_trunc("week", timestamp_micros(col("ts_us"))).cast("date")
+          .as("wk"))
+      .distinct()
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    ev.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort"),
+              floor(datediff(col("wk"), col("cohort")) / 7).cast("int")
+                .as("k"))
+      .filter(col("k") <= maxWeeks)
+      .distinct()
+  }
+
+  def retentionRollup(cells: DataFrame): DataFrame =
+    cells.groupBy(col("cohort"), col("k"))
+      .agg(count(lit(1)).as("n_active"))
+
+  def retentionMaintainer(maxWeeks: Int = 3)
+      : TableViews.Maintainer[GroupViews.RollupState] =
+    GroupViews.groupedWithRollup("user_id", Seq("cohort", "k"))(
+      retentionCells(maxWeeks))(retentionRollup)
+
+  /** Per-type daily anomaly scores: z of each day's event count against
+    * the trailing 7-day window — group-local by EVENT TYPE (one
+    * changed event re-derives only its type's daily series; the window
+    * chain after the day's count is O(days-per-type)). */
+  def anomalyScores(live: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    live
+      .groupBy(to_date(timestamp_micros(col("ts_us"))).as("day"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .withColumn("z", when(col("sd") > 0,
+                            (col("n") - col("mu")) / col("sd")))
+      .select(col("day"), col("event_type"), col("n"),
+              round(col("mu"), 4).as("mu"),
+              round(col("sd"), 4).as("sd"),
+              round(col("z"), 4).as("z"),
+              (abs(col("z")) > 2).as("is_anomaly"))
+  }
+
+  def anomalyMaintainer(): TableViews.Maintainer[DataFrame] =
+    GroupViews.grouped("event_type")(anomalyScores)
 }

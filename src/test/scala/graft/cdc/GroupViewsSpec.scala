@@ -47,11 +47,32 @@ class GroupViewsSpec extends SparkSpec {
                .filter(col("n_users") =!= 0)),
       "additively-maintained funnel totals != direct rollup")
 
+    val mAnom = SequentialViews.anomalyMaintainer()
+    val resA = TableViews.replay(ev, cuts, pk, Seq(mAnom))
+    assert(rowsOf(resA(mAnom)) ==
+             rowsOf(SequentialViews.anomalyScores(live)),
+      "maintained anomaly view != direct per-type recompute")
+
     val directPairs = SequentialViews.transitionPairs(live)
     assert(rowsOf(res(mTrans).totals) ==
              rowsOf(SequentialViews.transitionRollup(directPairs)
                .filter(col("n") =!= 0)),
       "additively-maintained transition totals != direct rollup")
+  }
+
+  test("maintained retention cells equal direct recompute (cohort moves " +
+       "when a user's earliest event dies)") {
+    val ev = ChangelogGen.eventsChangeEvents(spark, sfDir)
+    val m = SequentialViews.retentionMaintainer(maxWeeks = 3)
+    val res = TableViews.replay(ev, cuts, pk, Seq(m))
+    val live = liveOf(ev)
+    val directCells = SequentialViews.retentionCells(3)(live)
+    assert(rowsOf(res(m).rows) == rowsOf(directCells),
+      "maintained retention cells != direct recompute")
+    assert(rowsOf(res(m).totals) ==
+             rowsOf(SequentialViews.retentionRollup(directCells)
+               .filter(col("n_active") =!= 0)),
+      "additively-maintained retention totals != direct rollup")
   }
 
   test("maintained md5-priority sample equals direct top-k over the " +
