@@ -387,17 +387,24 @@ object Dedup {
     child.conf.set("spark.sql.adaptive.enabled", "false")
     if (shufflePartitions > 0)
       child.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // Pin the symmetric edge list PRE-PARTITIONED on the join key: the
+    // checkpoint preserves the hash partitioning, so every round's
+    // edge⋈label join reuses it (labels arrive partitioned the same way
+    // from the previous round's groupBy) — one exchange per round (the
+    // min-label re-group) instead of two. The one-time repartition costs
+    // one extra shuffle at pin time and pays for itself by round 2.
+    val p = if (shufflePartitions > 0) shufflePartitions
+            else parent.conf.get("spark.sql.shuffle.partitions").toInt
     val symPinned = edges.select(col(srcCol).cast("long").as("a"),
                                  col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"),
                           col(srcCol).cast("long").as("b")))
       .filter(col("a") =!= col("b"))
+      .repartition(p, col("a"))
       .localCheckpoint()
     // Re-root the pinned edges in the child: every per-round plan derived
     // from them is then analyzed and executed under the child's conf.
-    val symChild = org.apache.spark.sql.graft.bridge.reRoot(symPinned, child)
-    val sym = if (shufflePartitions > 0) symChild.coalesce(shufflePartitions)
-              else symChild
+    val sym = org.apache.spark.sql.graft.bridge.reRoot(symPinned, child)
     // Labels are pinned LAZILY each round: the labelSum action both
     // materializes the round's checkpoint and computes the convergence
     // witness — one job per round instead of checkpoint + agg as two.

@@ -271,17 +271,19 @@ object CurationQueries {
     // (pinned — it feeds the corpus counts AND the scoring join); corpus
     // bigram and context tables are vocabulary-bounded; V is a scalar.
     "q_text_bigram_lm" -> ((s, dir) => {
-      val tf = docs(s, dir)
+      // both branches read the session's pinned tokenization
+      // (SharedCorpus.docsTok) — the raw text is never re-tokenized
+      val toks = SharedCorpus.docsTok(s, dir)
+      val tf = toks
         .select(col("doc_id"),
-                explode(TextAnalysis.bigrams(TextAnalysis.tokens(col("text"))))
-                  .as("bg"))
+                explode(TextAnalysis.bigrams(col("toks"))).as("bg"))
         .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
         .localCheckpoint(false)
       val cbg = tf.groupBy(col("bg")).agg(sum(col("tf")).as("cnt"))
       val ctx = cbg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
         .agg(sum(col("cnt")).as("ctx_n"))
-      val vocab = docs(s, dir)
-        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val vocab = toks
+        .select(explode(col("toks")).as("tok"))
         .agg(countDistinct(col("tok")).as("v"))
       tf.join(cbg, "bg")
         .withColumn("w1", substring_index(col("bg"), " ", 1))

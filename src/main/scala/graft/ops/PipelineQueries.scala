@@ -638,9 +638,8 @@ object PipelineQueries {
     "q_text_perplexity" -> ((s, dir) => {
       // lazy localCheckpoint, not cache (see q_dedup_clusters): tf feeds
       // both the vocab branch and the scoring join; blocks auto-release
-      val tf = docs(s, dir)
-        .select(col("doc_id"),
-                explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val tf = SharedCorpus.docsTok(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
         .localCheckpoint(false)
@@ -669,8 +668,8 @@ object PipelineQueries {
       // scoring branch — without pinning, the explode+count subtree runs
       // twice; unlike cache(), the pinned blocks auto-release when the
       // frame goes out of scope (no per-invocation storage accumulation)
-      val tf = d.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val tf = SharedCorpus.docsTok(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
         .localCheckpoint(false)

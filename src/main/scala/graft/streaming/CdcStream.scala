@@ -1303,6 +1303,23 @@ object CdcStream {
         st => Map("pairs" -> st.rows, "totals" -> st.totals),
         m => graft.cdc.GroupViews.RollupState(m("pairs"), m("totals")),
         st => st.totals, Seq("from_type", "to_type"))
+    /** Maintained cohort retention: per-user cells + additive (cohort,
+      * k) active counts; the face is the counts. */
+    def retention(name: String, maxWeeks: Int = 3)
+        : NamedTableView[graft.cdc.GroupViews.RollupState] =
+      NamedTableView(name,
+        graft.cdc.SequentialViews.retentionMaintainer(maxWeeks),
+        Seq("cells", "totals"),
+        st => Map("cells" -> st.rows, "totals" -> st.totals),
+        m => graft.cdc.GroupViews.RollupState(m("cells"), m("totals")),
+        st => st.totals, Seq("cohort", "k"))
+    /** Maintained per-type daily anomaly z-scores; changelog keyed by
+      * (day, type). */
+    def anomaly(name: String): NamedTableView[DataFrame] =
+      NamedTableView(name,
+        graft.cdc.SequentialViews.anomalyMaintainer(),
+        Seq("scores"), st => Map("scores" -> st), m => m("scores"),
+        st => st, Seq("day", "event_type"))
   }
 
   /** Maintain N views of ONE table from its changelog stream — the

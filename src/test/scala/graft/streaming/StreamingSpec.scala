@@ -1748,7 +1748,9 @@ class StreamingSpec extends SparkSpec {
       CdcStream.NamedTableView.sessions("sess", gap),
       CdcStream.NamedTableView.funnel("fun",
         Seq("view", "click", "purchase")),
-      CdcStream.NamedTableView.transitions("trans"))
+      CdcStream.NamedTableView.transitions("trans"),
+      CdcStream.NamedTableView.retention("ret"),
+      CdcStream.NamedTableView.anomaly("anom"))
     def run(): Unit = CdcStream.maintainTableViewsToParquet(
       CdcStream.fileChangelog(spark, logDir), spec, views, root, ckpt)
       .awaitTermination()
@@ -1787,8 +1789,18 @@ class StreamingSpec extends SparkSpec {
     assert(fun() == Set((1, "view", 2L)), s"retracted funnel: ${fun()}")
     assert(trans() == Set(("view", "purchase", 1L)),
       s"re-paired transitions: ${trans()}")
+    // retention: both users' cohorts share one week-0 cell throughout
+    val ret = CdcStream.readMultiView(spark, root, "ret").collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("n_active"))).toSet
+    assert(ret == Set((0, 2L)), s"retention cells: $ret")
+    // anomaly: one daily row per live (day, type); the click's day row
+    // retracted with its only event
+    val anom = CdcStream.readMultiView(spark, root, "anom").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n")))
+    assert(anom.toSet == Set(("view", 2L), ("purchase", 1L)),
+      s"anomaly daily rows: ${anom.mkString(", ")}")
     // every view's changelog folds to its face; replay is a no-op
-    Seq("sess", "fun", "trans").foreach { n =>
+    Seq("sess", "fun", "trans", "ret", "anom").foreach { n =>
       val folded = CdcStream.viewAsOfBatch(spark, s"$root/$n", Long.MaxValue)
       val face = CdcStream.readMultiView(spark, root, n)
       assert(folded.collect().map(_.toString).toSet ==
