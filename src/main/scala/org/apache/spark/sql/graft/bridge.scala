@@ -24,7 +24,19 @@ object bridge {
   def reRoot(df: org.apache.spark.sql.DataFrame,
              target: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
     val t = target.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    t.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    // LogicalRDD.fromDataset CARRIES the source plan's output
+    // partitioning and ordering into the scan node (rewritten onto the
+    // new output attributes — the same mechanism Dataset.checkpoint
+    // uses), so a frame pinned AFTER a hash-partitioning operation
+    // (groupBy, repartition(col)) keeps that partitioning visible to
+    // the planner across the re-root: per-round joins and re-groups on
+    // the same key plan NO exchange on the pinned side. The previous
+    // internalCreateDataFrame route dropped this to UnknownPartitioning,
+    // silently re-shuffling every pinned state once per micro-batch.
+    val plan = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      ds.queryExecution.toRdd, ds, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(t, plan)
   }
 
   /** Release the persisted storage pinned under a frame built from

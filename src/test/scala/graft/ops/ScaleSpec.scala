@@ -109,4 +109,31 @@ class ScaleSpec extends SparkSpec {
         col("o_custkey") === col("c_custkey")).count()
     assert(n == expect)
   }
+
+  test("pinned-state partitioning survives reRoot: one exchange per CC round") {
+    // the label-propagation round shape: edges pinned pre-partitioned on
+    // the join key, labels arriving partitioned from the previous
+    // round's groupBy — the ONLY exchange left is the min-label
+    // re-group. Guards both Dedup.connectedComponents' round cost and
+    // bridge.reRoot's partitioning preservation (fromDataset).
+    import org.apache.spark.sql.graft.bridge
+    val child = spark.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    child.conf.set("spark.sql.shuffle.partitions", "4")
+    val edges = spark.range(1000)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val sym = bridge.reRoot(
+      edges.repartition(4, col("a")).localCheckpoint(), child)
+    val labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component")).localCheckpoint(false)
+    val next = sym.join(labels, col("a") === col("id"))
+      .select(col("b").as("id"), col("component"))
+      .union(labels).groupBy("id").agg(min("component").as("component"))
+    val exchanges = next.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1,
+      s"CC round must plan exactly one exchange, got ${exchanges.size}:\n" +
+        next.queryExecution.executedPlan)
+  }
 }
