@@ -69,6 +69,9 @@ object CdcQueries {
       IncrementalAgg.distinctMaintainer("o_orderstatus", "o_totalprice")
     val momentsPrice = IncrementalAgg.momentsMaintainer(
       "o_orderstatus", "o_totalprice", _.cast("decimal(18,8)"))
+    val OrdersProfileCols = Seq("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val profiler = ProfileView.maintainer(OrdersProfileCols)
     private val tableCache = new java.util.LinkedHashMap[
       (SparkSession, String), TableViews.Result]()
     // N-TOPIC (snowflake) shared replay: lineitem⋈orders⋈customer in ONE
@@ -199,7 +202,8 @@ object CdcQueries {
       cached(tableCache, s, dir, (_: TableViews.Result).release()) {
         TableViews.replay(ChangelogGen.ordersChangeEvents(s, dir),
           cuts = Seq(SnapT1, SnapT2), pk = Seq("o_orderkey"),
-          maintainers = Seq(topkStatus, distCust, distPrice, momentsPrice))
+          maintainers = Seq(topkStatus, distCust, distPrice, momentsPrice,
+                            profiler))
       }
     def docsResult(s: SparkSession, dir: String): TableViews.Result =
       cached(docsCache, s, dir, (_: TableViews.Result).release()) {
@@ -781,6 +785,17 @@ object CdcQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // MAINTAINED DATA PROFILE: the exact profiler's stacked
+    // (column, value, n) multiplicity state kept current from the orders
+    // changelog's deltas alone — row/null/distinct counts and numeric
+    // ranges stay true as the table churns (an update touches ONLY its
+    // changed columns' value pairs; deletes retract), where the one-shot
+    // HLL profile cannot retract anything.
+    "cdc_profile_view" -> ((s, dir) =>
+      graft.cdc.ProfileView.view(
+          SharedJoin.tableResult(s, dir)(SharedJoin.profiler))
+        .orderBy(col("col_name"))),
+
     // MAINTAINED SESSIONIZATION: the per-user 30-min-gap session table
     // kept current from the events changelog's deltas alone — the
     // sequential operator no per-row algebra maintains (deleting one
@@ -985,6 +1000,17 @@ object CdcQueries {
         |SELECT from_type, to_type, n,
         |  round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
         |FROM pairs ORDER BY from_type, to_type""".stripMargin,
+    "cdc_profile_view" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority").map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+        |  count(*) - count($c) AS n_nulls,
+        |  count(DISTINCT $c) AS n_distinct,
+        |  round(min(TRY_CAST(CAST($c AS VARCHAR) AS DOUBLE)), 4)
+        |    AS min_num,
+        |  round(max(TRY_CAST(CAST($c AS VARCHAR) AS DOUBLE)), 4)
+        |    AS max_num
+        |FROM ($expectedStateSql)""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "cdc_anomaly_view" ->
       """WITH estate AS (
         |  SELECT event_id, ts,

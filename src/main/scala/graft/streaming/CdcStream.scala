@@ -1320,6 +1320,14 @@ object CdcStream {
         graft.cdc.SequentialViews.anomalyMaintainer(),
         Seq("scores"), st => Map("scores" -> st), m => m("scores"),
         st => st, Seq("day", "event_type"))
+    /** Maintained data profile ([[graft.cdc.ProfileView]]): the stacked
+      * (column, value, n) multiplicity state; the face is the per-column
+      * rollup, changelog keyed by the column name. */
+    def profile(name: String, cols: Seq[String])
+        : NamedTableView[DataFrame] =
+      NamedTableView(name, graft.cdc.ProfileView.maintainer(cols),
+        Seq("values"), st => Map("values" -> st), m => m("values"),
+        st => graft.cdc.ProfileView.view(st), Seq("col_name"))
   }
 
   /** Maintain N views of ONE table from its changelog stream — the
