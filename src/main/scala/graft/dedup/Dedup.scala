@@ -402,9 +402,12 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .repartition(p, col("a"))
       .localCheckpoint()
-    // Re-root the pinned edges in the child: every per-round plan derived
-    // from them is then analyzed and executed under the child's conf.
-    val sym = org.apache.spark.sql.graft.bridge.reRoot(symPinned, child)
+    // Re-root the pinned edges in the child KEEPING the hash
+    // partitioning (safe: the whole loop runs on this one child at a
+    // fixed width with AQE off); every per-round plan derived from them
+    // is analyzed and executed under the child's conf.
+    val sym =
+      org.apache.spark.sql.graft.bridge.reRootPartitioned(symPinned, child)
     // Labels are pinned LAZILY each round: the labelSum action both
     // materializes the round's checkpoint and computes the convergence
     // witness — one job per round instead of checkpoint + agg as two.

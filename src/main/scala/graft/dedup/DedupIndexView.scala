@@ -16,13 +16,15 @@ import graft.cdc.{Materializer, TableViews}
   * batch, MinHash signatures are computed for the CHANGED docs only
   * (|Δ| signature scans, never the corpus), the banded bucket index is
   * patched (delete the changed ids' old bands, insert their new ones),
-  * and the candidate-pair view is updated by retracting pairs touching
-  * changed ids and probing the patched index with only the changed ids'
-  * bands. The maintained pair view equals a from-scratch
+  * and the candidate set is updated by regenerating exactly the
+  * BUCKETS whose membership changed (the changed ids' old ∪ new bands)
+  * from the patched index — every other bucket's pair rows carry over
+  * untouched. The maintained pair view equals a from-scratch
   * [[Dedup.lshCandidatePairsFromSigs]] over the live corpus after every
-  * batch (spec'd stepwise), while per-batch cost is O(|Δ| × bands +
-  * touched-bucket joins) — a new crawl snapshot indexes against the
-  * existing corpus without recomputing it.
+  * batch (spec'd stepwise, INCLUDING buckets crossing the hot-bucket
+  * cap in either direction), while per-batch cost is O(|Δ| × bands +
+  * touched-bucket self-joins) — a new crawl snapshot indexes against
+  * the existing corpus without recomputing it.
   *
   * Scale shape: the index is only ever probed/patched through joins
   * keyed by the changed ids or their bands — under `maxLocalKeys` the
@@ -31,16 +33,32 @@ import graft.cdc.{Materializer, TableViews}
   * broadcast hints; on an over-cap backlog batch everything degrades to
   * distributed shuffles (Materializer.merge discipline). The hot-bucket
   * guard drops pair GENERATION for buckets that exceed `maxBucket`
-  * members (the same degenerate-content trade as the batch operator,
-  * applied at probe time).
+  * members (the same degenerate-content trade as the batch operator),
+  * and the bucket-provenance state makes the guard exactly
+  * maintainable — see [[IndexState]].
   */
 object DedupIndexView {
 
   /** The maintained state: `index` is the banded signature index
-    * `(id, band, bandHash)` of every live doc; `pairs` is the candidate
-    * view `(id_a, id_b)`, id_a < id_b — all live pairs sharing at least
-    * one band bucket. */
-  final case class IndexState(index: DataFrame, pairs: DataFrame)
+    * `(id, band, bandHash)` of every live doc; `byBucket` is the
+    * candidate set WITH BUCKET PROVENANCE `(band, bandHash, id_a,
+    * id_b)`, id_a < id_b — one row per under-cap bucket containing the
+    * pair. Provenance is what makes the hot-bucket guard maintainable:
+    * a bucket's pair rows are replaced wholesale whenever its
+    * membership changes, so a bucket crossing `maxBucket` in EITHER
+    * direction (deletes cooling a degenerate bucket below the cap,
+    * inserts heating one over it) converges to exactly the from-scratch
+    * build — without provenance, a cooled bucket's unchanged-doc pairs
+    * could never be emitted nor a heated bucket's retracted, because a
+    * bare (id_a, id_b) view cannot say WHICH bucket justified a pair.
+    * State size is Σ_buckets C(pop, 2) over under-cap buckets — the
+    * batch operator's candidate volume, which the cap already bounds. */
+  final case class IndexState(index: DataFrame, byBucket: DataFrame) {
+    /** The candidate-pair face `(id_a, id_b)` — distinct over the
+      * provenance rows. */
+    def pairs: DataFrame =
+      byBucket.select(col("id_a"), col("id_b")).distinct()
+  }
 
   /** The MinHash-LSH dedup index as a [[TableViews.Maintainer]] —
     * registers on the shared single-topic fan-out next to any other
@@ -97,6 +115,8 @@ object DedupIndexView {
             StructField("id", idType), StructField("band", IntegerType),
             StructField("bandHash", LongType)))),
           emptyDf(StructType(Seq(
+            StructField("band", IntegerType),
+            StructField("bandHash", LongType),
             StructField("id_a", idType), StructField("id_b", idType)))))
       }
 
@@ -109,55 +129,75 @@ object DedupIndexView {
         def hinted(df: DataFrame): DataFrame =
           if (ctx.ckLocal) broadcast(df) else df
         // post-batch live rows of the changed docs: |Δ|-bounded — the
-        // ONLY rows whose signatures are computed this batch
+        // ONLY rows whose signatures are computed this batch. PINNED:
+        // the band rows feed the index patch, the touched-bucket set,
+        // and the pair regeneration — without the pin the shingle +
+        // minhash pass (the expensive per-batch work) would run once
+        // per consuming subtree instead of once per batch.
         val changedLive = Materializer.liveView(ctx.postState)
           .join(hinted(ck.select(col("id").as(idCol))), Seq(idCol),
                 "left_semi")
           .select((idCol +: payloadCols).map(col): _*)
-        val newBands = bandsOf(changedLive)
+        val newBands = bandsOf(changedLive).localCheckpoint(false)
         // patch the index: drop every changed id's old bands (deleted
         // docs contribute no new ones), append the new bands
         val index1 = st.index.join(hinted(ck), Seq("id"), "left_anti")
           .unionByName(newBands)
-        // retract pairs touching a changed id (re-emitted below if the
-        // doc still collides); pairs between two unchanged docs carry
-        // over untouched
-        val kept = st.pairs
-          .join(hinted(ck.select(col("id").as("id_a"))), Seq("id_a"),
-                "left_anti")
-          .join(hinted(ck.select(col("id").as("id_b"))), Seq("id_b"),
-                "left_anti")
-          .select(col("id_a"), col("id_b")) // USING joins front the key
-        // probe ONLY the buckets the new bands touch; hot-bucket guard
-        // on the POST-patch bucket population
-        val touched = hinted(newBands.select("band", "bandHash").distinct())
-        val sizes = index1.join(touched, Seq("band", "bandHash"), "left_semi")
-          .groupBy(col("band"), col("bandHash"))
+        // a bucket's membership changed iff a changed id had OLD bands
+        // in it (the pre-patch index restricted to changed ids) or has
+        // NEW bands in it — those buckets' pair rows are regenerated
+        // WHOLESALE below; every other bucket's rows carry over
+        // untouched (their membership and cap status are unchanged)
+        val oldBands = st.index.join(hinted(ck), Seq("id"), "left_semi")
+        val touched = hinted(
+          oldBands.select(col("band"), col("bandHash"))
+            .unionByName(newBands.select(col("band"), col("bandHash")))
+            .distinct())
+        val carried = st.byBucket
+          .join(touched, Seq("band", "bandHash"), "left_anti")
+          .select(col("band"), col("bandHash"), col("id_a"), col("id_b"))
+        // regenerate touched buckets from the POST-patch index, cap
+        // applied to the post-patch population — a bucket cooling below
+        // `maxBucket` (deletes) emits its full pair set including
+        // unchanged-doc pairs, one heating over it drops all rows
+        val tIdx = index1.join(touched, Seq("band", "bandHash"),
+                               "left_semi")
+        val okBuckets = tIdx.groupBy(col("band"), col("bandHash"))
           .agg(count(lit(1)).as("__n"))
-        val ok = sizes.filter(col("__n") <= maxBucket)
-          .select("band", "bandHash")
-        val probe = hinted(
-          newBands.join(hinted(ok), Seq("band", "bandHash"), "left_semi"))
-        val fresh = probe
-          .join(index1.select(col("id").as("__id2"), col("band"),
-                              col("bandHash")),
+          .filter(col("__n") <= maxBucket)
+          .select(col("band"), col("bandHash"))
+        // the self-join input is PINNED AND PARTITIONING-STRIPPED (the
+        // lazy checkpoint evaluates the touched-bucket filter once per
+        // batch; the strip — a same-session re-root, which rebuilds the
+        // scan with UnknownPartitioning — forces EnsureRequirements to
+        // plan clean same-width exchanges under both sides of the
+        // join). Without the strip, the inputs carry checkpoint-
+        // preserved partitionings of varying widths accumulated across
+        // batches (empty seed state, per-batch pins, prior join
+        // outputs), and Spark 4's PartitioningCollection width check
+        // crashes when the AQE-off join's own output partitioning is
+        // computed.
+        val okIdx = org.apache.spark.sql.graft.bridge.reRoot(
+          tIdx.join(okBuckets, Seq("band", "bandHash"), "left_semi")
+            .localCheckpoint(false),
+          ctx.delta.sparkSession)
+        val fresh = okIdx
+          .join(okIdx.select(col("id").as("__id2"), col("band"),
+                             col("bandHash")),
                 Seq("band", "bandHash"))
-          .filter(col("id") =!= col("__id2"))
-          .select(least(col("id"), col("__id2")).as("id_a"),
-                  greatest(col("id"), col("__id2")).as("id_b"))
-          .distinct()
-        // kept excludes changed ids and fresh always includes one, so
-        // the union is disjoint — no cross-frame dedup needed
-        IndexState(index1, kept.unionByName(fresh))
+          .filter(col("id") < col("__id2"))
+          .select(col("band"), col("bandHash"), col("id").as("id_a"),
+                  col("__id2").as("id_b"))
+        IndexState(index1, carried.unionByName(fresh))
       }
 
       def pin(st: IndexState): IndexState =
         IndexState(st.index.localCheckpoint(false),
-                   st.pairs.localCheckpoint(false))
+                   st.byBucket.localCheckpoint(false))
 
       def reRoot(st: IndexState, to: SparkSession): IndexState = {
         val bb = org.apache.spark.sql.graft.bridge
-        IndexState(bb.reRoot(st.index, to), bb.reRoot(st.pairs, to))
+        IndexState(bb.reRoot(st.index, to), bb.reRoot(st.byBucket, to))
       }
     }
 

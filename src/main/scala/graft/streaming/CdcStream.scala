@@ -1149,14 +1149,12 @@ object CdcStream {
       .start()
   }
 
-  /** Read a [[maintainSnowflakeViewToParquet]] view's face by name,
-    * tolerating the swap crash window. */
+  /** Read a [[maintainSnowflakeViewToParquet]] view's face by name —
+    * the snowflake faces share [[readMultiView]]'s generation layout
+    * exactly, so this is the same reader. */
   def readSnowflakeView(spark: SparkSession, rootPath: String,
                         name: String): DataFrame =
-    liveGenerationRoot(spark, s"$rootPath/current")
-      .map(r => spark.read.parquet(s"$r/${name}__view"))
-      .getOrElse(throw new IllegalStateException(
-        s"no snowflake-view state at $rootPath"))
+    readMultiView(spark, rootPath, name)
 
   /** One maintained view registered with
     * [[maintainTableViewsToParquet]] — the single-topic analogue of
@@ -1223,9 +1221,10 @@ object CdcStream {
       NamedTableView(name,
         graft.dedup.DedupIndexView.maintainer(idCol, textCol, b, r,
                                               nGram, maxBucket),
-        Seq("index", "pairs"),
-        st => Map("index" -> st.index, "pairs" -> st.pairs),
-        m => graft.dedup.DedupIndexView.IndexState(m("index"), m("pairs")),
+        Seq("index", "bucket_pairs"),
+        st => Map("index" -> st.index, "bucket_pairs" -> st.byBucket),
+        m => graft.dedup.DedupIndexView.IndexState(m("index"),
+                                                   m("bucket_pairs")),
         st => st.pairs, Seq("id_a", "id_b"))
     /** Exact-duplicate groups of the live corpus (content-fingerprint
       * pair state, min-id representative promoting on delete);
@@ -1269,9 +1268,10 @@ object CdcStream {
       NamedTableView(name,
         graft.dedup.DedupIndexView.embeddingMaintainer(idCol, vecCol,
           dim, tables, planes, maxBucket = maxBucket),
-        Seq("index", "pairs"),
-        st => Map("index" -> st.index, "pairs" -> st.pairs),
-        m => graft.dedup.DedupIndexView.IndexState(m("index"), m("pairs")),
+        Seq("index", "bucket_pairs"),
+        st => Map("index" -> st.index, "bucket_pairs" -> st.byBucket),
+        m => graft.dedup.DedupIndexView.IndexState(m("index"),
+                                                   m("bucket_pairs")),
         st => st.pairs, Seq("id_a", "id_b"))
     /** Maintained per-user sessionization
       * ([[graft.cdc.SequentialViews]] via GroupViews delta-restricted

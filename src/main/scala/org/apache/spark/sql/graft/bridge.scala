@@ -24,16 +24,33 @@ object bridge {
   def reRoot(df: org.apache.spark.sql.DataFrame,
              target: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
     val t = target.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // Deliberately DROPS the source's output partitioning
+    // (UnknownPartitioning): the re-root crosses a session boundary
+    // where shuffle width usually changes (replay children run
+    // batch-width partitions, callers run session width), and a
+    // preserved foreign-width HashPartitioning composes badly with the
+    // target session's AQE-coalesced exchanges (Spark's
+    // PartitioningCollection requires all members to share
+    // numPartitions — a preserved 8-wide side meeting a coalesced
+    // 4-wide side crashes the SMJ's outputPartitioning). Inside a
+    // SINGLE fixed-width, AQE-off loop use [[reRootPartitioned]].
+    t.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
+  }
+
+  /** [[reRoot]] that PRESERVES the source plan's output partitioning and
+    * ordering in the re-rooted scan (`LogicalRDD.fromDataset`, the
+    * mechanism `Dataset.checkpoint` uses): a frame pinned AFTER a
+    * hash-partitioning operation keeps that partitioning visible to the
+    * planner, so per-round joins and re-groups on the same key plan NO
+    * exchange on the pinned side. ONLY safe when producer and every
+    * consumer run the SAME shuffle width with AQE off (a replay/
+    * propagation loop on one child session) — see [[reRoot]] for why
+    * the general session boundary must drop it. */
+  def reRootPartitioned(df: org.apache.spark.sql.DataFrame,
+                        target: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val t = target.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-    // LogicalRDD.fromDataset CARRIES the source plan's output
-    // partitioning and ordering into the scan node (rewritten onto the
-    // new output attributes — the same mechanism Dataset.checkpoint
-    // uses), so a frame pinned AFTER a hash-partitioning operation
-    // (groupBy, repartition(col)) keeps that partitioning visible to
-    // the planner across the re-root: per-round joins and re-groups on
-    // the same key plan NO exchange on the pinned side. The previous
-    // internalCreateDataFrame route dropped this to UnknownPartitioning,
-    // silently re-shuffling every pinned state once per micro-batch.
     val plan = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
       ds.queryExecution.toRdd, ds, isStreaming = false)
     org.apache.spark.sql.classic.Dataset.ofRows(t, plan)

@@ -149,12 +149,16 @@ class DedupIndexViewSpec extends SparkSpec {
       "index carries bands for non-live vectors")
   }
 
-  test("under local keys a step never sort-merge-joins the index (broadcast-only patch)") {
+  test("under local keys a step never reshuffles the persisted state") {
     // state after two batches, then hand-step a tiny third batch and
-    // inspect its physical plan: every join against the persisted index
-    // and pair view must be broadcast (the delta side is the build side)
-    // — Exchange for |Δ|-bounded aggregations is fine, SortMergeJoin of
-    // the index is the scale bug this spec guards against
+    // inspect its physical plans: the INDEX patch must be broadcast-only
+    // (no shuffle join at all), and in the PAIR step the persisted
+    // provenance rows must only pass through broadcast anti joins —
+    // never under an Exchange. (The touched-bucket pair REGENERATION is
+    // a |touched|-bounded shuffle self-join by design — its inputs are
+    // semi-filtered to the changed buckets before any exchange, so an
+    // SMJ there is fine; an Exchange over the carried state is the
+    // scale bug this spec guards against.)
     val m = DedupIndexView.maintainer("doc_id", "text", b = B, r = R,
                                       nGram = N)
     val base = Seq(
@@ -167,12 +171,55 @@ class DedupIndexViewSpec extends SparkSpec {
                                        maxLocalKeys = 100000)
     assert(ctx.ckLocal, "tiny delta must take the local-keys path")
     val next = m.step(res(m), ctx)
-    Seq("pairs" -> next.pairs, "index" -> next.index).foreach {
-      case (what, df) =>
-        val plan = df.queryExecution.executedPlan.toString
-        assert(!plan.contains("SortMergeJoin"),
-          s"$what step plan sort-merge-joins the index:\n$plan")
+    val idxPlan = next.index.queryExecution.executedPlan.toString
+    assert(!idxPlan.contains("SortMergeJoin") &&
+             !idxPlan.contains("ShuffledHashJoin"),
+      s"index patch plan shuffle-joins the index:\n$idxPlan")
+    // persisted pair rows (schema ...id_a,id_b without an id column)
+    // must not sit under any shuffle exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val pairPlan = next.byBucket.queryExecution.executedPlan
+    val shuffledScans = pairPlan.collect {
+      case e: ShuffleExchangeExec => e.collectLeaves().map(_.toString)
+    }.flatten.filter(s => s.contains("id_a") && s.contains("Scan"))
+    assert(shuffledScans.isEmpty,
+      s"persisted pair state is reshuffled:\n${shuffledScans.mkString}\n" +
+        pairPlan)
+  }
+
+  test("hot-bucket cap is exactly maintained across crossings (hysteresis)") {
+    // three identical docs share every bucket; cap = 2 keeps the bucket
+    // degenerate (no pairs). Deleting one COOLS the bucket below the
+    // cap — the unchanged survivors' pair must now EMERGE (the case a
+    // bare pair view without bucket provenance can never produce, since
+    // no changed id touches the surviving pair). Re-inserting HEATS it
+    // back over the cap — the pair must retract again.
+    val same = "identical degenerate content planted many times over"
+    def run(lines: Seq[String]): (DataFrame, DataFrame) = {
+      val m = DedupIndexView.maintainer("doc_id", "text", b = B, r = R,
+                                        nGram = N, maxBucket = 2)
+      val res = TableViews.replay(events(lines), Seq(10L, 20L),
+                                  Seq("doc_id"), Seq(m))
+      (Materializer.liveView(res.state), res(m).pairs)
     }
+    def scratch(live: DataFrame): Set[String] =
+      rowsOf(Dedup.lshCandidatePairs(live, "doc_id", "text",
+        b = B, r = R, nGram = N, maxBucket = 2))
+    val base = Seq(
+      doc("insert", 1, 1, same), doc("insert", 2, 2, same),
+      doc("insert", 3, 3, same))
+    val (l1, p1) = run(base)
+    assert(rowsOf(p1) == scratch(l1) && rowsOf(p1).isEmpty,
+      s"over-cap bucket must emit no pairs: ${rowsOf(p1)}")
+    // cool: delete doc 3 in a later batch -> (1,2) must EMERGE
+    val (l2, p2) = run(base :+ doc("delete", 11, 3, same))
+    assert(rowsOf(p2) == scratch(l2) && rowsOf(p2) == Set("[1,2]"),
+      s"cooled bucket must emit its surviving pair: ${rowsOf(p2)}")
+    // heat: doc 4 arrives -> population 3 again, all pairs retract
+    val (l3, p3) = run(base ++ Seq(doc("delete", 11, 3, same),
+                                   doc("insert", 21, 4, same)))
+    assert(rowsOf(p3) == scratch(l3) && rowsOf(p3).isEmpty,
+      s"re-heated bucket must retract its pairs: ${rowsOf(p3)}")
   }
 
   test("dup groups: plant, promote representative on delete, dissolve") {

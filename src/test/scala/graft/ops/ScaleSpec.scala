@@ -122,7 +122,7 @@ class ScaleSpec extends SparkSpec {
     child.conf.set("spark.sql.shuffle.partitions", "4")
     val edges = spark.range(1000)
       .select(col("id").as("a"), (col("id") + 1).as("b"))
-    val sym = bridge.reRoot(
+    val sym = bridge.reRootPartitioned(
       edges.repartition(4, col("a")).localCheckpoint(), child)
     val labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("component")).localCheckpoint(false)
