@@ -45,6 +45,25 @@ object ChangelogGen {
   private val logCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** The Maxwell envelope serializer every synthetic topic shares —
+    * one place owns the wire shape (database/table/type/ts/data[/old]),
+    * so a protocol change edits one function, not one per topic. */
+  private def envelopeCol(table: org.apache.spark.sql.Column)
+                         (typ: String, ts: org.apache.spark.sql.Column,
+                          data: org.apache.spark.sql.Column,
+                          old: Option[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column = {
+    val fields = Seq(
+      lit(Database).as("database"), table.as("table"),
+      lit(typ).as("type"), ts.as("ts"), data.as("data")) ++
+      old.map(_.as("old")).toSeq
+    to_json(struct(fields: _*))
+  }
+  private def envelopeCol(table: String)
+      : (String, org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         Option[org.apache.spark.sql.Column]) => org.apache.spark.sql.Column =
+    envelopeCol(lit(table)) _
+
   def ordersChangelog(spark: SparkSession, sfDir: String): DataFrame =
     logCache.computeIfAbsent((spark, sfDir),
       _ => buildOrdersChangelog(spark, sfDir).cache())
@@ -63,15 +82,7 @@ object ChangelogGen {
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
 
-    def envelope(typ: String, ts: org.apache.spark.sql.Column,
-                 data: org.apache.spark.sql.Column,
-                 old: Option[org.apache.spark.sql.Column]) = {
-      val fields = Seq(
-        lit(Database).as("database"), lit(Table).as("table"),
-        lit(typ).as("type"), ts.as("ts"), data.as("data")) ++
-        old.map(_.as("old")).toSeq
-      to_json(struct(fields: _*))
-    }
+    val envelope = envelopeCol(Table)
 
     val inserts = orders.select(
       envelope("insert", base, rowImage, None).as("value"),
@@ -176,15 +187,7 @@ object ChangelogGen {
     val base = lit(757382400L) + (col("c_custkey") % 3) * 50000000L
     val rowImage = struct(col("c_custkey"), col("c_name"),
                           col("c_nationkey"), col("c_acctbal"))
-    def envelope(typ: String, ts: org.apache.spark.sql.Column,
-                 data: org.apache.spark.sql.Column,
-                 old: Option[org.apache.spark.sql.Column]) = {
-      val fields = Seq(
-        lit(Database).as("database"), lit("customer").as("table"),
-        lit(typ).as("type"), ts.as("ts"), data.as("data")) ++
-        old.map(_.as("old")).toSeq
-      to_json(struct(fields: _*))
-    }
+    val envelope = envelopeCol("customer")
     val inserts = cust.select(
       envelope("insert", base, rowImage, None).as("value"),
       (col("c_custkey") * 3).as("seq"))
@@ -267,15 +270,7 @@ object ChangelogGen {
     val rowImage = struct(col("l_orderkey"), col("l_linenumber"),
                           col("l_extendedprice"), col("l_discount"),
                           col("l_returnflag"))
-    def envelope(typ: String, ts: org.apache.spark.sql.Column,
-                 data: org.apache.spark.sql.Column,
-                 old: Option[org.apache.spark.sql.Column]) = {
-      val fields = Seq(
-        lit(Database).as("database"), lit("lineitem").as("table"),
-        lit(typ).as("type"), ts.as("ts"), data.as("data")) ++
-        old.map(_.as("old")).toSeq
-      to_json(struct(fields: _*))
-    }
+    val envelope = envelopeCol("lineitem")
     val inserts = li.select(
       envelope("insert", base, rowImage, None).as("value"),
       (rowId * 3).as("seq"))
@@ -355,15 +350,7 @@ object ChangelogGen {
     val joined = docs.join(donor, Seq("doc_id"), "left")
     val rowImage = struct(col("doc_id"), col("text"), col("lang"),
                           col("source"), col("n_chars"))
-    def envelope(typ: String, ts: org.apache.spark.sql.Column,
-                 data: org.apache.spark.sql.Column,
-                 old: Option[org.apache.spark.sql.Column]) = {
-      val fields = Seq(
-        lit(Database).as("database"), lit("documents").as("table"),
-        lit(typ).as("type"), ts.as("ts"), data.as("data")) ++
-        old.map(_.as("old")).toSeq
-      to_json(struct(fields: _*))
-    }
+    val envelope = envelopeCol("documents")
     val inserts = joined.select(
       envelope("insert", lit(1500000000L) + col("doc_id"), rowImage,
                None).as("value"),
@@ -429,15 +416,7 @@ object ChangelogGen {
                             col("embedding").as("__donor_vec"))
     val joined = embs.join(donor, Seq("vec_id"), "left")
     val rowImage = struct(col("vec_id"), col("embedding"), col("label"))
-    def envelope(typ: String, ts: org.apache.spark.sql.Column,
-                 data: org.apache.spark.sql.Column,
-                 old: Option[org.apache.spark.sql.Column]) = {
-      val fields = Seq(
-        lit(Database).as("database"), lit("embeddings").as("table"),
-        lit(typ).as("type"), ts.as("ts"), data.as("data")) ++
-        old.map(_.as("old")).toSeq
-      to_json(struct(fields: _*))
-    }
+    val envelope = envelopeCol("embeddings")
     val inserts = joined.select(
       envelope("insert", lit(1500000000L) + col("vec_id"), rowImage,
                None).as("value"),
@@ -519,15 +498,7 @@ object ChangelogGen {
               col("user_id"), col("event_type"), col("value"))
     val rowImage = struct(col("event_id"), col("ts_us"), col("user_id"),
                           col("event_type"), col("value"))
-    def envelope(typ: String, ts: org.apache.spark.sql.Column,
-                 data: org.apache.spark.sql.Column,
-                 old: Option[org.apache.spark.sql.Column]) = {
-      val fields = Seq(
-        lit(Database).as("database"), lit("events").as("table"),
-        lit(typ).as("type"), ts.as("ts"), data.as("data")) ++
-        old.map(_.as("old")).toSeq
-      to_json(struct(fields: _*))
-    }
+    val envelope = envelopeCol("events")
     val inserts = events.select(
       envelope("insert", lit(1700000000L) + col("event_id"), rowImage,
                None).as("value"),

@@ -136,9 +136,14 @@ object GroupViews {
         val (tg, tgLocal) = IncrementalTopK.touchedGroups(
           ctx.delta, groupCol, ctx.maxLocalKeys)
         val oldPart = byGroup(st.rows, tg, tgLocal, groupCol, "left_semi")
+        // PINNED: the per-group recompute (the window/join-heavy part)
+        // feeds BOTH the rows frame and the totals fold, which pin() as
+        // two separate plans — without this, perGroup would run twice
+        // per batch
         val newPart = perGroup(byGroup(
-          Materializer.liveView(ctx.postState), tg, tgLocal, groupCol,
-          "left_semi"))
+            Materializer.liveView(ctx.postState), tg, tgLocal, groupCol,
+            "left_semi"))
+          .localCheckpoint(false)
         RollupState(
           byGroup(st.rows, tg, tgLocal, groupCol, "left_anti")
             .unionByName(newPart),

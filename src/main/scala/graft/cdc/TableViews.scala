@@ -51,12 +51,8 @@ object TableViews {
     /** Drop every pinned block this result holds — for cache eviction;
       * the result is unusable afterwards (MultiView.Result.release). */
     def release(): Unit =
-      (Seq(state) ++ states.valuesIterator.flatMap {
-        case df: DataFrame => Seq(df)
-        case p: Product =>
-          p.productIterator.collect { case df: DataFrame => df }.toSeq
-        case _ => Seq.empty
-      }).foreach(org.apache.spark.sql.graft.bridge.unpersistPinned)
+      (Seq(state) ++ states.valuesIterator.flatMap(MultiView.stateFrames))
+        .foreach(org.apache.spark.sql.graft.bridge.unpersistPinned)
   }
 
   /** The per-batch SHARED work: the |Δ|-capped changed-key collect and

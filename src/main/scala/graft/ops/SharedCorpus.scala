@@ -26,36 +26,12 @@ import graft.text.TextAnalysis
 object SharedCorpus {
 
   private val cache =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame]()
-  private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+    new BoundedPinnedCache[DataFrame]()(
+      org.apache.spark.sql.graft.bridge.unpersistPinned)
 
   private def cached(s: SparkSession, key: String)
-                    (build: => DataFrame): DataFrame = cache.synchronized {
-    val k = (s, key)
-    val hit = cache.get(k)
-    if (hit != null) hit
-    else {
-      if (cache.size >= 8) {
-        val it = cache.entrySet().iterator()
-        if (it.hasNext) {
-          val eldest = it.next()
-          org.apache.spark.sql.graft.bridge.unpersistPinned(eldest.getValue)
-          it.remove()
-        }
-      }
-      if (hooked.compareAndSet(false, true))
-        s.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                e: org.apache.spark.scheduler
-                     .SparkListenerApplicationEnd): Unit =
-              cache.synchronized(cache.clear())
-          })
-      val v = build
-      cache.put(k, v)
-      v
-    }
-  }
+                    (build: => DataFrame): DataFrame =
+    cache.get(s, key)(build)
 
   /** The tokenized documents corpus `(doc_id, toks)`, pinned once per
     * (session, sfDir). Lazy pin: the first consuming action materializes
