@@ -55,9 +55,14 @@ object DedupIndexView {
     * batch operator's candidate volume, which the cap already bounds. */
   final case class IndexState(index: DataFrame, byBucket: DataFrame) {
     /** The candidate-pair face `(id_a, id_b)` — distinct over the
-      * provenance rows. */
-    def pairs: DataFrame =
+      * provenance rows, PINNED ON FIRST SERVE so repeated reads of one
+      * state generation pay the shuffle-distinct once and then scan.
+      * The pinned blocks are reclaimed by the ContextCleaner when this
+      * state becomes unreachable (cache eviction releases index and
+      * byBucket explicitly; this derived frame rides GC). */
+    lazy val pairs: DataFrame =
       byBucket.select(col("id_a"), col("id_b")).distinct()
+        .localCheckpoint(false)
   }
 
   /** The MinHash-LSH dedup index as a [[TableViews.Maintainer]] —

@@ -26,7 +26,11 @@ import org.apache.spark.sql.SparkSession
 private[graft] final class BoundedPinnedCache[V](maxEntries: Int = 8)
                                                 (release: V => Unit) {
 
-  private val m = new java.util.LinkedHashMap[(SparkSession, String), V]()
+  // accessOrder = true: eviction is LRU, not insertion-ordered — the
+  // first-built entry is usually the hottest (the orders replay every
+  // cdc_* query reuses), and get() hits must refresh its recency
+  private val m =
+    new java.util.LinkedHashMap[(SparkSession, String), V](16, 0.75f, true)
   private val hooked =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkContext, java.lang.Boolean]())

@@ -1213,7 +1213,12 @@ object CdcStream {
     /** Incrementally maintained MinHash-LSH near-dup index
       * ([[graft.dedup.DedupIndexView]]): per batch, signatures for the
       * CHANGED docs only patch the banded index and the candidate-pair
-      * face; changelog keyed by the pair. */
+      * face; changelog keyed by the pair. STATE FORMAT v2: the
+      * persisted `bucket_pairs` file carries bucket provenance
+      * (band, bandHash, id_a, id_b) — generations written by the
+      * pre-provenance layout (`pairs`, bare id pairs) cannot resume
+      * (the restore read fails on the missing file); rebuild the view
+      * from the changelog. */
     def dedupIndex(name: String, idCol: String, textCol: String,
                    b: Int = 16, r: Int = 2, nGram: Int = 5,
                    maxBucket: Int = 1000)

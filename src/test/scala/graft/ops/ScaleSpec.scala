@@ -115,7 +115,10 @@ class ScaleSpec extends SparkSpec {
     // the join key, labels arriving partitioned from the previous
     // round's groupBy — the ONLY exchange left is the min-label
     // re-group. Guards both Dedup.connectedComponents' round cost and
-    // bridge.reRoot's partitioning preservation (fromDataset).
+    // bridge.reRootPartitioned's partitioning preservation (plain
+    // reRoot deliberately DROPS partitioning at session boundaries —
+    // see its scaladoc for the width-mismatch crash that forces the
+    // split).
     import org.apache.spark.sql.graft.bridge
     val child = spark.newSession()
     child.conf.set("spark.sql.adaptive.enabled", "false")
