@@ -103,6 +103,34 @@ class GroupViewsSpec extends SparkSpec {
       "over-cap (distributed) session view != under-cap (broadcast)")
   }
 
+  test("NULL group rows recompute and retract like any other group") {
+    // a decode failure can yield user_id = NULL; the null-safe group
+    // joins must keep re-computing that group (a null-unsafe anti/semi
+    // pair would park its rows in the view forever)
+    def ev(op: String, ts: Long, id: Long, user: String, us: Long) =
+      s"""{"database":"${ChangelogGen.Database}","table":"events",""" +
+        s""""type":"$op","ts":$ts,"data":{"event_id":$id,"ts_us":$us,""" +
+        s""""user_id":$user,"event_type":"view","value":1.0}}"""
+    val lines = Seq(
+      ev("insert", 1, 1L, "null", 1000000L),
+      ev("insert", 2, 2L, "null", 2000000L),
+      ev("insert", 3, 3L, "7", 1000000L),
+      ev("delete", 11, 2L, "null", 2000000L))
+    val events = RowDecoder.changeEvents(
+      Maxwell.parseEnvelope(
+        spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)),
+      ChangelogGen.eventsSpec)
+    val m = SequentialViews.sessionMaintainer()
+    val res = TableViews.replay(events, Seq(5L), pk, Seq(m))
+    val live = liveOf(events)
+    assert(rowsOf(res(m)) ==
+             rowsOf(SequentialViews.sessionSummary(1800L * 1000000L)(live)),
+      "null-group session rows diverged from direct recompute")
+    val nullRows = res(m).filter(col("user_id").isNull).collect()
+    assert(nullRows.length == 1 && nullRows.head.getLong(2) == 1L,
+      s"null group must retract the deleted event: ${nullRows.mkString}")
+  }
+
   test("retraction is exact: deleting a user's bridging events merges " +
        "sessions, retracts funnel stages, and drops zeroed totals rows") {
     val gap = 1800L * 1000000L
