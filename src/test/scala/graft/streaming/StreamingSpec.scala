@@ -1750,7 +1750,9 @@ class StreamingSpec extends SparkSpec {
         Seq("view", "click", "purchase")),
       CdcStream.NamedTableView.transitions("trans"),
       CdcStream.NamedTableView.retention("ret"),
-      CdcStream.NamedTableView.anomaly("anom"))
+      CdcStream.NamedTableView.anomaly("anom"),
+      CdcStream.NamedTableView.profile("prof",
+        Seq("user_id", "event_type")))
     def run(): Unit = CdcStream.maintainTableViewsToParquet(
       CdcStream.fileChangelog(spark, logDir), spec, views, root, ckpt)
       .awaitTermination()
@@ -1799,8 +1801,17 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n")))
     assert(anom.toSet == Set(("view", 2L), ("purchase", 1L)),
       s"anomaly daily rows: ${anom.mkString(", ")}")
+    // maintained profile: live counts after the delete (3 rows, no
+    // nulls, distinct users 2 / types 2)
+    val prof = CdcStream.readMultiView(spark, root, "prof").collect()
+      .map(r => (r.getAs[String]("col_name"), r.getAs[Long]("n_rows"),
+                 r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct")))
+      .toSet
+    assert(prof == Set(("user_id", 3L, 0L, 2L),
+                       ("event_type", 3L, 0L, 2L)),
+      s"maintained profile after delete: $prof")
     // every view's changelog folds to its face; replay is a no-op
-    Seq("sess", "fun", "trans", "ret", "anom").foreach { n =>
+    Seq("sess", "fun", "trans", "ret", "anom", "prof").foreach { n =>
       val folded = CdcStream.viewAsOfBatch(spark, s"$root/$n", Long.MaxValue)
       val face = CdcStream.readMultiView(spark, root, n)
       assert(folded.collect().map(_.toString).toSet ==
