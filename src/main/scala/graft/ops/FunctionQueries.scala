@@ -15,6 +15,21 @@ object FunctionQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // the EXTENSION LAYER end-to-end in the correctness gate: graft's
+    // SQL function registry (GraftFunctions via bridge.installGraft —
+    // the same table GraftExtensions injects at builder time) serves a
+    // plain spark.sql query using the codegen'd VecDot Catalyst
+    // expression, oracle-checked against DuckDB's list_dot_product.
+    "q_sql_vecdot" -> ((s, dir) => {
+      org.apache.spark.sql.graft.bridge.installGraft(s)
+      load(s, dir, "embeddings").createOrReplaceTempView("emb_sql")
+      s.sql("""SELECT e1.vec_id,
+              |  round(vec_dot(e1.embedding, e1.embedding), 6) AS norm_sq,
+              |  round(vec_dot(e1.embedding, e2.embedding), 6) AS dot_next
+              |FROM emb_sql e1 JOIN emb_sql e2 ON e2.vec_id = e1.vec_id + 1
+              |WHERE e1.vec_id < 50 ORDER BY e1.vec_id""".stripMargin)
+    }),
+
     "q_str_funcs" -> ((s, dir) =>
       load(s, dir, "part")
         .select(col("p_partkey"),
@@ -360,6 +375,14 @@ object FunctionQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_vecdot" ->
+      """SELECT e1.vec_id,
+        |  round(list_dot_product(e1.embedding::DOUBLE[],
+        |                         e1.embedding::DOUBLE[]), 6) AS norm_sq,
+        |  round(list_dot_product(e1.embedding::DOUBLE[],
+        |                         e2.embedding::DOUBLE[]), 6) AS dot_next
+        |FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
+        |WHERE e1.vec_id < 50 ORDER BY e1.vec_id""".stripMargin,
     "q_str_funcs" ->
       """SELECT p_partkey, upper(p_name) AS up_name,
         |  CAST(length(p_name) AS INT) AS name_len,
