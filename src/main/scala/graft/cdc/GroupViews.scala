@@ -117,11 +117,18 @@ object GroupViews {
           rollupKeys.map(col) ++
             ms.map(m => (col(m) * lit(-1)).cast(
               totals.schema(m).dataType).as(m)): _*)
+        // sums COALESCED to 0: a NULL measure contributes nothing on
+        // insert and nothing on retract (sum skips NULL rows, and the
+        // negated branch's NULL * -1 is NULL), but an all-NULL key must
+        // fold to 0 — not NULL, which would null-propagate through the
+        // liveness filter below and silently drop the key from the
+        // totals even while live
+        def zero(m: String) = lit(0).cast(totals.schema(m).dataType)
         totals.unionByName(pos).unionByName(negated)
           .groupBy(rollupKeys.map(col): _*)
-          .agg(ms.map(m => sum(col(m)).cast(
+          .agg(ms.map(m => coalesce(sum(col(m)), zero(m)).cast(
                  totals.schema(m).dataType).as(m)).head,
-               ms.tail.map(m => sum(col(m)).cast(
+               ms.tail.map(m => coalesce(sum(col(m)), zero(m)).cast(
                  totals.schema(m).dataType).as(m)): _*)
           .filter(ms.map(m => col(m) =!= 0).reduce(_ || _))
       }

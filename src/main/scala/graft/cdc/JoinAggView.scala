@@ -244,15 +244,14 @@ object JoinAggView {
       w: Int): DataFrame = {
     def hinted(df: DataFrame, isLocal: Boolean): DataFrame =
       if (isLocal) broadcast(df) else df
-    val joinCond = lJoinCols.zip(rPk)
-      .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
-    val branchL = hinted(
-        liveL.join(hinted(changedL, lLocal), lPk, "left_semi"), lLocal)
-      .join(liveR, joinCond)
-    val branchR = liveL.join(hinted(changedL, lLocal), lPk, "left_anti")
-      .join(hinted(liveR.join(hinted(changedR, rLocal), rPk, "left_semi"),
-                   rLocal),
-            joinCond)
+    // fk-side joins through the skew-hardened helper (under-cap broadcast
+    // verbatim; over-cap SALTED — see MultiView.FkJoin)
+    val fk = MultiView.FkJoin(lPk, rPk, lJoinCols)
+    val branchL = fk.joinBoundedL(
+      liveL.join(hinted(changedL, lLocal), lPk, "left_semi"), liveR, lLocal)
+    val branchR = fk.joinBoundedR(
+      liveL.join(hinted(changedL, lLocal), lPk, "left_anti"),
+      liveR.join(hinted(changedR, rLocal), rPk, "left_semi"), rLocal)
     branchL.unionByName(branchR).select(
       groupCols.map(col) ++
         measures.map { case (c, src, cast) =>

@@ -62,13 +62,11 @@ object JoinTopKView {
     // over pinned scans replace the four state-side delta joins the
     // pre/post recompute would need. (Superset-safe: a re-ranked
     // untouched group reproduces its rows unchanged.)
-    val changedRAsFk = ctx.changedRAsFk
     def touchedGroups(v: DataFrame): DataFrame =
       v.join(hinted(changedL, lLocal), lPk, "left_semi")
         .select(col(groupCol))
-        .unionByName(
-          v.join(hinted(changedRAsFk, rLocal), lJoinCols, "left_semi")
-            .select(col(groupCol)))
+        .unionByName( // fk semi: over-cap SALTED (MultiView.FkJoin)
+          ctx.fkFilter(v, "left_semi").select(col(groupCol)))
     val tgSel = touchedGroups(view)
       .unionByName(touchedGroups(viewNext))
       .distinct().localCheckpoint(false)

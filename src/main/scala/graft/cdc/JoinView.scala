@@ -145,19 +145,18 @@ object JoinView {
     * it per batch to bound plan depth without scheduling a job. */
   private[cdc] def stepView(view: DataFrame, ctx: MultiView.BatchCtx,
                             viewCols: Seq[String]): DataFrame = {
-    import ctx.{changedL, changedR, lLocal, rLocal, lPk, rPk, lJoinCols,
-                liveL, liveR, hinted}
-    val keep = view
-      .join(hinted(changedL, lLocal), lPk, "left_anti")
-      .join(hinted(ctx.changedRAsFk, rLocal), lJoinCols, "left_anti")
-    val joinCond = ctx.joinCond
-    val rebuiltL = hinted(
-        liveL.join(hinted(changedL, lLocal), lPk, "left_semi"), lLocal)
-      .join(liveR, joinCond)
-    val rebuiltR = liveL.join(hinted(changedL, lLocal), lPk, "left_anti")
-      .join(hinted(liveR.join(hinted(changedR, rLocal), rPk, "left_semi"),
-                   rLocal),
-            joinCond)
+    import ctx.{changedL, changedR, lLocal, rLocal, lPk, rPk, liveL, liveR,
+                hinted}
+    // pk-side joins stay plain over-cap (both sides pk-unique — no skew);
+    // every fk-side join goes through ctx.fk, which salts the over-cap
+    // path so a hot dimension key cannot straggle the AQE-off loop
+    val keep = ctx.fkFilter(
+      view.join(hinted(changedL, lLocal), lPk, "left_anti"), "left_anti")
+    val rebuiltL = ctx.fk.joinBoundedL(
+      liveL.join(hinted(changedL, lLocal), lPk, "left_semi"), liveR, lLocal)
+    val rebuiltR = ctx.fk.joinBoundedR(
+      liveL.join(hinted(changedL, lLocal), lPk, "left_anti"),
+      liveR.join(hinted(changedR, rLocal), rPk, "left_semi"), rLocal)
     keep
       .select(viewCols.map(col): _*) // using-joins reorder; restore
       .unionByName(rebuiltL.select(viewCols.map(col): _*))

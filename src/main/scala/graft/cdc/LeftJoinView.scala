@@ -76,16 +76,14 @@ object LeftJoinView {
     * [[applyBatch]] and the [[MultiView]] fan-out via [[maintainer]]). */
   private[cdc] def stepView(view: DataFrame, ctx: MultiView.BatchCtx,
                             viewCols: Seq[String]): DataFrame = {
-    import ctx.{changedL, lLocal, rLocal, lPk, lJoinCols, liveL, liveR,
-                hinted}
-    val changedRAsFk = ctx.changedRAsFk
+    import ctx.{changedL, lLocal, rLocal, lPk, liveL, liveR, hinted}
     // keep: view rows owned by untouched facts. A pad row carries its
     // fact's fk value in lJoinCols, so the anti join on changedR-as-fk
     // retracts the pad exactly when its dimension (finally) arrives.
-    val keep = view
-      .join(hinted(changedL, lLocal), lPk, "left_anti")
-      .join(hinted(changedRAsFk, rLocal), lJoinCols, "left_anti")
-    val joinCond = ctx.joinCond
+    // fk-side joins ride ctx.fk/fkFilter: under-cap broadcast, over-cap
+    // SALTED (MultiView.FkJoin — the AQE-off loop gets no skew-join help)
+    val keep = ctx.fkFilter(
+      view.join(hinted(changedL, lLocal), lPk, "left_anti"), "left_anti")
     // touched facts, both branches |Δ|-bounded. NOT pinned: the frame is
     // scanned twice (inner rebuild + pad anti join) but each scan is
     // broadcast-semi-pruned scan-side work over the already-pinned state
@@ -94,12 +92,12 @@ object LeftJoinView {
     // rebuild branches), where a lazy checkpoint would opaque it behind
     // an RDD scan and add per-batch persist I/O.
     val touchedL = liveL.join(hinted(changedL, lLocal), lPk, "left_semi")
-      .unionByName(
-        liveL.join(hinted(changedL, lLocal), lPk, "left_anti")
-          .join(hinted(changedRAsFk, rLocal), lJoinCols, "left_semi"))
+      .unionByName(ctx.fkFilter(
+        liveL.join(hinted(changedL, lLocal), lPk, "left_anti"), "left_semi"))
     val bothLocal = lLocal && rLocal
     // inner piece: BuildLeft broadcast of the |Δ|-bounded fact side
-    val matched = hinted(touchedL, bothLocal).join(liveR, joinCond)
+    // (over-cap: fk-pruned + salted, see MultiView.FkJoin)
+    val matched = ctx.fk.joinBoundedL(touchedL, liveR, bothLocal)
     // pad piece: touched facts with no live match. matched's key set is
     // |touched|-bounded, so IT is the anti join's build side — the R
     // state never rides a broadcast.

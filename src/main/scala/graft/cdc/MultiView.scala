@@ -48,6 +48,99 @@ object MultiView {
     /** L.fk = R.pk equi-join condition, positional. */
     def joinCond: org.apache.spark.sql.Column = lJoinCols.zip(rPk)
       .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+
+    /** Skew-hardened fk-join helpers for this batch's key shape. */
+    def fk: FkJoin = FkJoin(lPk, rPk, lJoinCols)
+
+    /** Semi/anti of an L-shaped frame against the changed-R key set (as
+      * fk names). Under-cap: broadcast. Over-cap: SALTED ([[FkJoin]]). */
+    def fkFilter(lSide: DataFrame, joinType: String): DataFrame =
+      fk.filterByRKeys(lSide, changedRAsFk, rLocal, joinType)
+  }
+
+  /** Over-cap-aware, SKEW-HARDENED fk joins, shared by every view
+    * maintainer. The replay loops run AQE-off (micro-batch plans are not
+    * adaptively re-planned), so the over-cap distributed fallback cannot
+    * rely on AQE's skew-join splitting: a hot join key in a backlog batch
+    * (one dimension row referenced by half the facts) would land every
+    * matching row on ONE reducer of a plain shuffle join — the classic
+    * 100×-scale straggler. These helpers keep the under-cap broadcast
+    * plans verbatim and replace the over-cap plain joins with SALTED ones
+    * (the [[graft.ops.Skew]] discipline): the L-shaped side gets a
+    * deterministic per-row salt — hash of its `lPk` columns, present by
+    * the stepView contract and distinct per row, so replays stay
+    * identical — and the Δ-bounded R-shaped side is replicated across the
+    * salt buckets; the exchange then hashes on (fk, salt) and the hot
+    * key's rows spread over the whole shuffle. Exact: every (l, r) pair
+    * matching the fk condition matches exactly one salt replica, and a
+    * semi/anti match is salt-independent because the key set is closed
+    * under all salts. */
+  final case class FkJoin(lPk: Seq[String], rPk: Seq[String],
+                          lJoinCols: Seq[String]) {
+    private def joinCond: org.apache.spark.sql.Column = lJoinCols.zip(rPk)
+      .map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+
+    /** Salt buckets = the session's shuffle width (a hot key should
+      * spread across the whole shuffle; replicating the Δ-bounded side a
+      * few dozen times is noise next to the state scans). */
+    private def buckets(df: DataFrame): Int =
+      scala.util.Try(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(16).max(2)
+
+    private def salted(lSide: DataFrame, b: Int, name: String): DataFrame =
+      lSide.withColumn(name,
+        pmod(xxhash64(lPk.map(col): _*), lit(b.toLong)))
+
+    private def replicated(rSide: DataFrame, b: Int, name: String): DataFrame =
+      rSide.withColumn(name,
+        explode(sequence(lit(0L), lit(b.toLong - 1))))
+
+    /** Inner fk join of an unbounded L-shaped frame against a Δ-bounded
+      * R-shaped frame (liveR semi-pruned to changed keys — ≤ 1 row per
+      * key). Under-cap: broadcast the bounded side. Over-cap: salted. */
+    def joinBoundedR(lSide: DataFrame, rBounded: DataFrame,
+                     rIsLocal: Boolean): DataFrame =
+      if (rIsLocal) lSide.join(broadcast(rBounded), joinCond)
+      else saltedJoin(lSide, rBounded)
+
+    /** Inner fk join of a Δ-bounded L-shaped frame against the FULL live
+      * R state. Under-cap: broadcast the bounded fact side (BuildLeft).
+      * Over-cap: prune R to the fks the bounded side actually references
+      * (distinct is map-side-combined, the semi is a pk join — neither
+      * skews), then run the salted join on the pruned pair. */
+    def joinBoundedL(lBounded: DataFrame, rFull: DataFrame,
+                     lIsLocal: Boolean): DataFrame =
+      if (lIsLocal) broadcast(lBounded).join(rFull, joinCond)
+      else {
+        val needed = lBounded.select(
+          lJoinCols.zip(rPk).map { case (l, r) => col(l).as(r) }: _*)
+          .distinct()
+        saltedJoin(lBounded, rFull.join(needed, rPk, "left_semi"))
+      }
+
+    private def saltedJoin(lSide: DataFrame, rBounded: DataFrame): DataFrame = {
+      val b = buckets(lSide)
+      salted(lSide, b, "__gsaltl")
+        .join(replicated(rBounded, b, "__gsaltr"),
+              joinCond && col("__gsaltl") === col("__gsaltr"))
+        .drop("__gsaltl", "__gsaltr")
+    }
+
+    /** Semi/anti filter of an L-shaped frame against an fk-named key set.
+      * Under-cap: broadcast. Over-cap: salted — the filtered frame's hot
+      * fk would otherwise hash onto one reducer of the semi/anti
+      * exchange. */
+    def filterByRKeys(lSide: DataFrame, keysAsFk: DataFrame,
+                      rIsLocal: Boolean, joinType: String): DataFrame =
+      if (rIsLocal) lSide.join(broadcast(keysAsFk), lJoinCols, joinType)
+      else {
+        val b = buckets(lSide)
+        salted(lSide, b, "__gsalt")
+          .join(replicated(keysAsFk, b, "__gsalt"),
+                lJoinCols :+ "__gsalt", joinType)
+          .drop("__gsalt")
+      }
   }
 
   /** One maintained view over the shared replay. `S` is the view's own
@@ -86,13 +179,24 @@ object MultiView {
         .foreach(org.apache.spark.sql.graft.bridge.unpersistPinned)
   }
 
+  /** A maintainer state that pins frames BEYOND its product elements
+    * (e.g. a lazily pinned derived face) reports them here so release
+    * paths can drop them explicitly instead of waiting on GC. */
+  trait PinnedExtras { def pinnedExtras: Seq[DataFrame] }
+
   /** DataFrames reachable from an erased maintainer state (a bare frame,
-    * or a tuple/case class of frames). */
-  private[cdc] def stateFrames(s: Any): Seq[DataFrame] = s match {
-    case df: DataFrame => Seq(df)
-    case p: Product =>
-      p.productIterator.collect { case df: DataFrame => df }.toSeq
-    case _ => Seq.empty
+    * or a tuple/case class of frames, plus any [[PinnedExtras]]). */
+  private[graft] def stateFrames(s: Any): Seq[DataFrame] = {
+    val extras = s match {
+      case p: PinnedExtras => p.pinnedExtras
+      case _ => Seq.empty
+    }
+    (s match {
+      case df: DataFrame => Seq(df)
+      case p: Product =>
+        p.productIterator.collect { case df: DataFrame => df }.toSeq
+      case _ => Seq.empty
+    }) ++ extras
   }
 
   /** Empty LocalRelation with `df`'s schema in `df`'s session — flattens

@@ -71,8 +71,12 @@ object SnowflakeView {
     val (downF, downLocal) = down
     val downAsFk = downF.select(
       downPk.zip(fk).map { case (d, f) => col(d).as(f) }: _*)
-    val touched = Materializer.liveView(merged)
-      .join(if (downLocal) broadcast(downAsFk) else downAsFk, fk, "left_semi")
+    // fk semi over the full parent state: over-cap SALTED (a hot child
+    // key referenced by half the parents would straggle the AQE-off
+    // propagation otherwise — MultiView.FkJoin rationale)
+    val touched = MultiView.FkJoin(pk, downPk, fk)
+      .filterByRKeys(Materializer.liveView(merged), downAsFk, downLocal,
+                     "left_semi")
       .select(pk.map(col): _*)
     def distributed: (DataFrame, Boolean) =
       (baseF.unionByName(touched).distinct().localCheckpoint(false), false)

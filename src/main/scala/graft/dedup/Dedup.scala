@@ -603,4 +603,22 @@ object Dedup {
                 .as("cos"))
       .filter(col("cos") >= minCosine)
   }
+
+  /** Loud corpus-size ceiling for the EXACT all-pairs kernels (the
+    * oracle-expressible baselines behind the LSH paths). An `a × b,
+    * id_a < id_b` self-join is O(n²) candidate pairs — fine as a
+    * correctness oracle on a bounded corpus, catastrophic as a data
+    * path: past `bound` rows it would emit billions of pairs, so fail
+    * with the scale path's name instead of melting the cluster (same
+    * discipline as [[graft.similarity.AnnIndexView]]'s capped centroid
+    * collect). Returns the corpus unchanged so it chains in place. */
+  def requireAllPairsBound(corpus: DataFrame, what: String,
+                           lshPath: String, bound: Long = 65536): DataFrame = {
+    val n = corpus.count()
+    require(n <= bound,
+      s"$what: exact all-pairs kernel over $n rows (> $bound) — O(n²) " +
+        s"candidate pairs do not scale; use the LSH-bucketed path " +
+        s"($lshPath) instead")
+    corpus
+  }
 }

@@ -53,16 +53,23 @@ object DedupIndexView {
     * bare (id_a, id_b) view cannot say WHICH bucket justified a pair.
     * State size is Σ_buckets C(pop, 2) over under-cap buckets — the
     * batch operator's candidate volume, which the cap already bounds. */
-  final case class IndexState(index: DataFrame, byBucket: DataFrame) {
+  final case class IndexState(index: DataFrame, byBucket: DataFrame)
+      extends graft.cdc.MultiView.PinnedExtras {
+    @volatile private var pairsForced = false
     /** The candidate-pair face `(id_a, id_b)` — distinct over the
       * provenance rows, PINNED ON FIRST SERVE so repeated reads of one
       * state generation pay the shuffle-distinct once and then scan.
-      * The pinned blocks are reclaimed by the ContextCleaner when this
-      * state becomes unreachable (cache eviction releases index and
-      * byBucket explicitly; this derived frame rides GC). */
-    lazy val pairs: DataFrame =
+      * Once forced, the pinned blocks are dropped EXPLICITLY with the
+      * rest of the state (cache eviction / Result.release walks
+      * [[graft.cdc.MultiView.PinnedExtras]]) — the same discipline
+      * BoundedPinnedCache enforces for index and byBucket, instead of
+      * waiting on ContextCleaner GC across evict/rebuild cycles. */
+    lazy val pairs: DataFrame = {
+      pairsForced = true
       byBucket.select(col("id_a"), col("id_b")).distinct()
         .localCheckpoint(false)
+    }
+    def pinnedExtras: Seq[DataFrame] = if (pairsForced) Seq(pairs) else Nil
   }
 
   /** The MinHash-LSH dedup index as a [[TableViews.Maintainer]] —

@@ -245,7 +245,9 @@ object CurationQueries {
     // LSH-bucketed candidate pairs (q_dedup_embedding_lsh's path) — the
     // clustering and representative stages are identical either way.
     "q_dedup_semantic" -> ((s, dir) => {
-      val e = SharedCorpus.emb(s, dir)
+      val e = graft.dedup.Dedup.requireAllPairsBound(
+          SharedCorpus.emb(s, dir), "q_dedup_semantic",
+          "q_dedup_embedding_lsh edges + the same connectedComponents")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val a = e.select(col("vec_id").as("src"), col("v").as("va"))
       val b = e.select(col("vec_id").as("dst"), col("v").as("vb"))

@@ -25,13 +25,16 @@ object PipelineQueries {
   /** Memoized k-means quantizer per (session, corpus) — the IVF
     * codebook is trained ONCE at index build (the same discipline as
     * `cdc_ann_ivf`'s fixed centroids); queries against the index serve
-    * with the frozen codebook. The result is a tiny driver-local
-    * relation (k × dim floats), so no pinning is needed. */
-  private val kmCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), org.apache.spark.sql.DataFrame]()
+    * with the frozen codebook. Rides [[BoundedPinnedCache]] like every
+    * other shared-state memo — the frames are tiny LocalRelations with
+    * nothing pinned (release is a no-op), but the LRU bound + session-end
+    * sweep stop long-lived JVMs that churn sessions (test suites) from
+    * retaining dead sessions' centroid frames and session references. */
+  private val kmCache =
+    new BoundedPinnedCache[org.apache.spark.sql.DataFrame]()(_ => ())
   private[graft] def kmCentroids(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    kmCache.computeIfAbsent((s, dir), _ =>
+    kmCache.get(s, dir)(
       graft.similarity.Similarity.kmeansCentroids(emb(s, dir), k = 16,
                                                   maxIter = 5))
 
@@ -121,9 +124,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // embedding-cosine near-dup pairs above a threshold (oracle-checked)
+    // embedding-cosine near-dup pairs above a threshold (oracle-checked);
+    // exact all-pairs kernel, guarded: past the bound this MUST be the
+    // LSH path below, not a bigger cluster
     "q_dedup_embedding" -> ((s, dir) => {
-      val e = SharedCorpus.emb(s, dir)
+      val e = graft.dedup.Dedup.requireAllPairsBound(
+        SharedCorpus.emb(s, dir), "q_dedup_embedding",
+        "q_dedup_embedding_lsh")
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, col("id_a") < col("id_b"))

@@ -332,6 +332,36 @@ object CdcStream {
   private def readState(spark: SparkSession, statePath: String): Option[DataFrame] =
     liveGenerationRoot(spark, statePath).map(spark.read.parquet(_))
 
+  /** Read one named view's per-file states out of a generation root,
+    * FORMAT-CHECKED: a generation written by an older layout (e.g. the
+    * pre-provenance dedup index persisted `pairs` where v2 expects
+    * `bucket_pairs`) is detected by expected-vs-present file names and
+    * fails with an explicit rebuild message — not the opaque parquet
+    * path-not-found the raw read would throw mid-restore. */
+  private def readViewFiles(spark: SparkSession, genRoot: String,
+                            viewName: String, fileNames: Seq[String])
+      : Map[String, DataFrame] = {
+    val rootP = new org.apache.hadoop.fs.Path(genRoot)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val missing = fileNames.filterNot(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(rootP, s"${viewName}__$f")))
+    if (missing.nonEmpty) {
+      val prefix = s"${viewName}__"
+      val present = fs.listStatus(rootP).map(_.getPath.getName)
+        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).sorted
+      throw new IllegalStateException(
+        s"view '$viewName': persisted generation at $genRoot has state " +
+          s"files [${present.mkString(", ")}] but this build expects " +
+          s"[${fileNames.mkString(", ")}] — the state format changed " +
+          s"(e.g. dedup-index v2 renamed 'pairs' to 'bucket_pairs' and " +
+          s"added bucket provenance). Old generations cannot resume: " +
+          s"delete the state+checkpoint directories and REBUILD the " +
+          s"view from the changelog.")
+    }
+    fileNames.map(f =>
+      f -> spark.read.parquet(s"$genRoot/${viewName}__$f")).toMap
+  }
+
   /** Live (tombstone-filtered) view of a materialized state table. */
   def readCurrentState(spark: SparkSession, statePath: String): DataFrame =
     Materializer.liveView(readState(spark, statePath).getOrElse(
@@ -950,8 +980,8 @@ object CdcStream {
           val vs = views.map(_.asInstanceOf[NamedView[Any]])
           val st0s: Seq[Any] = vs.map { v =>
             root match {
-              case Some(r) => v.load(v.fileNames.map(f =>
-                f -> spark.read.parquet(s"$r/${v.name}__$f")).toMap)
+              case Some(r) =>
+                v.load(readViewFiles(spark, r, v.name, v.fileNames))
               case None =>
                 v.maintainer.empty(liveL0, liveR0, lPk, rPk, lJoinCols)
             }
@@ -1096,8 +1126,8 @@ object CdcStream {
           val vs = views.map(_.asInstanceOf[NamedView[Any]])
           val st0s: Seq[Any] = vs.map { v =>
             root match {
-              case Some(r) => v.load(v.fileNames.map(f =>
-                f -> spark.read.parquet(s"$r/${v.name}__$f")).toMap)
+              case Some(r) =>
+                v.load(readViewFiles(spark, r, v.name, v.fileNames))
               case None => v.maintainer.empty(live0(0), chain0(1),
                                               pks(0), pks(1), fks(0))
             }
@@ -1216,9 +1246,9 @@ object CdcStream {
       * face; changelog keyed by the pair. STATE FORMAT v2: the
       * persisted `bucket_pairs` file carries bucket provenance
       * (band, bandHash, id_a, id_b) — generations written by the
-      * pre-provenance layout (`pairs`, bare id pairs) cannot resume
-      * (the restore read fails on the missing file); rebuild the view
-      * from the changelog. */
+      * pre-provenance layout (`pairs`, bare id pairs) cannot resume;
+      * the restore detects the legacy layout and fails with an
+      * explicit rebuild-from-changelog message ([[readViewFiles]]). */
     def dedupIndex(name: String, idCol: String, textCol: String,
                    b: Int = 16, r: Int = 2, nGram: Int = 5,
                    maxBucket: Int = 1000)
@@ -1381,8 +1411,8 @@ object CdcStream {
           val vs = views.map(_.asInstanceOf[NamedTableView[Any]])
           val vst0s: Seq[Any] = vs.map { v =>
             root match {
-              case Some(r) => v.load(v.fileNames.map(f =>
-                f -> spark.read.parquet(s"$r/${v.name}__$f")).toMap)
+              case Some(r) =>
+                v.load(readViewFiles(spark, r, v.name, v.fileNames))
               case None => v.maintainer.empty(events0, pk)
             }
           }
