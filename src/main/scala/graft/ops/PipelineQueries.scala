@@ -290,17 +290,26 @@ object PipelineQueries {
     // UNION — the pre-aggregation/streaming COUNT DISTINCT path. At
     // 100 TB the monthly sketch table is what you persist; any rollup
     // (per status, per year, global) is a union over a few KB of sketch
-    // bytes, never a rescan of raw orders. rows-only (estimates are
-    // engine-specific); the spec asserts union-merge equals a direct
-    // one-pass sketch and tracks exact countDistinct within HLL error.
+    // bytes, never a rescan of raw orders. HYBRID oracle: the
+    // Datasketches estimate is engine-specific so it cannot hash-match
+    // DuckDB, but the exact distinct CAN — the unioned estimate enters
+    // the gate as a BOUND (within 10%, generous vs HLL lgK=12's ~1.6%
+    // error, emitted as a boolean the oracle pins to TRUE); the spec
+    // asserts union-merge == direct one-pass sketch and tighter error.
     "q_hll_mergeable" -> ((s, dir) => {
       val o = load(s, dir, "orders")
       val monthly = o.groupBy(col("o_orderstatus"),
                               month(col("o_orderdate")).as("m"))
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
-      monthly.groupBy(col("o_orderstatus"))
+      val unioned = monthly.groupBy(col("o_orderstatus"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
           .as("approx_cust"))
+      o.groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        .join(unioned, "o_orderstatus")
+        .select(col("o_orderstatus"), col("n_cust"),
+                (abs(col("approx_cust") - col("n_cust")) <=
+                  col("n_cust") * 0.1).as("union_within_10pct"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -798,6 +807,11 @@ object PipelineQueries {
        |      / len(list_distinct(list_concat($s1, $s2))), 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_hll_mergeable" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  TRUE AS union_within_10pct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_layout_zorder" -> {
       val z = ZOrder.interleaveSql("d1", "d2")
       s"""WITH o AS (

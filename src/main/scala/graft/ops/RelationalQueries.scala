@@ -331,13 +331,23 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"))
     }),
 
-    // -- sketch aggregation (rows-only: HLL impls differ across engines;
-    //    accuracy asserted in specs against the exact count)
+    // -- sketch aggregation, HYBRID oracle: the HLL++ estimates are
+    //    engine-specific so they cannot hash-match DuckDB, but the exact
+    //    distincts CAN — and the estimates enter the gate as a BOUND
+    //    (within 10% = 2× the default 5% rsd, emitted as a boolean the
+    //    oracle pins to TRUE). Tighter per-run accuracy asserted in specs.
     "q_agg_approx" -> ((s, dir) =>
       load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-             approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+             countDistinct(col("l_partkey")).as("n_parts"),
+             approx_count_distinct(col("l_orderkey")).as("a_o"),
+             approx_count_distinct(col("l_partkey")).as("a_p"))
+        .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
+                (abs(col("a_o") - col("n_orders")) <= col("n_orders") * 0.1)
+                  .as("orders_within_10pct"),
+                (abs(col("a_p") - col("n_parts")) <= col("n_parts") * 0.1)
+                  .as("parts_within_10pct"))
         .orderBy(col("l_returnflag"))),
 
     // -- map-typed columns (keys joined to a string: the driver's pandas
@@ -409,6 +419,13 @@ object RelationalQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_agg_approx" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  TRUE AS orders_within_10pct,
+        |  TRUE AS parts_within_10pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_map_funcs" ->
       """SELECT o_orderkey,
         |  array_to_string(map_keys(map(['status','priority'],

