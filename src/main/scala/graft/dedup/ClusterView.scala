@@ -1,0 +1,169 @@
+package graft.dedup
+
+import graft.cdc.{Materializer, TableViews}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Incrementally-maintained NEAR-DUP CLUSTERS — connected components
+  * over a maintained similarity-edge set, kept current from a changelog.
+  * Completes the maintained dedup chain ([[DedupIndexView]] keeps the
+  * signature index and the candidate pairs; this keeps what a curation
+  * pass actually consumes: the cluster assignment and its min-id
+  * representative) under BOTH edge inserts and edge deletes — the hard
+  * direction: a deleted bridge document must SPLIT its component, which
+  * no monotone union-find can do.
+  *
+  * Architecture — component-local recompute, the [[graft.cdc.GroupViews]]
+  * discipline applied to graph state:
+  *  1. edge upkeep: every edge incident to a changed id is dropped and
+  *     the changed ids' edges are recomputed against the post-merge live
+  *     corpus (`edgesFor`, |Δ|-bounded input by construction);
+  *  2. the AFFECTED components are exactly those owning a changed id or
+  *     an endpoint of a dropped/new edge — every other component's
+  *     labeling cannot have changed and its rows carry over untouched;
+  *  3. connected components run over ONLY the affected components'
+  *     induced subgraph (component closure: an old edge never crosses
+  *     components, a new edge's endpoints are both affected), with
+  *     singleton fill for affected vertices left edgeless and a live
+  *     restrict dropping deleted ids.
+  *
+  * Scale shape: per batch, edge probing is |Δ| × |live| for the exact
+  * modality below (inherent to EXACT edges — swap `edgesFor` for an
+  * LSH-bucketed prober to go sub-linear, [[Dedup.embeddingNearDups]]),
+  * and relabeling is bounded by the affected components' size — never
+  * the corpus. The labeling itself reuses [[Dedup.connectedComponents]]
+  * (min-label propagation, one exchange per round).
+  */
+object ClusterView {
+
+  /** Canonical `(src, dst)` edges (src < dst) + the current
+    * `(id, cluster)` assignment over the live corpus. */
+  final case class ClusterState(edges: DataFrame, clusters: DataFrame)
+
+  /** Serving face: `(id, cluster, is_rep)` — min-label components make
+    * the representative test `cluster == id`. */
+  def view(st: ClusterState): DataFrame =
+    st.clusters.select(col("id"), col("cluster"),
+                       (col("cluster") === col("id")).as("is_rep"))
+
+  /** The exact-cosine modality: edges between live vectors with
+    * `cosine >= minCosine`. Oracle-expressible end-to-end (DuckDB
+    * `list_cosine_similarity` + recursive min-label reach), which is the
+    * point of keeping an exact variant next to the LSH index. */
+  def cosineMaintainer(idCol: String, vecCol: String, minCosine: Double,
+                       ccShufflePartitions: Int = 8)
+      : TableViews.Maintainer[ClusterState] =
+    maintainerFromEdges(idCol, (changedLive, liveAll) => {
+      val a = changedLive.select(col(idCol).cast("long").as("id_a"),
+                                 col(vecCol).cast("array<double>").as("va"))
+      val b = liveAll.select(col(idCol).cast("long").as("id_b"),
+                             col(vecCol).cast("array<double>").as("vb"))
+      a.join(b, col("id_a") =!= col("id_b"))
+        .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb"))
+                  >= minCosine)
+        .select(least(col("id_a"), col("id_b")).as("src"),
+                greatest(col("id_a"), col("id_b")).as("dst"))
+        .distinct()
+    }, ccShufflePartitions)
+
+  /** The generic maintainer. `edgesFor(changedLive, liveAll)` returns
+    * the canonical `(src, dst)` LONG edges incident to the changed live
+    * rows (both orientations' duplicates already collapsed); the first
+    * argument is |Δ|-bounded by construction, so any prober — exact
+    * scan, LSH buckets, an ANN probe — plugs in without touching the
+    * component algebra. `idCol` must be the table's single-column
+    * integral primary key. */
+  def maintainerFromEdges(idCol: String,
+                          edgesFor: (DataFrame, DataFrame) => DataFrame,
+                          ccShufflePartitions: Int = 8)
+      : TableViews.Maintainer[ClusterState] =
+    new TableViews.Maintainer[ClusterState] {
+      private val edgeSchema = StructType(Seq(
+        StructField("src", LongType), StructField("dst", LongType)))
+      private val clusterSchema = StructType(Seq(
+        StructField("id", LongType), StructField("cluster", LongType)))
+
+      def empty(events0: DataFrame, pk: Seq[String]): ClusterState = {
+        require(pk == Seq(idCol),
+          s"cluster view requires pk == Seq($idCol), got $pk")
+        val spark = events0.sparkSession
+        def emptyDf(schema: StructType) = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        ClusterState(emptyDf(edgeSchema), emptyDf(clusterSchema))
+      }
+
+      def step(st: ClusterState, ctx: TableViews.BatchCtx): ClusterState = {
+        val ck = ctx.changedKeys.getOrElse(
+            ctx.delta.select(col(s"after.$idCol").as(idCol)).distinct())
+          .select(col(idCol).cast("long").as("id"))
+        def hinted(df: DataFrame): DataFrame =
+          if (ctx.ckLocal) broadcast(df) else df
+        val postLive = Materializer.liveView(ctx.postState)
+        val liveIds = postLive.select(col(idCol).cast("long").as("id"))
+        val changedLive = postLive
+          .join(hinted(ck.select(col("id").cast(
+                  postLive.schema(idCol).dataType).as(idCol))),
+                Seq(idCol), "left_semi")
+        // 1. edge upkeep: drop everything incident to a changed id,
+        // re-probe the changed ids' edges against the post-merge corpus.
+        // PINNED: newEdges feeds the edge state AND the affected-seed
+        // set — without the pin the |Δ| × live probe (the expensive
+        // per-batch work) would run once per consuming subtree.
+        val ckSrc = hinted(ck.select(col("id").as("src")))
+        val ckDst = hinted(ck.select(col("id").as("dst")))
+        val dropped = st.edges.join(ckSrc, Seq("src"), "left_semi")
+          .unionByName(st.edges.join(ckSrc, Seq("src"), "left_anti")
+            .join(ckDst, Seq("dst"), "left_semi")
+            .select(col("src"), col("dst")))
+        val kept = st.edges.join(ckSrc, Seq("src"), "left_anti")
+          .join(ckDst, Seq("dst"), "left_anti")
+          .select(col("src"), col("dst"))
+        val newEdges = edgesFor(changedLive, postLive).localCheckpoint(false)
+        val edges1 = kept.unionByName(newEdges).localCheckpoint(false)
+        // 2. affected components: owners of a changed id or of any
+        // endpoint whose incident edge set changed. Everything else
+        // carries over without relabeling.
+        def endpoints(e: DataFrame): DataFrame =
+          e.select(col("src").as("id"))
+            .unionByName(e.select(col("dst").as("id")))
+        val seeds = ck.unionByName(endpoints(dropped))
+          .unionByName(endpoints(newEdges)).distinct()
+        val affectedComps = st.clusters
+          .join(seeds, Seq("id"), "left_semi")
+          .select(col("cluster")).distinct().localCheckpoint(false)
+        val affectedVerts = st.clusters
+          .join(affectedComps, Seq("cluster"), "left_semi")
+          .select(col("id"))
+          .unionByName(ck).distinct().localCheckpoint(false)
+        // 3. component-local relabel: CC over the affected induced
+        // subgraph (src-side restrict suffices — old edges never cross
+        // components, new edges' endpoints are both affected), singleton
+        // fill, live restrict (deleted ids leave no row).
+        val subEdges = edges1.join(affectedVerts.select(col("id").as("src")),
+                                   Seq("src"), "left_semi")
+        val cc = Dedup.connectedComponents(subEdges, "src", "dst",
+            shufflePartitions = ccShufflePartitions)
+          .select(col("id"), col("component").as("cluster"))
+        val singletons = affectedVerts
+          .join(cc.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("cluster"))
+        val relabeled = cc.unionByName(singletons)
+          .join(liveIds, Seq("id"), "left_semi")
+        ClusterState(edges1,
+          st.clusters.join(affectedComps, Seq("cluster"), "left_anti")
+            .select(col("id"), col("cluster"))
+            .unionByName(relabeled))
+      }
+
+      def pin(st: ClusterState): ClusterState =
+        // edges are pinned in step (they seed the next batch's drop set
+        // AND this batch's subgraph); the clusters frame pins here
+        ClusterState(st.edges, st.clusters.localCheckpoint(false))
+      def reRoot(st: ClusterState, to: org.apache.spark.sql.SparkSession)
+          : ClusterState = {
+        val b = org.apache.spark.sql.graft.bridge
+        ClusterState(b.reRoot(st.edges, to), b.reRoot(st.clusters, to))
+      }
+    }
+}

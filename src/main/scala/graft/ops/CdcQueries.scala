@@ -119,7 +119,8 @@ object CdcQueries {
     private val embCache = new BoundedPinnedCache[
       (TableViews.Result,
        TableViews.Maintainer[org.apache.spark.sql.DataFrame],
-       TableViews.Maintainer[graft.dedup.DedupIndexView.IndexState])]()(
+       TableViews.Maintainer[graft.dedup.DedupIndexView.IndexState],
+       TableViews.Maintainer[graft.dedup.ClusterView.ClusterState])]()(
       _._1.release())
     // shared EVENTS-TOPIC fan-out: one replay of the behavioral-event
     // changelog maintains the SEQUENTIAL-PATTERN views no per-row
@@ -183,17 +184,23 @@ object CdcQueries {
     def embResult(s: SparkSession, dir: String)
         : (TableViews.Result,
            TableViews.Maintainer[org.apache.spark.sql.DataFrame],
-           TableViews.Maintainer[graft.dedup.DedupIndexView.IndexState]) =
+           TableViews.Maintainer[graft.dedup.DedupIndexView.IndexState],
+           TableViews.Maintainer[graft.dedup.ClusterView.ClusterState]) =
       embCache.get(s, dir) {
         val ann = graft.similarity.AnnIndexView.maintainer(
           "vec_id", "embedding",
           graft.similarity.AnnIndexView.localCentroids(annCentroids(s, dir)))
         val sem = graft.dedup.DedupIndexView.embeddingMaintainer(
           "vec_id", "embedding", dim = 64)
+        // maintained near-dup clusters: exact-cosine edges (the oracle-
+        // expressible modality; swap edgesFor for the LSH prober at
+        // corpus scale) at q_dedup_semantic's threshold
+        val clusters = graft.dedup.ClusterView.cosineMaintainer(
+          "vec_id", "embedding", minCosine = 0.3)
         (TableViews.replay(ChangelogGen.embeddingsChangeEvents(s, dir),
            cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
-           pk = Seq("vec_id"), maintainers = Seq(ann, sem)),
-         ann, sem)
+           pk = Seq("vec_id"), maintainers = Seq(ann, sem, clusters)),
+         ann, sem, clusters)
       }
     /** The fixed coarse quantizer: a deterministic subset of the BASE
       * corpus (trained once at index build; vectors churn, the codebook
@@ -700,7 +707,7 @@ object CdcQueries {
     // nprobe-bounded candidate set is engine-specific; maintained ==
     // from-scratch ivfAssign is spec'd in AnnIndexViewSpec.
     "cdc_ann_ivf" -> ((s, dir) => {
-      val (r, m, _) = SharedJoin.embResult(s, dir)
+      val (r, m, _, _) = SharedJoin.embResult(s, dir)
       val probes = graft.Tables.load(s, dir, "embeddings")
         .filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -719,7 +726,7 @@ object CdcQueries {
     // band. rows-only: bucket signatures are engine-specific; maintained
     // == from-scratch embeddingLshCandidates is spec'd.
     "cdc_semantic_index" -> ((s, dir) => {
-      val (r, _, sem) = SharedJoin.embResult(s, dir)
+      val (r, _, sem, _) = SharedJoin.embResult(s, dir)
       val live = graft.cdc.Materializer.liveView(r.state)
       val a = live.select(col("vec_id").as("id_a"),
                           col("embedding").as("va"))
@@ -731,6 +738,20 @@ object CdcQueries {
                   col("va"), col("vb")), 6).as("cos"))
         .filter(col("cos") >= 0.9)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MAINTAINED NEAR-DUP CLUSTERS over CDC (ClusterView): connected
+    // components over a maintained exact-cosine edge set, relabeled
+    // COMPONENT-LOCALLY per batch — a deleted bridge vector splits its
+    // cluster, a re-embedded vector migrates, untouched components
+    // carry over without relabeling. Oracle-exact: DuckDB recomputes
+    // the same clusters from the closed-form live state via recursive
+    // min-label reach (q_dedup_semantic's CC, now as a LIVING view).
+    "cdc_cluster_view" -> ((s, dir) => {
+      val (r, _, _, cl) = SharedJoin.embResult(s, dir)
+      graft.dedup.ClusterView.view(r(cl))
+        .select(col("id").as("vec_id"), col("cluster"), col("is_rep"))
+        .orderBy(col("vec_id"))
     }),
 
     // MAINTAINED DATA PROFILE: the exact profiler's stacked
@@ -1031,6 +1052,29 @@ object CdcQueries {
         |SELECT q_id, CAST(rk AS INT) AS rk, neighbor_id,
         |  round(cos, 6) AS cos
         |FROM s WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+    "cdc_cluster_view" ->
+      """WITH RECURSIVE
+        |estate AS (
+        |  SELECT e.vec_id,
+        |    CASE WHEN e.vec_id % 7 = 0 THEN coalesce(e2.embedding, e.embedding)
+        |         ELSE e.embedding END AS embedding
+        |  FROM embeddings e
+        |  LEFT JOIN embeddings e2 ON e2.vec_id = e.vec_id + 1
+        |  WHERE e.vec_id % 10 <> 0),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM estate),
+        |edges AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.3),
+        |sym AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM v
+        |  UNION
+        |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id)
+        |SELECT id AS vec_id, min(r) AS cluster, (min(r) = id) AS is_rep
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "cdc_op_counts" ->
       """SELECT op, n FROM (
         |  SELECT 'insert' AS op, count(*) AS n FROM orders

@@ -1,0 +1,129 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.cdc.{Materializer, TableViews}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Maintained near-dup clusters: connected components over a maintained
+  * exact-cosine edge set must equal the from-scratch recompute over the
+  * live corpus after every batch — including the hard direction (a
+  * deleted bridge SPLITS its component) — while probing only the
+  * changed vectors per batch. */
+class ClusterViewSpec extends SparkSpec {
+
+  private val Tau = 0.9
+
+  /** Unit vector at `deg` degrees: cosine between two = cos(Δθ), so an
+    * edge exists iff |Δθ| < acos(0.9) ≈ 25.8°. */
+  private def vec(deg: Double): Seq[Double] = {
+    val r = math.toRadians(deg)
+    Seq(math.cos(r), math.sin(r))
+  }
+
+  private def events(rows: Seq[(String, Long, Long, Long, Seq[Double])])
+      : DataFrame = {
+    import spark.implicits._
+    rows.toDF("op", "ts", "seq", "vec_id", "embedding")
+      .select(col("op"), col("ts"), col("seq"),
+              struct(col("vec_id"), col("embedding")).as("after"))
+  }
+
+  // b1: chain 1-2-3 (0°,20°,40°), pair 4-5 (90°,110°), singleton 6 (180°)
+  // b2: 3 re-embeds to 75° (leaves 1-2, bridges 4-5); 7 arrives at 182°
+  // b3: delete 2 (1 isolated) and 4 (the bridge: {3,5} SPLITS — 35° apart)
+  private val log = Seq(
+    ("insert", 1L, 1L, 1L, vec(0)), ("insert", 2L, 2L, 2L, vec(20)),
+    ("insert", 3L, 3L, 3L, vec(40)), ("insert", 4L, 4L, 4L, vec(90)),
+    ("insert", 5L, 5L, 5L, vec(110)), ("insert", 6L, 6L, 6L, vec(180)),
+    ("update", 11L, 7L, 3L, vec(75)), ("insert", 12L, 8L, 7L, vec(182)),
+    ("delete", 21L, 9L, 2L, vec(20)), ("delete", 22L, 10L, 4L, vec(90)))
+
+  private def clustersOf(st: ClusterView.ClusterState)
+      : Set[(Long, Long, Boolean)] =
+    ClusterView.view(st).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+  private def direct(live: DataFrame): Set[(Long, Long, Boolean)] = {
+    val a = live.select(col("vec_id").as("id_a"),
+                        col("embedding").cast("array<double>").as("va"))
+    val b = live.select(col("vec_id").as("id_b"),
+                        col("embedding").cast("array<double>").as("vb"))
+    val edges = a.join(b, col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb"))
+                >= Tau)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comps = Dedup.connectedComponents(edges, "src", "dst",
+                                          shufflePartitions = 4)
+    live.select(col("vec_id"))
+      .join(comps, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+              coalesce(col("component"), col("vec_id")).as("cluster"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(1) == r.getLong(0)))
+      .toSet
+  }
+
+  private def replayed(ev: DataFrame, cuts: Seq[Long],
+                       maxLocalKeys: Int = 100000)
+      : (DataFrame, ClusterView.ClusterState) = {
+    val m = ClusterView.cosineMaintainer("vec_id", "embedding", Tau,
+                                         ccShufflePartitions = 4)
+    val res = TableViews.replay(ev, cuts, Seq("vec_id"), Seq(m),
+                                maxLocalKeys = maxLocalKeys)
+    (Materializer.liveView(res.state), res(m))
+  }
+
+  test("stepwise: migrate merges, bridge delete splits, every prefix == direct") {
+    for (cut <- Seq(10L, 20L, 30L)) {
+      val ev = events(log.filter(_._2 <= cut))
+      val (live, st) = replayed(ev, cuts = Seq(10L, 20L))
+      assert(clustersOf(st) == direct(live), s"prefix ts<=$cut diverged")
+    }
+    // and the landmark shapes, spelled out
+    val (_, st1) = replayed(events(log.filter(_._2 <= 10)), Seq.empty)
+    assert(clustersOf(st1) == Set((1L, 1L, true), (2L, 1L, false),
+      (3L, 1L, false), (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
+    val (_, st3) = replayed(events(log), Seq(10L, 20L))
+    assert(clustersOf(st3) == Set((1L, 1L, true), (3L, 3L, true),
+      (5L, 5L, true), (6L, 6L, true), (7L, 6L, false)),
+      "bridge deletes must isolate 1 and split {3,5}")
+  }
+
+  test("batching invariance: one batch == three batches") {
+    val ev = events(log)
+    assert(clustersOf(replayed(ev, Seq.empty)._2) ==
+           clustersOf(replayed(ev, Seq(10L, 20L))._2))
+  }
+
+  test("over-cap distributed fallback matches the driver-local path") {
+    val ev = events(log)
+    assert(clustersOf(replayed(ev, Seq(10L, 20L), maxLocalKeys = 1)._2) ==
+           clustersOf(replayed(ev, Seq(10L, 20L))._2))
+  }
+
+  test("edge prober only ever sees the changed vectors") {
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val m = ClusterView.maintainerFromEdges("vec_id",
+      (changedLive, liveAll) => {
+        seen += changedLive.count()
+        val a = changedLive.select(col("vec_id").cast("long").as("id_a"),
+          col("embedding").cast("array<double>").as("va"))
+        val b = liveAll.select(col("vec_id").cast("long").as("id_b"),
+          col("embedding").cast("array<double>").as("vb"))
+        a.join(b, col("id_a") =!= col("id_b"))
+          .filter(graft.functions.VectorFunctions
+            .cosine(col("va"), col("vb")) >= Tau)
+          .select(least(col("id_a"), col("id_b")).as("src"),
+                  greatest(col("id_a"), col("id_b")).as("dst"))
+          .distinct()
+      }, ccShufflePartitions = 4)
+    val res = TableViews.replay(events(log), Seq(10L, 20L), Seq("vec_id"),
+                                Seq(m))
+    res(m).clusters.count()
+    // batch 1: 6 live inserts; batch 2: update + insert = 2; batch 3:
+    // two deletes leave NO changed live rows — the prober sees zero
+    assert(seen.toSeq == Seq(6L, 2L, 0L),
+      s"prober inputs were $seen — not |Δ|-bounded")
+  }
+}
