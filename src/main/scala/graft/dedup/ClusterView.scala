@@ -67,6 +67,143 @@ object ClusterView {
         .distinct()
     }, ccShufflePartitions)
 
+  /** [[overIndex]] state: the inner band index plus the cluster
+    * assignment. [[graft.cdc.MultiView.PinnedExtras]] so release paths
+    * reach the nested index frames (tuple walking is one level deep). */
+  final case class IndexedClusterState(
+      index: DedupIndexView.IndexState, clusters: DataFrame)
+      extends graft.cdc.MultiView.PinnedExtras {
+    def pinnedExtras: Seq[DataFrame] =
+      graft.cdc.MultiView.stateFrames(index)
+  }
+
+  def view(st: IndexedClusterState): DataFrame =
+    st.clusters.select(col("id"), col("cluster"),
+                       (col("cluster") === col("id")).as("is_rep"))
+
+  /** Clusters over a MAINTAINED band index ([[DedupIndexView]]) — the
+    * corpus-scale path: the index's bucket-provenance candidate state IS
+    * the edge set (reranked at use), so edge upkeep is the index's own
+    * |Δ|-bounded patch and no per-batch corpus probe exists at all.
+    * Candidate-graph changes are exactly the TOUCHED buckets (a changed
+    * id's old ∪ new bands — a pair lives only in its endpoints' buckets,
+    * so a vector change can never alter an untouched bucket's pairs):
+    * their old/new pairs' endpoints seed the affected components, and
+    * the relabel runs over the post-patch candidates restricted to the
+    * affected vertices, reranked by `rerank(candidatePairs, liveAll)`
+    * (exact-cosine for embeddings; any verifier for other modalities).
+    * Seeding from CANDIDATES (a superset of true edges) is correct —
+    * extra seeds only widen the relabel, never change labels. */
+  def overIndex(idCol: String,
+                inner: TableViews.Maintainer[DedupIndexView.IndexState],
+                rerank: (DataFrame, DataFrame) => DataFrame,
+                ccShufflePartitions: Int = 8)
+      : TableViews.Maintainer[IndexedClusterState] =
+    new TableViews.Maintainer[IndexedClusterState] {
+      private val clusterSchema = StructType(Seq(
+        StructField("id", LongType), StructField("cluster", LongType)))
+
+      def empty(events0: DataFrame, pk: Seq[String]): IndexedClusterState =
+        IndexedClusterState(inner.empty(events0, pk),
+          events0.sparkSession.createDataFrame(
+            events0.sparkSession.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row], clusterSchema))
+
+      def step(st: IndexedClusterState, ctx: TableViews.BatchCtx)
+          : IndexedClusterState = {
+        val idx2 = inner.step(st.index, ctx)
+        val ck = ctx.changedKeys.getOrElse(
+            ctx.delta.select(col(s"after.$idCol").as(idCol)).distinct())
+          .select(col(idCol).cast("long").as("id"))
+        def hinted(df: DataFrame): DataFrame =
+          if (ctx.ckLocal) broadcast(df) else df
+        val postLive = Materializer.liveView(ctx.postState)
+        val liveIds = postLive.select(col(idCol).cast("long").as("id"))
+        // touched buckets = changed ids' old ∪ new bands; their old/new
+        // pairs bound every candidate-graph change this batch
+        def bandsOf(index: DataFrame): DataFrame = index
+          .join(hinted(ck.select(col("id").cast(
+                  index.schema("id").dataType).as("id"))),
+                Seq("id"), "left_semi")
+          .select(col("band"), col("bandHash"))
+        val touched = bandsOf(st.index.index)
+          .unionByName(bandsOf(idx2.index))
+          .distinct().localCheckpoint(false)
+        def pairsIn(byBucket: DataFrame): DataFrame = byBucket
+          .join(hinted(touched), Seq("band", "bandHash"), "left_semi")
+          .select(col("id_a").cast("long").as("id_a"),
+                  col("id_b").cast("long").as("id_b"))
+        def endpoints(p: DataFrame): DataFrame =
+          p.select(col("id_a").as("id"))
+            .unionByName(p.select(col("id_b").as("id")))
+        val seeds = ck
+          .unionByName(endpoints(pairsIn(st.index.byBucket)))
+          .unionByName(endpoints(pairsIn(idx2.byBucket)))
+          .distinct()
+        val affectedComps = st.clusters.join(seeds, Seq("id"), "left_semi")
+          .select(col("cluster")).distinct().localCheckpoint(false)
+        val affectedVerts = st.clusters
+          .join(affectedComps, Seq("cluster"), "left_semi")
+          .select(col("id"))
+          .unionByName(ck).distinct().localCheckpoint(false)
+        // relabel over the post-patch candidates of the affected verts,
+        // reranked to true edges (component closure: a candidate that
+        // survives rerank never crosses untouched components)
+        val subCand = idx2.byBucket
+          .select(col("id_a").cast("long").as("id_a"),
+                  col("id_b").cast("long").as("id_b"))
+          .join(affectedVerts.select(col("id").as("id_a")),
+                Seq("id_a"), "left_semi")
+          .distinct()
+        val subEdges = rerank(subCand, postLive)
+        val cc = Dedup.connectedComponents(subEdges, "src", "dst",
+            shufflePartitions = ccShufflePartitions)
+          .select(col("id"), col("component").as("cluster"))
+        val singletons = affectedVerts
+          .join(cc.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("cluster"))
+        val relabeled = cc.unionByName(singletons)
+          .join(liveIds, Seq("id"), "left_semi")
+        IndexedClusterState(idx2,
+          st.clusters.join(affectedComps, Seq("cluster"), "left_anti")
+            .select(col("id"), col("cluster"))
+            .unionByName(relabeled))
+      }
+
+      def pin(st: IndexedClusterState): IndexedClusterState =
+        IndexedClusterState(inner.pin(st.index),
+                            st.clusters.localCheckpoint(false))
+      def reRoot(st: IndexedClusterState,
+                 to: org.apache.spark.sql.SparkSession)
+          : IndexedClusterState =
+        IndexedClusterState(inner.reRoot(st.index, to),
+          org.apache.spark.sql.graft.bridge.reRoot(st.clusters, to))
+    }
+
+  /** The embedding (random-hyperplane LSH) instantiation of
+    * [[overIndex]]: [[DedupIndexView.embeddingMaintainer]] keeps the
+    * bucket index, exact cosine ≥ `minCosine` is the rerank. One
+    * maintained state serves BOTH the near-dup pair face (via
+    * `.index.pairs`) and the cluster face. */
+  def semanticMaintainer(idCol: String, vecCol: String, dim: Int,
+                         minCosine: Double, tables: Int = 8,
+                         planes: Int = 12, maxBucket: Int = 1000,
+                         ccShufflePartitions: Int = 8)
+      : TableViews.Maintainer[IndexedClusterState] =
+    overIndex(idCol,
+      DedupIndexView.embeddingMaintainer(idCol, vecCol, dim, tables,
+                                         planes, maxBucket = maxBucket),
+      (cand, live) => {
+        val a = live.select(col(idCol).cast("long").as("id_a"),
+                            col(vecCol).cast("array<double>").as("va"))
+        val b = live.select(col(idCol).cast("long").as("id_b"),
+                            col(vecCol).cast("array<double>").as("vb"))
+        cand.join(a, "id_a").join(b, "id_b")
+          .filter(graft.functions.VectorFunctions
+            .cosine(col("va"), col("vb")) >= minCosine)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+      }, ccShufflePartitions)
+
   /** The generic maintainer. `edgesFor(changedLive, liveAll)` returns
     * the canonical `(src, dst)` LONG edges incident to the changed live
     * rows (both orientations' duplicates already collapsed); the first

@@ -119,7 +119,7 @@ object CdcQueries {
     private val embCache = new BoundedPinnedCache[
       (TableViews.Result,
        TableViews.Maintainer[org.apache.spark.sql.DataFrame],
-       TableViews.Maintainer[graft.dedup.DedupIndexView.IndexState],
+       TableViews.Maintainer[graft.dedup.ClusterView.IndexedClusterState],
        TableViews.Maintainer[graft.dedup.ClusterView.ClusterState])]()(
       _._1.release())
     // shared EVENTS-TOPIC fan-out: one replay of the behavioral-event
@@ -184,17 +184,21 @@ object CdcQueries {
     def embResult(s: SparkSession, dir: String)
         : (TableViews.Result,
            TableViews.Maintainer[org.apache.spark.sql.DataFrame],
-           TableViews.Maintainer[graft.dedup.DedupIndexView.IndexState],
+           TableViews.Maintainer[graft.dedup.ClusterView.IndexedClusterState],
            TableViews.Maintainer[graft.dedup.ClusterView.ClusterState]) =
       embCache.get(s, dir) {
         val ann = graft.similarity.AnnIndexView.maintainer(
           "vec_id", "embedding",
           graft.similarity.AnnIndexView.localCentroids(annCentroids(s, dir)))
-        val sem = graft.dedup.DedupIndexView.embeddingMaintainer(
-          "vec_id", "embedding", dim = 64)
+        // ONE maintained state serves the semantic near-dup pair face
+        // (.index.pairs, cdc_semantic_index) AND the LSH cluster face
+        // (cdc_semantic_clusters): ClusterView's component algebra
+        // layered over the maintained random-hyperplane band index
+        val sem = graft.dedup.ClusterView.semanticMaintainer(
+          "vec_id", "embedding", dim = 64, minCosine = 0.9)
         // maintained near-dup clusters: exact-cosine edges (the oracle-
-        // expressible modality; swap edgesFor for the LSH prober at
-        // corpus scale) at q_dedup_semantic's threshold
+        // expressible modality; the LSH face above is the corpus-scale
+        // path) at q_dedup_semantic's threshold
         val clusters = graft.dedup.ClusterView.cosineMaintainer(
           "vec_id", "embedding", minCosine = 0.3)
         (TableViews.replay(ChangelogGen.embeddingsChangeEvents(s, dir),
@@ -732,7 +736,7 @@ object CdcQueries {
                           col("embedding").as("va"))
       val b = live.select(col("vec_id").as("id_b"),
                           col("embedding").as("vb"))
-      r(sem).pairs.join(a, "id_a").join(b, "id_b")
+      r(sem).index.pairs.join(a, "id_a").join(b, "id_b")
         .select(col("id_a"), col("id_b"),
                 round(graft.functions.VectorFunctions.cosine(
                   col("va"), col("vb")), 6).as("cos"))
@@ -750,6 +754,20 @@ object CdcQueries {
     "cdc_cluster_view" -> ((s, dir) => {
       val (r, _, _, cl) = SharedJoin.embResult(s, dir)
       graft.dedup.ClusterView.view(r(cl))
+        .select(col("id").as("vec_id"), col("cluster"), col("is_rep"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // The LSH-bucketed sibling (ClusterView.overIndex): the SAME
+    // component algebra layered over the maintained random-hyperplane
+    // band index — no per-batch corpus probe at all (the index's
+    // |Δ|-bounded bucket patch IS the edge upkeep; candidates rerank by
+    // exact cosine at relabel time). rows-only: bucket signatures are
+    // engine-specific; maintained == from-scratch LSH-edge CC is spec'd
+    // in ClusterViewSpec.
+    "cdc_semantic_clusters" -> ((s, dir) => {
+      val (r, _, sem, _) = SharedJoin.embResult(s, dir)
+      graft.dedup.ClusterView.view(r(sem))
         .select(col("id").as("vec_id"), col("cluster"), col("is_rep"))
         .orderBy(col("vec_id"))
     }),

@@ -102,6 +102,58 @@ class ClusterViewSpec extends SparkSpec {
            clustersOf(replayed(ev, Seq(10L, 20L))._2))
   }
 
+  /** From-scratch LSH-edge clusters: CC over the batch operator's
+    * bucketed near-dup edges (same LSH seed as the maintainer). */
+  private def directLsh(live: DataFrame): Set[(Long, Long, Boolean)] = {
+    val edges = Dedup.embeddingNearDups(
+        live.select(col("vec_id"),
+                    col("embedding").cast("array<double>").as("embedding")),
+        "vec_id", "embedding", dim = 2, minCosine = Tau)
+      .select(col("id_a").cast("long").as("src"),
+              col("id_b").cast("long").as("dst"))
+    val comps = Dedup.connectedComponents(edges, "src", "dst",
+                                          shufflePartitions = 4)
+    live.select(col("vec_id"))
+      .join(comps, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+              coalesce(col("component"), col("vec_id")).as("cluster"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(1) == r.getLong(0)))
+      .toSet
+  }
+
+  private def replayedLsh(ev: DataFrame, cuts: Seq[Long],
+                          maxLocalKeys: Int = 100000)
+      : (DataFrame, ClusterView.IndexedClusterState) = {
+    val m = ClusterView.semanticMaintainer("vec_id", "embedding", dim = 2,
+      minCosine = Tau, ccShufflePartitions = 4)
+    val res = TableViews.replay(ev, cuts, Seq("vec_id"), Seq(m),
+                                maxLocalKeys = maxLocalKeys)
+    (Materializer.liveView(res.state), res(m))
+  }
+
+  private def clustersOfIdx(st: ClusterView.IndexedClusterState)
+      : Set[(Long, Long, Boolean)] =
+    ClusterView.view(st).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+  test("overIndex: maintained LSH clusters == from-scratch after every prefix") {
+    for (cut <- Seq(10L, 20L, 30L)) {
+      val ev = events(log.filter(_._2 <= cut))
+      val (live, st) = replayedLsh(ev, cuts = Seq(10L, 20L))
+      assert(clustersOfIdx(st) == directLsh(live),
+        s"LSH cluster prefix ts<=$cut diverged from from-scratch")
+    }
+  }
+
+  test("overIndex: over-cap fallback and batching invariance") {
+    val ev = events(log)
+    val base = clustersOfIdx(replayedLsh(ev, Seq(10L, 20L))._2)
+    assert(clustersOfIdx(replayedLsh(ev, Seq.empty)._2) == base)
+    assert(clustersOfIdx(replayedLsh(ev, Seq(10L, 20L),
+                                     maxLocalKeys = 1)._2) == base)
+  }
+
   test("edge prober only ever sees the changed vectors") {
     val seen = scala.collection.mutable.ArrayBuffer[Long]()
     val m = ClusterView.maintainerFromEdges("vec_id",
