@@ -1308,6 +1308,40 @@ object CdcStream {
         m => graft.dedup.DedupIndexView.IndexState(m("index"),
                                                    m("bucket_pairs")),
         st => st.pairs, Seq("id_a", "id_b"))
+    /** Maintained near-dup clusters over exact-cosine edges
+      * ([[graft.dedup.ClusterView]] — component-local relabeling; a
+      * deleted bridge splits its cluster); face `(id, cluster,
+      * is_rep)`, changelog keyed by the id. */
+    def clusters(name: String, idCol: String, vecCol: String,
+                 minCosine: Double)
+        : NamedTableView[graft.dedup.ClusterView.ClusterState] =
+      NamedTableView(name,
+        graft.dedup.ClusterView.cosineMaintainer(idCol, vecCol, minCosine),
+        Seq("edges", "clusters"),
+        st => Map("edges" -> st.edges, "clusters" -> st.clusters),
+        m => graft.dedup.ClusterView.ClusterState(m("edges"),
+                                                  m("clusters")),
+        st => graft.dedup.ClusterView.view(st), Seq("id"))
+    /** The LSH-bucketed cluster face over the maintained band index
+      * ([[graft.dedup.ClusterView.overIndex]]) — one persisted state
+      * (v2 index layout + the assignment) serves the pair face and the
+      * cluster face. */
+    def semanticClusters(name: String, idCol: String, vecCol: String,
+                         dim: Int, minCosine: Double, tables: Int = 8,
+                         planes: Int = 12, maxBucket: Int = 1000)
+        : NamedTableView[graft.dedup.ClusterView.IndexedClusterState] =
+      NamedTableView(name,
+        graft.dedup.ClusterView.semanticMaintainer(idCol, vecCol, dim,
+          minCosine, tables, planes, maxBucket),
+        Seq("index", "bucket_pairs", "clusters"),
+        st => Map("index" -> st.index.index,
+                  "bucket_pairs" -> st.index.byBucket,
+                  "clusters" -> st.clusters),
+        m => graft.dedup.ClusterView.IndexedClusterState(
+          graft.dedup.DedupIndexView.IndexState(m("index"),
+                                                m("bucket_pairs")),
+          m("clusters")),
+        st => graft.dedup.ClusterView.view(st), Seq("id"))
     /** Maintained per-user sessionization
       * ([[graft.cdc.SequentialViews]] via GroupViews delta-restricted
       * per-group recompute); changelog keyed by (user, session). */

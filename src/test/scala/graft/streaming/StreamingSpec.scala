@@ -818,7 +818,13 @@ class StreamingSpec extends SparkSpec {
       CdcStream.NamedTableView.annIvf("ivf", "vec_id", "embedding",
         Seq((0L, ex.map(_.toFloat)), (1L, ey.map(_.toFloat)))),
       CdcStream.NamedTableView.semanticIndex("sem", "vec_id", "embedding",
-        dim = 4, tables = 4, planes = 6))
+        dim = 4, tables = 4, planes = 6),
+      // both cluster faces ride the SAME stream: exact-cosine edges and
+      // the LSH-bucketed overIndex sibling must tell the same story
+      CdcStream.NamedTableView.clusters("clu", "vec_id", "embedding",
+        minCosine = 0.9),
+      CdcStream.NamedTableView.semanticClusters("sclu", "vec_id",
+        "embedding", dim = 4, minCosine = 0.9, tables = 4, planes = 6))
     def run(): Unit = CdcStream.maintainTableViewsToParquet(
       CdcStream.fileChangelog(spark, logDir), spec, views, root, ckpt)
       .awaitTermination()
@@ -829,12 +835,17 @@ class StreamingSpec extends SparkSpec {
     def pairs(): Set[(Long, Long)] =
       CdcStream.readMultiView(spark, root, "sem").collect()
         .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    def clu(name: String): Map[Long, Long] =
+      CdcStream.readMultiView(spark, root, name).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
     // batch 1: 10 near-x, 11 near-y
     append("b1.json", Seq(ev("insert", 1, 10, nearX),
                           ev("insert", 2, 11, ey)))
     run()
     assert(assigned() == Map(10L -> 0L, 11L -> 1L), s"b1: ${assigned()}")
     assert(pairs().isEmpty, s"b1 pairs: ${pairs()}")
+    Seq("clu", "sclu").foreach(n => assert(
+      clu(n) == Map(10L -> 10L, 11L -> 11L), s"b1 $n: ${clu(n)}"))
     // batch 2 (restart): 11 re-embeds next to 10 -> moves cell, pair
     // appears; 12 arrives on y
     append("b2.json", Seq(
@@ -845,13 +856,19 @@ class StreamingSpec extends SparkSpec {
       s"re-embedded vector must move cells: ${assigned()}")
     assert(pairs() == Set((10L, 11L)),
       s"re-embedding must surface the near-dup pair: ${pairs()}")
+    Seq("clu", "sclu").foreach(n => assert(
+      clu(n) == Map(10L -> 10L, 11L -> 10L, 12L -> 12L),
+      s"re-embedding must merge 11 into 10's cluster ($n): ${clu(n)}"))
     // batch 3 (restart): delete 10 -> assignment drops, pair retracts
     append("b3.json", Seq(ev("delete", 21, 10, nearX)))
     run()
     assert(assigned() == Map(11L -> 0L, 12L -> 1L), s"b3: ${assigned()}")
     assert(pairs().isEmpty, s"delete must retract the pair: ${pairs()}")
+    Seq("clu", "sclu").foreach(n => assert(
+      clu(n) == Map(11L -> 11L, 12L -> 12L),
+      s"deleting 10 must re-isolate 11 ($n): ${clu(n)}"))
     // changelogs fold to faces; replayed batch is a no-op
-    Seq("ivf", "sem").foreach { n =>
+    Seq("ivf", "sem", "clu", "sclu").foreach { n =>
       val folded = CdcStream.viewAsOfBatch(spark, s"$root/$n", Long.MaxValue)
       val face = CdcStream.readMultiView(spark, root, n)
       assert(folded.collect().map(_.toString).toSet ==
