@@ -758,6 +758,19 @@ object CdcQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Cluster-size distribution off the maintained cluster view — the
+    // dup-rate dashboard a curation pass watches (how many singletons,
+    // how many k-way near-dup groups). Oracle-exact through the same
+    // recursive-reach recompute.
+    "cdc_cluster_stats" -> ((s, dir) => {
+      val (r, _, _, cl) = SharedJoin.embResult(s, dir)
+      graft.dedup.ClusterView.view(r(cl))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // The LSH-bucketed sibling (ClusterView.overIndex): the SAME
     // component algebra layered over the maintained random-hyperplane
     // band index — no per-batch corpus probe at all (the index's
@@ -1093,6 +1106,32 @@ object CdcQueries {
         |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id)
         |SELECT id AS vec_id, min(r) AS cluster, (min(r) = id) AS is_rep
         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+    "cdc_cluster_stats" ->
+      """WITH RECURSIVE
+        |estate AS (
+        |  SELECT e.vec_id,
+        |    CASE WHEN e.vec_id % 7 = 0 THEN coalesce(e2.embedding, e.embedding)
+        |         ELSE e.embedding END AS embedding
+        |  FROM embeddings e
+        |  LEFT JOIN embeddings e2 ON e2.vec_id = e.vec_id + 1
+        |  WHERE e.vec_id % 10 <> 0),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM estate),
+        |edges AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.3),
+        |sym AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM v
+        |  UNION
+        |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id),
+        |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster, count(*) AS cluster_size
+        |          FROM cl GROUP BY cluster)
+        |SELECT cluster_size, count(*) AS n_clusters
+        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_op_counts" ->
       """SELECT op, n FROM (
         |  SELECT 'insert' AS op, count(*) AS n FROM orders
