@@ -29,9 +29,16 @@ object Bench {
     // each warm step in its OWN try: one failure must not silently skip
     // the later warms (that would re-bill their one-time materialization
     // to a random timed query — the exact attribution bug this fixes)
-    def warm(what: String)(f: => Unit): Unit =
+    def warm(what: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
       try f catch { case e: Throwable =>
         System.err.println(s"bench warmup '$what' failed: $e") }
+      // per-step breakdown on stderr so state/corpus build growth is
+      // attributable without re-instrumenting (stdout carries ONLY the
+      // one-line JSON contract)
+      System.err.println(f"bench warmup '$what': " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     warm("orders log")(cdc.ChangelogGen.ordersChangelog(spark, sfDir).count())
     warm("orders envelope")(cdc.ChangelogGen.ordersEnvelope(spark, sfDir).count())
     warm("customer events")(cdc.ChangelogGen.customerChangeEvents(spark, sfDir).count())

@@ -198,9 +198,14 @@ object CdcQueries {
           "vec_id", "embedding", dim = 64, minCosine = 0.9)
         // maintained near-dup clusters: exact-cosine edges (the oracle-
         // expressible modality; the LSH face above is the corpus-scale
-        // path) at q_dedup_semantic's threshold
+        // path) at the NEAR-DUP threshold the semantic faces share.
+        // 0.9 matters for more than semantics: at loose thresholds this
+        // corpus collapses into one giant component (409 of 450 at 0.3)
+        // and component-local relabeling degenerates to full relabels —
+        // dedup-grade thresholds keep affected components small, which
+        // is what makes the incremental path pay
         val clusters = graft.dedup.ClusterView.cosineMaintainer(
-          "vec_id", "embedding", minCosine = 0.3)
+          "vec_id", "embedding", minCosine = 0.9)
         (TableViews.replay(ChangelogGen.embeddingsChangeEvents(s, dir),
            cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
            pk = Seq("vec_id"), maintainers = Seq(ann, sem, clusters)),
@@ -1096,7 +1101,7 @@ object CdcQueries {
         |edges AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.3),
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
         |sym AS (
         |  SELECT src, dst FROM edges
         |  UNION SELECT dst AS src, src AS dst FROM edges),
@@ -1119,7 +1124,7 @@ object CdcQueries {
         |edges AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.3),
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
         |sym AS (
         |  SELECT src, dst FROM edges
         |  UNION SELECT dst AS src, src AS dst FROM edges),
