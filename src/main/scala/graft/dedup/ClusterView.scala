@@ -47,6 +47,26 @@ object ClusterView {
     st.clusters.select(col("id"), col("cluster"),
                        (col("cluster") === col("id")).as("is_rep"))
 
+  /** Collect-cap a derived key frame (JoinView.localKeys discipline):
+    * under `cap` rows it becomes a LocalRelation and every semi/anti
+    * against it BROADCASTS — the big frames (the edge/candidate state,
+    * the cluster assignment) are then pruned scan-side, never shuffled.
+    * Over the cap it stays distributed (pinned — each one is scanned by
+    * several joins) and those joins degrade to shuffles, the same
+    * graceful fallback every maintainer uses. The stage-listener stress
+    * probe is what caught the unhinted version shuffling the whole
+    * candidate state per batch. */
+  private def capLocal(df: DataFrame, cap: Int): (DataFrame, Boolean) = {
+    val rows = df.limit(cap + 1).collect().toSeq
+    if (rows.size > cap) (df.localCheckpoint(false), false)
+    else (df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, df.schema),
+      true)
+  }
+
+  private def hintIf(df: DataFrame, isLocal: Boolean): DataFrame =
+    if (isLocal) broadcast(df) else df
+
   /** The exact-cosine modality: edges between live vectors with
     * `cosine >= minCosine`. Oracle-expressible end-to-end (DuckDB
     * `list_cosine_similarity` + recursive min-label reach), which is the
@@ -90,13 +110,13 @@ object ClusterView {
     * so a vector change can never alter an untouched bucket's pairs):
     * their old/new pairs' endpoints seed the affected components, and
     * the relabel runs over the post-patch candidates restricted to the
-    * affected vertices, reranked by `rerank(candidatePairs, liveAll)`
+    * affected vertices, reranked by `rerank(candidatePairs, liveAll, candIsLocal)`
     * (exact-cosine for embeddings; any verifier for other modalities).
     * Seeding from CANDIDATES (a superset of true edges) is correct —
     * extra seeds only widen the relabel, never change labels. */
   def overIndex(idCol: String,
                 inner: TableViews.Maintainer[DedupIndexView.IndexState],
-                rerank: (DataFrame, DataFrame) => DataFrame,
+                rerank: (DataFrame, DataFrame, Boolean) => DataFrame,
                 ccShufflePartitions: Int = 8)
       : TableViews.Maintainer[IndexedClusterState] =
     new TableViews.Maintainer[IndexedClusterState] {
@@ -136,36 +156,56 @@ object ClusterView {
         def endpoints(p: DataFrame): DataFrame =
           p.select(col("id_a").as("id"))
             .unionByName(p.select(col("id_b").as("id")))
-        val seeds = ck
+        // the derived key frames collect-cap to broadcast LocalRelations
+        // (capLocal): the candidate state and the cluster assignment are
+        // then pruned scan-side, never shuffled whole per batch
+        val (seeds, seedsL) = capLocal(ck
           .unionByName(endpoints(pairsIn(st.index.byBucket)))
           .unionByName(endpoints(pairsIn(idx2.byBucket)))
-          .distinct()
-        val affectedComps = st.clusters.join(seeds, Seq("id"), "left_semi")
-          .select(col("cluster")).distinct().localCheckpoint(false)
-        val affectedVerts = st.clusters
-          .join(affectedComps, Seq("cluster"), "left_semi")
+          .distinct(), ctx.maxLocalKeys)
+        val (affectedComps, acL) = capLocal(
+          st.clusters.join(hintIf(seeds, seedsL), Seq("id"), "left_semi")
+            .select(col("cluster")).distinct(), ctx.maxLocalKeys)
+        val (affectedVerts, avL) = capLocal(st.clusters
+          .join(hintIf(affectedComps, acL), Seq("cluster"), "left_semi")
           .select(col("id"))
-          .unionByName(ck).distinct().localCheckpoint(false)
+          .unionByName(ck).distinct(), ctx.maxLocalKeys)
         // relabel over the post-patch candidates of the affected verts,
         // reranked to true edges (component closure: a candidate that
         // survives rerank never crosses untouched components)
-        val subCand = idx2.byBucket
+        // capLocal'd too: a LocalRelation candidate set makes the
+        // rerank's vector joins BROADCAST the candidate side, so the
+        // live corpus is scanned — without this the rerank shuffled the
+        // whole corpus per batch (the stress probe's 427k-record stage)
+        val (subCand, scL) = capLocal(idx2.byBucket
           .select(col("id_a").cast("long").as("id_a"),
                   col("id_b").cast("long").as("id_b"))
-          .join(affectedVerts.select(col("id").as("id_a")),
+          .join(hintIf(affectedVerts.select(col("id").as("id_a")), avL),
                 Seq("id_a"), "left_semi")
-          .distinct()
-        val subEdges = rerank(subCand, postLive)
-        val cc = Dedup.connectedComponents(subEdges, "src", "dst",
+          .distinct(), ctx.maxLocalKeys)
+        val subEdges = rerank(subCand, postLive, scL)
+        // log-star CC: a maintained view cannot assume its affected
+        // subgraph is shallow (adversarial near-dup ladders chain), and
+        // the O(log n)-round variant costs the same per-round shape
+        val cc = Dedup.connectedComponentsLogStar(subEdges, "src", "dst",
             shufflePartitions = ccShufflePartitions)
           .select(col("id"), col("component").as("cluster"))
         val singletons = affectedVerts
           .join(cc.select(col("id")), Seq("id"), "left_anti")
           .select(col("id"), col("id").as("cluster"))
+        // live restrict via the |Δ|-bounded DELETED set: the assignment
+        // invariantly holds only live ids, so the relabel set's only
+        // possible dead ids are the ones deleted THIS batch — a semi
+        // against the corpus-sized live id set would shuffle the corpus
+        // per batch (the stress probe's exactly-|live| stage)
+        val (deleted, delL) = capLocal(
+          ck.join(liveIds.join(hinted(ck), Seq("id"), "left_semi"),
+                  Seq("id"), "left_anti"), ctx.maxLocalKeys)
         val relabeled = cc.unionByName(singletons)
-          .join(liveIds, Seq("id"), "left_semi")
+          .join(hintIf(deleted, delL), Seq("id"), "left_anti")
         IndexedClusterState(idx2,
-          st.clusters.join(affectedComps, Seq("cluster"), "left_anti")
+          st.clusters
+            .join(hintIf(affectedComps, acL), Seq("cluster"), "left_anti")
             .select(col("id"), col("cluster"))
             .unionByName(relabeled))
       }
@@ -193,12 +233,18 @@ object ClusterView {
     overIndex(idCol,
       DedupIndexView.embeddingMaintainer(idCol, vecCol, dim, tables,
                                          planes, maxBucket = maxBucket),
-      (cand, live) => {
+      (cand, live, candLocal) => {
         val a = live.select(col(idCol).cast("long").as("id_a"),
                             col(vecCol).cast("array<double>").as("va"))
         val b = live.select(col(idCol).cast("long").as("id_b"),
                             col(vecCol).cast("array<double>").as("vb"))
-        cand.join(a, "id_a").join(b, "id_b")
+        // under-cap the candidate side BROADCASTS through BOTH vector
+        // joins (the first join's result is still candidate-bounded),
+        // so the live corpus is scanned, never exchanged — without the
+        // second hint Catalyst loses the size bound after join one and
+        // plans an SMJ that shuffles every live vector per batch
+        def h(df: DataFrame) = if (candLocal) broadcast(df) else df
+        h(h(cand).join(a, "id_a")).join(b, "id_b")
           .filter(graft.functions.VectorFunctions
             .cosine(col("va"), col("vb")) >= minCosine)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -264,31 +310,46 @@ object ClusterView {
         def endpoints(e: DataFrame): DataFrame =
           e.select(col("src").as("id"))
             .unionByName(e.select(col("dst").as("id")))
-        val seeds = ck.unionByName(endpoints(dropped))
-          .unionByName(endpoints(newEdges)).distinct()
-        val affectedComps = st.clusters
-          .join(seeds, Seq("id"), "left_semi")
-          .select(col("cluster")).distinct().localCheckpoint(false)
-        val affectedVerts = st.clusters
-          .join(affectedComps, Seq("cluster"), "left_semi")
+        // collect-capped to broadcast LocalRelations (capLocal): the
+        // edge state and the assignment are pruned scan-side per batch,
+        // never shuffled whole
+        val (seeds, seedsL) = capLocal(ck.unionByName(endpoints(dropped))
+          .unionByName(endpoints(newEdges)).distinct(), ctx.maxLocalKeys)
+        val (affectedComps, acL) = capLocal(st.clusters
+          .join(hintIf(seeds, seedsL), Seq("id"), "left_semi")
+          .select(col("cluster")).distinct(), ctx.maxLocalKeys)
+        val (affectedVerts, avL) = capLocal(st.clusters
+          .join(hintIf(affectedComps, acL), Seq("cluster"), "left_semi")
           .select(col("id"))
-          .unionByName(ck).distinct().localCheckpoint(false)
+          .unionByName(ck).distinct(), ctx.maxLocalKeys)
         // 3. component-local relabel: CC over the affected induced
         // subgraph (src-side restrict suffices — old edges never cross
         // components, new edges' endpoints are both affected), singleton
         // fill, live restrict (deleted ids leave no row).
-        val subEdges = edges1.join(affectedVerts.select(col("id").as("src")),
-                                   Seq("src"), "left_semi")
-        val cc = Dedup.connectedComponents(subEdges, "src", "dst",
+        val subEdges = edges1.join(
+          hintIf(affectedVerts.select(col("id").as("src")), avL),
+          Seq("src"), "left_semi")
+        // log-star CC: a maintained view cannot assume its affected
+        // subgraph is shallow (adversarial near-dup ladders chain), and
+        // the O(log n)-round variant costs the same per-round shape
+        val cc = Dedup.connectedComponentsLogStar(subEdges, "src", "dst",
             shufflePartitions = ccShufflePartitions)
           .select(col("id"), col("component").as("cluster"))
         val singletons = affectedVerts
           .join(cc.select(col("id")), Seq("id"), "left_anti")
           .select(col("id"), col("id").as("cluster"))
+        // live restrict via the |Δ|-bounded deleted set (see overIndex:
+        // the assignment invariantly holds live ids, so a semi against
+        // the corpus-sized live id set would shuffle the corpus)
+        val (deleted, delL) = capLocal(
+          ck.join(liveIds.join(hinted(ck.select(col("id"))), Seq("id"),
+                               "left_semi"),
+                  Seq("id"), "left_anti"), ctx.maxLocalKeys)
         val relabeled = cc.unionByName(singletons)
-          .join(liveIds, Seq("id"), "left_semi")
+          .join(hintIf(deleted, delL), Seq("id"), "left_anti")
         ClusterState(edges1,
-          st.clusters.join(affectedComps, Seq("cluster"), "left_anti")
+          st.clusters
+            .join(hintIf(affectedComps, acL), Seq("cluster"), "left_anti")
             .select(col("id"), col("cluster"))
             .unionByName(relabeled))
       }

@@ -1,0 +1,105 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.cdc.{Materializer, TableViews}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The 100 TB claim for the LSH-bucketed maintained cluster view
+  * ([[ClusterView.overIndex]]), measured in miniature like
+  * [[DedupIndexStressSpec]]: replay a 10×-sf0.1-sized vector changelog
+  * (20k vectors — sf0.1's embeddings table is 2k) through the semantic
+  * cluster maintainer in bounded batches, then probe one more small
+  * batch: its SHUFFLE record volume must be tiny versus the corpus and
+  * the same whether the index holds 2k or 20k vectors — the bucket
+  * patch, the touched-bucket pair regeneration, AND the component-local
+  * relabel are all |Δ|-bounded (the exact-cosine sibling is deliberately
+  * linear per batch — this face is the scale path). */
+class ClusterStressSpec extends SparkSpec with graft.ShuffleProbe {
+
+  private val Dim = 32
+
+  /** Deterministic hash-uniform 8-dim vectors: components drawn from
+    * xxhash64 residues in [-1, 1] — random pairs sit near cosine 0, so
+    * the only near-dups are the PLANTED ones (every id % 40 == 0 shares
+    * its successor's vector exactly: clusters of two among singletons —
+    * the realistic dedup shape, not a giant component). */
+  private def vecOf(rawId: org.apache.spark.sql.Column) = {
+    val id = when(pmod(rawId, lit(40L)) === 0, rawId + 1).otherwise(rawId)
+    transform(sequence(lit(0), lit(Dim - 1)),
+              j => ((pmod(xxhash64(id * Dim + j), lit(2001L)) - 1000L) /
+                    lit(1000.0)).cast("float"))
+  }
+
+  private def changelog(n: Long): DataFrame = {
+    val base = spark.range(n).select(
+      lit("insert").as("op"), (lit(1L) + col("id") % 10).as("ts"),
+      col("id").as("seq"),
+      struct(col("id").as("vec_id"), vecOf(col("id")).as("embedding"))
+        .as("after"))
+    val upd = spark.range(n / 25).select(
+      lit("update").as("op"), lit(12L).as("ts"),
+      (col("id") + 10000000L).as("seq"),
+      struct(col("id").as("vec_id"),
+             vecOf(col("id") + 777777L).as("embedding")).as("after"))
+    val del = spark.range(n / 25, n / 20).select(
+      lit("delete").as("op"), lit(13L).as("ts"),
+      (col("id") + 20000000L).as("seq"),
+      struct(col("id").as("vec_id"), vecOf(col("id")).as("embedding"))
+        .as("after"))
+    base.unionByName(upd).unionByName(del)
+  }
+
+  private def probeDelta(): DataFrame =
+    spark.range(100, 150).select(
+      lit("update").as("op"), lit(99L).as("ts"),
+      (col("id") + 30000000L).as("seq"),
+      struct(col("id").as("vec_id"),
+             vecOf(col("id") + 555555L).as("embedding")).as("after"))
+
+  private def replayAndProbe(n: Long): (Long, (Long, Long)) = {
+    // planes sized to the corpus (16 -> 65k buckets/table): an
+    // undersized quantizer (8 planes = 256 buckets for 20k vectors)
+    // floods every bucket and the candidate state itself degenerates —
+    // that regime is the INDEX's maxBucket lever, not this spec's
+    val m = ClusterView.semanticMaintainer("vec_id", "embedding",
+      dim = Dim, minCosine = 0.95, tables = 4, planes = 16,
+      ccShufflePartitions = 4)
+    val res = TableViews.replay(changelog(n), cuts = (1L to 13L),
+                                Seq("vec_id"), Seq(m))
+    val live = Materializer.liveView(res.state).count()
+    res(m).index.index.count()
+    res(m).index.byBucket.count()
+    assert(res(m).clusters.count() == live,
+      "every live vector must carry a cluster row")
+    val shuffled = shuffleRecordsDuring {
+      val (ctx, next) = TableViews.batchCtx(res.state, probeDelta(),
+                                            Seq("vec_id"), 100000)
+      val st2 = m.step(res(m), ctx)
+      next.count()
+      st2.index.index.count()
+      st2.index.byBucket.count()
+      st2.clusters.count()
+    }
+    (live, shuffled)
+  }
+
+  test("per-batch cluster maintenance is |Δ|-bounded, not corpus-sized") {
+    val (live1x, (tot1x, _)) = replayAndProbe(2000L)
+    val (live10x, (tot10x, max10x)) = replayAndProbe(20000L)
+    assert(live10x > 9 * live1x, "10x corpus did not materialize")
+    // (a) no single exchange moves the corpus
+    assert(max10x < live10x,
+      s"a single probe stage shuffled $max10x records on the 10x corpus " +
+        s"($live10x live vectors) — corpus-sized exchange in the batch " +
+        s"path; top stages:\n${lastTopStages.mkString("\n")}")
+    // (b) STRONGLY SUB-LINEAR in corpus size: a 10x corpus may cost a
+    // little more — at a FIXED plane count bucket occupancy grows with
+    // the corpus, so a changed id's touched buckets carry a few more
+    // co-members (real deployments re-size planes with the corpus; the
+    // measured growth here is ~2.2x for 10x data) — but anywhere near
+    // 10x would mean corpus-sized per-batch work
+    assert(tot10x <= 4 * tot1x + 2000,
+      s"probe shuffle tracked corpus size: 1x=$tot1x, 10x=$tot10x")
+  }
+}

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * face (a serving-time distinct over the pair state) is deliberately
   * NOT forced in the probe — the boundedness claim is about MAINTENANCE.
   */
-class DedupIndexStressSpec extends SparkSpec {
+class DedupIndexStressSpec extends SparkSpec with graft.ShuffleProbe {
 
   private val B = 4
   private val R = 2
@@ -57,40 +57,6 @@ class DedupIndexStressSpec extends SparkSpec {
                col("id") % 53, col("id") % 47, col("id") % 43,
                col("id") % 41, col("id") % 37, col("id") % 31).as("text"))
         .as("after"))
-
-  /** Shuffle records (read + written) across all stages while `work`
-    * runs, via a stage listener polled to quiescence. */
-  private def shuffleRecordsDuring(work: => Unit): (Long, Long) = {
-    val total = new java.util.concurrent.atomic.AtomicLong(0L)
-    val maxStage = new java.util.concurrent.atomic.AtomicLong(0L)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
-          : Unit = {
-        val m = sc.stageInfo.taskMetrics
-        if (m != null) {
-          val rec = m.shuffleReadMetrics.recordsRead +
-            m.shuffleWriteMetrics.recordsWritten
-          total.addAndGet(rec)
-          maxStage.getAndUpdate(cur => math.max(cur, rec))
-        }
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      work
-      // listener events are async: poll until the totals stop moving
-      var last = -1L
-      var stable = 0
-      var waited = 0
-      while (stable < 3 && waited < 100) {
-        Thread.sleep(100)
-        waited += 1
-        if (total.get == last) stable += 1 else { stable = 0; last = total.get }
-      }
-    } finally spark.sparkContext.removeSparkListener(listener)
-    (total.get, maxStage.get)
-  }
 
   /** Replay a corpus, force it, then measure the probe batch. Returns
     * (live doc count, probe shuffle totals). */

@@ -660,4 +660,21 @@ class PipelineSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(avg > 0.5, s"mean shingle jaccard $avg unexpectedly low")
   }
+
+  test("exact all-pairs kernels are corpus-size guarded, LSH path named") {
+    import graft.dedup.Dedup
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    // under the bound: passthrough, frame unchanged
+    assert(Dedup.requireAllPairsBound(e, "t", "lsh-path", bound = 100000)
+      eq e)
+    // over the bound: loud, and the error names the scale path
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.requireAllPairsBound(e, "q_test_kernel", "q_test_lsh",
+                                 bound = 10)
+    }
+    assert(ex.getMessage.contains("q_test_kernel") &&
+           ex.getMessage.contains("q_test_lsh") &&
+           ex.getMessage.contains("O(n"),
+      s"guard message unhelpful: ${ex.getMessage}")
+  }
 }
