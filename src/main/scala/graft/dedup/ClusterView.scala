@@ -183,13 +183,23 @@ object ClusterView {
           .join(hintIf(affectedVerts.select(col("id").as("id_a")), avL),
                 Seq("id_a"), "left_semi")
           .distinct(), ctx.maxLocalKeys)
-        val subEdges = rerank(subCand, postLive, scL)
+        val (subEdges, seL) = capLocal(rerank(subCand, postLive, scL),
+                                       ctx.maxLocalKeys)
         // log-star CC: a maintained view cannot assume its affected
         // subgraph is shallow (adversarial near-dup ladders chain), and
-        // the O(log n)-round variant costs the same per-round shape
-        val cc = Dedup.connectedComponentsLogStar(subEdges, "src", "dst",
-            shufflePartitions = ccShufflePartitions)
-          .select(col("id"), col("component").as("cluster"))
+        // the O(log n)-round variant costs the same per-round shape.
+        // SHORT-CIRCUIT an edgeless relabel (steady-state batches whose
+        // changed ids touch nothing similar): the collected edge set's
+        // emptiness is a free driver-side check, and skipping the CC
+        // loop skips its child session + pin + per-round jobs entirely
+        val cc =
+          if (seL && subEdges.isEmpty)
+            ctx.delta.sparkSession.createDataFrame(
+              ctx.delta.sparkSession.sparkContext
+                .emptyRDD[org.apache.spark.sql.Row], clusterSchema)
+          else Dedup.connectedComponentsLogStar(subEdges, "src", "dst",
+              shufflePartitions = ccShufflePartitions)
+            .select(col("id"), col("component").as("cluster"))
         val singletons = affectedVerts
           .join(cc.select(col("id")), Seq("id"), "left_anti")
           .select(col("id"), col("id").as("cluster"))
@@ -326,15 +336,18 @@ object ClusterView {
         // subgraph (src-side restrict suffices — old edges never cross
         // components, new edges' endpoints are both affected), singleton
         // fill, live restrict (deleted ids leave no row).
-        val subEdges = edges1.join(
+        val (subEdges, seL) = capLocal(edges1.join(
           hintIf(affectedVerts.select(col("id").as("src")), avL),
-          Seq("src"), "left_semi")
-        // log-star CC: a maintained view cannot assume its affected
-        // subgraph is shallow (adversarial near-dup ladders chain), and
-        // the O(log n)-round variant costs the same per-round shape
-        val cc = Dedup.connectedComponentsLogStar(subEdges, "src", "dst",
-            shufflePartitions = ccShufflePartitions)
-          .select(col("id"), col("component").as("cluster"))
+          Seq("src"), "left_semi"), ctx.maxLocalKeys)
+        // log-star CC with the edgeless short-circuit (see overIndex)
+        val cc =
+          if (seL && subEdges.isEmpty)
+            ctx.delta.sparkSession.createDataFrame(
+              ctx.delta.sparkSession.sparkContext
+                .emptyRDD[org.apache.spark.sql.Row], clusterSchema)
+          else Dedup.connectedComponentsLogStar(subEdges, "src", "dst",
+              shufflePartitions = ccShufflePartitions)
+            .select(col("id"), col("component").as("cluster"))
         val singletons = affectedVerts
           .join(cc.select(col("id")), Seq("id"), "left_anti")
           .select(col("id"), col("id").as("cluster"))
