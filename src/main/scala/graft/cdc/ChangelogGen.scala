@@ -381,6 +381,106 @@ object ChangelogGen {
         documentsSpec).cache()
     })
 
+  // ---------- benchmarks changelog (the eval-suite topic) ----------
+
+  val benchmarksSpec: TableSpec = TableSpec(
+    database = Database,
+    table = "benchmarks",
+    primaryKey = Seq("b_id"),
+    schema = StructType(Seq(
+      StructField("b_id", LongType),
+      StructField("suite", StringType),
+      StructField("text", StringType))))
+
+  /** Deterministic Maxwell changelog over a synthetic BENCHMARK table —
+    * the second topic of the maintained decontamination view
+    * ([[graft.dedup.DecontamView]]). Benchmark entries are token
+    * excerpts of BASE document texts (so natural train/eval overlap
+    * exists by construction), and the event plan exercises the three
+    * decontamination lifecycles a living eval registry has:
+    *   - suite_a INSERTs           at ts = 1.5e9  + b_id: one entry per
+    *     doc_id % 17 == 0 donor (b_id = doc_id/17), text = the donor's
+    *     first 12 tokens
+    *   - suite_b INSERTs (a NEW EVAL RELEASE, arriving after the corpus
+    *     is indexed) at ts = 1.51e9 + j: one entry per
+    *     doc_id = 23j + 5 donor (b_id = 100000 + j), text = donor
+    *     tokens 5..16 — UNCHANGED corpus docs must gain contamination
+    *     flags through the maintained gram index, not a corpus rescan
+    *   - suite_a UPDATEs (revision) at ts = 1.512e9 + b_id for
+    *     b_id % 5 == 3: text re-excerpted from the donor's successor doc
+    *     (missing successor -> keep own, mirrored in SQL); `old`
+    *     carries the replaced text (Maxwell partial-old)
+    *   - DELETEs (eval retired)    at ts = 1.52e9 + b_id % 100000 for
+    *     b_id % 4 == 0 in both suites — retiring an eval must RETRACT
+    *     its contamination flags from otherwise-untouched docs
+    * Phases align with [[DocT1]]/[[DocT2]], so the decontam replay's
+    * cuts split both topics into the same three windows. */
+  def benchChangelog(spark: SparkSession, sfDir: String): DataFrame =
+    logCache.computeIfAbsent((spark, s"benchmarks:$sfDir"),
+      _ => buildBenchChangelog(spark, sfDir).cache())
+
+  private def buildBenchChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.ensureParallelism(
+        graft.Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"),
+              graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+    def excerpt(toks: org.apache.spark.sql.Column, from: Int, n: Int) =
+      concat_ws(" ", slice(toks, from, n))
+    val envelope = envelopeCol("benchmarks")
+    // suite_a: donors doc_id % 17 == 0; successor donor for the revision
+    val next = docs.select((col("doc_id") - 1).as("doc_id"),
+                           col("toks").as("__next_toks"))
+    val a = docs.filter(col("doc_id") % 17 === 0)
+      .join(next, Seq("doc_id"), "left")
+      .select(expr("doc_id div 17").as("b_id"), col("toks"),
+              col("__next_toks"))
+    val aImage = struct(col("b_id"), lit("suite_a").as("suite"),
+                        excerpt(col("toks"), 1, 12).as("text"))
+    val aRevised = aImage.withField("text",
+      excerpt(coalesce(col("__next_toks"), col("toks")), 1, 12))
+    val aInserts = a.select(
+      envelope("insert", lit(1500000000L) + col("b_id"), aImage,
+               None).as("value"),
+      (col("b_id") * 3).as("seq"))
+    val aUpdates = a.filter(col("b_id") % 5 === 3).select(
+      envelope("update", lit(1512000000L) + col("b_id"), aRevised,
+        Some(struct(excerpt(col("toks"), 1, 12).as("text")))).as("value"),
+      (col("b_id") * 3 + 1).as("seq"))
+    // suite_b: donors doc_id = 23j + 5 — the post-index release
+    val b = docs.filter(col("doc_id") >= 5 && (col("doc_id") - 5) % 23 === 0)
+      .select((lit(100000L) + expr("(doc_id - 5) div 23")).as("b_id"),
+              col("toks"))
+    val bImage = struct(col("b_id"), lit("suite_b").as("suite"),
+                        excerpt(col("toks"), 5, 12).as("text"))
+    val bInserts = b.select(
+      envelope("insert", lit(1510000000L) + (col("b_id") - 100000L), bImage,
+               None).as("value"),
+      (col("b_id") * 3).as("seq"))
+    // deletes: current image (suite_a % 5 == 3 rows carry the revision)
+    val aDeletes = a.filter(col("b_id") % 4 === 0).select(
+      envelope("delete", lit(1520000000L) + col("b_id"),
+        when(col("b_id") % 5 === 3, aRevised).otherwise(aImage),
+        None).as("value"),
+      (col("b_id") * 3 + 2).as("seq"))
+    val bDeletes = b.filter(col("b_id") % 4 === 0).select(
+      envelope("delete", lit(1520000000L) + (col("b_id") - 100000L), bImage,
+               None).as("value"),
+      (col("b_id") * 3 + 2).as("seq"))
+    aInserts.unionByName(aUpdates).unionByName(bInserts)
+      .unionByName(aDeletes).unionByName(bDeletes)
+  }
+
+  def benchChangeEvents(spark: SparkSession, sfDir: String): DataFrame =
+    envCache.computeIfAbsent((spark, s"benchmarks:$sfDir"), _ => {
+      val log = benchChangelog(spark, sfDir)
+      RowDecoder.changeEvents(
+        log.select(
+            from_json(col("value"), Maxwell.envelopeSchema).as("e"),
+            col("seq"))
+          .select(col("e.*"), col("seq")),
+        benchmarksSpec).cache()
+    })
+
   // ---------- embeddings changelog (the vector-corpus topic) ----------
 
   val embeddingsSpec: TableSpec = TableSpec(

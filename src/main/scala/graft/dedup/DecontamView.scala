@@ -1,0 +1,175 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.MultiView
+
+/** INCREMENTALLY MAINTAINED train/eval DECONTAMINATION — the two-sided
+  * sibling of [[DedupIndexView]]: the batch operator (`q_decontaminate`,
+  * flag corpus docs sharing any n-gram with a benchmark set) kept
+  * current over TWO changelogs at once, the training corpus AND the
+  * benchmark registry. Both sides churn in production: crawls rewrite
+  * docs, new eval suites are released, old ones retire — and each
+  * lifecycle must move the contamination set without rescanning the
+  * corpus:
+  *
+  *   - a DOC change re-derives only that doc's grams and re-probes them
+  *     against the live benchmark gram set (|Δdoc|-bounded);
+  *   - a BENCHMARK change (the "new eval released" case) probes only
+  *     the TOUCHED grams — the changed entries' old ∪ new grams —
+  *     against the maintained inverted gram index, so unchanged docs
+  *     gain or lose flags through an index lookup, never a corpus scan;
+  *   - retiring an eval retracts its flags the same way, EXACTLY: a
+  *     gram stays contaminating while ANY live benchmark entry still
+  *     carries it, which the (b_id, gram) state decides locally.
+  *
+  * The contamination state is regenerated per TOUCHED GRAM wholesale —
+  * the same provenance discipline as [[DedupIndexView]]'s touched
+  * buckets (gram = bucket): carried rows are unchanged docs × untouched
+  * grams, fresh rows are changed docs × the live bench gram set plus
+  * unchanged docs × touched-and-live grams — three disjoint slices
+  * whose union equals the from-scratch semi-join after every batch.
+  *
+  * Scale shape: the doc-side gram index is corpus-sized but is only
+  * ever SCANNED against broadcast/salted key frames, never shuffled;
+  * every gram-keyed join routes through [[MultiView.FkJoin]], so the
+  * over-cap distributed fallback salts on the (id, gram) row key — a
+  * stop-phrase gram shared by half the corpus cannot land on one
+  * reducer of the AQE-off replay loop. This instantiation stores
+  * LITERAL gram strings (what keeps the face oracle-exact against
+  * DuckDB); at 100 TB the one-line swap is a hashed `gramsOf`
+  * (`xxhash64(gram)`), which shrinks the index ~10× and changes
+  * nothing in the algebra. */
+object DecontamView {
+
+  /** The maintained state: `docGrams` is the inverted gram index of the
+    * live corpus (one (id, gram) row per DISTINCT gram per doc),
+    * `benchGrams` the same over the live benchmark registry, `contam`
+    * the contamination set — exactly the docGrams rows whose gram
+    * appears in ≥ 1 live benchmark entry. `contam` is what makes serve
+    * O(|contamination|): without it the face would re-scan the corpus
+    * index per read. */
+  final case class DecontamState(docGrams: DataFrame, benchGrams: DataFrame,
+                                 contam: DataFrame)
+
+  /** The decontamination view as a [[MultiView.Maintainer]] — registers
+    * on a two-topic shared replay (L = the corpus table, R = the
+    * benchmark table; the replay's `lJoinCols` fk surface is unused —
+    * this view joins the sides by GRAM, not by key — so callers pass
+    * the L pk there). `docText`/`benchText` are tokenized into word
+    * `nGram`-shingles ([[Dedup.shingles]] — short texts fall back to a
+    * single whole-string gram on both engines). */
+  def maintainer(docText: String, benchText: String, nGram: Int = 5)
+      : MultiView.Maintainer[DecontamState] =
+    grammed(
+      (live, id) => live.select(col(id),
+        explode(array_distinct(Dedup.shingles(col(docText), nGram)))
+          .as("gram")),
+      (live, id) => live.select(col(id),
+        explode(array_distinct(Dedup.shingles(col(benchText), nGram)))
+          .as("gram")))
+
+  /** The shared skeleton, gram derivation abstracted: `gramsL`/`gramsR`
+    * turn live rows into (pk, gram) rows — literal shingles here, a
+    * hashed or normalized variant at scale. */
+  def grammed(gramsL: (DataFrame, String) => DataFrame,
+              gramsR: (DataFrame, String) => DataFrame)
+      : MultiView.Maintainer[DecontamState] =
+    new MultiView.Maintainer[DecontamState] {
+
+      def empty(liveL0: DataFrame, liveR0: DataFrame,
+                lPk: Seq[String], rPk: Seq[String],
+                lJoinCols: Seq[String]): DecontamState = {
+        require(lPk.size == 1 && rPk.size == 1,
+          s"decontam view requires single-column pks, got $lPk / $rPk")
+        val spark = liveL0.sparkSession
+        def emptyDf(df: DataFrame) = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+        val dg = emptyDf(gramsL(liveL0, lPk.head))
+        DecontamState(dg, emptyDf(gramsR(liveR0, rPk.head)), dg)
+      }
+
+      def step(st: DecontamState, ctx: MultiView.BatchCtx): DecontamState = {
+        val dId = ctx.lPk.head
+        val bId = ctx.rPk.head
+        // salted-over-cap gram joins: rows of an (id, gram) frame are
+        // unique per (id, gram), so that pair is the salt key
+        def byGram(rowKey: String) =
+          MultiView.FkJoin(Seq(rowKey, "gram"), Seq("gram"), Seq("gram"))
+        // |Δ|-bounded gram derivations, PINNED — the expensive per-batch
+        // work (tokenize + shingle the changed rows) runs once per batch,
+        // not once per consuming subtree
+        val changedDocGrams = gramsL(
+          ctx.liveL.join(ctx.hinted(ctx.changedL, ctx.lLocal),
+                         Seq(dId), "left_semi"), dId)
+          .localCheckpoint(false)
+        val changedBenchGrams = gramsR(
+          ctx.liveR.join(ctx.hinted(ctx.changedR, ctx.rLocal),
+                         Seq(bId), "left_semi"), bId)
+          .localCheckpoint(false)
+        // patch both indexes: drop changed ids' old grams (deleted rows
+        // contribute none), append the re-derived ones — pk-keyed anti
+        // joins against the pinned state scans, the index never shuffles
+        val docGrams1 = st.docGrams
+          .join(ctx.hinted(ctx.changedL, ctx.lLocal), Seq(dId), "left_anti")
+          .unionByName(changedDocGrams)
+        val benchGrams1 = st.benchGrams
+          .join(ctx.hinted(ctx.changedR, ctx.rLocal), Seq(bId), "left_anti")
+          .unionByName(changedBenchGrams)
+        // TOUCHED grams — the changed bench entries' old ∪ new grams:
+        // the only grams whose is-contaminating status can have moved
+        val touched = st.benchGrams
+          .join(ctx.hinted(ctx.changedR, ctx.rLocal), Seq(bId), "left_semi")
+          .select(col("gram"))
+          .unionByName(changedBenchGrams.select(col("gram")))
+          .distinct()
+          .localCheckpoint(false)
+        // of those, the ones still carried by ≥ 1 live bench entry
+        val touchedLive = byGram(bId)
+          .filterByRKeys(benchGrams1, touched, ctx.rLocal, "left_semi")
+          .select(col("gram")).distinct()
+          .localCheckpoint(false)
+        // carried: unchanged docs × untouched grams — their doc grams
+        // and the grams' bench membership are both unchanged
+        val carried = byGram(dId).filterByRKeys(
+          st.contam.join(ctx.hinted(ctx.changedL, ctx.lLocal),
+                         Seq(dId), "left_anti"),
+          touched, ctx.rLocal, "left_anti")
+        // changed docs re-probe against the FULL live bench gram set —
+        // never broadcast by contract (state-sized, not Δ-bounded), so
+        // always the salted path: the small side replicates across the
+        // salt buckets and a hot gram in the delta spreads
+        val freshDoc = byGram(dId).filterByRKeys(
+          changedDocGrams, benchGrams1.select(col("gram")).distinct(),
+          rIsLocal = false, "left_semi")
+        // unchanged docs × touched-and-live grams: the INDEX PROBE — the
+        // path that flags/unflags docs no batch event mentioned
+        val freshGram = byGram(dId)
+          .filterByRKeys(docGrams1, touchedLive, ctx.rLocal, "left_semi")
+          .join(ctx.hinted(ctx.changedL, ctx.lLocal), Seq(dId), "left_anti")
+        DecontamState(docGrams1, benchGrams1,
+          carried.unionByName(freshDoc).unionByName(freshGram))
+      }
+
+      def pin(st: DecontamState): DecontamState =
+        DecontamState(st.docGrams.localCheckpoint(false),
+                      st.benchGrams.localCheckpoint(false),
+                      st.contam.localCheckpoint(false))
+
+      def reRoot(st: DecontamState, to: SparkSession): DecontamState = {
+        val bb = org.apache.spark.sql.graft.bridge
+        DecontamState(bb.reRoot(st.docGrams, to),
+                      bb.reRoot(st.benchGrams, to),
+                      bb.reRoot(st.contam, to))
+      }
+    }
+
+  /** The contamination face: per live doc, how many of its distinct
+    * grams appear anywhere in the live benchmark registry (union-set
+    * semantics — a gram in two suites counts once, matching the batch
+    * operator). Docs with no overlap are absent. `idCol` is the corpus
+    * pk column carried through the state. */
+  def contaminated(st: DecontamState, idCol: String): DataFrame =
+    st.contam.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+}

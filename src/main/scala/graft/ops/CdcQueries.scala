@@ -111,6 +111,23 @@ object CdcQueries {
     val tokenFreq = TokenFreqView.maintainer("text")
     private val docsCache =
       new BoundedPinnedCache[TableViews.Result]()(_.release())
+    // TWO-TOPIC decontamination replay: the corpus changelog × the
+    // benchmark-registry changelog (graft.dedup.DecontamView — the
+    // contamination set maintained from both sides' deltas; lJoinCols
+    // is MultiView's unused fk surface here, the view joins by gram)
+    val decontam = graft.dedup.DecontamView.maintainer("text", "text")
+    private val decontamCache =
+      new BoundedPinnedCache[MultiView.Result]()(_.release())
+    def decontamResult(s: SparkSession, dir: String): MultiView.Result =
+      decontamCache.get(s, dir) {
+        MultiView.replay(
+          ChangelogGen.documentsChangeEvents(s, dir),
+          ChangelogGen.benchChangeEvents(s, dir),
+          cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
+          lPk = Seq("doc_id"), rPk = Seq("b_id"),
+          lJoinCols = Seq("doc_id"),
+          maintainers = Seq(decontam))
+      }
     // shared EMBEDDINGS-TOPIC fan-out: one replay of the vector-corpus
     // changelog maintains the live embedding state and the incremental
     // IVF assignment index (graft.similarity.AnnIndexView). The coarse
@@ -652,6 +669,19 @@ object CdcQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // MAINTAINED DECONTAMINATION over TWO topics: which live corpus docs
+    // share a 5-gram with the live benchmark registry, kept current from
+    // both changelogs' deltas alone (DecontamView). The replay's middle
+    // batch is the flagship production scenario — a NEW EVAL RELEASE
+    // (suite_b inserts) flags docs no corpus event touched, through the
+    // maintained inverted gram index; the final batch retires evals
+    // (b_id % 4 == 0 deletes), which must RETRACT flags exactly — a gram
+    // stays contaminating while any live suite still carries it.
+    "cdc_decontam" -> ((s, dir) =>
+      graft.dedup.DecontamView.contaminated(
+          SharedJoin.decontamResult(s, dir)(SharedJoin.decontam), "doc_id")
+        .orderBy(col("doc_id"))),
+
     // CORPUS-HEALTH DASHBOARD over CDC: per-language live doc counts and
     // size moments (count/sum/avg of n_chars) maintained from the
     // documents changelog's deltas alone — the curation dashboard a
@@ -877,6 +907,16 @@ object CdcQueries {
   /** Snapshot cut times (epoch seconds, UTC): 1995-01-01 and 1997-01-01 —
     * inside the orders date range at every sf, so all three diff classes
     * (added / removed / changed) are populated. */
+  // shared DuckDB fragments for the token/shingle oracles (the
+  // PipelineQueries fragments, mirrored for the CDC oracle map)
+  private val toksSql =
+    "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+  private def shingleSql(toksExpr: String): String =
+    s"""CASE WHEN len($toksExpr) < 5 THEN [array_to_string($toksExpr, ' ')]
+       |     ELSE list_transform(generate_series(1, len($toksExpr) - 4),
+       |            i -> array_to_string(($toksExpr)[i:i+4], ' ')) END"""
+      .stripMargin
+
   private val SnapT1 = 788918400L
   private val SnapT2 = 852076800L
 
@@ -898,6 +938,46 @@ object CdcQueries {
         |  min(doc_id) AS rep_id
         |FROM dstate GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY fp""".stripMargin,
+    // live corpus (docs changelog closed form) × live benchmark registry
+    // (bench changelog closed form: suite_a = first-12-token excerpts of
+    // doc_id%17==0 donors with b_id%5==3 revised to the successor's,
+    // suite_b = tokens 5..16 of doc_id=23j+5 donors, b_id%4==0 retired);
+    // contamination = distinct 5-gram overlap per doc, union-set
+    // semantics — the q_decontaminate oracle shape over both live states
+    "cdc_decontam" ->
+      s"""WITH dstate AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 0 THEN coalesce(d2.text, d.text)
+        |         ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <> 0),
+        |base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |b1 AS (
+        |  SELECT d.doc_id // 17 AS b_id,
+        |    CASE WHEN (d.doc_id // 17) % 5 = 3
+        |         THEN coalesce(n.toks, d.toks) ELSE d.toks END AS toks
+        |  FROM base d LEFT JOIN base n ON n.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 17 = 0),
+        |bstate AS (
+        |  SELECT b_id, array_to_string(toks[1:12], ' ') AS text FROM b1
+        |  WHERE b_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT 100000 + ((doc_id - 5) // 23) AS b_id,
+        |         array_to_string(toks[5:16], ' ') AS text
+        |  FROM base
+        |  WHERE doc_id >= 5 AND (doc_id - 5) % 23 = 0
+        |    AND (100000 + ((doc_id - 5) // 23)) % 4 <> 0),
+        |bgrams AS (
+        |  SELECT DISTINCT unnest(${shingleSql(toksSql)}) AS gram
+        |  FROM bstate),
+        |cg AS (
+        |  SELECT doc_id, unnest(list_distinct(${shingleSql(toksSql)}))
+        |    AS gram
+        |  FROM dstate)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM cg JOIN bgrams USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "cdc_corpus_stats" ->
       """WITH dstate AS (
         |  SELECT d.doc_id, d.lang,
