@@ -922,6 +922,23 @@ object CdcStream {
         st => Map("state" -> st._1, "ranked" -> st._2),
         m => (m("state"), m("ranked")),
         st => st._2, Seq(groupCol, "rk"))
+    /** Maintained two-sided decontamination
+      * ([[graft.dedup.DecontamView]]): L = the corpus table, R = the
+      * benchmark registry; the face is per-doc contamination counts,
+      * changelog keyed by the doc id. The view joins the sides by GRAM
+      * — pass the L pk as the runner's (unused) `lJoinCols`. */
+    def decontam(name: String, idCol: String, docText: String,
+                 benchText: String, nGram: Int = 5)
+        : NamedView[graft.dedup.DecontamView.DecontamState] =
+      NamedView(name,
+        graft.dedup.DecontamView.maintainer(docText, benchText, nGram),
+        Seq("doc_grams", "bench_grams", "contam"),
+        st => Map("doc_grams" -> st.docGrams,
+                  "bench_grams" -> st.benchGrams, "contam" -> st.contam),
+        m => graft.dedup.DecontamView.DecontamState(
+          m("doc_grams"), m("bench_grams"), m("contam")),
+        st => graft.dedup.DecontamView.contaminated(st, idCol),
+        Seq(idCol))
   }
 
   /** Maintain N views of `L ⋈ R` from ONE two-topic changelog stream —

@@ -637,6 +637,62 @@ class StreamingSpec extends SparkSpec {
     assert(rev() == Set(("a", 1L, 5.0), ("b", 2L, 9.5)))
   }
 
+  test("streaming decontam: release flags an untouched doc across a restart, retire retracts") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("dclog")
+    val root = tmpDir("dcstate")
+    val ckpt = tmpDir("dcckpt")
+    val dSpec = TableSpec("d", "doc", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType))))
+    val bSpec = TableSpec("d", "bench", Seq("bid"), StructType(Seq(
+      StructField("bid", LongType), StructField("text", StringType))))
+    val G1 = "quick brown fox jumps over"
+    val G2 = "box with five dozen liquor"
+    def doc(op: String, ts: Long, id: Long, text: String) =
+      s"""{"database":"d","table":"doc","type":"$op","ts":$ts,"data":{"id":$id,"text":"$text"}}"""
+    def bench(op: String, ts: Long, bid: Long, text: String) =
+      s"""{"database":"d","table":"bench","type":"$op","ts":$ts,"data":{"bid":$bid,"text":"$text"}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val views = Seq(
+      CdcStream.NamedView.decontam("contam", "id", "text", "text"))
+    def run(): Unit = CdcStream.maintainMultiViewToParquet(
+      CdcStream.fileChangelog(spark, logDir), dSpec, bSpec,
+      lJoinCols = Seq("id"), views, root, ckpt).awaitTermination()
+    def face(): Set[(Long, Long)] =
+      CdcStream.readMultiView(spark, root, "contam").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_hits"))).toSet
+    // batch 1: two docs + suite 1 -> doc 1 flagged
+    append("b1.json", Seq(
+      doc("insert", 1, 1, s"the $G1 the lazy dog"),
+      doc("insert", 1, 2, s"pack my $G2 jugs today"),
+      bench("insert", 2, 1, G1)))
+    run()
+    assert(face() == Set((1L, 1L)))
+    // batch 2 (restart, BENCH-ONLY): the new release must flag doc 2
+    // through the PERSISTED gram index — no doc event in the batch
+    append("b2.json", Seq(bench("insert", 4, 2, G2)))
+    run()
+    assert(face() == Set((1L, 1L), (2L, 1L)))
+    // batch 3: suite 1 retires (doc 1 unflags), doc 3 arrives dirty
+    append("b3.json", Seq(
+      bench("delete", 6, 1, G1),
+      doc("insert", 7, 3, s"extra $G2 jugs appended here")))
+    run()
+    assert(face() == Set((2L, 1L), (3L, 1L)))
+    // the face's own changelog folds back to the face (cascade-ready)
+    val folded = CdcStream.viewAsOfBatch(spark, s"$root/contam", Long.MaxValue)
+    assert(folded.collect().map(_.toString).toSet ==
+             CdcStream.readMultiView(spark, root, "contam")
+               .collect().map(_.toString).toSet,
+      "changelog fold != face")
+    // re-run with nothing new: the applied marker makes it a no-op
+    run()
+    assert(face() == Set((2L, 1L), (3L, 1L)))
+  }
+
   test("streaming snowflake: 3-topic chain advances atomically, deep deletes propagate") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
