@@ -46,6 +46,7 @@ object Bench {
     warm("documents events")(cdc.ChangelogGen.documentsChangeEvents(spark, sfDir).count())
     warm("embeddings events")(cdc.ChangelogGen.embeddingsChangeEvents(spark, sfDir).count())
     warm("events events")(cdc.ChangelogGen.eventsChangeEvents(spark, sfDir).count())
+    warm("benchmarks events")(cdc.ChangelogGen.benchChangeEvents(spark, sfDir).count())
     // bucketed-layout write is ingest-time work, not join time
     warm("bucketed layout")(ops.BucketedTables.ensure(spark, sfDir))
     // the SHARED multi-view replay behind every cdc_join_* query is
@@ -70,6 +71,8 @@ object Bench {
       ops.CdcQueries.queries("cdc_session_view")(spark, sfDir).count())
     warm("shared scd2 history")(
       ops.CdcQueries.queries("cdc_history")(spark, sfDir).count())
+    warm("shared decontam view")(
+      ops.CdcQueries.queries("cdc_decontam")(spark, sfDir).count())
     warm("kmeans quantizer")(ops.PipelineQueries.kmCentroids(spark, sfDir))
     val stateBuildSec = (System.nanoTime() - tStateBuild) / 1e9
     // the shared dedup corpus (one pinned tokenization + embedding

@@ -172,4 +172,21 @@ object DecontamView {
   def contaminated(st: DecontamState, idCol: String): DataFrame =
     st.contam.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
+
+  /** The SUITE-IMPACT face — "which eval is most compromised": per
+    * value of `suiteCol` (an attribute of the live benchmark table),
+    * how many live docs share ≥ 1 gram with that suite's entries.
+    * Serve-side derivation off the SAME maintained state: the
+    * contamination rows re-join the bench gram index by gram to
+    * recover provenance (a contam gram is live in the bench index by
+    * construction), so no extra state is maintained — and both join
+    * inputs are contamination-sized/bench-sized, never the corpus. */
+  def suiteImpact(st: DecontamState, liveBench: DataFrame, bIdCol: String,
+                  suiteCol: String, idCol: String): DataFrame =
+    st.contam
+      .join(st.benchGrams, Seq("gram"))
+      .join(liveBench.select(col(bIdCol), col(suiteCol)), Seq(bIdCol))
+      .select(col(suiteCol), col(idCol)).distinct()
+      .groupBy(col(suiteCol))
+      .agg(count(lit(1)).as("n_docs"))
 }

@@ -682,6 +682,19 @@ object CdcQueries {
           SharedJoin.decontamResult(s, dir)(SharedJoin.decontam), "doc_id")
         .orderBy(col("doc_id"))),
 
+    // SUITE-IMPACT off the same maintained state: per live eval suite,
+    // how many live docs it contaminates — the report a release manager
+    // reads when a new suite lands. Pure serve-side derivation (contam
+    // re-joins the bench gram index by gram for provenance); both join
+    // inputs are contamination-/bench-sized, never the corpus.
+    "cdc_decontam_suite" -> ((s, dir) => {
+      val r = SharedJoin.decontamResult(s, dir)
+      graft.dedup.DecontamView.suiteImpact(r(SharedJoin.decontam),
+          graft.cdc.Materializer.liveView(r.right), "b_id", "suite",
+          "doc_id")
+        .orderBy(col("suite"))
+    }),
+
     // CORPUS-HEALTH DASHBOARD over CDC: per-language live doc counts and
     // size moments (count/sum/avg of n_chars) maintained from the
     // documents changelog's deltas alone — the curation dashboard a
@@ -978,6 +991,47 @@ object CdcQueries {
         |SELECT doc_id, count(*) AS n_hits
         |FROM cg JOIN bgrams USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same two live states, grams kept with (b_id, suite) provenance;
+    // a doc counts once per suite however many grams/entries it shares
+    "cdc_decontam_suite" ->
+      s"""WITH dstate AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 0 THEN coalesce(d2.text, d.text)
+        |         ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <> 0),
+        |base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |b1 AS (
+        |  SELECT d.doc_id // 17 AS b_id,
+        |    CASE WHEN (d.doc_id // 17) % 5 = 3
+        |         THEN coalesce(n.toks, d.toks) ELSE d.toks END AS toks
+        |  FROM base d LEFT JOIN base n ON n.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 17 = 0),
+        |bstate AS (
+        |  SELECT b_id, 'suite_a' AS suite,
+        |         array_to_string(toks[1:12], ' ') AS text
+        |  FROM b1 WHERE b_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT 100000 + ((doc_id - 5) // 23) AS b_id,
+        |         'suite_b' AS suite,
+        |         array_to_string(toks[5:16], ' ') AS text
+        |  FROM base
+        |  WHERE doc_id >= 5 AND (doc_id - 5) % 23 = 0
+        |    AND (100000 + ((doc_id - 5) // 23)) % 4 <> 0),
+        |bg AS (
+        |  SELECT suite, unnest(list_distinct(${shingleSql(toksSql)}))
+        |    AS gram
+        |  FROM bstate),
+        |cg AS (
+        |  SELECT doc_id, unnest(list_distinct(${shingleSql(toksSql)}))
+        |    AS gram
+        |  FROM dstate),
+        |hits AS (
+        |  SELECT DISTINCT b.suite, c.doc_id
+        |  FROM cg c JOIN bg b USING (gram))
+        |SELECT suite, count(*) AS n_docs
+        |FROM hits GROUP BY suite ORDER BY suite""".stripMargin,
     "cdc_corpus_stats" ->
       """WITH dstate AS (
         |  SELECT d.doc_id, d.lang,

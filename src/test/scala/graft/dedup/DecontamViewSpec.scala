@@ -69,6 +69,8 @@ class DecontamViewSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  private var lastState: DecontamView.DecontamState = _
+
   private def replayed(dl: DataFrame, bl: DataFrame, cs: Seq[Long],
                        maxLocalKeys: Int = 100000)
       : (MultiView.Result, Set[(Long, Long)]) = {
@@ -76,6 +78,7 @@ class DecontamViewSpec extends SparkSpec {
     val res = MultiView.replay(dl, bl, cs,
       lPk = Seq("doc_id"), rPk = Seq("b_id"), lJoinCols = Seq("doc_id"),
       maintainers = Seq(m), maxLocalKeys = maxLocalKeys)
+    lastState = res(m)
     (res, DecontamView.contaminated(res(m), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
@@ -143,5 +146,19 @@ class DecontamViewSpec extends SparkSpec {
       .filter(d => live.contains(d) && d % 7 != 0)
     assert(expectedDonor.forall(d => face.exists(_._1 == d)),
       "an unchanged live suite_a donor doc is not flagged")
+    // suite-impact face == direct per-suite recompute off the same states
+    val liveBench = Materializer.liveView(res.right)
+    val si = DecontamView.suiteImpact(lastState, liveBench,
+        "b_id", "suite", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val directSuite = grams(Materializer.liveView(res.left), "doc_id")
+      .join(grams(liveBench, "b_id"), "gram")
+      .join(liveBench.select(col("b_id"), col("suite")), Seq("b_id"))
+      .select(col("suite"), col("doc_id")).distinct()
+      .groupBy(col("suite")).agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(si == directSuite, "suite impact != direct recompute")
+    assert(si.map(_._1) == Set("suite_a", "suite_b"),
+      "both suites should contaminate something at this sf")
   }
 }
