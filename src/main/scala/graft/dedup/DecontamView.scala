@@ -92,6 +92,14 @@ object DecontamView {
       def step(st: DecontamState, ctx: MultiView.BatchCtx): DecontamState = {
         val dId = ctx.lPk.head
         val bId = ctx.rPk.head
+        // empty-side SHORT-CIRCUITS (free driver checks on the capped
+        // local key sets): a bench-only batch — the "new eval released"
+        // shape — must not patch or re-scan the corpus-side state at
+        // all, and a doc-only batch must skip the touched-gram
+        // machinery; each side's plan is built only when its delta is
+        // (possibly) non-empty
+        val lEmpty = ctx.lLocal && ctx.changedL.isEmpty
+        val rEmpty = ctx.rLocal && ctx.changedR.isEmpty
         // salted-over-cap gram joins: rows of an (id, gram) frame are
         // unique per (id, gram), so that pair is the salt key
         def byGram(rowKey: String) =
@@ -110,45 +118,74 @@ object DecontamView {
         // patch both indexes: drop changed ids' old grams (deleted rows
         // contribute none), append the re-derived ones — pk-keyed anti
         // joins against the pinned state scans, the index never shuffles
-        val docGrams1 = st.docGrams
-          .join(ctx.hinted(ctx.changedL, ctx.lLocal), Seq(dId), "left_anti")
-          .unionByName(changedDocGrams)
-        val benchGrams1 = st.benchGrams
-          .join(ctx.hinted(ctx.changedR, ctx.rLocal), Seq(bId), "left_anti")
-          .unionByName(changedBenchGrams)
-        // TOUCHED grams — the changed bench entries' old ∪ new grams:
-        // the only grams whose is-contaminating status can have moved
-        val touched = st.benchGrams
-          .join(ctx.hinted(ctx.changedR, ctx.rLocal), Seq(bId), "left_semi")
-          .select(col("gram"))
-          .unionByName(changedBenchGrams.select(col("gram")))
-          .distinct()
-          .localCheckpoint(false)
-        // of those, the ones still carried by ≥ 1 live bench entry
-        val touchedLive = byGram(bId)
-          .filterByRKeys(benchGrams1, touched, ctx.rLocal, "left_semi")
-          .select(col("gram")).distinct()
-          .localCheckpoint(false)
-        // carried: unchanged docs × untouched grams — their doc grams
-        // and the grams' bench membership are both unchanged
-        val carried = byGram(dId).filterByRKeys(
-          st.contam.join(ctx.hinted(ctx.changedL, ctx.lLocal),
-                         Seq(dId), "left_anti"),
-          touched, ctx.rLocal, "left_anti")
-        // changed docs re-probe against the FULL live bench gram set —
-        // never broadcast by contract (state-sized, not Δ-bounded), so
-        // always the salted path: the small side replicates across the
-        // salt buckets and a hot gram in the delta spreads
-        val freshDoc = byGram(dId).filterByRKeys(
-          changedDocGrams, benchGrams1.select(col("gram")).distinct(),
-          rIsLocal = false, "left_semi")
-        // unchanged docs × touched-and-live grams: the INDEX PROBE — the
-        // path that flags/unflags docs no batch event mentioned
-        val freshGram = byGram(dId)
-          .filterByRKeys(docGrams1, touchedLive, ctx.rLocal, "left_semi")
-          .join(ctx.hinted(ctx.changedL, ctx.lLocal), Seq(dId), "left_anti")
-        DecontamState(docGrams1, benchGrams1,
-          carried.unionByName(freshDoc).unionByName(freshGram))
+        val docGrams1 =
+          if (lEmpty) st.docGrams
+          else st.docGrams
+            .join(ctx.hinted(ctx.changedL, ctx.lLocal), Seq(dId),
+                  "left_anti")
+            .unionByName(changedDocGrams)
+        val benchGrams1 =
+          if (rEmpty) st.benchGrams
+          else st.benchGrams
+            .join(ctx.hinted(ctx.changedR, ctx.rLocal), Seq(bId),
+                  "left_anti")
+            .unionByName(changedBenchGrams)
+        // carried rows start from the unchanged docs' contamination
+        val carried0 =
+          if (lEmpty) st.contam
+          else st.contam.join(ctx.hinted(ctx.changedL, ctx.lLocal),
+                              Seq(dId), "left_anti")
+        val contam1 =
+          if (rEmpty) {
+            // no bench movement: contamination can only change for the
+            // changed docs, re-probed against the (unchanged) live
+            // bench gram set. The gram set is state-sized, never
+            // broadcast by contract, so the semi is always SALTED —
+            // the small side replicates across the salt buckets and a
+            // hot gram in the delta spreads.
+            if (lEmpty) st.contam
+            else carried0.unionByName(byGram(dId).filterByRKeys(
+              changedDocGrams,
+              benchGrams1.select(col("gram")).distinct(),
+              rIsLocal = false, "left_semi"))
+          } else {
+            // TOUCHED grams — the changed bench entries' old ∪ new
+            // grams: the only grams whose is-contaminating status can
+            // have moved
+            val touched = st.benchGrams
+              .join(ctx.hinted(ctx.changedR, ctx.rLocal), Seq(bId),
+                    "left_semi")
+              .select(col("gram"))
+              .unionByName(changedBenchGrams.select(col("gram")))
+              .distinct()
+              .localCheckpoint(false)
+            // of those, the ones still carried by ≥ 1 live bench entry
+            val touchedLive = byGram(bId)
+              .filterByRKeys(benchGrams1, touched, ctx.rLocal,
+                             "left_semi")
+              .select(col("gram")).distinct()
+              .localCheckpoint(false)
+            // carried: unchanged docs × untouched grams — their doc
+            // grams and the grams' bench membership are both unchanged
+            val carried = byGram(dId).filterByRKeys(
+              carried0, touched, ctx.rLocal, "left_anti")
+            // unchanged docs × touched-and-live grams: the INDEX PROBE
+            // — the path that flags/unflags docs no batch event
+            // mentioned
+            val freshGram = byGram(dId)
+              .filterByRKeys(docGrams1, touchedLive, ctx.rLocal,
+                             "left_semi")
+              .join(ctx.hinted(ctx.changedL, ctx.lLocal), Seq(dId),
+                    "left_anti")
+            if (lEmpty) carried.unionByName(freshGram)
+            else carried
+              .unionByName(byGram(dId).filterByRKeys(
+                changedDocGrams,
+                benchGrams1.select(col("gram")).distinct(),
+                rIsLocal = false, "left_semi"))
+              .unionByName(freshGram)
+          }
+        DecontamState(docGrams1, benchGrams1, contam1)
       }
 
       def pin(st: DecontamState): DecontamState =
