@@ -109,6 +109,15 @@ object CdcQueries {
     // the UDTF-shaped maintained view: per-token live occurrence counts
     // from exploded ±1 deltas (TokenFreqView)
     val tokenFreq = TokenFreqView.maintainer("text")
+    // maintained QUALITY FUNNEL: the filter cascade's deepest-stage-
+    // passed is a scan-side derived column (TextAnalysis.qualityStage),
+    // so per-stage live doc counts ride the existing moments maintainer
+    // — the funnel stays exact under deletes
+    val qualityStages = TableViews.mapDelta(
+      IncrementalAgg.momentsMaintainer("q_stage", "n_chars",
+                                       _.cast("decimal(18,4)")))(
+      TableViews.withDerived("text", "q_stage")(
+        graft.text.TextAnalysis.qualityStage))
     private val docsCache =
       new BoundedPinnedCache[TableViews.Result]()(_.release())
     // TWO-TOPIC decontamination replay: the corpus changelog × the
@@ -180,7 +189,7 @@ object CdcQueries {
           cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
           pk = Seq("doc_id"),
           maintainers = Seq(fpGroups, dedupIdx, langMoments, tokMoments,
-                            tokenFreq))
+                            tokenFreq, qualityStages))
       }
     def eventsResult(s: SparkSession, dir: String): TableViews.Result =
       eventsCache.get(s, dir) {
@@ -722,6 +731,55 @@ object CdcQueries {
                   .as("avg_tokens"))
         .orderBy(col("source"))),
 
+    // MAINTAINED MIXTURE WEIGHTS: temperature-weighted (α = 0.5) source
+    // sampling weights served off the SAME maintained token-budget
+    // moments — the data-mixture recipe stays current as the corpus
+    // churns, with no new state: weight_s = √tokens_s / Σ√tokens. The
+    // serve aggregates a |sources|-row frame; the broadcast total is the
+    // only cross-row step.
+    "cdc_mix_weights" -> ((s, dir) => {
+      val mv = graft.cdc.IncrementalAgg.momentsView(
+          SharedJoin.docsResult(s, dir)(SharedJoin.tokMoments))
+        .select(col("source"), col("n_rows").as("n_docs"),
+                col("sum_n_tokens").cast("double").as("toks"))
+      val tot = mv.agg(sum(col("toks")).as("__tot"),
+                       sum(sqrt(col("toks"))).as("__zsum"))
+      mv.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+                col("toks").cast("long").as("sum_tokens"),
+                round(col("toks") / col("__tot"), 6).as("share"),
+                round(sqrt(col("toks")) / col("__zsum"), 6).as("weight"))
+        .orderBy(col("source"))
+    }),
+
+    // MAINTAINED QUALITY FUNNEL: q_filter_funnel's per-stage attrition
+    // over the LIVE corpus, served off maintained per-stage counts — the
+    // cascade's deepest-stage-passed is a scan-side derived column, so
+    // the funnel is a 5-row aggregate at serve and stays exact as docs
+    // arrive, are rewritten across stages, and die.
+    "cdc_quality_funnel" -> ((s, dir) =>
+      graft.cdc.IncrementalAgg.momentsView(
+          SharedJoin.docsResult(s, dir)(SharedJoin.qualityStages))
+        .agg(
+          sum(col("n_rows")).as("n0"),
+          sum(when(col("q_stage") >= 1, col("n_rows")).otherwise(0L))
+            .as("n1"),
+          sum(when(col("q_stage") >= 2, col("n_rows")).otherwise(0L))
+            .as("n2"),
+          sum(when(col("q_stage") >= 3, col("n_rows")).otherwise(0L))
+            .as("n3"),
+          sum(when(col("q_stage") >= 4, col("n_rows")).otherwise(0L))
+            .as("n4"))
+        .selectExpr(
+          """stack(4,
+             1, 'min_tokens',    n0, n1,
+             2, 'avg_tok_len',   n1, n2,
+             3, 'max_tok_ratio', n2, n3,
+             4, 'stopword',      n3, n4) AS (stage, rule, n_in, n_out)""")
+        .select(col("stage"), col("rule"), col("n_in"),
+                (col("n_in") - col("n_out")).as("n_dropped"), col("n_out"))
+        .orderBy(col("stage"))),
+
     // MAINTAINED TOKEN FREQUENCIES: the UDTF-shaped view — each change
     // event explodes into per-token-occurrence deltas, map-side collapsed
     // before the shuffle; the vocabulary-bounded (token, n) state is
@@ -1061,6 +1119,66 @@ object CdcQueries {
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens
         |FROM toks GROUP BY source ORDER BY source""".stripMargin,
+    "cdc_mix_weights" ->
+      """WITH dstate AS (
+        |  SELECT d.doc_id, d.source,
+        |    CASE WHEN d.doc_id % 7 = 0 THEN coalesce(d2.text, d.text)
+        |         ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <> 0),
+        |toks AS (
+        |  SELECT source,
+        |    len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+        |        ' ')) AS n_tokens
+        |  FROM dstate),
+        |agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS DOUBLE) AS t
+        |  FROM toks GROUP BY source),
+        |tot AS (SELECT sum(t) AS tt, sum(sqrt(t)) AS zz FROM agg)
+        |SELECT source, n_docs, CAST(t AS BIGINT) AS sum_tokens,
+        |  round(t / tt, 6) AS share, round(sqrt(t) / zz, 6) AS weight
+        |FROM agg, tot ORDER BY source""".stripMargin,
+    "cdc_quality_funnel" ->
+      s"""WITH dstate AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 0 THEN coalesce(d2.text, d.text)
+        |         ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <> 0),
+        |tokc AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM dstate)
+        |  GROUP BY doc_id, tok),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok
+        |  FROM tokc GROUP BY doc_id),
+        |flags AS (
+        |  SELECT
+        |    (n_tok >= 30) AS b1,
+        |    (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+        |       / n_tok BETWEEN 2.0 AND 10.0) AS b2,
+        |    (top_c * 5 <= n_tok) AS b3,
+        |    (list_contains($toksSql, 'the')
+        |       OR list_contains($toksSql, 'a')) AS b4
+        |  FROM dstate JOIN top USING (doc_id)),
+        |agg AS (
+        |  SELECT count(*) AS n0,
+        |    count(*) FILTER (WHERE b1) AS n1,
+        |    count(*) FILTER (WHERE b1 AND b2) AS n2,
+        |    count(*) FILTER (WHERE b1 AND b2 AND b3) AS n3,
+        |    count(*) FILTER (WHERE b1 AND b2 AND b3 AND b4) AS n4
+        |  FROM flags)
+        |SELECT stage, rule, n_in, n_in - n_out AS n_dropped, n_out
+        |FROM (
+        |  SELECT 1 AS stage, 'min_tokens' AS rule, n0 AS n_in, n1 AS n_out
+        |  FROM agg
+        |  UNION ALL SELECT 2, 'avg_tok_len', n1, n2 FROM agg
+        |  UNION ALL SELECT 3, 'max_tok_ratio', n2, n3 FROM agg
+        |  UNION ALL SELECT 4, 'stopword', n3, n4 FROM agg)
+        |ORDER BY stage""".stripMargin,
     "cdc_token_freq" ->
       """WITH dstate AS (
         |  SELECT d.doc_id,

@@ -31,6 +31,28 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeIshPattern), lit(0)))
 
+  /** The C4/Gopher-style quality-filter cascade (q_filter_funnel's
+    * rules) collapsed to ONE scan-side expression: the deepest stage a
+    * doc passes — 0 (< 30 tokens), 1 (mean token length outside
+    * [2,10]), 2 (top-token ratio > 20%), 3 (no stopword), 4 (passes
+    * all). The batch funnel's rule-3 shuffle (per-(doc, tok) counts)
+    * becomes an O(k²) array fold over the token array — at ~50 tokens
+    * per doc that is cheap scan work, and it is what makes the stage a
+    * DERIVABLE column the IVM machinery can maintain exactly under
+    * deletes ([[graft.cdc.TableViews.withDerived]]). */
+  def qualityStage(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val b1 = nTok >= 30
+    val b2 = (length(regexp_replace(text, "\\s+", "")).cast("double") /
+                nTok).between(2.0, 10.0)
+    val topC = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    val b3 = topC * 5 <= nTok
+    val b4 = array_contains(toks, "the") || array_contains(toks, "a")
+    when(!b1, 0).when(!b2, 1).when(!b3, 2).when(!b4, 3).otherwise(4)
+  }
+
   /** Marker-word sets for the n-gram-free language-ID heuristic. Real
     * pipelines use fastText/CLD3; the heuristic is the point here — it is
     * a pure scan-side expression. */
