@@ -109,6 +109,11 @@ object CdcQueries {
     // the UDTF-shaped maintained view: per-token live occurrence counts
     // from exploded ±1 deltas (TokenFreqView)
     val tokenFreq = TokenFreqView.maintainer("text")
+    // the BIGRAM modality of the token-frequency maintainer — the
+    // vocabulary-bounded count table behind the maintained language
+    // model (cdc_bigram_freq / cdc_lm_score)
+    val bigramFreq = TokenFreqView.maintainer("text",
+      t => graft.text.TextAnalysis.bigrams(graft.text.TextAnalysis.tokens(t)))
     // maintained QUALITY FUNNEL: the filter cascade's deepest-stage-
     // passed is a scan-side derived column (TextAnalysis.qualityStage),
     // so per-stage live doc counts ride the existing moments maintainer
@@ -189,7 +194,7 @@ object CdcQueries {
           cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
           pk = Seq("doc_id"),
           maintainers = Seq(fpGroups, dedupIdx, langMoments, tokMoments,
-                            tokenFreq, qualityStages))
+                            tokenFreq, qualityStages, bigramFreq))
       }
     def eventsResult(s: SparkSession, dir: String): TableViews.Result =
       eventsCache.get(s, dir) {
@@ -792,6 +797,42 @@ object CdcQueries {
         .limit(50)
         .select(col("token"), col("n"))),
 
+    // MAINTAINED BIGRAM FREQUENCIES: the bigram modality of the
+    // UDTF-shaped token view — per-bigram live occurrence counts from
+    // exploded ±1 deltas, exact under deletes. The count table IS the
+    // corpus language model's sufficient statistic (see cdc_lm_score).
+    "cdc_bigram_freq" -> ((s, dir) =>
+      graft.cdc.TokenFreqView.view(
+          SharedJoin.docsResult(s, dir)(SharedJoin.bigramFreq))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+        .select(col("token").as("bigram"), col("n"))),
+
+    // MAINTAINED LANGUAGE-MODEL SCORING: fixed probe docs scored
+    // against the add-one-smoothed bigram LM of the LIVE corpus — the
+    // cdc_ann_topk shape for text quality: the probes are pinned, the
+    // model churns underneath them (quality-drift monitoring as crawls
+    // rewrite the corpus). The LM's sufficient statistics are the two
+    // maintained count tables (bigrams + unigrams); serve joins the
+    // tiny fixed probe term-frequencies against the vocabulary-bounded
+    // states — the corpus is never re-tokenized. Unlike the batch
+    // q_text_bigram_lm (probes ⊂ corpus by construction), probe
+    // bigrams can be ABSENT from the live corpus (their doc was
+    // rewritten or deleted), so the smoothing handles cnt=0/ctx=0.
+    "cdc_lm_score" -> ((s, dir) => {
+      val r = SharedJoin.docsResult(s, dir)
+      val t = graft.text.TextAnalysis.tokens(col("text"))
+      val probes = graft.Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"),
+                explode(graft.text.TextAnalysis.bigrams(t)).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+      graft.cdc.LmView.score(probes, "doc_id",
+          graft.cdc.TokenFreqView.view(r(SharedJoin.bigramFreq)),
+          graft.cdc.TokenFreqView.view(r(SharedJoin.tokenFreq)))
+        .orderBy(col("doc_id"))
+    }),
+
     // ANN over CDC: exact top-k cosine neighbors served off the LIVE
     // vector corpus maintained from the embeddings changelog — probes
     // are fixed original vectors, the corpus churns underneath them
@@ -1119,6 +1160,57 @@ object CdcQueries {
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens
         |FROM toks GROUP BY source ORDER BY source""".stripMargin,
+    "cdc_bigram_freq" ->
+      s"""WITH dstate AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 0 THEN coalesce(d2.text, d.text)
+        |         ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <> 0),
+        |toks AS (SELECT doc_id, $toksSql AS t FROM dstate),
+        |bg AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS bigram
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks))
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    "cdc_lm_score" ->
+      s"""WITH dstate AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 0 THEN coalesce(d2.text, d.text)
+        |         ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <> 0),
+        |ltoks AS (SELECT doc_id, $toksSql AS t FROM dstate),
+        |lbg AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS bg
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM ltoks)),
+        |cbg AS (SELECT bg, count(*) AS cnt FROM lbg GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cnt) AS ctx_n
+        |        FROM cbg GROUP BY 1),
+        |vocab AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM ltoks)),
+        |ptoks AS (SELECT doc_id, $toksSql AS t FROM documents
+        |          WHERE doc_id < 10),
+        |pbg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM ptoks)),
+        |tf AS (SELECT doc_id, bg, count(*) AS tf FROM pbg
+        |       GROUP BY doc_id, bg)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bg,
+        |  round(-sum(CAST(tf AS DOUBLE) *
+        |             ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE) /
+        |                (coalesce(ctx_n, 0) + v))) / sum(tf),
+        |        4) AS nll
+        |FROM tf
+        |LEFT JOIN cbg USING (bg)
+        |LEFT JOIN ctx ON split_part(bg, ' ', 1) = ctx.w1
+        |CROSS JOIN vocab
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "cdc_mix_weights" ->
       """WITH dstate AS (
         |  SELECT d.doc_id, d.source,
