@@ -1299,6 +1299,52 @@ object CdcStream {
       NamedTableView(name, graft.cdc.TokenFreqView.maintainer(textCol),
         Seq("freq"), st => Map("freq" -> st), m => m("freq"),
         st => graft.cdc.TokenFreqView.view(st), Seq("token"))
+    /** [[tokenFreq]] in its BIGRAM modality — the live count table
+      * behind the maintained corpus language model
+      * ([[graft.cdc.LmView]]); changelog keyed by the bigram. */
+    def bigramFreq(name: String, textCol: String)
+        : NamedTableView[DataFrame] =
+      NamedTableView(name,
+        graft.cdc.TokenFreqView.maintainer(textCol,
+          t => graft.text.TextAnalysis.bigrams(
+            graft.text.TextAnalysis.tokens(t))),
+        Seq("freq"), st => Map("freq" -> st), m => m("freq"),
+        st => graft.cdc.TokenFreqView.view(st), Seq("token"))
+    /** Maintained QUALITY-FILTER FUNNEL: per-stage live doc counts off
+      * the scan-side deepest-stage-passed column
+      * ([[graft.text.TextAnalysis.qualityStage]] planted via
+      * withDerived); the face is the 4-row per-stage attrition report,
+      * changelog keyed by the stage row. */
+    def qualityFunnel(name: String, textCol: String, valueCol: String)
+        : NamedTableView[DataFrame] =
+      NamedTableView(name,
+        graft.cdc.TableViews.mapDelta(
+          IncrementalAgg.momentsMaintainer("q_stage", valueCol,
+                                           _.cast("decimal(18,4)")))(
+          graft.cdc.TableViews.withDerived(textCol, "q_stage")(
+            graft.text.TextAnalysis.qualityStage)),
+        Seq("moments"), st => Map("moments" -> st), m => m("moments"),
+        st => IncrementalAgg.momentsView(st)
+          .agg(
+            sum(col("n_rows")).as("n0"),
+            sum(when(col("q_stage") >= 1, col("n_rows")).otherwise(0L))
+              .as("n1"),
+            sum(when(col("q_stage") >= 2, col("n_rows")).otherwise(0L))
+              .as("n2"),
+            sum(when(col("q_stage") >= 3, col("n_rows")).otherwise(0L))
+              .as("n3"),
+            sum(when(col("q_stage") >= 4, col("n_rows")).otherwise(0L))
+              .as("n4"))
+          .selectExpr(
+            """stack(4,
+               1, 'min_tokens',    n0, n1,
+               2, 'avg_tok_len',   n1, n2,
+               3, 'max_tok_ratio', n2, n3,
+               4, 'stopword',      n3, n4) AS (stage, rule, n_in, n_out)""")
+          .select(col("stage"), col("rule"), col("n_in"),
+                  (col("n_in") - col("n_out")).as("n_dropped"),
+                  col("n_out")),
+        Seq("stage"))
     /** Incrementally maintained IVF ANN index
       * ([[graft.similarity.AnnIndexView]]): only changed vectors
       * re-assign per batch; the face IS the assignment table,

@@ -797,7 +797,9 @@ class StreamingSpec extends SparkSpec {
       CdcStream.NamedTableView.dedupIndex("nearidx", "doc_id", "text",
         b = 4, r = 2, nGram = 3),
       CdcStream.NamedTableView.dupGroups("exact", "doc_id", "text"),
-      CdcStream.NamedTableView.tokenFreq("tokfreq", "text"))
+      CdcStream.NamedTableView.tokenFreq("tokfreq", "text"),
+      CdcStream.NamedTableView.bigramFreq("bgfreq", "text"),
+      CdcStream.NamedTableView.qualityFunnel("funnel", "text", "doc_id"))
     def run(): Unit = CdcStream.maintainTableViewsToParquet(
       CdcStream.fileChangelog(spark, logDir), spec, views, root, ckpt)
       .awaitTermination()
@@ -836,8 +838,22 @@ class StreamingSpec extends SparkSpec {
       .filter(col("token") === "metal").collect()
     assert(tok.length == 1 && tok.head.getLong(1) == 2L,
       s"token 'metal' must count its two live docs: ${tok.mkString}")
+    // maintained bigram counts: "metal pipes" lives in docs 3 and 4
+    val bg = CdcStream.readMultiView(spark, root, "bgfreq")
+      .filter(col("token") === "metal pipes").collect()
+    assert(bg.length == 1 && bg.head.getLong(1) == 2L,
+      s"bigram 'metal pipes' must count its two live docs: ${bg.mkString}")
+    // maintained quality funnel: all 3 live docs are short -> rule 1
+    // eats the corpus (n_in=3, n_out=0) and later stages see nothing
+    val fun = CdcStream.readMultiView(spark, root, "funnel")
+      .orderBy(col("stage")).collect()
+      .map(r => (r.getAs[Int]("stage"), r.getAs[Long]("n_in"),
+                 r.getAs[Long]("n_out")))
+    assert(fun.toSeq == Seq((1, 3L, 0L), (2, 0L, 0L), (3, 0L, 0L),
+                            (4, 0L, 0L)),
+      s"funnel: ${fun.mkString(", ")}")
     // changelogs fold to faces; replayed batch is a no-op
-    Seq("nearidx", "exact", "tokfreq").foreach { n =>
+    Seq("nearidx", "exact", "tokfreq", "bgfreq", "funnel").foreach { n =>
       val folded = CdcStream.viewAsOfBatch(spark, s"$root/$n", Long.MaxValue)
       val face = CdcStream.readMultiView(spark, root, n)
       assert(folded.collect().map(_.toString).toSet ==
