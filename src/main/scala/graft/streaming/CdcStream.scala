@@ -279,6 +279,87 @@ object CdcStream {
     }
   }
 
+  /** Committed batch ids whose directory carries the `_snapshot` marker
+    * — batches REWRITTEN by [[compactViewChanges]] to hold the full
+    * as-of face instead of a delta. */
+  private def snapshotIds(spark: SparkSession, rootPath: String): Seq[Long] =
+    committedBatchIds(spark, rootPath).filter { id =>
+      val p = new org.apache.hadoop.fs.Path(
+        s"$rootPath/changes/batch=$id", "_snapshot")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
+  /** COMPACTION for the emitted changelog: replace the committed prefix
+    * `0..upTo` (or snapshot..upTo after a prior compaction) with ONE
+    * equivalent SNAPSHOT batch at id `upTo` — the as-of face rewritten
+    * as all-insert change rows, marked `_snapshot`. Unlike
+    * [[pruneViewChanges]], the fold contract SURVIVES: [[viewAsOfBatch]]
+    * at or after `upTo` starts from the snapshot instead of empty (a key
+    * absent from it was dead at the horizon; later real deltas win the
+    * per-key `max_by`), so time travel within the retained horizon and
+    * from-scratch changelog cascades keep working on a log whose size is
+    * now O(|face| + deltas since), not O(all history). History strictly
+    * before `upTo` is gone — same trade as pruning, same contract for
+    * picking `upTo` (≤ every incremental consumer's applied offset;
+    * [[applyViewChangesToJdbc]] fails loudly if a snapshot lands inside
+    * its unapplied range, because inserts cannot reconstruct the deletes
+    * the original delta carried).
+    *
+    * Crash-safe without atomic rename: the snapshot is written DURABLY
+    * to a side directory first, the live `batch=<upTo>` is swapped out
+    * only after the side write committed, and a re-run self-heals the
+    * delete/rename window; until the swap completes, readers still see
+    * the original contiguous prefix, and a torn swap leaves a gap that
+    * [[viewAsOfBatch]]'s contiguity guard refuses loudly instead of
+    * folding past silently. Returns the number of prefix batch
+    * directories removed. */
+  def compactViewChanges(spark: SparkSession, rootPath: String,
+                         upTo: Long): Int = {
+    val chDir = s"$rootPath/changes"
+    val fs = new org.apache.hadoop.fs.Path(chDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    val side = s"$chDir/compact_tmp_$upTo"
+    val dst = s"$chDir/batch=$upTo"
+    // self-heal a crashed swap: side committed but dst missing
+    val sideCommitted = fs.exists(path(s"$side/_SUCCESS"))
+    if (sideCommitted && !fs.exists(path(dst))) {
+      require(fs.rename(path(side), path(dst)),
+        s"compactViewChanges: self-heal rename $side -> $dst failed")
+    } else if (!sideCommitted) {
+      val ids = committedBatchIds(spark, rootPath)
+      require(ids.contains(upTo),
+        s"compactViewChanges: $upTo is not a committed batch " +
+          s"(committed: ${ids.mkString(",")})")
+      if (ids.head == upTo) return 0 // already compacted to this horizon
+      // the face as of the horizon, folded BEFORE any file is touched
+      val face = viewAsOfBatch(spark, rootPath, upTo)
+      val keys = face.columns.toSeq
+      val afterType = readViewChanges(spark, rootPath, Seq(upTo))
+        .schema("after").dataType
+      val keyCols = readViewChanges(spark, rootPath, Seq(upTo))
+        .columns.filterNot(Set("op", "before", "after", "batch")).toSeq
+      val snapshot = face.select(
+        keyCols.map(col) ++ Seq(
+          lit("insert").as("op"),
+          lit(null).cast(afterType).as("before"),
+          struct(keys.map(col): _*).cast(afterType).as("after")): _*)
+      // durable side write first (markers included), then swap
+      snapshot.coalesce(1).write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        .parquet(side)
+      fs.create(path(s"$side/_snapshot")).close()
+      require(fs.exists(path(s"$side/_SUCCESS")),
+        s"compactViewChanges: side write at $side lost its _SUCCESS marker")
+      require(fs.delete(path(dst), true),
+        s"compactViewChanges: could not remove $dst for the swap")
+      require(fs.rename(path(side), path(dst)),
+        s"compactViewChanges: rename $side -> $dst failed")
+    }
+    // drop the folded prefix (idempotent across re-runs)
+    pruneViewChanges(spark, rootPath, upTo)
+  }
+
   /** TIME TRAVEL over the emitted changelog: reconstruct the maintained
     * view as of batch `upTo` by folding [[viewDelta]] events — last
     * change per key wins, deletes drop the key. The changes log is the
@@ -287,21 +368,32 @@ object CdcStream {
     * rollup (`max_by` partial agg, no window). */
   def viewAsOfBatch(spark: SparkSession, rootPath: String,
                     upTo: Long): DataFrame = {
-    // CONTINUITY GUARD (mirror of [[applyViewChangesToJdbc]]'s): the
-    // fold reconstructs from an EMPTY state, so it needs every batch of
-    // the 0..upTo prefix. If retention ([[pruneViewChanges]]) has
-    // dropped early batches, keys whose last change fell in the pruned
-    // prefix would silently vanish from the reconstruction — fail loudly
-    // instead. Checked against committed batch DIRECTORIES (an empty
-    // batch still writes a dir; pruning only ever drops a prefix).
+    // CONTINUITY GUARDS (mirror of [[applyViewChangesToJdbc]]'s): the
+    // fold starts from EMPTY — or from the newest SNAPSHOT batch at or
+    // before `upTo` ([[compactViewChanges]]), which IS the complete
+    // face at its horizon — and needs every batch from that start to
+    // `upTo`. If retention pruned the needed prefix, or a batch
+    // directory is missing mid-range (a torn compaction swap, a manual
+    // delete), keys whose last change fell in the hole would silently
+    // vanish from (or wrongly survive in) the reconstruction — fail
+    // loudly instead. Checked against committed batch DIRECTORIES (an
+    // empty batch still writes a dir).
     val ids = committedBatchIds(spark, rootPath)
-    require(ids.isEmpty || ids.head == 0L,
+    val start = snapshotIds(spark, rootPath).filter(_ <= upTo)
+      .sorted.lastOption.getOrElse(0L)
+    require(ids.isEmpty || ids.head == 0L || ids.head == start,
       s"viewAsOfBatch: changelog prefix pruned — earliest surviving " +
-        s"batch is ${ids.headOption.getOrElse(-1L)}, but as-of " +
-        s"reconstruction folds from empty and needs batches 0..$upTo; " +
-        "serve time travel only within the retained horizon (or from " +
-        "archived generations)")
-    val ch = readViewChanges(spark, rootPath).filter(col("batch") <= upTo)
+        s"batch is ${ids.headOption.getOrElse(-1L)} and no snapshot " +
+        s"covers batch $upTo; serve time travel only within the " +
+        "retained horizon (or from archived generations)")
+    val need = ids.filter(id => id >= start && id <= upTo)
+    require(need.isEmpty ||
+              need == (need.head to math.min(upTo, ids.max)).toSeq,
+      s"viewAsOfBatch: changelog gap in [${need.headOption.getOrElse(0L)}" +
+        s"..$upTo] — committed batches are ${need.mkString(",")}; a " +
+        "missing middle batch would corrupt the fold")
+    val ch = readViewChanges(spark, rootPath)
+      .filter(col("batch") >= start && col("batch") <= upTo)
     val keys = ch.columns.filterNot(Set("op", "before", "after", "batch"))
     ch.groupBy(keys.map(c => col(c)): _*)
       .agg(max_by(struct(col("op"), col("after")), col("batch")).as("last"))
@@ -1895,6 +1987,19 @@ object CdcStream {
       s"applyViewChangesToJdbc: changelog gap — last applied batch " +
         s"$appliedUpTo but earliest surviving batch is ${dirIds.min} " +
         s"(retention pruned past this consumer); re-seed $table from the view")
+    // a SNAPSHOT batch ([[compactViewChanges]]) inside the unapplied
+    // range is all-insert rows standing in for a folded delta — it
+    // cannot reconstruct the deletes the original deltas carried, so
+    // applying it would leave dead keys alive in the serving table.
+    // Fail loudly (the compaction contract is `upTo` ≤ every incremental
+    // consumer's applied offset — the pruning contract verbatim).
+    val snappedUnapplied =
+      snapshotIds(spark, rootPath).filter(_ > appliedUpTo)
+    require(snappedUnapplied.isEmpty,
+      s"applyViewChangesToJdbc: snapshot batch(es) " +
+        s"${snappedUnapplied.mkString(",")} inside the unapplied range " +
+        s"(last applied $appliedUpTo) — compaction ran past this " +
+        s"consumer; re-seed $table from the view")
     // read EXACTLY the ids captured above (one listing): a batch
     // committed between two listings would otherwise be applied while
     // `__progress` records only the earlier max — its rows re-applied

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc.TableSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Changelog COMPACTION: folding the committed prefix into one snapshot
+  * batch must preserve the fold contract — time travel at or after the
+  * horizon, the live face, and a producer continuing on top — while
+  * history behind the horizon fails loudly (pruning semantics), a
+  * mid-range gap is refused, and an incremental JDBC consumer behind
+  * the horizon is refused instead of silently losing deletes. */
+class CompactionSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  test("compacted changelog folds identically; guards fire behind the horizon") {
+    import org.apache.spark.sql.types._
+    val logDir = tmpDir("cplog")
+    val root = tmpDir("cpstate")
+    val ckpt = tmpDir("cpckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", LongType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Long) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainDistinctCountToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", valueCol = "v", root, ckpt).awaitTermination()
+    def at(b: Long): Map[String, Long] =
+      CdcStream.viewAsOfBatch(spark, root, b).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // batch 0: a={1,2}, b={5}; batch 1: c arrives, a loses 2;
+    // batch 2: b DIES (the delete a snapshot cannot re-express)
+    append("b1.json", Seq(
+      ev("insert", 1, 1, "a", 1), ev("insert", 2, 2, "a", 2),
+      ev("insert", 3, 3, "b", 5)))
+    run()
+    append("b2.json", Seq(
+      ev("insert", 5, 4, "c", 9), ev("delete", 6, 2, "a", 2)))
+    run()
+    append("b3.json", Seq(ev("delete", 8, 3, "b", 5)))
+    run()
+    val before2 = at(2)
+    assert(before2 == Map("a" -> 1L, "c" -> 1L), s"pre-compact: $before2")
+
+    // compact to batch 1: batches 0..1 fold into one snapshot at id 1
+    assert(CdcStream.compactViewChanges(spark, root, 1L) == 1)
+    // fold results at/after the horizon are unchanged — including the
+    // group whose DEATH happened after the snapshot (batch 2's delete
+    // must still beat the snapshot's insert in the per-key fold)
+    assert(at(1) == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    assert(at(2) == before2, "fold after compaction diverged")
+    assert(at(Long.MaxValue) == before2)
+    // idempotent; compacting to the same horizon again is a no-op
+    assert(CdcStream.compactViewChanges(spark, root, 1L) == 0)
+    // behind the horizon: loud failure, not an empty or partial fold
+    val e = intercept[IllegalArgumentException](at(0))
+    assert(e.getMessage.contains("snapshot") ||
+             e.getMessage.contains("pruned"), e.getMessage)
+
+    // the producer continues on top of the compacted log
+    append("b4.json", Seq(ev("insert", 10, 5, "a", 7)))
+    run()
+    assert(at(Long.MaxValue) == Map("a" -> 2L, "c" -> 1L))
+    // and a SECOND compaction to a later horizon folds from the first
+    // snapshot, not from batch 0
+    assert(CdcStream.compactViewChanges(spark, root, 3L) == 2)
+    assert(at(3) == Map("a" -> 2L, "c" -> 1L))
+
+    // a mid-range GAP (manual damage) is refused loudly
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    append("b5.json", Seq(ev("insert", 12, 6, "d", 1)))
+    run()
+    append("b6.json", Seq(ev("insert", 14, 7, "e", 1)))
+    run()
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/changes/batch=4"),
+                     true))
+    val g = intercept[IllegalArgumentException](at(5))
+    assert(g.getMessage.contains("gap"), g.getMessage)
+  }
+
+  test("JDBC incremental apply refuses a snapshot inside its unapplied range") {
+    import org.apache.spark.sql.types._
+    val logDir = tmpDir("cpjlog")
+    val root = tmpDir("cpjstate")
+    val ckpt = tmpDir("cpjckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", LongType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Long) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainDistinctCountToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", valueCol = "v", root, ckpt).awaitTermination()
+    val url = s"jdbc:derby:${tmpDir("cpjderby")}/graftdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    def applyJ(): Long = CdcStream.applyViewChangesToJdbc(spark, root,
+      Seq("grp"), url, "serving", props)
+
+    append("b1.json", Seq(
+      ev("insert", 1, 1, "a", 1), ev("insert", 2, 2, "b", 2)))
+    run()
+    applyJ() // consumer is current through batch 0 (serving has a AND b)
+    append("b2.json", Seq(ev("delete", 5, 2, "b", 2)))
+    run()
+    // compaction to batch 1 — EXACTLY appliedUpTo+1, so the pre-existing
+    // gap guard cannot catch it: the snapshot {a} stands in for batch
+    // 1's delete of b; applied as inserts it would leave b alive in the
+    // serving table forever. The snapshot guard must refuse.
+    CdcStream.compactViewChanges(spark, root, 1L)
+    val e = intercept[IllegalArgumentException](applyJ())
+    assert(e.getMessage.contains("snapshot"), e.getMessage)
+  }
+}
