@@ -69,6 +69,24 @@ object DecontamView {
         explode(array_distinct(Dedup.shingles(col(benchText), nGram)))
           .as("gram")))
 
+  /** The 100 TB knob: [[maintainer]] with 64-bit HASHED grams — the
+    * index shrinks ~10× (a long per gram instead of an n-token string)
+    * and every join keys on a fixed-width column; the algebra is
+    * unchanged. Counts can differ from the literal-gram view only on an
+    * xxhash64 collision between a doc gram and a bench gram
+    * (~n²/2⁶⁴ — negligible at any realistic registry size), so this
+    * variant trades the DuckDB-exact oracle for scale; the spec pins it
+    * count-identical to the literal maintainer on the test corpus. */
+  def hashedMaintainer(docText: String, benchText: String, nGram: Int = 5)
+      : MultiView.Maintainer[DecontamState] = {
+    def hashed(textCol: String)(live: DataFrame, id: String): DataFrame =
+      live.select(col(id),
+          explode(array_distinct(Dedup.shingles(col(textCol), nGram)))
+            .as("__g"))
+        .select(col(id), xxhash64(col("__g")).as("gram"))
+    grammed(hashed(docText), hashed(benchText))
+  }
+
   /** The shared skeleton, gram derivation abstracted: `gramsL`/`gramsR`
     * turn live rows into (pk, gram) rows — literal shingles here, a
     * hashed or normalized variant at scale. */

@@ -128,6 +128,25 @@ class DecontamViewSpec extends SparkSpec {
     assert(a == b && b == c, "face depends on batching")
   }
 
+  test("hashed-gram maintainer (the 100 TB knob) == literal face at sf") {
+    val dl = ChangelogGen.documentsChangeEvents(spark, sfDir)
+    val bl = ChangelogGen.benchChangeEvents(spark, sfDir)
+    val (_, literal) = replayed(dl, bl,
+      Seq(ChangelogGen.DocT1, ChangelogGen.DocT2))
+    val m = DecontamView.hashedMaintainer("text", "text")
+    val res = MultiView.replay(dl, bl,
+      Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
+      lPk = Seq("doc_id"), rPk = Seq("b_id"), lJoinCols = Seq("doc_id"),
+      maintainers = Seq(m))
+    val hashed = DecontamView.contaminated(res(m), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hashed == literal,
+      "hashed-gram contamination diverged from the literal-gram face")
+    // the state really is fixed-width: the gram column decoded as long
+    assert(res(m).docGrams.schema("gram").dataType ==
+             org.apache.spark.sql.types.LongType)
+  }
+
   test("ChangelogGen topics: maintained face == direct over live states") {
     val dl = ChangelogGen.documentsChangeEvents(spark, sfDir)
     val bl = ChangelogGen.benchChangeEvents(spark, sfDir)
