@@ -119,6 +119,30 @@ class DecontamViewSpec extends SparkSpec {
                              Materializer.liveView(res.right)))
   }
 
+  test("over-cap step actually plans the salted gram joins") {
+    val dl = docEvents(docLog.filter(_._1 == "insert"))
+    val bl = benchEvents(benchLog.filter(_._1 == "insert"))
+    val m = DecontamView.maintainer("text", "text")
+    val stL = Materializer.compact(dl.limit(0), Seq("doc_id"))
+    val stR = Materializer.compact(bl.limit(0), Seq("b_id"))
+    // keys = (None, None): both sides over-cap -> distributed fallback
+    val (ctx, _, _) = MultiView.batchCtx(stL, stR, dl, bl,
+      Seq("doc_id"), Seq("b_id"), Seq("doc_id"),
+      keys = Some((None, None)), maxLocalKeys = 1)
+    val st1 = m.step(
+      m.empty(stL.drop(Materializer.MetaCols: _*).limit(0),
+              stR.drop(Materializer.MetaCols: _*).limit(0),
+              Seq("doc_id"), Seq("b_id"), Seq("doc_id")),
+      ctx)
+    val plan = st1.contam.queryExecution.optimizedPlan.toString
+    // every gram-keyed semi/anti routes through FkJoin.filterByRKeys,
+    // whose over-cap branch salts both sides on one "__gsalt" column
+    assert(plan.contains("__gsalt"),
+      s"the gram-keyed joins are not salted over-cap:\n$plan")
+    assert(plan.contains("xxhash64"),
+      s"salt is not the deterministic row hash:\n$plan")
+  }
+
   test("batching invariance: any cut set yields the same face") {
     val dl = docEvents(docLog)
     val bl = benchEvents(benchLog)
