@@ -307,9 +307,13 @@ object CdcStream {
     *
     * Crash-safe without atomic rename: the snapshot is written DURABLY
     * to a side directory first, the live `batch=<upTo>` is swapped out
-    * only after the side write committed, and a re-run self-heals the
-    * delete/rename window; until the swap completes, readers still see
-    * the original contiguous prefix, and a torn swap leaves a gap that
+    * only after the side write committed, and a re-run self-heals EVERY
+    * window of the swap — side committed but dst still the original
+    * delta (crash before the delete), dst deleted but side not yet
+    * renamed, and a completed swap whose side copy survived — always by
+    * COMPLETING the swap from the committed side copy, never by pruning
+    * past it; until the swap completes, readers still see the original
+    * contiguous prefix, and a torn swap leaves a gap that
     * [[viewAsOfBatch]]'s contiguity guard refuses loudly instead of
     * folding past silently. Returns the number of prefix batch
     * directories removed. */
@@ -321,43 +325,88 @@ object CdcStream {
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
     val side = s"$chDir/compact_tmp_$upTo"
     val dst = s"$chDir/batch=$upTo"
-    // self-heal a crashed swap: side committed but dst missing
     val sideCommitted = fs.exists(path(s"$side/_SUCCESS"))
-    if (sideCommitted && !fs.exists(path(dst))) {
-      require(fs.rename(path(side), path(dst)),
-        s"compactViewChanges: self-heal rename $side -> $dst failed")
-    } else if (!sideCommitted) {
+    if (sideCommitted) {
+      // A prior run crashed mid-swap. The side copy is the durable
+      // face — the heal is always to FINISH the swap from it:
+      //  - dst already a snapshot: the rename completed and only the
+      //    side cleanup was lost (or a copying rename tore) — drop the
+      //    stale side copy.
+      //  - otherwise (dst missing, or dst still the original delta —
+      //    the crash fell between the side commit and the delete):
+      //    ensure the `_snapshot` marker (its creation is itself inside
+      //    the window), clear dst if present, rename side into place.
+      //    Falling through to pruneViewChanges here instead would
+      //    strand the face in compact_tmp and permanently fail every
+      //    later viewAsOfBatch with "prefix pruned".
+      if (fs.exists(path(s"$dst/_snapshot"))) {
+        fs.delete(path(side), true)
+      } else {
+        if (!fs.exists(path(s"$side/_snapshot")))
+          fs.create(path(s"$side/_snapshot")).close()
+        if (fs.exists(path(dst)))
+          require(fs.delete(path(dst), true),
+            s"compactViewChanges: self-heal could not remove $dst")
+        require(fs.rename(path(side), path(dst)),
+          s"compactViewChanges: self-heal rename $side -> $dst failed")
+      }
+    } else {
       val ids = committedBatchIds(spark, rootPath)
       require(ids.contains(upTo),
         s"compactViewChanges: $upTo is not a committed batch " +
           s"(committed: ${ids.mkString(",")})")
       if (ids.head == upTo) return 0 // already compacted to this horizon
-      // the face as of the horizon, folded BEFORE any file is touched
-      val face = viewAsOfBatch(spark, rootPath, upTo)
-      val keys = face.columns.toSeq
-      val afterType = readViewChanges(spark, rootPath, Seq(upTo))
-        .schema("after").dataType
-      val keyCols = readViewChanges(spark, rootPath, Seq(upTo))
-        .columns.filterNot(Set("op", "before", "after", "batch")).toSeq
-      val snapshot = face.select(
-        keyCols.map(col) ++ Seq(
-          lit("insert").as("op"),
-          lit(null).cast(afterType).as("before"),
-          struct(keys.map(col): _*).cast(afterType).as("after")): _*)
-      // durable side write first (markers included), then swap
-      snapshot.coalesce(1).write.mode("overwrite")
-        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
-        .parquet(side)
-      fs.create(path(s"$side/_snapshot")).close()
-      require(fs.exists(path(s"$side/_SUCCESS")),
-        s"compactViewChanges: side write at $side lost its _SUCCESS marker")
-      require(fs.delete(path(dst), true),
-        s"compactViewChanges: could not remove $dst for the swap")
-      require(fs.rename(path(side), path(dst)),
-        s"compactViewChanges: rename $side -> $dst failed")
+      // dst already a snapshot with no side copy: a prior run finished
+      // the whole swap and died mid-prune — nothing to fold, just prune
+      if (!fs.exists(path(s"$dst/_snapshot"))) {
+        writeSnapshotSide(spark, rootPath, upTo)
+        require(fs.delete(path(dst), true),
+          s"compactViewChanges: could not remove $dst for the swap")
+        require(fs.rename(path(side), path(dst)),
+          s"compactViewChanges: rename $side -> $dst failed")
+      }
     }
     // drop the folded prefix (idempotent across re-runs)
     pruneViewChanges(spark, rootPath, upTo)
+  }
+
+  /** The durable half of [[compactViewChanges]]: fold the face as of
+    * `upTo` and write it as an all-insert snapshot to the side
+    * directory, `_SUCCESS` + `_snapshot` markers included, WITHOUT
+    * touching the live log. Package-private so the crash-window spec
+    * can stop exactly here — the state a process death between the side
+    * commit and the dst swap leaves behind — and assert a re-run heals
+    * it. The snapshot is face-sized (not |Δ|-bounded like per-batch
+    * deltas), so it is written key-partitioned across tasks — ONE task
+    * serializing a maintained view's whole face would be the scale
+    * ceiling at 100 TB; [[viewAsOfBatch]] folds the directory, so the
+    * file count is free. */
+  private[streaming] def writeSnapshotSide(spark: SparkSession,
+                                           rootPath: String,
+                                           upTo: Long): Unit = {
+    val chDir = s"$rootPath/changes"
+    val fs = new org.apache.hadoop.fs.Path(chDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    val side = s"$chDir/compact_tmp_$upTo"
+    // the face as of the horizon, folded BEFORE any file is touched
+    val face = viewAsOfBatch(spark, rootPath, upTo)
+    val keys = face.columns.toSeq
+    val afterType = readViewChanges(spark, rootPath, Seq(upTo))
+      .schema("after").dataType
+    val keyCols = readViewChanges(spark, rootPath, Seq(upTo))
+      .columns.filterNot(Set("op", "before", "after", "batch")).toSeq
+    val snapshot = face.select(
+      keyCols.map(col) ++ Seq(
+        lit("insert").as("op"),
+        lit(null).cast(afterType).as("before"),
+        struct(keys.map(col): _*).cast(afterType).as("after")): _*)
+    snapshot.repartition(keyCols.map(col): _*).write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(side)
+    fs.create(path(s"$side/_snapshot")).close()
+    require(fs.exists(path(s"$side/_SUCCESS")),
+      s"compactViewChanges: side write at $side lost its _SUCCESS marker")
   }
 
   /** TIME TRAVEL over the emitted changelog: reconstruct the maintained
