@@ -29,15 +29,18 @@ object Bench {
     // each warm step in its OWN try: one failure must not silently skip
     // the later warms (that would re-bill their one-time materialization
     // to a random timed query — the exact attribution bug this fixes)
+    // per-step warm times, in declaration order — sliced below into the
+    // state-build and corpus-build breakdowns so aggregate growth in
+    // either is attributable to a family without re-instrumenting
+    val warmTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def warm(what: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       try f catch { case e: Throwable =>
         System.err.println(s"bench warmup '$what' failed: $e") }
-      // per-step breakdown on stderr so state/corpus build growth is
-      // attributable without re-instrumenting (stdout carries ONLY the
-      // one-line JSON contract)
-      System.err.println(f"bench warmup '$what': " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      warmTimes(what) = sec
+      // stdout carries ONLY the one-line JSON contract
+      System.err.println(f"bench warmup '$what': $sec%.2f s")
     }
     warm("orders log")(cdc.ChangelogGen.ordersChangelog(spark, sfDir).count())
     warm("orders envelope")(cdc.ChangelogGen.ordersEnvelope(spark, sfDir).count())
@@ -57,6 +60,7 @@ object Bench {
     // cdc_*_view queries therefore measure SERVE-ONLY cost, and readers
     // comparing against runs predating this warm-up must add the two.
     val tStateBuild = System.nanoTime()
+    val preStateWarms = warmTimes.size
     warm("shared join views")(
       ops.CdcQueries.queries("cdc_join_view")(spark, sfDir).count())
     warm("shared snowflake view")(
@@ -75,6 +79,7 @@ object Bench {
       ops.CdcQueries.queries("cdc_decontam")(spark, sfDir).count())
     warm("kmeans quantizer")(ops.PipelineQueries.kmCentroids(spark, sfDir))
     val stateBuildSec = (System.nanoTime() - tStateBuild) / 1e9
+    val stateWarmCount = warmTimes.size
     // the shared dedup corpus (one pinned tokenization + embedding
     // decode feeding the q_dedup_* family — SharedCorpus) is likewise
     // built once per session and SERVED; its one-time cost is reported
@@ -156,7 +161,16 @@ object Bench {
           .map { case (t, ok) => fmt(if (ok) t else -t) }.mkString(",")
         "\"" + k + "\":[" + ps + "]"
       }.mkString("{", ",", "}")
-      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"passes":$passDetail,"state_build_sec":${fmt(stateBuildSec)},"corpus_build_sec":${fmt(corpusBuildSec)},"sf":"$sfDir"}"""
+      // per-family breakdowns of the two one-time build aggregates:
+      // slices of the ordered warm log, keyed by the warm label
+      def warmJson(entries: Seq[(String, Double)]): String = entries
+        .map { case (k, v) =>
+          "\"" + k.replace(' ', '_') + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val stateBd = warmJson(
+        warmTimes.toSeq.slice(preStateWarms, stateWarmCount))
+      val corpusBd = warmJson(warmTimes.toSeq.drop(stateWarmCount))
+      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"passes":$passDetail,"state_build_sec":${fmt(stateBuildSec)},"state_build_breakdown":$stateBd,"corpus_build_sec":${fmt(corpusBuildSec)},"corpus_build_breakdown":$corpusBd,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (txt + "\n").getBytes("UTF-8"))
     }.fold(e => { System.err.println(s"BENCH_FULL.json write failed: $e"); false },
