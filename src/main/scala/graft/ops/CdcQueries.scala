@@ -181,6 +181,25 @@ object CdcQueries {
     private val histCache =
       new BoundedPinnedCache[org.apache.spark.sql.DataFrame]()(
         org.apache.spark.sql.graft.bridge.unpersistPinned)
+    // pinned probe term-frequencies for the maintained LM
+    // (cdc_lm_score): the probe docs are FIXED — the cdc_ann_topk
+    // discipline — so their tokenize/explode/count is one-time work;
+    // serving the churning model must not re-scan the documents
+    // parquet to re-derive an unchanging probe frame
+    private val lmProbeCache =
+      new BoundedPinnedCache[org.apache.spark.sql.DataFrame]()(
+        org.apache.spark.sql.graft.bridge.unpersistPinned)
+    def lmProbes(s: SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame =
+      lmProbeCache.get(s, dir) {
+        val t = graft.text.TextAnalysis.tokens(col("text"))
+        graft.Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 10)
+          .select(col("doc_id"),
+                  explode(graft.text.TextAnalysis.bigrams(t)).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+          .localCheckpoint(false)
+      }
     def tableResult(s: SparkSession, dir: String): TableViews.Result =
       tableCache.get(s, dir) {
         TableViews.replay(ChangelogGen.ordersChangeEvents(s, dir),
@@ -821,13 +840,7 @@ object CdcQueries {
     // rewritten or deleted), so the smoothing handles cnt=0/ctx=0.
     "cdc_lm_score" -> ((s, dir) => {
       val r = SharedJoin.docsResult(s, dir)
-      val t = graft.text.TextAnalysis.tokens(col("text"))
-      val probes = graft.Tables.load(s, dir, "documents")
-        .filter(col("doc_id") < 10)
-        .select(col("doc_id"),
-                explode(graft.text.TextAnalysis.bigrams(t)).as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
-      graft.cdc.LmView.score(probes, "doc_id",
+      graft.cdc.LmView.score(SharedJoin.lmProbes(s, dir), "doc_id",
           graft.cdc.TokenFreqView.view(r(SharedJoin.bigramFreq)),
           graft.cdc.TokenFreqView.view(r(SharedJoin.tokenFreq)))
         .orderBy(col("doc_id"))
@@ -1075,11 +1088,11 @@ object CdcQueries {
         |  SELECT b_id, array_to_string(toks[1:12], ' ') AS text FROM b1
         |  WHERE b_id % 4 <> 0
         |  UNION ALL
-        |  SELECT 100000 + ((doc_id - 5) // 23) AS b_id,
+        |  SELECT 1000000000 + ((doc_id - 5) // 23) AS b_id,
         |         array_to_string(toks[5:16], ' ') AS text
         |  FROM base
         |  WHERE doc_id >= 5 AND (doc_id - 5) % 23 = 0
-        |    AND (100000 + ((doc_id - 5) // 23)) % 4 <> 0),
+        |    AND (1000000000 + ((doc_id - 5) // 23)) % 4 <> 0),
         |bgrams AS (
         |  SELECT DISTINCT unnest(${shingleSql(toksSql)}) AS gram
         |  FROM bstate),
@@ -1112,12 +1125,12 @@ object CdcQueries {
         |         array_to_string(toks[1:12], ' ') AS text
         |  FROM b1 WHERE b_id % 4 <> 0
         |  UNION ALL
-        |  SELECT 100000 + ((doc_id - 5) // 23) AS b_id,
+        |  SELECT 1000000000 + ((doc_id - 5) // 23) AS b_id,
         |         'suite_b' AS suite,
         |         array_to_string(toks[5:16], ' ') AS text
         |  FROM base
         |  WHERE doc_id >= 5 AND (doc_id - 5) % 23 = 0
-        |    AND (100000 + ((doc_id - 5) // 23)) % 4 <> 0),
+        |    AND (1000000000 + ((doc_id - 5) // 23)) % 4 <> 0),
         |bg AS (
         |  SELECT suite, unnest(list_distinct(${shingleSql(toksSql)}))
         |    AS gram

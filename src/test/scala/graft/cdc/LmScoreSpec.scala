@@ -45,6 +45,20 @@ class LmScoreSpec extends SparkSpec {
     assert(face == expect, "maintained LM face != from-scratch live LM")
   }
 
+  test("serve plan reads zero parquet: probes pinned, model served off state") {
+    // the probe frame is fixed (the cdc_ann_topk discipline) and the
+    // LM's sufficient statistics are maintained states — a serve that
+    // rescans the documents parquet to re-derive either would re-bill
+    // one-time work to every read of the churning model
+    val face = graft.ops.CdcQueries.queries("cdc_lm_score")(spark, sfDir)
+    face.count() // force the pinned builds, then inspect a fresh plan
+    val again = graft.ops.CdcQueries.queries("cdc_lm_score")(spark, sfDir)
+    val scans = again.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("Scan parquet"))
+    assert(scans.isEmpty,
+      s"cdc_lm_score serve rescans parquet:\n${scans.mkString("\n")}")
+  }
+
   test("unseen-bigram smoothing: a probe outliving its doc scores exactly") {
     import spark.implicits._
     import org.apache.spark.sql.types._
