@@ -446,15 +446,21 @@ object ChangelogGen {
       envelope("update", lit(1512000000L) + col("b_id"), aRevised,
         Some(struct(excerpt(col("toks"), 1, 12).as("text")))).as("value"),
       (col("b_id") * 3 + 1).as("seq"))
-    // suite_b: donors doc_id = 23j + 5 — the post-index release
+    // suite_b: donors doc_id = 23j + 5 — the post-index release. Its
+    // key space is partitioned STRUCTURALLY from suite_a's (b_id =
+    // doc_id/17): a 10^9 base keeps the ranges disjoint up to 1.7e10
+    // donor docs, where an additive offset sized to a small sf would
+    // collide once doc_id/17 crossed it — two registry entries sharing
+    // a pk silently merge in the replay (last-writer-wins corruption).
+    val suiteBBase = 1000000000L
     val b = docs.filter(col("doc_id") >= 5 && (col("doc_id") - 5) % 23 === 0)
-      .select((lit(100000L) + expr("(doc_id - 5) div 23")).as("b_id"),
+      .select((lit(suiteBBase) + expr("(doc_id - 5) div 23")).as("b_id"),
               col("toks"))
     val bImage = struct(col("b_id"), lit("suite_b").as("suite"),
                         excerpt(col("toks"), 5, 12).as("text"))
     val bInserts = b.select(
-      envelope("insert", lit(1510000000L) + (col("b_id") - 100000L), bImage,
-               None).as("value"),
+      envelope("insert", lit(1510000000L) + (col("b_id") - suiteBBase),
+               bImage, None).as("value"),
       (col("b_id") * 3).as("seq"))
     // deletes: current image (suite_a % 5 == 3 rows carry the revision)
     val aDeletes = a.filter(col("b_id") % 4 === 0).select(
@@ -463,8 +469,8 @@ object ChangelogGen {
         None).as("value"),
       (col("b_id") * 3 + 2).as("seq"))
     val bDeletes = b.filter(col("b_id") % 4 === 0).select(
-      envelope("delete", lit(1520000000L) + (col("b_id") - 100000L), bImage,
-               None).as("value"),
+      envelope("delete", lit(1520000000L) + (col("b_id") - suiteBBase),
+               bImage, None).as("value"),
       (col("b_id") * 3 + 2).as("seq"))
     aInserts.unionByName(aUpdates).unionByName(bInserts)
       .unionByName(aDeletes).unionByName(bDeletes)

@@ -143,6 +143,39 @@ class DecontamViewSpec extends SparkSpec {
       s"salt is not the deterministic row hash:\n$plan")
   }
 
+  test("long bench text: gram frames over-cap while keys under-cap -> salted") {
+    // 2 changed bench KEYS sit under the cap (rLocal=true), but each
+    // entry's text shingles into ~30 grams, so the derived touched-gram
+    // frames blow the cap. They must earn their OWN broadcast
+    // eligibility (capLocal) and take the salted path — inheriting the
+    // keys' locality would broadcast an arbitrarily large frame for
+    // long registry text.
+    val dl = docEvents(docLog)
+    val bl = benchEvents(benchLog)
+    val (res0, _) = replayed(dl, bl, cuts)
+    val st = lastState
+    val fillA = (0 until 30).map(i => s"ta$i").mkString(" ")
+    val fillB = (0 until 30).map(i => s"tb$i").mkString(" ")
+    val release = benchEvents(Seq(
+      ("insert", 99L, 10L, 50L, s"$fillA $G1"),
+      ("insert", 99L, 11L, 51L, s"$fillB $G2")))
+    val (ctx, lNext, rNext) = MultiView.batchCtx(res0.left, res0.right,
+      dl.limit(0), release, Seq("doc_id"), Seq("b_id"), Seq("doc_id"),
+      keys = None, maxLocalKeys = 8)
+    assert(ctx.rLocal, "probe premise: bench KEYS must stay under-cap")
+    val m = DecontamView.maintainer("text", "text")
+    val st2 = m.step(st, ctx)
+    val plan = st2.contam.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__gsalt"),
+      s"over-cap gram frames did not take the salted path:\n$plan")
+    val face = DecontamView.contaminated(st2, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = direct(Materializer.liveView(lNext),
+                        Materializer.liveView(rNext))
+    assert(face == expect, "salted gram-frame step diverged from direct")
+    assert(face.contains((1L, 1L)), "the release must re-flag d1 via G1")
+  }
+
   test("batching invariance: any cut set yields the same face") {
     val dl = docEvents(docLog)
     val bl = benchEvents(benchLog)
@@ -169,6 +202,28 @@ class DecontamViewSpec extends SparkSpec {
     // the state really is fixed-width: the gram column decoded as long
     assert(res(m).docGrams.schema("gram").dataType ==
              org.apache.spark.sql.types.LongType)
+  }
+
+  test("registry key space is partitioned structurally across suites") {
+    // suite_a keys are doc_id/17, suite_b keys 1e9 + (doc_id-5)/23: an
+    // additive offset sized to a small sf (the old 100000) collides
+    // once doc_id crosses offset*17 — two registry entries sharing a pk
+    // silently merge in the replay. The 1e9 base holds to 1.7e10 donor
+    // docs; every pk must map to exactly one suite at any sf.
+    val bl = ChangelogGen.benchChangeEvents(spark, sfDir)
+    val bySuite = bl.select(col("after.b_id").as("b_id"),
+                            col("after.suite").as("suite"))
+      .groupBy(col("b_id"))
+      .agg(countDistinct(col("suite")).as("n_suites"),
+           first(col("suite")).as("suite"))
+    assert(bySuite.filter(col("n_suites") > 1).count() == 0,
+      "a registry pk is shared across suites")
+    val aMax = bySuite.filter(col("suite") === "suite_a")
+      .agg(max(col("b_id"))).head.getLong(0)
+    val bMin = bySuite.filter(col("suite") === "suite_b")
+      .agg(min(col("b_id"))).head.getLong(0)
+    assert(aMax < 1000000000L && bMin >= 1000000000L,
+      s"suite ranges not structurally disjoint: aMax=$aMax bMin=$bMin")
   }
 
   test("ChangelogGen topics: maintained face == direct over live states") {
