@@ -87,6 +87,44 @@ object DecontamView {
     grammed(hashed(docText), hashed(benchText))
   }
 
+  /** Cap-check a DERIVED frame before it may be broadcast: under the
+    * cap → a driver-local frame (cheap to broadcast, and the probe
+    * doubles as its pin); over → pinned distributed frame and the
+    * caller takes the salted path. Same discipline as ClusterView's —
+    * a frame derived from a capped key set (grams per changed entry)
+    * is NOT itself capped and must not inherit the keys' locality. */
+  private def capLocal(df: DataFrame, cap: Int): (DataFrame, Boolean) = {
+    val rows = df.limit(cap + 1).collect().toSeq
+    if (rows.size > cap) (df.localCheckpoint(false), false)
+    else (df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, df.schema),
+      true)
+  }
+
+  /** Scan-side BLOOM prefilter for the over-cap index probe: when the
+    * touched-live gram set is too big to broadcast exactly, the salted
+    * semi would otherwise exchange the CORPUS-SIZED gram index — the
+    * one shuffle the view's scale contract forbids. A broadcast bloom
+    * of the key set reduces the index to candidate rows (matches +
+    * ~0.1% false positives) BEFORE the exchange; the exact salted semi
+    * downstream removes the false positives, so the result is
+    * unchanged and the shuffle stays release-bounded. The bloom build
+    * collects nothing row-wise — `stat.bloomFilter` aggregates to a
+    * few-MB bitset even for millions of grams. */
+  private def bloomPruned(index: DataFrame, keys: DataFrame,
+                          keyCol: String): DataFrame = {
+    val n = math.max(keys.count(), 1L)
+    val bf = keys.stat.bloomFilter(keyCol, n, 0.001)
+    val bc = index.sparkSession.sparkContext.broadcast(bf)
+    val pred = index.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        udf((g: java.lang.Long) => g != null && bc.value.mightContainLong(g))
+      case _ =>
+        udf((g: String) => g != null && bc.value.mightContainString(g))
+    }
+    index.filter(pred(col(keyCol)))
+  }
+
   /** The shared skeleton, gram derivation abstracted: `gramsL`/`gramsR`
     * turn live rows into (pk, gram) rows — literal shingles here, a
     * hashed or normalized variant at scale. */
@@ -169,29 +207,41 @@ object DecontamView {
           } else {
             // TOUCHED grams — the changed bench entries' old ∪ new
             // grams: the only grams whose is-contaminating status can
-            // have moved
-            val touched = st.benchGrams
-              .join(ctx.hinted(ctx.changedR, ctx.rLocal), Seq(bId),
-                    "left_semi")
-              .select(col("gram"))
-              .unionByName(changedBenchGrams.select(col("gram")))
-              .distinct()
-              .localCheckpoint(false)
+            // have moved. ctx.rLocal certifies only that the changed-R
+            // KEY set is under the cap; a gram frame is |changedR| ×
+            // grams-per-entry — unbounded for long benchmark text — so
+            // each derived frame earns its OWN broadcast eligibility
+            // (the capLocal discipline) before the broadcast-vs-salt
+            // choice in filterByRKeys.
+            val (touched, touchedLocal) = capLocal(
+              st.benchGrams
+                .join(ctx.hinted(ctx.changedR, ctx.rLocal), Seq(bId),
+                      "left_semi")
+                .select(col("gram"))
+                .unionByName(changedBenchGrams.select(col("gram")))
+                .distinct(),
+              ctx.maxLocalKeys)
             // of those, the ones still carried by ≥ 1 live bench entry
-            val touchedLive = byGram(bId)
-              .filterByRKeys(benchGrams1, touched, ctx.rLocal,
-                             "left_semi")
-              .select(col("gram")).distinct()
-              .localCheckpoint(false)
+            val (touchedLive, touchedLiveLocal) = capLocal(
+              byGram(bId)
+                .filterByRKeys(benchGrams1, touched, touchedLocal,
+                               "left_semi")
+                .select(col("gram")).distinct(),
+              ctx.maxLocalKeys)
             // carried: unchanged docs × untouched grams — their doc
             // grams and the grams' bench membership are both unchanged
             val carried = byGram(dId).filterByRKeys(
-              carried0, touched, ctx.rLocal, "left_anti")
+              carried0, touched, touchedLocal, "left_anti")
             // unchanged docs × touched-and-live grams: the INDEX PROBE
             // — the path that flags/unflags docs no batch event
-            // mentioned
+            // mentioned. Over-cap, the corpus-sized index is bloom-
+            // pruned scan-side first so the salted semi exchanges only
+            // candidate rows, never the whole index.
+            val probeIdx =
+              if (touchedLiveLocal) docGrams1
+              else bloomPruned(docGrams1, touchedLive, "gram")
             val freshGram = byGram(dId)
-              .filterByRKeys(docGrams1, touchedLive, ctx.rLocal,
+              .filterByRKeys(probeIdx, touchedLive, touchedLiveLocal,
                              "left_semi")
               .join(ctx.hinted(ctx.changedL, ctx.lLocal), Seq(dId),
                     "left_anti")

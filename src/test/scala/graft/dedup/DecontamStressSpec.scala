@@ -85,9 +85,16 @@ class DecontamStressSpec extends SparkSpec with graft.ShuffleProbe {
         .as("after"))
 
   /** Replay a corpus × the fixed registry, force everything, then
-    * measure one more batch on the given side. */
-  private def replayAndProbe(n: Long, probeDocs: Boolean)
+    * measure one more batch on the given side. `gramOverCap` drives
+    * the release probe down the OVER-CAP gram path: the doc-side key
+    * set is pinned empty-local (no doc churn — the release premise)
+    * while maxLocalKeys=1 forces every derived gram frame past the
+    * broadcast cap, so the probe exercises bloom-prune + salted semi
+    * instead of exact broadcast. */
+  private def replayAndProbe(n: Long, probeDocs: Boolean,
+                             gramOverCap: Boolean = false)
       : (Long, (Long, Long)) = {
+    import spark.implicits._
     val m = DecontamView.maintainer("text", "text")
     val res = MultiView.replay(docLog(n), benchLog(),
       cuts = (1L to 13L),
@@ -99,10 +106,13 @@ class DecontamStressSpec extends SparkSpec with graft.ShuffleProbe {
     val (dl, bl) =
       if (probeDocs) (docProbe(), benchProbe().limit(0))
       else (docProbe().limit(0), benchProbe())
+    val keys =
+      if (gramOverCap) Some((Some(Seq.empty[Long].toDF("doc_id")), None))
+      else None
     val shuffled = shuffleRecordsDuring {
       val (ctx, lN, rN) = MultiView.batchCtx(res.left, res.right, dl, bl,
-        Seq("doc_id"), Seq("b_id"), Seq("doc_id"), keys = None,
-        maxLocalKeys = 100000)
+        Seq("doc_id"), Seq("b_id"), Seq("doc_id"), keys = keys,
+        maxLocalKeys = if (gramOverCap) 1 else 100000)
       val st2 = m.step(st, ctx)
       lN.count(); rN.count()
       st2.docGrams.count(); st2.benchGrams.count(); st2.contam.count()
@@ -124,6 +134,28 @@ class DecontamStressSpec extends SparkSpec with graft.ShuffleProbe {
     assert(tot10x <= 3 * math.max(tot1x, 100L),
       s"release-probe shuffle grew with corpus size: 1x=$tot1x, " +
         s"10x=$tot10x")
+  }
+
+  test("OVER-CAP release probe (bloom + salted) stays release-bounded") {
+    // the salted fallback's scale contract, MEASURED: with the gram
+    // frames forced past the broadcast cap, the index probe must
+    // bloom-prune the corpus-sized gram index scan-side — a plain
+    // salted semi would exchange the whole index, shuffle growing
+    // linearly in the corpus
+    val (_, (tot1x, _)) = replayAndProbe(5000L, probeDocs = false,
+                                         gramOverCap = true)
+    val (live10x, (tot10x, max10x)) = replayAndProbe(50000L,
+      probeDocs = false, gramOverCap = true)
+    assert(max10x < live10x,
+      s"an over-cap release-probe stage shuffled $max10x records on " +
+        s"the 10x corpus ($live10x live docs) — index-sized exchange: " +
+        lastTopStages.take(3).mkString("; "))
+    assert(tot10x < live10x,
+      s"over-cap release probe shuffled $tot10x records total on the " +
+        s"10x corpus ($live10x live docs)")
+    assert(tot10x <= 3 * math.max(tot1x, 100L),
+      s"over-cap release-probe shuffle grew with corpus size: " +
+        s"1x=$tot1x, 10x=$tot10x")
   }
 
   test("a corpus re-crawl batch is |Δ|×|bench|-bounded too") {
