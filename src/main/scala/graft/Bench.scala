@@ -38,12 +38,13 @@ object Bench {
       try f catch { case e: Throwable =>
         System.err.println(s"bench warmup '$what' failed: $e") }
       val sec = (System.nanoTime() - t0) / 1e9
-      warmTimes(what) = sec
+      warmTimes.synchronized { warmTimes(what) = sec }
       // stdout carries ONLY the one-line JSON contract
       System.err.println(f"bench warmup '$what': $sec%.2f s")
     }
     warm("orders log")(cdc.ChangelogGen.ordersChangelog(spark, sfDir).count())
     warm("orders envelope")(cdc.ChangelogGen.ordersEnvelope(spark, sfDir).count())
+    warm("orders events")(cdc.ChangelogGen.ordersChangeEvents(spark, sfDir).count())
     warm("customer events")(cdc.ChangelogGen.customerChangeEvents(spark, sfDir).count())
     warm("lineitem events")(cdc.ChangelogGen.lineitemChangeEvents(spark, sfDir).count())
     warm("documents events")(cdc.ChangelogGen.documentsChangeEvents(spark, sfDir).count())
@@ -61,23 +62,43 @@ object Bench {
     // comparing against runs predating this warm-up must add the two.
     val tStateBuild = System.nanoTime()
     val preStateWarms = warmTimes.size
-    warm("shared join views")(
-      ops.CdcQueries.queries("cdc_join_view")(spark, sfDir).count())
-    warm("shared snowflake view")(
-      ops.CdcQueries.queries("cdc_snowflake_view")(spark, sfDir).count())
-    warm("shared table views")(
-      ops.CdcQueries.queries("cdc_topk_view")(spark, sfDir).count())
-    warm("shared dedup index")(
-      ops.CdcQueries.queries("cdc_dedup_groups")(spark, sfDir).count())
-    warm("shared ann index")(
-      ops.CdcQueries.queries("cdc_ann_topk")(spark, sfDir).count())
-    warm("shared event views")(
-      ops.CdcQueries.queries("cdc_session_view")(spark, sfDir).count())
-    warm("shared scd2 history")(
-      ops.CdcQueries.queries("cdc_history")(spark, sfDir).count())
-    warm("shared decontam view")(
-      ops.CdcQueries.queries("cdc_decontam")(spark, sfDir).count())
-    warm("kmeans quantizer")(ops.PipelineQueries.kmCentroids(spark, sfDir))
+    // The shared states build CONCURRENTLY: each family is ONE
+    // independent latency-bound replay (sequential |Δ|-bounded
+    // micro-batches at narrow shuffle width), so building them one
+    // after another left most of the box idle — this is also the
+    // production shape, independent maintained views ingesting in
+    // parallel on one cluster. Every family has its OWN pinned cache
+    // (per-cache build locks), so concurrency never replays a family
+    // twice. Per-family times are still recorded, but under
+    // contention they attribute relative weight, not additive wall
+    // (state_build_sec is the pool's wall clock).
+    locally {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val builds = Seq[(String, () => Unit)](
+        ("shared ann index", () =>
+          ops.CdcQueries.queries("cdc_ann_topk")(spark, sfDir).count()),
+        ("shared join views", () =>
+          ops.CdcQueries.queries("cdc_join_view")(spark, sfDir).count()),
+        ("shared table views", () =>
+          ops.CdcQueries.queries("cdc_topk_view")(spark, sfDir).count()),
+        ("shared dedup index", () =>
+          ops.CdcQueries.queries("cdc_dedup_groups")(spark, sfDir).count()),
+        ("shared snowflake view", () =>
+          ops.CdcQueries.queries("cdc_snowflake_view")(spark, sfDir).count()),
+        ("shared event views", () =>
+          ops.CdcQueries.queries("cdc_session_view")(spark, sfDir).count()),
+        ("shared scd2 history", () =>
+          ops.CdcQueries.queries("cdc_history")(spark, sfDir).count()),
+        ("shared decontam view", () =>
+          ops.CdcQueries.queries("cdc_decontam")(spark, sfDir).count()),
+        ("kmeans quantizer", () =>
+          ops.PipelineQueries.kmCentroids(spark, sfDir))
+      ).map { case (n, f) =>
+        pool.submit(new Runnable { def run(): Unit = warm(n)(f()) })
+      }
+      builds.foreach(_.get())
+      pool.shutdown()
+    }
     val stateBuildSec = (System.nanoTime() - tStateBuild) / 1e9
     val stateWarmCount = warmTimes.size
     // the shared dedup corpus (one pinned tokenization + embedding

@@ -201,7 +201,7 @@ object IncrementalTopK {
       child.createDataFrame(
         child.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
 
-    val pinned = inChild(events.localCheckpoint())
+    val pinned = inChild(Materializer.pinnedEvents(events))
       .coalesce(batchShufflePartitions)
     val stateSchema = emptyLike(Materializer.compact(events.limit(0), pk))
     val emptyView = emptyLike(

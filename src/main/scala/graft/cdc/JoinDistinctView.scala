@@ -163,9 +163,9 @@ object JoinDistinctView {
       rows0.groupBy(col("g"), col("v")).agg(sum(col("w")).as("net")))
     val emptyGroups = emptyLike(
       rows0.groupBy(col("g")).agg(sum(col("w")).as("n_rows")))
-    val lPinned = inChild(lEvents.localCheckpoint())
+    val lPinned = inChild(Materializer.pinnedEvents(lEvents))
       .coalesce(batchShufflePartitions)
-    val rPinned = inChild(rEvents.localCheckpoint())
+    val rPinned = inChild(Materializer.pinnedEvents(rEvents))
       .coalesce(batchShufflePartitions)
     def slice(ev: DataFrame, lo: Long, hi: Long) =
       ev.filter(col("ts") > lo && col("ts") <= hi)

@@ -148,9 +148,9 @@ object JoinTopKView {
         .select(viewCols.map(col): _*))
     val emptyRanked = emptyLike(
       IncrementalTopK.topK(emptyView, lPk, groupCol, orderCol, k))
-    val lPinned = inChild(lEvents.localCheckpoint())
+    val lPinned = inChild(Materializer.pinnedEvents(lEvents))
       .coalesce(batchShufflePartitions)
-    val rPinned = inChild(rEvents.localCheckpoint())
+    val rPinned = inChild(Materializer.pinnedEvents(rEvents))
       .coalesce(batchShufflePartitions)
     def slice(ev: DataFrame, lo: Long, hi: Long) =
       ev.filter(col("ts") > lo && col("ts") <= hi)

@@ -239,9 +239,9 @@ object JoinView {
     // coalesce the pinned logs to the batch shuffle width: every batch
     // slices them several times, and a slice scan at the session-wide
     // partition count costs a full-width task wave per use
-    val lPinned = inChild(lEvents.localCheckpoint())
+    val lPinned = inChild(Materializer.pinnedEvents(lEvents))
       .coalesce(batchShufflePartitions)
-    val rPinned = inChild(rEvents.localCheckpoint())
+    val rPinned = inChild(Materializer.pinnedEvents(rEvents))
       .coalesce(batchShufflePartitions)
     val windows = (Long.MinValue +: cuts) :+ Long.MaxValue
     // A window's changed-key collect depends only on the PINNED logs, not

@@ -154,9 +154,9 @@ object LeftJoinView {
       lSchema.drop(Materializer.MetaCols: _*),
       rSchema.drop(Materializer.MetaCols: _*),
       rPk, lJoinCols, viewCols))
-    val lPinned = inChild(lEvents.localCheckpoint())
+    val lPinned = inChild(Materializer.pinnedEvents(lEvents))
       .coalesce(batchShufflePartitions)
-    val rPinned = inChild(rEvents.localCheckpoint())
+    val rPinned = inChild(Materializer.pinnedEvents(rEvents))
       .coalesce(batchShufflePartitions)
     def slice(ev: DataFrame, lo: Long, hi: Long) =
       ev.filter(col("ts") > lo && col("ts") <= hi)

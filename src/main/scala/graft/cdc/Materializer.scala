@@ -28,6 +28,23 @@ object Materializer {
   /** Meta columns carried by tombstone-aware state tables. */
   val MetaCols: Seq[String] = Seq("__op", "__ts", "__seq")
 
+  /** Pin an events frame for a replay loop. An input that is ALREADY a
+    * pinned checkpoint scan (the shared decoded-changelog memos —
+    * several replay families consume the same topic) is reused as-is:
+    * re-running `localCheckpoint` would copy every block once per
+    * consuming family, and at sf0.1 that re-pin was the largest single
+    * stage of the shared state build. Anything else (raw generators,
+    * fresh lineage, sliced/derived frames) is frozen exactly as
+    * before — the checkpoint is what makes nondeterministic inputs
+    * replay-stable. */
+  private[graft] def pinnedEvents(ev: DataFrame): DataFrame =
+    ev.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD
+          if r.rdd.getStorageLevel !=
+               org.apache.spark.storage.StorageLevel.NONE => ev
+      case _ => ev.localCheckpoint()
+    }
+
   /** Fold change events `(op, ts, seq, after)` into a tombstone-RETAINING
     * state: one row per key — including deleted keys, which keep their
     * row image plus `__op = 'delete'`. Retained tombstones are what make

@@ -199,6 +199,21 @@ object MultiView {
     }) ++ extras
   }
 
+  /** Resolve a replay's batch shuffle width: explicit > 0 wins; the 0
+    * sentinel inherits the parent session's shuffle width (clamped to
+    * [2, 64]). The default stays NARROW (8): measured at sf0.1, running
+    * the macro-batch replay session-wide (32) cost ~2.5x the task time
+    * of 8-wide — per-task constants (codegen setup, broadcast fetch,
+    * checkpoint block overhead) dominate the |Δ|-bounded batch joins,
+    * so narrow batches win even when cores sit idle. The sentinel is
+    * for callers whose batches are genuinely state-sized. */
+  private[cdc] def resolveBatchWidth(parent: SparkSession,
+                                     requested: Int): Int =
+    if (requested > 0) requested
+    else scala.util.Try(
+      parent.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(8).max(2).min(64)
+
   /** Empty LocalRelation with `df`'s schema in `df`'s session — flattens
     * derived-empty lineage so batch-1 analysis never drags the heavy
     * schema-seed plans along. */
@@ -300,10 +315,10 @@ object MultiView {
       s"lJoinCols and rPk must not share column names " +
         s"(got ${lJoinCols.intersect(rPk).mkString(",")}); rename one side")
     val parent = lEvents.sparkSession
+    val batchWidth = resolveBatchWidth(parent, batchShufflePartitions)
     val child = parent.newSession()
     child.conf.set("spark.sql.adaptive.enabled", "false")
-    child.conf.set("spark.sql.shuffle.partitions",
-                   batchShufflePartitions.toString)
+    child.conf.set("spark.sql.shuffle.partitions", batchWidth.toString)
     def inChild(df: DataFrame): DataFrame =
       org.apache.spark.sql.graft.bridge.reRoot(df, child)
     def emptyInChild(df: DataFrame): DataFrame =
@@ -317,10 +332,10 @@ object MultiView {
     val ms = maintainers.map(_.asInstanceOf[Maintainer[Any]])
     var states: Seq[Any] =
       ms.map(_.empty(liveL0, liveR0, lPk, rPk, lJoinCols))
-    val lPinned = inChild(lEvents.localCheckpoint())
-      .coalesce(batchShufflePartitions)
-    val rPinned = inChild(rEvents.localCheckpoint())
-      .coalesce(batchShufflePartitions)
+    val lPinned = inChild(Materializer.pinnedEvents(lEvents))
+      .coalesce(batchWidth)
+    val rPinned = inChild(Materializer.pinnedEvents(rEvents))
+      .coalesce(batchWidth)
     // auto-cuts run over the PINNED logs (the count + quantile pass then
     // reads the persisted RDD, not a fresh decode lineage)
     val allCuts = maxEventsPerBatch match {

@@ -199,10 +199,11 @@ object SnowflakeView {
       "each maintainer must be a distinct instance (results are keyed " +
         "by identity); build a second instance for a second view")
     val parent = events.head.sparkSession
+    val batchWidth =
+      MultiView.resolveBatchWidth(parent, batchShufflePartitions)
     val child = parent.newSession()
     child.conf.set("spark.sql.adaptive.enabled", "false")
-    child.conf.set("spark.sql.shuffle.partitions",
-                   batchShufflePartitions.toString)
+    child.conf.set("spark.sql.shuffle.partitions", batchWidth.toString)
     def inChild(df: DataFrame): DataFrame =
       org.apache.spark.sql.graft.bridge.reRoot(df, child)
     def emptyInChild(df: DataFrame): DataFrame =
@@ -231,7 +232,7 @@ object SnowflakeView {
     var mStates: Seq[Any] =
       ms.map(_.empty(live0(0), chain0(1), pks(0), pks(1), fks(0)))
     val pinned = events.map(ev =>
-      inChild(ev.localCheckpoint()).coalesce(batchShufflePartitions))
+      inChild(Materializer.pinnedEvents(ev)).coalesce(batchWidth))
     val allCuts = maxEventsPerBatch match {
       case Some(m) =>
         val allTs = pinned.map(_.select(col("ts"))).reduce(_ unionByName _)

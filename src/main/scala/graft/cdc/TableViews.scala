@@ -156,10 +156,11 @@ object TableViews {
       "each maintainer must be a distinct instance (results are keyed " +
         "by identity); build a second instance for a second view")
     val parent = events.sparkSession
+    val batchWidth =
+      MultiView.resolveBatchWidth(parent, batchShufflePartitions)
     val child = parent.newSession()
     child.conf.set("spark.sql.adaptive.enabled", "false")
-    child.conf.set("spark.sql.shuffle.partitions",
-                   batchShufflePartitions.toString)
+    child.conf.set("spark.sql.shuffle.partitions", batchWidth.toString)
     def inChild(df: DataFrame): DataFrame =
       org.apache.spark.sql.graft.bridge.reRoot(df, child)
     def emptyInChild(df: DataFrame): DataFrame =
@@ -168,8 +169,8 @@ object TableViews {
     val stateSchema = emptyInChild(Materializer.compact(events.limit(0), pk))
     val ms = maintainers.map(_.asInstanceOf[Maintainer[Any]])
     var states: Seq[Any] = ms.map(_.empty(events0, pk))
-    val pinned = inChild(events.localCheckpoint())
-      .coalesce(batchShufflePartitions)
+    val pinned = inChild(Materializer.pinnedEvents(events))
+      .coalesce(batchWidth)
     val allCuts = maxEventsPerBatch match {
       case Some(m) => (cuts ++ MultiView.autoCuts(pinned, m)).distinct.sorted
       case None => cuts
