@@ -70,15 +70,25 @@ object ClusterView {
   /** The exact-cosine modality: edges between live vectors with
     * `cosine >= minCosine`. Oracle-expressible end-to-end (DuckDB
     * `list_cosine_similarity` + recursive min-label reach), which is the
-    * point of keeping an exact variant next to the LSH index. */
+    * point of keeping an exact variant next to the LSH index. Its
+    * per-batch probe is |Δ| × |live| BY DESIGN, so it carries the
+    * [[Dedup.requireAllPairsBound]] loudness: a live corpus past
+    * `maxLiveRows` fails naming the maintained-LSH swap
+    * ([[semanticMaintainer]] / [[overIndex]]) instead of silently
+    * burning n² cosine evaluations per batch. */
   def cosineMaintainer(idCol: String, vecCol: String, minCosine: Double,
-                       ccShufflePartitions: Int = 8)
+                       ccShufflePartitions: Int = 8,
+                       maxLiveRows: Long = 65536)
       : TableViews.Maintainer[ClusterState] =
     maintainerFromEdges(idCol, (changedLive, liveAll) => {
+      val live = Dedup.requireAllPairsBound(liveAll,
+        "ClusterView.cosineMaintainer (exact-cosine edge probe)",
+        "ClusterView.semanticMaintainer or ClusterView.overIndex",
+        bound = maxLiveRows)
       val a = changedLive.select(col(idCol).cast("long").as("id_a"),
                                  col(vecCol).cast("array<double>").as("va"))
-      val b = liveAll.select(col(idCol).cast("long").as("id_b"),
-                             col(vecCol).cast("array<double>").as("vb"))
+      val b = live.select(col(idCol).cast("long").as("id_b"),
+                          col(vecCol).cast("array<double>").as("vb"))
       a.join(b, col("id_a") =!= col("id_b"))
         .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb"))
                   >= minCosine)

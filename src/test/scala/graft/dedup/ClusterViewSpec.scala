@@ -178,4 +178,27 @@ class ClusterViewSpec extends SparkSpec {
     assert(seen.toSeq == Seq(6L, 2L, 0L),
       s"prober inputs were $seen — not |Δ|-bounded")
   }
+
+  test("exact modality refuses an over-bound live corpus, naming the swap") {
+    // the |Δ|×|live| probe is the modality's point, but it must fail
+    // LOUDLY past the bound instead of burning n² cosine evals per
+    // batch — and the error must route the caller to the LSH path
+    val ev = events(log.filter(_._1 == "insert"))
+    val m = ClusterView.cosineMaintainer("vec_id", "embedding", Tau,
+                                         ccShufflePartitions = 4,
+                                         maxLiveRows = 3)
+    val e = intercept[IllegalArgumentException] {
+      TableViews.replay(ev, Seq(10L), Seq("vec_id"), Seq(m))
+    }
+    assert(e.getMessage.contains("semanticMaintainer") &&
+             e.getMessage.contains("overIndex"),
+      s"guard must name the LSH swap: ${e.getMessage}")
+    // under the bound the same corpus replays fine (guard is inert)
+    val ok = ClusterView.cosineMaintainer("vec_id", "embedding", Tau,
+                                          ccShufflePartitions = 4,
+                                          maxLiveRows = 100)
+    val res = TableViews.replay(ev, Seq(10L), Seq("vec_id"), Seq(ok))
+    assert(clustersOf(res(ok)) ==
+             direct(Materializer.liveView(res.state)))
+  }
 }
