@@ -36,18 +36,28 @@ object TextAnalysis {
     * doc passes — 0 (< 30 tokens), 1 (mean token length outside
     * [2,10]), 2 (top-token ratio > 20%), 3 (no stopword), 4 (passes
     * all). The batch funnel's rule-3 shuffle (per-(doc, tok) counts)
-    * becomes an O(k²) array fold over the token array — at ~50 tokens
-    * per doc that is cheap scan work, and it is what makes the stage a
-    * DERIVABLE column the IVM machinery can maintain exactly under
-    * deletes ([[graft.cdc.TableViews.withDerived]]). */
+    * becomes a SORT-AND-SCAN over the token array — the top-token
+    * count is the longest equal run of the sorted array, O(k log k)
+    * instead of the distinct×filter fold's O(k²), which matters once
+    * real web docs hit 10³–10⁴ tokens. Still exact for any length,
+    * still a single codegen'd expression, and still what makes the
+    * stage a DERIVABLE column the IVM machinery can maintain exactly
+    * under deletes ([[graft.cdc.TableViews.withDerived]]). */
   def qualityStage(text: Column): Column = {
     val toks = tokens(text)
     val nTok = size(toks)
     val b1 = nTok >= 30
     val b2 = (length(regexp_replace(text, "\\s+", "")).cast("double") /
                 nTok).between(2.0, 10.0)
-    val topC = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
+    val topC = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+               greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
     val b3 = topC * 5 <= nTok
     val b4 = array_contains(toks, "the") || array_contains(toks, "a")
     when(!b1, 0).when(!b2, 1).when(!b3, 2).when(!b4, 3).otherwise(4)

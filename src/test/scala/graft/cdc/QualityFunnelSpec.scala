@@ -44,6 +44,35 @@ class QualityFunnelSpec extends SparkSpec {
     assert(scan.select(col("stage")).distinct().count() > 1)
   }
 
+  test("5k-token docs: sort-and-scan top-token count stays exact") {
+    import spark.implicits._
+    // real web docs run 10^3-10^4 tokens — the regime where the old
+    // distinct×filter fold went O(k²). Planted outcomes: d1 all-unique
+    // + stopword (stage 4), d2 one token at ~21% (fails rule 3 ->
+    // stage 2), d3 exactly at the 20% boundary — must PASS rule 3
+    // (stage 4), d4 one token repeated 5000x (fails rule 3 -> stage 2).
+    val uniq = (1 to 5000).map(i => s"tok$i")
+    val d1 = (uniq :+ "the").mkString(" ")
+    val d2 = ((1 to 4000).map(i => s"u$i" + "xx") ++
+              Seq.fill(1050)("rep") :+ "the").mkString(" ")
+    val d3 = ((1 to 4000).map(i => s"v$i" + "xx") ++
+              Seq.fill(1000)("rep") :+ "the").mkString(" ")
+    val d4 = (Seq.fill(5000)("aa") :+ "the").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.qualityStage(col("text")).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 4, 2L -> 2, 3L -> 4, 4L -> 2),
+      s"planted long-doc stages off: $got")
+    // and doc-for-doc parity with the independent shuffle derivation
+    val diff = docs.select(col("doc_id"),
+        TextAnalysis.qualityStage(col("text")).as("stage"))
+      .join(batchStages(docs).withColumnRenamed("stage", "b"), "doc_id")
+      .filter(col("stage") =!= col("b"))
+    assert(diff.isEmpty, s"long-doc mismatch: ${diff.head(5).mkString(",")}")
+  }
+
   test("maintained funnel counts == recompute over live state, with a stage-moving rewrite") {
     import spark.implicits._
     import org.apache.spark.sql.types._
