@@ -279,6 +279,29 @@ object CdcStream {
     }
   }
 
+  /** RETENTION POLICY driver over [[compactViewChanges]]: when the
+    * retained changelog exceeds `maxBatches` committed batch
+    * directories, fold everything older than the newest `keepBatches`
+    * into one snapshot; below the threshold it is a no-op, so it is
+    * safe (and cheap — one directory listing) to call after every
+    * emitted batch. This bounds the log at O(|face| + keepBatches
+    * deltas) instead of O(all history) without an operator in the
+    * loop. `keepBatches` is the caller's time-travel/consumer horizon:
+    * it must cover every incremental consumer's unapplied tail —
+    * [[applyViewChangesToJdbc]] refuses loudly if a snapshot lands
+    * inside its range, so a mis-sized policy fails fast rather than
+    * corrupting a serving table. Returns the number of prefix batch
+    * directories removed (0 when under threshold). */
+  def compactIfNeeded(spark: SparkSession, rootPath: String,
+                      keepBatches: Int, maxBatches: Int): Int = {
+    require(keepBatches >= 0 && maxBatches > keepBatches,
+      s"compactIfNeeded: need maxBatches ($maxBatches) > keepBatches " +
+        s"($keepBatches) >= 0")
+    val ids = committedBatchIds(spark, rootPath)
+    if (ids.size <= maxBatches) 0
+    else compactViewChanges(spark, rootPath, ids(ids.size - 1 - keepBatches))
+  }
+
   /** Committed batch ids whose directory carries the `_snapshot` marker
     * — batches REWRITTEN by [[compactViewChanges]] to hold the full
     * as-of face instead of a delta. */

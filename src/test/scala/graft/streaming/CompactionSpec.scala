@@ -163,6 +163,56 @@ class CompactionSpec extends SparkSpec {
     assert(at(2) == face2)
   }
 
+  test("compactIfNeeded: threshold policy bounds the log, fold stays exact") {
+    import org.apache.spark.sql.types._
+    val logDir = tmpDir("cplog2")
+    val root = tmpDir("cpstate2")
+    val ckpt = tmpDir("cpckpt2")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", LongType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Long) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainDistinctCountToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", valueCol = "v", root, ckpt).awaitTermination()
+    def at(b: Long): Map[String, Long] =
+      CdcStream.viewAsOfBatch(spark, root, b).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // six batches: g1..g6 arrive one per batch; g1 dies in batch 5
+    (1 to 4).foreach { i =>
+      append(s"b$i.json", Seq(ev("insert", i * 10L, i.toLong, s"g$i", i)))
+      run()
+    }
+    append("b5.json", Seq(ev("delete", 50L, 1L, "g1", 1)))
+    run()
+    append("b6.json", Seq(ev("insert", 60L, 6L, "g6", 6)))
+    run()
+    val faceAll = at(Long.MaxValue)
+    val face4 = at(4)
+
+    // under the threshold: a no-op, callable after every batch
+    assert(CdcStream.compactIfNeeded(spark, root, keepBatches = 2,
+                                     maxBatches = 6) == 0)
+    assert(at(Long.MaxValue) == faceAll)
+    // over it: folds everything older than the newest 2 batches
+    // (batches 0..3 -> snapshot at 3) and the fold contract survives,
+    // including the post-horizon delete of a pre-horizon key
+    val removed = CdcStream.compactIfNeeded(spark, root, keepBatches = 2,
+                                            maxBatches = 4)
+    assert(removed == 3, s"expected 3 pruned prefix dirs, got $removed")
+    assert(at(4) == face4, "fold at post-horizon batch diverged")
+    assert(at(Long.MaxValue) == faceAll, "live fold diverged")
+    assert(!at(Long.MaxValue).contains("g1"),
+      "post-snapshot delete must still beat the snapshot insert")
+    // idempotent: now at 3 retained batches (3,4,5), under threshold
+    assert(CdcStream.compactIfNeeded(spark, root, 2, 4) == 0)
+  }
+
   test("JDBC incremental apply refuses a snapshot inside its unapplied range") {
     import org.apache.spark.sql.types._
     val logDir = tmpDir("cpjlog")
