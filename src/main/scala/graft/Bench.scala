@@ -107,11 +107,27 @@ object Bench {
     // separately as corpus_build_sec, so the timed dedup queries measure
     // signature/candidate/verify work, not repeated corpus scans
     val tCorpusBuild = System.nanoTime()
+    // tokens/emb first and SEQUENTIALLY: the three signature frames all
+    // derive from them, so racing the pool on a cold base would rebuild
+    // it under the SharedCorpus cache lock anyway; the signatures are
+    // then independent and build concurrently like the state families
     warm("shared corpus tokens")(ops.SharedCorpus.docsTok(spark, sfDir).count())
     warm("shared corpus embeddings")(ops.SharedCorpus.emb(spark, sfDir).count())
-    warm("shared minhash sigs")(ops.SharedCorpus.minhashSigs(spark, sfDir).count())
-    warm("shared simhash sigs")(ops.SharedCorpus.simhashSigs(spark, sfDir).count())
-    warm("shared emb-lsh buckets")(ops.SharedCorpus.embLshBuckets(spark, sfDir).count())
+    locally {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val sigs = Seq[(String, () => Unit)](
+        ("shared minhash sigs", () =>
+          ops.SharedCorpus.minhashSigs(spark, sfDir).count()),
+        ("shared simhash sigs", () =>
+          ops.SharedCorpus.simhashSigs(spark, sfDir).count()),
+        ("shared emb-lsh buckets", () =>
+          ops.SharedCorpus.embLshBuckets(spark, sfDir).count())
+      ).map { case (n, f) =>
+        pool.submit(new Runnable { def run(): Unit = warm(n)(f()) })
+      }
+      sigs.foreach(_.get())
+      pool.shutdown()
+    }
     val corpusBuildSec = (System.nanoTime() - tCorpusBuild) / 1e9
     // TWO timed passes, per-query MINIMUM, plus an ADAPTIVE THIRD pass
     // for any query whose two passes disagree by >3x. One pass is at the
