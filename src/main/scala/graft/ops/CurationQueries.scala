@@ -321,6 +321,35 @@ object CurationQueries {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // LEAKAGE-SAFE SPLIT: train/val/test assignment that is ATOMIC per
+    // exact-duplicate group — every doc sharing a normalized-content
+    // fingerprint lands in the SAME split. A plain per-doc hash split
+    // (q_split_assign) lets near-identical docs straddle train/test,
+    // leaking evaluation data into training; here the group
+    // REPRESENTATIVE (min doc_id per fingerprint) decides via the same
+    // md5-threshold scheme, so assignment stays layout-stable AND
+    // group-atomic. Scale shape: ONE shuffle on the fingerprint (the
+    // window min — no join back against a group table), then the hash
+    // + threshold are scan-side and the rollup is a map-side partial
+    // agg; at 100 TB the fp shuffle is the dedup pass already paid.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__fp"))
+      val h = substring(
+        md5(concat(col("__rep").cast("string"), lit(":split"))), 1, 8)
+      docs(s, dir)
+        .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("__rep", min(col("doc_id")).over(w))
+        .withColumn("split",
+          when(h < "e6666666", "train")
+            .when(h < "f3333333", "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("__fp")).as("n_groups"),
+             sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("split"))
+    }),
+
     // PII entity detection + redaction over planted identifiers (the
     // corpus is synthetic word salad, so emails/phones/IPs/SSNs are
     // planted deterministically per doc — every doc gets an email, a
@@ -371,10 +400,30 @@ object CurationQueries {
   // shared DuckDB fragments (mirrors of TextAnalysis.tokens / portableHash)
   private val toksSql =
     "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+  // mirror of TextAnalysis.fingerprint (PipelineQueries.normText)
+  private val fpSql =
+    "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
   private def pHashSql(key: String, seed: Int): String =
     s"('0x' || substr(md5($key::VARCHAR || ':$seed'), 1, 8))::BIGINT"
 
   val oracle: Map[String, String] = Map(
+    "q_split_leakage_safe" ->
+      s"""WITH g AS (
+        |  SELECT n_chars, $fpSql AS fp,
+        |    min(doc_id) OVER (PARTITION BY $fpSql) AS rep
+        |  FROM documents),
+        |a AS (
+        |  SELECT fp, n_chars,
+        |    CASE WHEN substr(md5(rep::VARCHAR || ':split'), 1, 8)
+        |              < 'e6666666' THEN 'train'
+        |         WHEN substr(md5(rep::VARCHAR || ':split'), 1, 8)
+        |              < 'f3333333' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM g)
+        |SELECT split, count(*) AS n_docs,
+        |  count(DISTINCT fp) AS n_groups,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM a GROUP BY 1 ORDER BY split""".stripMargin,
     "q_split_assign" ->
       """WITH a AS (
         |  SELECT lang, n_chars,

@@ -177,4 +177,40 @@ class CurationSpec extends SparkSpec {
     assert(nDrift > 0 && nDrift < nAll)
     out.unpersist()
   }
+
+  test("q_split_leakage_safe: no duplicate group ever spans two splits") {
+    import graft.text.TextAnalysis
+    // the leakage invariant on a corpus with PLANTED duplicates: clone
+    // every 7th doc's text onto its neighbor so groups genuinely span
+    // multiple doc_ids, then assert every fingerprint maps to exactly
+    // one split under the group-atomic assignment
+    val base = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val donor = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1).as("doc_id"), col("text").as("__dup"))
+    val docs = base.join(donor, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__dup"), col("text")).as("text"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val h = substring(
+      md5(concat(col("rep").cast("string"), lit(":split"))), 1, 8)
+    val assigned = docs
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .withColumn("split",
+        when(h < "e6666666", "train")
+          .when(h < "f3333333", "val").otherwise("test"))
+    // planted groups exist (some fp covers >1 doc)...
+    val multi = assigned.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n"),
+           countDistinct(col("split")).as("ns"))
+    assert(multi.filter(col("n") > 1).count() > 0, "no planted dup groups")
+    // ...and NONE spans two splits — the leakage invariant
+    assert(multi.filter(col("ns") > 1).count() == 0,
+      "a duplicate group straddles train/test — leakage")
+    // the named query runs and covers all three splits at this sf
+    val out = run("q_split_leakage_safe").collect()
+    assert(out.map(_.getString(0)).toSet == Set("train", "val", "test"))
+    assert(out.map(_.getLong(1)).sum ==
+             graft.Tables.load(spark, sfDir, "documents").count())
+  }
 }
