@@ -682,6 +682,28 @@ object CdcQueries {
           SharedJoin.docsResult(s, dir)(SharedJoin.fpGroups))
         .orderBy(col("fp"))),
 
+    // MAINTAINED LEAKAGE-SAFE SPLIT: per-split live (group, doc) counts
+    // of q_split_leakage_safe's assignment, kept current as the corpus
+    // churns — with ZERO new state: the split is a pure function of
+    // the group fingerprint (md5 threshold on fp), so the face is a
+    // serve-side derivation off the SAME maintained fpGroups pair
+    // state cdc_dedup_groups rides. Stability falls out of the scheme:
+    // a group's fp never changes, so no member insert/delete/rewrite
+    // can move an existing group across splits — the property a
+    // rep-based scheme would lose when the representative dies.
+    "cdc_split_view" -> ((s, dir) => {
+      val st = SharedJoin.docsResult(s, dir)(SharedJoin.fpGroups)
+      val h = substring(md5(concat(col("g"), lit(":split"))), 1, 8)
+      st.pairs.filter(col("net") > 0)
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .withColumn("split",
+          when(h < "e6666666", "train")
+            .when(h < "f3333333", "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_docs"))
+        .orderBy(col("split"))
+    }),
+
     // INCREMENTAL NEAR-DUP INDEX: the MinHash-LSH candidate-pair view of
     // the live corpus, maintained per batch from changed docs' signatures
     // alone (DedupIndexView — |Δ| signature scans, index patched never
@@ -1051,6 +1073,28 @@ object CdcQueries {
     // live corpus after the documents changelog (insert all / swap
     // doc_id%7==0's text to its successor's / delete doc_id%10==0),
     // grouped by content hash — Spark md5 == DuckDB md5 (lowercase hex)
+    "cdc_split_view" ->
+      """WITH dstate AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 0 THEN coalesce(d2.text, d.text)
+        |         ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <> 0),
+        |g AS (
+        |  SELECT md5(text) AS fp, count(*) AS n
+        |  FROM dstate GROUP BY 1),
+        |a AS (
+        |  SELECT n,
+        |    CASE WHEN substr(md5(fp || ':split'), 1, 8)
+        |              < 'e6666666' THEN 'train'
+        |         WHEN substr(md5(fp || ':split'), 1, 8)
+        |              < 'f3333333' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM g)
+        |SELECT split, count(*) AS n_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_docs
+        |FROM a GROUP BY 1 ORDER BY split""".stripMargin,
     "cdc_dedup_groups" ->
       """WITH dstate AS (
         |  SELECT d.doc_id,

@@ -325,21 +325,18 @@ object CurationQueries {
     // exact-duplicate group — every doc sharing a normalized-content
     // fingerprint lands in the SAME split. A plain per-doc hash split
     // (q_split_assign) lets near-identical docs straddle train/test,
-    // leaking evaluation data into training; here the group
-    // REPRESENTATIVE (min doc_id per fingerprint) decides via the same
-    // md5-threshold scheme, so assignment stays layout-stable AND
-    // group-atomic. Scale shape: ONE shuffle on the fingerprint (the
-    // window min — no join back against a group table), then the hash
-    // + threshold are scan-side and the rollup is a map-side partial
-    // agg; at 100 TB the fp shuffle is the dedup pass already paid.
+    // leaking evaluation data into training; here the md5-threshold
+    // scheme hashes the GROUP FINGERPRINT itself, so group-atomicity
+    // holds by construction, the assignment is layout-stable, AND it
+    // stays stable under corpus churn (a group's fp never changes —
+    // the maintained face cdc_split_view shares the exact scheme with
+    // zero extra state). Scale shape: the split is pure scan-side
+    // (fingerprint + hash + threshold, no window, no join); the only
+    // shuffle is the rollup's distinct-group count.
     "q_split_leakage_safe" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__fp"))
-      val h = substring(
-        md5(concat(col("__rep").cast("string"), lit(":split"))), 1, 8)
+      val h = substring(md5(concat(col("__fp"), lit(":split"))), 1, 8)
       docs(s, dir)
         .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
-        .withColumn("__rep", min(col("doc_id")).over(w))
         .withColumn("split",
           when(h < "e6666666", "train")
             .when(h < "f3333333", "val").otherwise("test"))
@@ -408,18 +405,14 @@ object CurationQueries {
 
   val oracle: Map[String, String] = Map(
     "q_split_leakage_safe" ->
-      s"""WITH g AS (
+      s"""WITH a AS (
         |  SELECT n_chars, $fpSql AS fp,
-        |    min(doc_id) OVER (PARTITION BY $fpSql) AS rep
-        |  FROM documents),
-        |a AS (
-        |  SELECT fp, n_chars,
-        |    CASE WHEN substr(md5(rep::VARCHAR || ':split'), 1, 8)
+        |    CASE WHEN substr(md5($fpSql || ':split'), 1, 8)
         |              < 'e6666666' THEN 'train'
-        |         WHEN substr(md5(rep::VARCHAR || ':split'), 1, 8)
+        |         WHEN substr(md5($fpSql || ':split'), 1, 8)
         |              < 'f3333333' THEN 'val'
         |         ELSE 'test' END AS split
-        |  FROM g)
+        |  FROM documents)
         |SELECT split, count(*) AS n_docs,
         |  count(DISTINCT fp) AS n_groups,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars

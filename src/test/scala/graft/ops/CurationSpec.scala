@@ -190,12 +190,9 @@ class CurationSpec extends SparkSpec {
       .select((col("doc_id") + 1).as("doc_id"), col("text").as("__dup"))
     val docs = base.join(donor, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__dup"), col("text")).as("text"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val h = substring(
-      md5(concat(col("rep").cast("string"), lit(":split"))), 1, 8)
+    val h = substring(md5(concat(col("fp"), lit(":split"))), 1, 8)
     val assigned = docs
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-      .withColumn("rep", min(col("doc_id")).over(w))
       .withColumn("split",
         when(h < "e6666666", "train")
           .when(h < "f3333333", "val").otherwise("test"))
