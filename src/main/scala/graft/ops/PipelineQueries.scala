@@ -41,6 +41,44 @@ object PipelineQueries {
   /** Engine-portable 32-bit hash of a key + seed (md5 hex prefix parsed as
     * an integer). Slower than xxhash64 but bit-identical across engines —
     * used where the SAMPLE itself must be reproducible outside Spark. */
+  /** The synthetic near-dup FAMILY clustering shared by
+    * q_dedup_clusters and q_split_cluster_safe: per base doc (every
+    * 10th), three token-shift variants edge-joined by 5-gram Jaccard
+    * >= 0.5, components labeled by min member id. Family token arrays
+    * derive from the ONE pinned tokenization (dropN is an array slice,
+    * not a re-split); fam is a lazy localCheckpoint, not cache — it
+    * feeds three filter branches (computed once, blocks reused) and
+    * the pinned blocks are released by the ContextCleaner when the
+    * frame goes out of scope, where a cache() would sit in the cache
+    * manager until an explicit unpersist. */
+  private def familyComponents(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    def dropN(n: Int) = slice(col("toks"), lit(n + 1), size(col("toks")))
+    val fam = SharedCorpus.docsTok(s, dir).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("toks").as("t0"),
+              dropN(2).as("t1"), dropN(4).as("t2"))
+      .localCheckpoint(false)
+    def jac(a: String, b: String) =
+      round(Dedup.ngramJaccardFromTokens(col(a), col(b), 5), 6) >= 0.5
+    val edges =
+      fam.filter(jac("t0", "t1")).select(col("doc_id").as("src"),
+          (col("doc_id") + 1000000L).as("dst"))
+        .union(fam.filter(jac("t1", "t2"))
+          .select((col("doc_id") + 1000000L).as("src"),
+                  (col("doc_id") + 2000000L).as("dst")))
+        .union(fam.filter(jac("t0", "t2")).select(col("doc_id").as("src"),
+          (col("doc_id") + 2000000L).as("dst")))
+    val nodes = fam.select(explode(array(col("doc_id"),
+        col("doc_id") + 1000000L, col("doc_id") + 2000000L)).as("doc_id"))
+    // the family graph is tiny relative to the corpus — size the
+    // propagation loop's shuffles to it, not to the session width
+    val comps = Dedup.connectedComponents(edges, "src", "dst",
+      shufflePartitions = 8)
+    nodes.join(comps, nodes("doc_id") === comps("id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
   private def portableHash(key: org.apache.spark.sql.Column, seed: Int) =
     conv(substring(md5(concat(key.cast("string"), lit(s":$seed"))), 1, 8),
          16, 10).cast("long")
@@ -174,39 +212,28 @@ object PipelineQueries {
     // the threshold — exactly what component-finding is for. The edge set
     // is deliberately oracle-expressible (per-family pairwise Jaccard);
     // the operator under test is the distributed min-label propagation.
-    "q_dedup_clusters" -> ((s, dir) => {
-      // shared-corpus path: family token arrays derive from the ONE
-      // pinned tokenization (dropN is an array slice, not a re-split)
-      def dropN(n: Int) = slice(col("toks"), lit(n + 1), size(col("toks")))
-      // lazy localCheckpoint, not cache: fam feeds three filter branches
-      // (computed once, blocks reused), and the pinned blocks are released
-      // by the ContextCleaner when the frame goes out of scope — a cache()
-      // here would sit in the cache manager until an explicit unpersist,
-      // accumulating storage across repeated invocations in one session
-      val fam = SharedCorpus.docsTok(s, dir).filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("toks").as("t0"),
-                dropN(2).as("t1"), dropN(4).as("t2"))
-        .localCheckpoint(false)
-      def jac(a: String, b: String) =
-        round(Dedup.ngramJaccardFromTokens(col(a), col(b), 5), 6) >= 0.5
-      val edges =
-        fam.filter(jac("t0", "t1")).select(col("doc_id").as("src"),
-            (col("doc_id") + 1000000L).as("dst"))
-          .union(fam.filter(jac("t1", "t2"))
-            .select((col("doc_id") + 1000000L).as("src"),
-                    (col("doc_id") + 2000000L).as("dst")))
-          .union(fam.filter(jac("t0", "t2")).select(col("doc_id").as("src"),
-            (col("doc_id") + 2000000L).as("dst")))
-      val nodes = fam.select(explode(array(col("doc_id"),
-          col("doc_id") + 1000000L, col("doc_id") + 2000000L)).as("doc_id"))
-      // the family graph is tiny relative to the corpus — size the
-      // propagation loop's shuffles to it, not to the session width
-      val comps = Dedup.connectedComponents(edges, "src", "dst",
-        shufflePartitions = 8)
-      nodes.join(comps, nodes("doc_id") === comps("id"), "left")
-        .select(col("doc_id"),
-                coalesce(col("component"), col("doc_id")).as("component"))
-        .orderBy(col("doc_id"))
+    "q_dedup_clusters" -> ((s, dir) =>
+      familyComponents(s, dir).orderBy(col("doc_id"))),
+
+    // CLUSTER-ATOMIC SPLIT: the near-dup sibling of
+    // q_split_leakage_safe — every member of a NEAR-duplicate cluster
+    // (the connected components over Jaccard >= 0.5 edges) lands in
+    // the same train/val/test split, so paraphrase-level rewrites can
+    // never straddle train and test. The md5 threshold hashes the
+    // cluster id (its min member — deterministic), which keeps the
+    // assignment a pure function of the clustering; the rollup is a
+    // map-side partial agg over |docs| rows.
+    "q_split_cluster_safe" -> ((s, dir) => {
+      val h = substring(
+        md5(concat(col("component").cast("string"), lit(":csplit"))), 1, 8)
+      familyComponents(s, dir)
+        .withColumn("split",
+          when(h < "e6666666", "train")
+            .when(h < "f3333333", "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("component")).as("n_clusters"))
+        .orderBy(col("split"))
     }),
 
     // train/eval decontamination: flag corpus docs sharing any 5-gram with
@@ -872,6 +899,57 @@ object PipelineQueries {
         |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id)
         |SELECT id AS doc_id, min(r) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_split_cluster_safe" ->
+      s"""WITH RECURSIVE
+        |fam AS (
+        |  SELECT doc_id, $toksSql AS toks,
+        |    string_split(array_to_string(($toksSql)[3:], ' '), ' ')
+        |      AS toks1,
+        |    string_split(array_to_string(($toksSql)[5:], ' '), ' ')
+        |      AS toks2
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    ${shingleSql("toks")} AS s0,
+        |    ${shingleSql("toks1")} AS s1,
+        |    ${shingleSql("toks2")} AS s2
+        |  FROM fam),
+        |j AS (
+        |  SELECT doc_id,
+        |    ${jacSql("s0", "s1")} AS j01,
+        |    ${jacSql("s1", "s2")} AS j12,
+        |    ${jacSql("s0", "s2")} AS j02
+        |  FROM sh),
+        |edges AS (
+        |  SELECT doc_id AS src, doc_id + 1000000 AS dst FROM j
+        |  WHERE j01 >= 0.5
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id + 2000000 FROM j WHERE j12 >= 0.5
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 2000000 FROM j WHERE j02 >= 0.5),
+        |sym AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges),
+        |nodes AS (
+        |  SELECT unnest([doc_id, doc_id + 1000000, doc_id + 2000000]) AS id
+        |  FROM fam),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id)
+        |,comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |a AS (
+        |  SELECT component,
+        |    CASE WHEN substr(md5(component::VARCHAR || ':csplit'), 1, 8)
+        |              < 'e6666666' THEN 'train'
+        |         WHEN substr(md5(component::VARCHAR || ':csplit'), 1, 8)
+        |              < 'f3333333' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM comp)
+        |SELECT split, count(*) AS n_docs,
+        |  count(DISTINCT component) AS n_clusters
+        |FROM a GROUP BY 1 ORDER BY split""".stripMargin,
     "q_decontaminate" ->
       s"""WITH bench AS (
         |  SELECT doc_id AS b_id, $toksSql AS b_toks
