@@ -297,6 +297,23 @@ object CdcStream {
     require(keepBatches >= 0 && maxBatches > keepBatches,
       s"compactIfNeeded: need maxBatches ($maxBatches) > keepBatches " +
         s"($keepBatches) >= 0")
+    val chDir = new org.apache.hadoop.fs.Path(s"$rootPath/changes")
+    val fs = chDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // finish any swap a previous run left mid-flight first: the policy
+    // picks a FRESH horizon each call, so a stranded committed side for
+    // an older horizon would otherwise never meet its healing
+    // compactViewChanges(upTo) again and leak forever
+    if (fs.exists(chDir)) fs.listStatus(chDir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("compact_tmp_"))
+        scala.util.Try(name.stripPrefix("compact_tmp_").toLong).foreach {
+          upTo =>
+            if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath,
+                                                        "_SUCCESS")))
+              compactViewChanges(spark, rootPath, upTo)
+            else fs.delete(st.getPath, true) // uncommitted side write
+        }
+    }
     val ids = committedBatchIds(spark, rootPath)
     if (ids.size <= maxBatches) 0
     else compactViewChanges(spark, rootPath, ids(ids.size - 1 - keepBatches))
@@ -1738,12 +1755,14 @@ object CdcStream {
     * generation is readable. */
   def maintainDistinctCountToParquet(envelope: DataFrame, spec: TableSpec,
                                      groupCol: String, valueCol: String,
-                                     rootPath: String, checkpointPath: String)
+                                     rootPath: String, checkpointPath: String,
+                                     retention: Option[(Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.IncrementalAgg
     maintainPairStateToParquet(envelope, spec, groupCol, valueCol,
       rootPath, checkpointPath,
-      st => IncrementalAgg.distinctCountView(st, groupCol, valueCol))
+      st => IncrementalAgg.distinctCountView(st, groupCol, valueCol),
+      retention)
   }
 
   /** MIN/MAX sibling of [[maintainDistinctCountToParquet]] — the same
@@ -1839,7 +1858,13 @@ object CdcStream {
   private def maintainPairStateToParquet(envelope: DataFrame,
       spec: TableSpec, groupCol: String, valueCol: String,
       rootPath: String, checkpointPath: String,
-      view: graft.cdc.IncrementalAgg.DistinctState => DataFrame)
+      view: graft.cdc.IncrementalAgg.DistinctState => DataFrame,
+      // (keepBatches, maxBatches): run [[compactIfNeeded]] after every
+      // swap so the producer itself bounds its emitted changelog —
+      // size keepBatches to cover every incremental consumer's
+      // unapplied tail (the JDBC snapshot guard refuses a mis-sized
+      // horizon loudly). None = grow unbounded, prune/compact manually.
+      retention: Option[(Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.IncrementalAgg
     envelope.writeStream
@@ -1881,6 +1906,9 @@ object CdcStream {
             next.groups.write.mode("overwrite").parquet(s"$tmp/groups")
             nextView.write.mode("overwrite").parquet(s"$tmp/view")
             writeMarker(spark, tmp, batchId)
+          }
+          retention.foreach { case (keep, max) =>
+            compactIfNeeded(spark, rootPath, keep, max)
           }
         }
         ()

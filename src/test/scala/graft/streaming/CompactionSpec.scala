@@ -213,6 +213,55 @@ class CompactionSpec extends SparkSpec {
     assert(CdcStream.compactIfNeeded(spark, root, 2, 4) == 0)
   }
 
+  test("producer with retention keeps its own changelog bounded") {
+    import org.apache.spark.sql.types._
+    val logDir = tmpDir("crlog")
+    val root = tmpDir("crstate")
+    val ckpt = tmpDir("crckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", LongType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Long) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    // the PRODUCTION wiring: the producer itself runs the retention
+    // policy after every swap — no operator calls compaction
+    def run(): Unit = CdcStream.maintainDistinctCountToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", valueCol = "v", root, ckpt,
+      retention = Some((2, 4))).awaitTermination()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def committedDirs: Seq[String] = {
+      val d = new org.apache.hadoop.fs.Path(s"$root/changes")
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).toSeq.sorted
+    }
+    (1 to 8).foreach { i =>
+      append(s"b$i.json", Seq(ev("insert", i * 10L, i.toLong, s"g$i", i)))
+      run()
+      assert(committedDirs.size <= 5, // max 4 + the just-emitted batch
+        s"changelog grew past the policy bound: $committedDirs")
+    }
+    append("b9.json", Seq(ev("delete", 90L, 3L, "g3", 3)))
+    run()
+    // the face is exact through every fold-over-snapshot boundary
+    val face = CdcStream.viewAsOfBatch(spark, root, Long.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(face == (1 to 8).filter(_ != 3)
+             .map(i => s"g$i" -> 1L).toMap,
+      s"retained-log fold diverged: $face")
+    // and a snapshot actually exists (the policy did compact)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/changes/${committedDirs.min}/_snapshot")) ||
+        committedDirs.exists(d => fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/changes/$d/_snapshot"))),
+      s"no snapshot batch found in $committedDirs")
+  }
+
   test("JDBC incremental apply refuses a snapshot inside its unapplied range") {
     import org.apache.spark.sql.types._
     val logDir = tmpDir("cpjlog")
