@@ -1771,12 +1771,13 @@ object CdcStream {
     * current under deletes of the extremes, restart-safe. */
   def maintainMinMaxToParquet(envelope: DataFrame, spec: TableSpec,
                               groupCol: String, valueCol: String,
-                              rootPath: String, checkpointPath: String)
+                              rootPath: String, checkpointPath: String,
+                              retention: Option[(Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.IncrementalAgg
     maintainPairStateToParquet(envelope, spec, groupCol, valueCol,
       rootPath, checkpointPath,
-      st => IncrementalAgg.minMaxView(st, groupCol, valueCol))
+      st => IncrementalAgg.minMaxView(st, groupCol, valueCol), retention)
   }
 
   /** Exact-PERCENTILE sibling of [[maintainDistinctCountToParquet]] —
@@ -1791,12 +1792,14 @@ object CdcStream {
   def maintainPercentilesToParquet(envelope: DataFrame, spec: TableSpec,
                                    groupCol: String, valueCol: String,
                                    ps: Seq[Double], rootPath: String,
-                                   checkpointPath: String)
+                                   checkpointPath: String,
+                                   retention: Option[(Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.IncrementalAgg
     maintainPairStateToParquet(envelope, spec, groupCol, valueCol,
       rootPath, checkpointPath,
-      st => IncrementalAgg.percentileView(st, groupCol, valueCol, ps))
+      st => IncrementalAgg.percentileView(st, groupCol, valueCol, ps),
+      retention)
   }
 
   /** Maintain an incrementally-updated AVG/VARIANCE view from the
