@@ -651,6 +651,24 @@ object PipelineQueries {
     // Scale shape: token/array stats are scan-side; the only shuffle is
     // the (doc, bigram) partial-agg count — the TF shape, |grams|-bounded
     // with map-side combine. explode_outer keeps sub-2-token docs.
+    // token-diversity quality signal: per-language mean Shannon token
+    // entropy (TextAnalysis.tokenEntropy — the O(k log k) sorted-run
+    // fold, scan-side) plus the low-diversity share under a fixed
+    // threshold. Zero shuffles before the per-lang rollup; the oracle
+    // recomputes entropy the heavy way (unnest + per-(doc, tok)
+    // counts) so the fold is cross-checked against an independent
+    // derivation, not itself.
+    "q_text_entropy" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"),
+                TextAnalysis.tokenEntropy(col("text")).as("ent"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg(col("ent")), 4).as("avg_entropy"),
+             sum(when(col("ent") < 3.0, 1L).otherwise(0L))
+               .as("n_low_diversity"))
+        .orderBy(col("lang"))),
+
     "q_text_repetition" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
@@ -1224,6 +1242,21 @@ object PipelineQueries {
         |  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
         |    / nullif(length(text), 0), 6) AS alpha_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_entropy" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, tok, count(*) AS c
+        |  FROM t GROUP BY 1, 2, 3),
+        |e AS (
+        |  SELECT doc_id, lang,
+        |    ln(sum(c)) - sum(c * ln(c)) / sum(c) AS ent
+        |  FROM c GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(ent), 4) AS avg_entropy,
+        |  CAST(sum(CASE WHEN ent < 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_diversity
+        |FROM e GROUP BY 1 ORDER BY lang""".stripMargin,
     "q_text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id,

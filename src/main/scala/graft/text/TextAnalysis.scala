@@ -63,6 +63,30 @@ object TextAnalysis {
     when(!b1, 0).when(!b2, 1).when(!b3, 2).when(!b4, 3).otherwise(4)
   }
 
+  /** Per-doc Shannon TOKEN ENTROPY in nats — the classic diversity
+    * quality signal (low entropy = repetitive/templated text). Computed
+    * scan-side with the same sorted-run fold as [[qualityStage]]'s
+    * top-token count: walking the sorted token array, a run growing
+    * from r−1 to r moves its c·ln c term by r·ln r − (r−1)·ln(r−1), so
+    * ONE O(k log k) pass accumulates S = Σ cᵢ·ln cᵢ and
+    * H = ln N − S/N — no explode, no shuffle, exact at any doc
+    * length. */
+  def tokenEntropy(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val s = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0.0).as("run"), lit(0.0).as("acc")),
+      (acc, t) => {
+        val run = when(t === acc("prev"), acc("run") + 1.0).otherwise(lit(1.0))
+        val grown = acc("acc") + run * log(run) -
+          when(run > 1.0, (run - 1.0) * log(run - 1.0)).otherwise(lit(0.0))
+        struct(t.as("prev"), run.as("run"), grown.as("acc"))
+      },
+      acc => acc("acc"))
+    log(n) - s / n
+  }
+
   /** Marker-word sets for the n-gram-free language-ID heuristic. Real
     * pipelines use fastText/CLD3; the heuristic is the point here — it is
     * a pure scan-side expression. */

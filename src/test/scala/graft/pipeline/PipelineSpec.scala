@@ -677,4 +677,40 @@ class PipelineSpec extends SparkSpec {
            ex.getMessage.contains("O(n"),
       s"guard message unhelpful: ${ex.getMessage}")
   }
+
+  test("tokenEntropy: planted closed forms and parity with explode derivation") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    // closed forms: uniform {1/2,1/2} -> ln 2; single token -> 0;
+    // all-unique k tokens -> ln k; {2/4, 1/4, 1/4} -> 1.5 ln 2
+    val planted = Seq(
+      (1L, "a a b b", math.log(2)),
+      (2L, "only", 0.0),
+      (3L, (1 to 5000).map(i => s"t$i").mkString(" "), math.log(5000)),
+      (4L, "x x y z", 1.5 * math.log(2)))
+    val got = planted.map { case (id, t, _) => (id, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokenEntropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    planted.foreach { case (id, _, want) =>
+      assert(math.abs(got(id) - want) < 1e-9,
+        s"doc $id: entropy ${got(id)} != $want") }
+    // sf corpus: the scan-side fold equals the independent
+    // explode-and-count derivation doc-for-doc
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val fold = docs.select(col("doc_id"),
+      TextAnalysis.tokenEntropy(col("text")).as("e"))
+    val heavy = docs
+      .select(col("doc_id"),
+              explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((log(sum(col("c"))) -
+             sum(col("c") * log(col("c"))) / sum(col("c"))).as("h"))
+    val diff = fold.join(heavy, "doc_id")
+      .filter(abs(col("e") - col("h")) > 1e-9)
+    assert(diff.isEmpty,
+      s"entropy fold mismatch: ${diff.head(3).mkString(", ")}")
+  }
 }
