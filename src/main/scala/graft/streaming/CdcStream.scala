@@ -290,8 +290,12 @@ object CdcStream {
     * it must cover every incremental consumer's unapplied tail —
     * [[applyViewChangesToJdbc]] refuses loudly if a snapshot lands
     * inside its range, so a mis-sized policy fails fast rather than
-    * corrupting a serving table. Returns the number of prefix batch
-    * directories removed (0 when under threshold). */
+    * corrupting a serving table. SINGLE COMPACTOR assumption (the
+    * producer's foreachBatch, where the retention wiring runs, is
+    * naturally serialized): the healing sweep below deletes
+    * uncommitted side directories, which would corrupt a compaction
+    * another process is writing concurrently. Returns the number of
+    * prefix batch directories removed (0 when under threshold). */
   def compactIfNeeded(spark: SparkSession, rootPath: String,
                       keepBatches: Int, maxBatches: Int): Int = {
     require(keepBatches >= 0 && maxBatches > keepBatches,
@@ -369,6 +373,12 @@ object CdcStream {
     if (sideCommitted) {
       // A prior run crashed mid-swap. The side copy is the durable
       // face — the heal is always to FINISH the swap from it:
+      //  - the log already moved PAST this horizon (a later compaction
+      //    installed a snapshot above it and pruned the prefix, so the
+      //    earliest surviving batch is > upTo): installing this side
+      //    would plant a batch BELOW the retained prefix and trip
+      //    viewAsOfBatch's contiguity guard forever — the face it
+      //    holds is subsumed by the newer snapshot; drop it.
       //  - dst already a snapshot: the rename completed and only the
       //    side cleanup was lost (or a copying rename tore) — drop the
       //    stale side copy.
@@ -379,7 +389,10 @@ object CdcStream {
       //    Falling through to pruneViewChanges here instead would
       //    strand the face in compact_tmp and permanently fail every
       //    later viewAsOfBatch with "prefix pruned".
-      if (fs.exists(path(s"$dst/_snapshot"))) {
+      if (committedBatchIds(spark, rootPath).headOption.exists(_ > upTo)) {
+        fs.delete(path(side), true)
+        return 0
+      } else if (fs.exists(path(s"$dst/_snapshot"))) {
         fs.delete(path(side), true)
       } else {
         if (!fs.exists(path(s"$side/_snapshot")))

@@ -163,6 +163,55 @@ class CompactionSpec extends SparkSpec {
     assert(at(2) == face2)
   }
 
+  test("stranded side below an advanced horizon is dropped, not installed") {
+    import org.apache.spark.sql.types._
+    val logDir = tmpDir("cslog")
+    val root = tmpDir("csstate")
+    val ckpt = tmpDir("csckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", LongType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Long) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainDistinctCountToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", valueCol = "v", root, ckpt).awaitTermination()
+    def at(b: Long): Map[String, Long] =
+      CdcStream.viewAsOfBatch(spark, root, b).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    (1 to 5).foreach { i =>
+      append(s"b$i.json", Seq(ev("insert", i * 10L, i.toLong, s"g$i", i)))
+      run()
+    }
+    val faceAll = at(Long.MaxValue)
+    // a compaction to batch 1 died right after its side commit...
+    CdcStream.writeSnapshotSide(spark, root, 1L)
+    // ...and a LATER compaction to batch 3 succeeded first (an
+    // operator, or the retention policy picking a fresh horizon)
+    assert(CdcStream.compactViewChanges(spark, root, 3L) == 3)
+    assert(at(Long.MaxValue) == faceAll)
+    // healing tmp_1 now must DROP it: renaming it into batch=1 would
+    // plant a batch below the retained prefix (3,4) and trip the
+    // contiguity guard on every later read
+    assert(CdcStream.compactViewChanges(spark, root, 1L) == 0)
+    assert(!fs.exists(p(s"$root/changes/compact_tmp_1")),
+      "stale below-horizon side must be deleted")
+    assert(!fs.exists(p(s"$root/changes/batch=1")),
+      "below-horizon batch must not be re-installed")
+    assert(at(Long.MaxValue) == faceAll, "fold diverged after stale heal")
+    // the policy driver's healing sweep takes the same safe path
+    CdcStream.writeSnapshotSide(spark, root, 3L) // no-op horizon == head
+    assert(CdcStream.compactIfNeeded(spark, root, 1, 10) == 0)
+    assert(at(Long.MaxValue) == faceAll)
+  }
+
   test("compactIfNeeded: threshold policy bounds the log, fold stays exact") {
     import org.apache.spark.sql.types._
     val logDir = tmpDir("cplog2")
