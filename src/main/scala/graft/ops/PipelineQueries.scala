@@ -38,6 +38,22 @@ object PipelineQueries {
       graft.similarity.Similarity.kmeansCentroids(emb(s, dir), k = 16,
                                                   maxIter = 5))
 
+  /** Shuffle width for a connected-components loop over `nodeCount`
+    * graph nodes: one reducer per ~[[CcRowsPerPartition]] nodes, floored
+    * at 8 (tiny graphs pay per-task constants, not data volume) and
+    * capped at the SESSION width (the deployment's statement of
+    * available parallelism — the CC loop runs with AQE off, so
+    * overshooting the session width would strand idle reducers every
+    * round). At sf0.1 the ~1.5k-node family graph resolves to the old
+    * fixed 8; a 10× graph widens past it, and at 100 TB the cap hands
+    * the loop whatever width the cluster was configured with. */
+  private[graft] val CcRowsPerPartition = 1024L
+  private[graft] def ccWidth(nodeCount: Long, s: SparkSession): Int = {
+    val sessionWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val byRows = math.ceil(nodeCount.toDouble / CcRowsPerPartition).toLong
+    math.min(math.max(8L, byRows), math.max(8L, sessionWidth.toLong)).toInt
+  }
+
   /** Engine-portable 32-bit hash of a key + seed (md5 hex prefix parsed as
     * an integer). Slower than xxhash64 but bit-identical across engines —
     * used where the SAMPLE itself must be reproducible outside Spark. */
@@ -50,8 +66,22 @@ object PipelineQueries {
     * feeds three filter branches (computed once, blocks reused) and
     * the pinned blocks are released by the ContextCleaner when the
     * frame goes out of scope, where a cache() would sit in the cache
-    * manager until an explicit unpersist. */
-  private def familyComponents(s: SparkSession, dir: String)
+    * manager until an explicit unpersist.
+    *
+    * MEMOIZED per (session, sfDir): two benched queries consume the
+    * identical edges→CC→labels chain, so the clustering is built once
+    * and the pinned labeled frame shared (same [[BoundedPinnedCache]]
+    * discipline as [[SharedCorpus]]). The CC loop width is derived
+    * from the pinned family frame via [[ccWidth]] — the frame count
+    * is free (it doubles as the pin-materializing action). */
+  private val famCache =
+    new BoundedPinnedCache[org.apache.spark.sql.DataFrame]()(
+      org.apache.spark.sql.graft.bridge.unpersistPinned)
+  private[graft] def familyComponents(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    famCache.get(s, dir)(buildFamilyComponents(s, dir))
+
+  private def buildFamilyComponents(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     def dropN(n: Int) = slice(col("toks"), lit(n + 1), size(col("toks")))
     val fam = SharedCorpus.docsTok(s, dir).filter(col("doc_id") % 10 === 0)
@@ -70,13 +100,22 @@ object PipelineQueries {
           (col("doc_id") + 2000000L).as("dst")))
     val nodes = fam.select(explode(array(col("doc_id"),
         col("doc_id") + 1000000L, col("doc_id") + 2000000L)).as("doc_id"))
-    // the family graph is tiny relative to the corpus — size the
-    // propagation loop's shuffles to it, not to the session width
+    // the family graph is corpus-proportional (every 10th doc × 3
+    // variants ≈ 30% of corpus rows) — size the propagation loop's
+    // shuffles to ITS node count, clamped to the session width; the
+    // count doubles as the action that materializes fam's pin
+    val width = ccWidth(fam.count() * 3, s)
     val comps = Dedup.connectedComponents(edges, "src", "dst",
-      shufflePartitions = 8)
-    nodes.join(comps, nodes("doc_id") === comps("id"), "left")
+      shufflePartitions = width)
+    val labeled = nodes
+      .join(comps, nodes("doc_id") === comps("id"), "left")
       .select(col("doc_id"),
               coalesce(col("component"), col("doc_id")).as("component"))
+    // pin-and-strip: the lazy checkpoint pins the labeled frame for the
+    // cache's lifetime; the reRoot drops the checkpoint-preserved join
+    // partitioning so consumer plans (AQE-coalesced exchanges, unions in
+    // specs) never meet a foreign fixed-width HashPartitioning
+    org.apache.spark.sql.graft.bridge.reRoot(labeled.localCheckpoint(false), s)
   }
 
   private def portableHash(key: org.apache.spark.sql.Column, seed: Int) =
