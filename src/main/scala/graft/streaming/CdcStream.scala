@@ -637,7 +637,8 @@ object CdcStream {
   def maintainJoinViewToParquet(envelope: DataFrame, lSpec: TableSpec,
                                 rSpec: TableSpec, lJoinCols: Seq[String],
                                 viewCols: Seq[String], rootPath: String,
-                                checkpointPath: String)
+                                checkpointPath: String,
+                                retention: Option[(Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.JoinView
     envelope.writeStream
@@ -685,6 +686,9 @@ object CdcStream {
             nextView.write.mode("overwrite").parquet(s"$tmp/view")
             writeMarker(spark, tmp, batchId)
           }
+          retention.foreach { case (keep, max) =>
+            compactIfNeeded(spark, rootPath, keep, max)
+          }
         }
         ()
       }
@@ -703,7 +707,8 @@ object CdcStream {
   def maintainLeftJoinViewToParquet(envelope: DataFrame, lSpec: TableSpec,
                                     rSpec: TableSpec, lJoinCols: Seq[String],
                                     viewCols: Seq[String], rootPath: String,
-                                    checkpointPath: String)
+                                    checkpointPath: String,
+                                    retention: Option[(Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.LeftJoinView
     envelope.writeStream
@@ -741,6 +746,9 @@ object CdcStream {
             nextView.write.mode("overwrite").parquet(s"$tmp/view")
             writeMarker(spark, tmp, batchId)
           }
+          retention.foreach { case (keep, max) =>
+            compactIfNeeded(spark, rootPath, keep, max)
+          }
         }
         ()
       }
@@ -762,7 +770,8 @@ object CdcStream {
                                rSpec: TableSpec, lJoinCols: Seq[String],
                                groupCols: Seq[String], valueCol: String,
                                rootPath: String, checkpointPath: String,
-                               valueCast: Column => Column = identity)
+                               valueCast: Column => Column = identity,
+                               retention: Option[(Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.JoinAggView
     envelope.writeStream
@@ -806,6 +815,9 @@ object CdcStream {
             nextAgg.write.mode("overwrite").parquet(s"$tmp/agg")
             writeMarker(spark, tmp, batchId)
           }
+          retention.foreach { case (keep, max) =>
+            compactIfNeeded(spark, rootPath, keep, max)
+          }
         }
         ()
       }
@@ -822,7 +834,8 @@ object CdcStream {
   def maintainJoinDistinctToParquet(envelope: DataFrame, lSpec: TableSpec,
                                     rSpec: TableSpec, lJoinCols: Seq[String],
                                     groupCol: String, valueCol: String,
-                                    rootPath: String, checkpointPath: String)
+                                    rootPath: String, checkpointPath: String,
+                                    retention: Option[(Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.JoinDistinctView
     envelope.writeStream
@@ -875,6 +888,9 @@ object CdcStream {
             nextView.write.mode("overwrite").parquet(s"$tmp/view")
             writeMarker(spark, tmp, batchId)
           }
+          retention.foreach { case (keep, max) =>
+            compactIfNeeded(spark, rootPath, keep, max)
+          }
         }
         ()
       }
@@ -912,7 +928,8 @@ object CdcStream {
     * discipline as [[maintainJoinViewToParquet]]. */
   def maintainTopKToParquet(envelope: DataFrame, spec: TableSpec,
                             groupCol: String, orderCol: String, k: Int,
-                            rootPath: String, checkpointPath: String)
+                            rootPath: String, checkpointPath: String,
+                            retention: Option[(Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.IncrementalTopK
     envelope.writeStream
@@ -953,6 +970,9 @@ object CdcStream {
             nextView.write.mode("overwrite").parquet(s"$tmp/view")
             writeMarker(spark, tmp, batchId)
           }
+          retention.foreach { case (keep, max) =>
+            compactIfNeeded(spark, rootPath, keep, max)
+          }
         }
         ()
       }
@@ -984,7 +1004,8 @@ object CdcStream {
                                 rSpec: TableSpec, lJoinCols: Seq[String],
                                 viewCols: Seq[String], groupCol: String,
                                 orderCol: String, k: Int,
-                                rootPath: String, checkpointPath: String)
+                                rootPath: String, checkpointPath: String,
+                                retention: Option[(Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.{JoinTopKView, JoinView, IncrementalTopK}
     envelope.writeStream
@@ -1031,6 +1052,9 @@ object CdcStream {
             next.join.view.write.mode("overwrite").parquet(s"$tmp/view")
             nextRanked.write.mode("overwrite").parquet(s"$tmp/ranked")
             writeMarker(spark, tmp, batchId)
+          }
+          retention.foreach { case (keep, max) =>
+            compactIfNeeded(spark, rootPath, keep, max)
           }
         }
         ()
@@ -1154,7 +1178,8 @@ object CdcStream {
                                  rSpec: TableSpec, lJoinCols: Seq[String],
                                  views: Seq[NamedView[_]],
                                  rootPath: String, checkpointPath: String,
-                                 maxEventsPerBatch: Option[Int] = None)
+                                 maxEventsPerBatch: Option[Int] = None,
+                                 retention: Option[(Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.MultiView
     require(views.nonEmpty, "at least one view")
@@ -1242,6 +1267,10 @@ object CdcStream {
               f.write.mode("overwrite").parquet(s"$tmp/${v.name}__view") }
             writeMarker(spark, tmp, batchId)
           }
+          retention.foreach { case (keep, max) =>
+            vs.foreach(v =>
+              compactIfNeeded(spark, s"$rootPath/${v.name}", keep, max))
+          }
         }
         ()
       }
@@ -1291,7 +1320,8 @@ object CdcStream {
                                      fks: Seq[Seq[String]],
                                      views: Seq[NamedView[_]],
                                      rootPath: String, checkpointPath: String,
-                                     maxEventsPerBatch: Option[Int] = None)
+                                     maxEventsPerBatch: Option[Int] = None,
+                                     retention: Option[(Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.{MultiView, SnowflakeView}
     val n = specs.size
@@ -1383,6 +1413,10 @@ object CdcStream {
             vs.zip(faces).foreach { case (v, f) =>
               f.write.mode("overwrite").parquet(s"$tmp/${v.name}__view") }
             writeMarker(spark, tmp, batchId)
+          }
+          retention.foreach { case (keep, max) =>
+            vs.foreach(v =>
+              compactIfNeeded(spark, s"$rootPath/${v.name}", keep, max))
           }
         }
         ()
@@ -1674,7 +1708,8 @@ object CdcStream {
   def maintainTableViewsToParquet(envelope: DataFrame, spec: TableSpec,
                                   views: Seq[NamedTableView[_]],
                                   rootPath: String, checkpointPath: String,
-                                  maxEventsPerBatch: Option[Int] = None)
+                                  maxEventsPerBatch: Option[Int] = None,
+                                  retention: Option[(Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.TableViews
     require(views.nonEmpty, "at least one view")
@@ -1744,6 +1779,10 @@ object CdcStream {
             vs.zip(faces).foreach { case (v, f) =>
               f.write.mode("overwrite").parquet(s"$tmp/${v.name}__view") }
             writeMarker(spark, tmp, batchId)
+          }
+          retention.foreach { case (keep, max) =>
+            vs.foreach(v =>
+              compactIfNeeded(spark, s"$rootPath/${v.name}", keep, max))
           }
         }
         ()
@@ -1831,7 +1870,8 @@ object CdcStream {
   def maintainMomentsToParquet(envelope: DataFrame, spec: TableSpec,
                                groupCol: String, valueCol: String,
                                rootPath: String, checkpointPath: String,
-                               valueCast: Column => Column = identity)
+                               valueCast: Column => Column = identity,
+                               retention: Option[(Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.IncrementalAgg
     envelope.writeStream
@@ -1864,6 +1904,9 @@ object CdcStream {
             next.write.mode("overwrite").parquet(s"$tmp/state")
             nextView.write.mode("overwrite").parquet(s"$tmp/view")
             writeMarker(spark, tmp, batchId)
+          }
+          retention.foreach { case (keep, max) =>
+            compactIfNeeded(spark, rootPath, keep, max)
           }
         }
         ()

@@ -61,6 +61,20 @@ object StateBuildProbe {
       case (site, (ms, cnt)) =>
         println(f"${ms / 1000.0}%8.1f s  x$cnt%-4d $site")
     }
+    // second pass = the bench's SERVE measurement (state warm); profile
+    // it separately so build cost can't mask a serve-path regression
+    agg.clear()
+    spark.sparkContext.addSparkListener(listener)
+    val t1 = System.nanoTime()
+    val n2 = SparkEntry.queries(name)(spark, sfDir).count()
+    val serveWall = (System.nanoTime() - t1) / 1e9
+    Thread.sleep(1000)
+    spark.sparkContext.removeSparkListener(listener)
+    println(f"== $name SERVE: $serveWall%.2f s wall ($n2 rows) — by site ==")
+    agg.asScala.toSeq.sortBy(-_._2._1).take(25).foreach {
+      case (site, (ms, cnt)) =>
+        println(f"${ms / 1000.0}%8.1f s  x$cnt%-4d $site")
+    }
     spark.stop()
   }
 }
