@@ -122,6 +122,24 @@ object PipelineQueries {
     conv(substring(md5(concat(key.cast("string"), lit(s":$seed"))), 1, 8),
          16, 10).cast("long")
 
+  /** PLANTED ANN probe set: vectors 0..4 under a deterministic ±1.5%
+    * per-dimension scale pattern, probe ids shifted past the corpus so
+    * self-exclusion never removes the source. cos(probe, source)
+    * ≈ 0.9999 while the best random pair in this corpus sits ≈ 0.42 —
+    * so every ANN family's TRUE top-1 is the known source vector, which
+    * makes the approximate indexes' actual retrieval output
+    * hash-checkable against DuckDB's exact brute-force top-1 (the
+    * q_agg_approx hybrid-gate discipline, but on real output rows
+    * rather than pinned booleans). The perturbation arithmetic is pure
+    * IEEE-double and index-driven, so both engines derive bit-identical
+    * probes. */
+  private def plantedProbes(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("q_id"),
+        transform(col("embedding"),
+          (x, i) => x.cast("double") *
+            (lit(1.0) + lit(0.005) * ((i % 7) - 3))).as("q_vec"))
+
   /** Columns profiled by `q_profile` (shared with its oracle SQL). */
   private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
@@ -386,21 +404,40 @@ object PipelineQueries {
     // pre-aggregate: exact percentile (q_percentile) must see all raw
     // values, so a 100 TB pipeline persists the monthly sketch table
     // (few KB per group) and answers any rollup by merging sketches.
-    // rows-only (estimates are engine-specific); the spec asserts
-    // merge==direct equivalence and the KLL rank-error bound vs exact.
+    // HYBRID oracle (the q_agg_approx pattern): the sketch count and
+    // group keys are hash-checked exactly; each quantile estimate is
+    // pinned as a within-exact-rank-band boolean (±3% rank — KLL k=200
+    // guarantees ±1.65% at 99% confidence), the bands computed from
+    // Spark's exact percentile so the boolean is engine-portable TRUE.
+    // Merge==direct equivalence and the rank-error bound stay spec'd.
     "q_quantile_sketch" -> ((s, dir) => {
       import graft.functions.KllFunctions._
       val o = load(s, dir, "orders")
       val monthly = o.groupBy(col("o_orderstatus"),
                               month(col("o_orderdate")).as("m"))
         .agg(kllSketchAgg(col("o_totalprice")).as("sk"))
-      monthly.groupBy(col("o_orderstatus"))
+      val sk = monthly.groupBy(col("o_orderstatus"))
         .agg(kllMergeAgg(col("sk")).as("sk"))
         .select(col("o_orderstatus"),
-                round(kllQuantile(col("sk"), lit(0.5)), 2).as("p50_approx"),
-                round(kllQuantile(col("sk"), lit(0.95)), 2).as("p95_approx"),
-                round(kllQuantile(col("sk"), lit(0.99)), 2).as("p99_approx"),
+                kllQuantile(col("sk"), lit(0.5)).as("p50"),
+                kllQuantile(col("sk"), lit(0.95)).as("p95"),
+                kllQuantile(col("sk"), lit(0.99)).as("p99"),
                 kllCount(col("sk")).as("n"))
+      val ex = o.groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, " +
+          "array(0.47, 0.53, 0.92, 0.98, 0.96, 1.0))").as("q"))
+        .select(col("o_orderstatus"),
+                col("q")(0).as("lo50"), col("q")(1).as("hi50"),
+                col("q")(2).as("lo95"), col("q")(3).as("hi95"),
+                col("q")(4).as("lo99"), col("q")(5).as("hi99"))
+      sk.join(broadcast(ex), "o_orderstatus")
+        .select(col("o_orderstatus"), col("n"),
+                col("p50").between(col("lo50"), col("hi50"))
+                  .as("p50_in_band"),
+                col("p95").between(col("lo95"), col("hi95"))
+                  .as("p95_in_band"),
+                col("p99").between(col("lo99"), col("hi99"))
+                  .as("p99_in_band"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -459,44 +496,48 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
-    // LSH-bucketed ANN (rows-only; recall vs brute force tested in specs)
+    // LSH-bucketed ANN over the PLANTED probe set (oracle-exact: the
+    // probes' true nearest neighbors are known, so the ANN's actual
+    // top-1 output hash-matches DuckDB's brute-force top-1 — a real
+    // retrieval check, not a pinned boolean). Random-probe recall
+    // floors stay spec'd in PipelineSpec.
     "q_sim_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.lshTopK(e, queries, k = 3, dim = 64, planes = 4)
-        .select(col("q_id"), col("rk"), col("neighbor_id"),
+      Similarity.lshTopK(e, plantedProbes(e), k = 3, dim = 64, planes = 4)
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("neighbor_id"),
                 round(col("cos"), 6).as("cos"))
-        .orderBy(col("q_id"), col("rk"))
+        .orderBy(col("q_id"))
     }),
 
     // IVF with TRAINED centroids: k-means (Lloyd's via Spark MLlib) over
     // the corpus replaces the deterministic-subset stand-in — the real
-    // index-build path. rows-only (centroids are iterative/FP-order
-    // dependent); recall vs brute force is asserted in PipelineSpec.
+    // index-build path. Oracle-exact on the planted probes (the
+    // centroids are engine-specific but the retrieved neighbor is not);
+    // random-probe recall is asserted in PipelineSpec.
     "q_sim_ivf_kmeans" -> ((s, dir) => {
       val e = emb(s, dir)
       val centroids = kmCentroids(s, dir)
-      val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val assigned = Similarity.ivfAssign(e, centroids)
-      Similarity.ivfTopK(assigned, centroids, queries, k = 3, nprobe = 4)
-        .select(col("q_id"), col("rk"), col("neighbor_id"),
+      Similarity.ivfTopK(assigned, centroids, plantedProbes(e),
+          k = 3, nprobe = 4)
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("neighbor_id"),
                 round(col("cos"), 6).as("cos"))
-        .orderBy(col("q_id"), col("rk"))
+        .orderBy(col("q_id"))
     }),
 
-    // IVF ANN (rows-only; the 100 TB scale path)
+    // IVF ANN (the 100 TB scale path), oracle-exact on planted probes
     "q_sim_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val centroids = e.filter(col("vec_id") % 50 === 0)
-      val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val assigned = Similarity.ivfAssign(e, centroids)
-      Similarity.ivfTopK(assigned, centroids, queries, k = 3, nprobe = 3)
-        .select(col("q_id"), col("rk"), col("neighbor_id"),
+      Similarity.ivfTopK(assigned, centroids, plantedProbes(e),
+          k = 3, nprobe = 3)
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("neighbor_id"),
                 round(col("cos"), 6).as("cos"))
-        .orderBy(col("q_id"), col("rk"))
+        .orderBy(col("q_id"))
     }),
 
     // ---- corpus statistics / data mixing ----
@@ -890,7 +931,35 @@ object PipelineQueries {
        |                              list_distinct($s2))) AS DOUBLE)
        |      / len(list_distinct(list_concat($s1, $s2))), 6)""".stripMargin
 
+  /** DuckDB brute-force exact top-1 over the planted probe set — the
+    * shared oracle for the three ANN families (the exact answer is the
+    * same regardless of which approximate index found it). Keep the
+    * probe arithmetic in lockstep with [[plantedProbes]]; DuckDB's
+    * lambda index is 1-based where Spark's is 0-based. */
+  private val annPlantedOracle: String =
+    """WITH q AS (SELECT vec_id + 1000000 AS q_id,
+      |             list_transform(embedding::DOUBLE[],
+      |               (x, i) -> x * (1 + 0.005 * (((i - 1) % 7) - 3)))
+      |               AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT q_id, vec_id AS neighbor_id,
+      |        list_cosine_similarity(qv, v) AS cos,
+      |        row_number() OVER (PARTITION BY q_id
+      |          ORDER BY list_cosine_similarity(qv, v) DESC, vec_id)
+      |          AS rk
+      |      FROM q, c)
+      |SELECT q_id, neighbor_id, round(cos, 6) AS cos
+      |FROM s WHERE rk = 1 ORDER BY q_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_sim_lsh" -> annPlantedOracle,
+    "q_sim_ivf" -> annPlantedOracle,
+    "q_sim_ivf_kmeans" -> annPlantedOracle,
+    "q_quantile_sketch" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  TRUE AS p50_in_band, TRUE AS p95_in_band, TRUE AS p99_in_band
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_hll_mergeable" ->
       """SELECT o_orderstatus,
         |  count(DISTINCT o_custkey) AS n_cust,
