@@ -52,6 +52,27 @@ object Dedup {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
 
+  /** Per-token xxhash64 array — THE shared hashing primitive: MinHash
+    * shingle identities and SimHash lane sums both derive from it, so a
+    * corpus pass that feeds several signature families hashes each token
+    * string exactly once (ops.SharedCorpus pins this array alongside the
+    * tokens). */
+  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+
+  /** Shingle identities as xxhash64 over n-length WINDOWS of the
+    * token-hash array — the hash-domain mirror of [[shinglesFromTokens]]
+    * (short docs collapse to one whole-array hash the way short docs
+    * collapse to one whole-doc shingle). Hashing 8-byte lanes instead of
+    * materializing each n-gram's concatenated string drops the dominant
+    * allocation from the signature scan; two token sequences collide only
+    * if their per-token hashes collide, so candidate quality is the same
+    * LSH contract as the string form. */
+  def shingleHashesFromTokenHashes(th: Column, n: Int): Column =
+    when(size(th) < n, array(xxhash64(th)))
+      .otherwise(transform(
+        sequence(lit(0), size(th) - n),
+        i => xxhash64(slice(th, i + lit(1), lit(n)))))
+
   /** Mersenne prime 2^31-1 for the universal hash family
     * h_i(x) = (a_i·x + b_i) mod p — products stay < 2^62, safe under
     * ANSI overflow checking. */
@@ -73,22 +94,37 @@ object Dedup {
     * entirely but runs interpreted: measured 60x slower at sf0.1.) */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, nGram: Int, seed: Long = 42L): DataFrame =
-    minhashFromShingles(docs, idCol, shingles(col(textCol), nGram), k, seed)
+    minhashFromShingleHashes(docs, idCol,
+      shingleHashesFromTokenHashes(
+        tokenHashes(TextAnalysis.tokens(col(textCol))), nGram), k, seed)
 
   /** [[minhashSignatures]] over a pre-tokenized array column (shared-
     * corpus path — same value, tokenization not re-run). */
   def minhashSignaturesFromTokens(docs: DataFrame, idCol: String,
                                   toksCol: String, k: Int, nGram: Int,
                                   seed: Long = 42L): DataFrame =
-    minhashFromShingles(docs, idCol,
-                        shinglesFromTokens(col(toksCol), nGram), k, seed)
+    minhashFromShingleHashes(docs, idCol,
+      shingleHashesFromTokenHashes(tokenHashes(col(toksCol)), nGram),
+      k, seed)
 
-  private def minhashFromShingles(docs: DataFrame, idCol: String,
-                                  sh: Column, k: Int, seed: Long): DataFrame = {
+  /** [[minhashSignatures]] over a PRE-HASHED token array (the
+    * [[tokenHashes]] column SharedCorpus pins once and feeds every
+    * signature family — neither tokenization nor per-token hashing is
+    * re-run). Same value as the token/text forms: the shingle identity
+    * is a window hash of per-token hashes in all three. */
+  def minhashSignaturesFromTokenHashes(docs: DataFrame, idCol: String,
+                                       thCol: String, k: Int, nGram: Int,
+                                       seed: Long = 42L): DataFrame =
+    minhashFromShingleHashes(docs, idCol,
+      shingleHashesFromTokenHashes(col(thCol), nGram), k, seed)
+
+  private def minhashFromShingleHashes(docs: DataFrame, idCol: String,
+                                       sh: Column, k: Int,
+                                       seed: Long): DataFrame = {
     val (as, bs) = hashFamily(k, seed)
     val spread = graft.Tables.ensureParallelism(docs)
-    val exploded = spread.select(col(idCol).as("id"), explode(sh).as("sh"))
-      .select(col("id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
+    val exploded = spread.select(col(idCol).as("id"), explode(sh).as("h0"))
+      .select(col("id"), pmod(col("h0"), lit(P)).as("h"))
     val minCols = (0 until k).map(i =>
       min(pmod(col("h") * as(i) + bs(i), lit(P))).as(s"m$i"))
     exploded.groupBy(col("id"))
@@ -214,20 +250,27 @@ object Dedup {
     * docs.) The n >= 2^31 bound is still guarded with raise_error rather
     * than silently mis-signed. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashFromTokCol(docs, idCol, TextAnalysis.tokens(col(textCol)))
+    simhashFromHashCol(docs, idCol,
+      tokenHashes(TextAnalysis.tokens(col(textCol))))
 
   /** [[simhashSignatures]] over a pre-tokenized array column (shared-
     * corpus path — same signatures, tokenization not re-run). */
   def simhashSignaturesFromTokens(docs: DataFrame, idCol: String,
                                   toksCol: String): DataFrame =
-    simhashFromTokCol(docs, idCol, col(toksCol))
+    simhashFromHashCol(docs, idCol, tokenHashes(col(toksCol)))
 
-  private def simhashFromTokCol(docs: DataFrame, idCol: String,
-                                toks: Column): DataFrame = {
+  /** [[simhashSignatures]] over the PRE-HASHED token array (see
+    * [[minhashSignaturesFromTokenHashes]] — one per-token hash pass
+    * feeds both signature families). */
+  def simhashSignaturesFromTokenHashes(docs: DataFrame, idCol: String,
+                                       thCol: String): DataFrame =
+    simhashFromHashCol(docs, idCol, col(thCol))
+
+  private def simhashFromHashCol(docs: DataFrame, idCol: String,
+                                 th: Column): DataFrame = {
     val spread = graft.Tables.ensureParallelism(docs)
     val exploded = spread.select(col(idCol).as("id"),
-        explode(toks).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+        explode(th).as("h"))
     val laneMask = lit(0x0000000100000001L)
     val sums = (0 until 32).map(k =>
       sum(call_function("shiftright", col("h"), lit(k))

@@ -72,19 +72,40 @@ object SharedCorpus {
               slice(col("toks"), lit(3), size(col("toks"))).as("toks")))
   }
 
-  /** MinHash signatures (k = 32, 5-gram) of [[minhashCorpus]], pinned. */
-  def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    cached(s, s"minhashSigs:$dir") {
-      graft.dedup.Dedup.minhashSignaturesFromTokens(
-          minhashCorpus(s, dir), "doc_id", "toks", k = 32, nGram = 5)
+  /** Per-token xxhash64 arrays `(doc_id, th)` of the documents corpus,
+    * pinned — the ONE per-token hash pass both signature families
+    * (MinHash shingle windows, SimHash lane sums) derive from. Longs
+    * only (no token strings), so the pin is small next to [[docsTok]]. */
+  def docsTokHash(s: SparkSession, dir: String): DataFrame =
+    cached(s, s"docsTokHash:$dir") {
+      docsTok(s, dir)
+        .select(col("doc_id"),
+                graft.dedup.Dedup.tokenHashes(col("toks")).as("th"))
         .localCheckpoint(false)
     }
 
-  /** SimHash 64-bit signatures of the documents corpus, pinned. */
+  /** MinHash signatures (k = 32, 5-gram) of [[minhashCorpus]], pinned.
+    * Built from [[docsTokHash]]: per-token hashing commutes with the
+    * variant's token slice (hash-then-slice == slice-then-hash), so the
+    * planted variants reuse the base docs' hashes instead of re-hashing
+    * — value-identical to the token-form build (spec'd). */
+  def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    cached(s, s"minhashSigs:$dir") {
+      val base = docsTokHash(s, dir)
+      val hashed = base.unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+                slice(col("th"), lit(3), size(col("th"))).as("th")))
+      graft.dedup.Dedup.minhashSignaturesFromTokenHashes(
+          hashed, "doc_id", "th", k = 32, nGram = 5)
+        .localCheckpoint(false)
+    }
+
+  /** SimHash 64-bit signatures of the documents corpus, pinned (from
+    * the shared [[docsTokHash]] pass). */
   def simhashSigs(s: SparkSession, dir: String): DataFrame =
     cached(s, s"simhashSigs:$dir") {
-      graft.dedup.Dedup.simhashSignaturesFromTokens(
-          docsTok(s, dir), "doc_id", "toks")
+      graft.dedup.Dedup.simhashSignaturesFromTokenHashes(
+          docsTokHash(s, dir), "doc_id", "th")
         .localCheckpoint(false)
     }
 

@@ -38,6 +38,30 @@ class PipelineSpec extends SparkSpec {
     assert(rows(Dedup.simhashSignaturesFromTokens(tok, "doc_id", "toks")) ==
              rows(Dedup.simhashSignatures(docs, "doc_id", "text")),
       "simhash signatures diverge between token-array and text paths")
+    // the PRE-HASHED path (one shared per-token hash pass, see
+    // SharedCorpus.docsTokHash) must also be value-identical — including
+    // a token SLICE applied in hash domain (hash-then-slice ==
+    // slice-then-hash, the planted-variant reuse minhashSigs relies on)
+    val th = tok.select(col("doc_id"),
+                        Dedup.tokenHashes(col("toks")).as("th"))
+    assert(rows(Dedup.minhashSignaturesFromTokenHashes(th, "doc_id", "th",
+                                                       k = 8, nGram = 5)) ==
+             rows(Dedup.minhashSignatures(docs, "doc_id", "text",
+                                          k = 8, nGram = 5)),
+      "minhash signatures diverge between pre-hashed and text paths")
+    assert(rows(Dedup.simhashSignaturesFromTokenHashes(th, "doc_id", "th")) ==
+             rows(Dedup.simhashSignatures(docs, "doc_id", "text")),
+      "simhash signatures diverge between pre-hashed and text paths")
+    val slicedHash = th.select(col("doc_id"),
+      slice(col("th"), lit(3), size(col("th"))).as("th"))
+    val hashedSlice = tok.select(col("doc_id"),
+      Dedup.tokenHashes(slice(col("toks"), lit(3), size(col("toks"))))
+        .as("th"))
+    assert(rows(Dedup.minhashSignaturesFromTokenHashes(slicedHash,
+                  "doc_id", "th", k = 8, nGram = 5)) ==
+             rows(Dedup.minhashSignaturesFromTokenHashes(hashedSlice,
+                  "doc_id", "th", k = 8, nGram = 5)),
+      "hash-then-slice != slice-then-hash for the variant corpus")
     // jaccard: token slices (the perturbed-corpus shape) vs re-tokenized
     // space-joins of the same slices
     val ta = col("toks")
