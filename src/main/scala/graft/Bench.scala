@@ -207,7 +207,11 @@ object Bench {
       val stateBd = warmJson(
         warmTimes.toSeq.slice(preStateWarms, stateWarmCount))
       val corpusBd = warmJson(warmTimes.toSeq.drop(stateWarmCount))
-      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"passes":$passDetail,"state_build_sec":${fmt(stateBuildSec)},"state_build_breakdown":$stateBd,"corpus_build_sec":${fmt(corpusBuildSec)},"corpus_build_breakdown":$corpusBd,"sf":"$sfDir"}"""
+      // breakdowns are PER-FAMILY WALL TIMES measured under the shared
+      // build pool — contended, NON-additive (they can sum to several
+      // times the pool wall); the *_concurrent flags say so in-band so
+      // JSON consumers don't read them as an additive decomposition
+      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"passes":$passDetail,"state_build_sec":${fmt(stateBuildSec)},"state_build_breakdown":$stateBd,"state_build_breakdown_concurrent":true,"corpus_build_sec":${fmt(corpusBuildSec)},"corpus_build_breakdown":$corpusBd,"corpus_build_breakdown_concurrent":true,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (txt + "\n").getBytes("UTF-8"))
     }.fold(e => { System.err.println(s"BENCH_FULL.json write failed: $e"); false },

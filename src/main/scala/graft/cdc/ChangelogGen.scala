@@ -125,7 +125,15 @@ object ChangelogGen {
   /** Unpersist and drop all memoized changelogs/envelopes for a session
     * (all scale factors) — the release hook the memo otherwise lacks;
     * long-lived sessions that iterate over many sfDirs call this between
-    * them instead of accumulating cached generations. */
+    * them instead of accumulating cached generations.
+    *
+    * TEARDOWN-ONLY contract: the pinned decoded-changelog memos are
+    * shared (Materializer.pinnedEvents reuses them as-is across every
+    * replay family), and a checkpointed RDD cannot recompute once its
+    * blocks are dropped — calling this while ANY replay or query over
+    * the session is still in flight breaks every consuming family at
+    * once. Call it only between corpora / at session end, with no live
+    * consumers. */
   def clearCache(spark: SparkSession): Unit = {
     def drain(m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]): Unit = {
       val it = m.entrySet().iterator()

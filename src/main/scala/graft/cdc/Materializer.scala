@@ -36,7 +36,14 @@ object Materializer {
     * stage of the shared state build. Anything else (raw generators,
     * fresh lineage, sliced/derived frames) is frozen exactly as
     * before — the checkpoint is what makes nondeterministic inputs
-    * replay-stable. */
+    * replay-stable.
+    *
+    * LIFETIME: a reused pin is owned by whoever created it (the
+    * ChangelogGen memos) — ChangelogGen.clearCache drops those blocks,
+    * and a checkpointed RDD cannot recompute afterwards, so the cache
+    * may only be cleared at teardown, never while a replay built on a
+    * reused pin might still scan it (contract documented on
+    * clearCache). */
   private[graft] def pinnedEvents(ev: DataFrame): DataFrame =
     ev.queryExecution.analyzed match {
       case r: org.apache.spark.sql.execution.LogicalRDD

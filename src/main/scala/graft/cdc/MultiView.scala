@@ -208,11 +208,16 @@ object MultiView {
     * so narrow batches win even when cores sit idle. The sentinel is
     * for callers whose batches are genuinely state-sized. */
   private[cdc] def resolveBatchWidth(parent: SparkSession,
-                                     requested: Int): Int =
+                                     requested: Int): Int = {
+    // 0 is THE sentinel; negative widths are caller bugs, not requests
+    require(requested >= 0,
+      s"resolveBatchWidth: requested width must be >= 0 (0 = inherit " +
+        s"session width), got $requested")
     if (requested > 0) requested
     else scala.util.Try(
       parent.conf.get("spark.sql.shuffle.partitions").toInt)
       .getOrElse(8).max(2).min(64)
+  }
 
   /** Empty LocalRelation with `df`'s schema in `df`'s session — flattens
     * derived-empty lineage so batch-1 analysis never drags the heavy

@@ -57,11 +57,18 @@ object ClusterView {
     * probe is what caught the unhinted version shuffling the whole
     * candidate state per batch. */
   private def capLocal(df: DataFrame, cap: Int): (DataFrame, Boolean) = {
-    val rows = df.limit(cap + 1).collect().toSeq
-    if (rows.size > cap) (df.localCheckpoint(false), false)
-    else (df.sparkSession.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, df.schema),
-      true)
+    // pin FIRST, probe the pinned frame (DecontamView.capLocal's fix):
+    // the probe's partial scan materializes checkpoint blocks the
+    // over-cap branch then reuses, instead of recomputing the frame.
+    val pinned = df.localCheckpoint(false)
+    val rows = pinned.limit(cap + 1).collect().toSeq
+    if (rows.size > cap) (pinned, false)
+    else {
+      org.apache.spark.sql.graft.bridge.unpersistPinned(pinned)
+      (df.sparkSession.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, df.schema),
+        true)
+    }
   }
 
   private def hintIf(df: DataFrame, isLocal: Boolean): DataFrame =
@@ -79,16 +86,37 @@ object ClusterView {
   def cosineMaintainer(idCol: String, vecCol: String, minCosine: Double,
                        ccShufflePartitions: Int = 8,
                        maxLiveRows: Long = 65536)
-      : TableViews.Maintainer[ClusterState] =
-    maintainerFromEdges(idCol, (changedLive, liveAll) => {
-      val live = Dedup.requireAllPairsBound(liveAll,
-        "ClusterView.cosineMaintainer (exact-cosine edge probe)",
-        "ClusterView.semanticMaintainer or ClusterView.overIndex",
-        bound = maxLiveRows)
+      : TableViews.Maintainer[ClusterState] = {
+    // AMORTIZED loudness bound (no per-batch corpus pass): the live
+    // corpus is counted once on the maintainer's first batch; the bound
+    // then advances optimistically by each batch's changed-key count
+    // (free — the replay's |Δ|-capped LocalRelation) and a full recount
+    // happens only when the optimistic upper bound crosses maxLiveRows
+    // (deletes may keep the true count below it). The tracker only ever
+    // OVER-estimates, so crossing triggers a recount, never a silent
+    // pass. NOTE maxLiveRows=65536 is a behavior contract: a replay
+    // whose live corpus exceeds it refuses loudly naming the LSH swap —
+    // callers with a genuinely larger exact-modality corpus must raise
+    // the bound explicitly.
+    val liveUpper = new java.util.concurrent.atomic.AtomicLong(-1L)
+    maintainerFromEdgesCounted(idCol, (changedLive, liveAll, deltaCount) => {
+      val prev = liveUpper.get
+      val d = if (prev < 0) Long.MaxValue else deltaCount()
+      val optimistic =
+        if (prev < 0 || d == Long.MaxValue || prev + d > maxLiveRows)
+          liveAll.count()
+        else prev + d
+      require(optimistic <= maxLiveRows,
+        s"ClusterView.cosineMaintainer (exact-cosine edge probe): exact " +
+          s"all-pairs kernel over $optimistic live rows (> $maxLiveRows) " +
+          "— O(n²) candidate pairs do not scale; use the LSH-bucketed " +
+          "path (ClusterView.semanticMaintainer or ClusterView.overIndex) " +
+          "instead, or raise maxLiveRows explicitly")
+      liveUpper.set(optimistic)
       val a = changedLive.select(col(idCol).cast("long").as("id_a"),
                                  col(vecCol).cast("array<double>").as("va"))
-      val b = live.select(col(idCol).cast("long").as("id_b"),
-                          col(vecCol).cast("array<double>").as("vb"))
+      val b = liveAll.select(col(idCol).cast("long").as("id_b"),
+                             col(vecCol).cast("array<double>").as("vb"))
       a.join(b, col("id_a") =!= col("id_b"))
         .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb"))
                   >= minCosine)
@@ -96,6 +124,7 @@ object ClusterView {
                 greatest(col("id_a"), col("id_b")).as("dst"))
         .distinct()
     }, ccShufflePartitions)
+  }
 
   /** [[overIndex]] state: the inner band index plus the cluster
     * assignment. [[graft.cdc.MultiView.PinnedExtras]] so release paths
@@ -281,6 +310,21 @@ object ClusterView {
                           edgesFor: (DataFrame, DataFrame) => DataFrame,
                           ccShufflePartitions: Int = 8)
       : TableViews.Maintainer[ClusterState] =
+    maintainerFromEdgesCounted(idCol,
+      (changed, live, _) => edgesFor(changed, live), ccShufflePartitions)
+
+  /** [[maintainerFromEdges]] whose prober also receives a CHEAP
+    * changed-key-count thunk: when the batch's changed keys stayed
+    * under the |Δ| collect cap (the common case) the count is a
+    * driver-local fold over the already-collected LocalRelation;
+    * over-cap batches return Long.MaxValue so bound trackers
+    * (cosineMaintainer's amortized corpus bound) fall back to a real
+    * count instead of trusting a number that was never collected. */
+  def maintainerFromEdgesCounted(
+      idCol: String,
+      edgesFor: (DataFrame, DataFrame, () => Long) => DataFrame,
+      ccShufflePartitions: Int = 8)
+      : TableViews.Maintainer[ClusterState] =
     new TableViews.Maintainer[ClusterState] {
       private val edgeSchema = StructType(Seq(
         StructField("src", LongType), StructField("dst", LongType)))
@@ -322,7 +366,10 @@ object ClusterView {
         val kept = st.edges.join(ckSrc, Seq("src"), "left_anti")
           .join(ckDst, Seq("dst"), "left_anti")
           .select(col("src"), col("dst"))
-        val newEdges = edgesFor(changedLive, postLive).localCheckpoint(false)
+        val deltaCount: () => Long =
+          () => if (ctx.ckLocal) ck.count() else Long.MaxValue
+        val newEdges =
+          edgesFor(changedLive, postLive, deltaCount).localCheckpoint(false)
         val edges1 = kept.unionByName(newEdges).localCheckpoint(false)
         // 2. affected components: owners of a changed id or of any
         // endpoint whose incident edge set changed. Everything else

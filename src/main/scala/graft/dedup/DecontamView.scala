@@ -94,11 +94,20 @@ object DecontamView {
     * a frame derived from a capped key set (grams per changed entry)
     * is NOT itself capped and must not inherit the keys' locality. */
   private def capLocal(df: DataFrame, cap: Int): (DataFrame, Boolean) = {
-    val rows = df.limit(cap + 1).collect().toSeq
-    if (rows.size > cap) (df.localCheckpoint(false), false)
-    else (df.sparkSession.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, df.schema),
-      true)
+    // pin FIRST, probe the pinned frame: the probe's partial scan then
+    // lands in the checkpoint blocks, so the over-cap branch reuses
+    // what the probe computed instead of recomputing the derived frame
+    // from scratch. Under the cap the pin is dropped right away — the
+    // LocalRelation replaces it.
+    val pinned = df.localCheckpoint(false)
+    val rows = pinned.limit(cap + 1).collect().toSeq
+    if (rows.size > cap) (pinned, false)
+    else {
+      org.apache.spark.sql.graft.bridge.unpersistPinned(pinned)
+      (df.sparkSession.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, df.schema),
+        true)
+    }
   }
 
   /** Scan-side BLOOM prefilter for the over-cap index probe: when the

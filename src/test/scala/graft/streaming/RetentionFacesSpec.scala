@@ -218,4 +218,60 @@ class RetentionFacesSpec extends SparkSpec {
     foldEqualsFace(root, CdcStream.readJoinView(spark, root), "join view")
     refusesBehindHorizon(root)
   }
+
+  test("vector face (ANN) with retention: float arrays bit-exact through the snapshot") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val logDir = tmpDir("rvflog")
+    val root = tmpDir("rvfstate")
+    val ckpt = tmpDir("rvfckpt")
+    val spec = TableSpec("d", "emb", Seq("vec_id"), StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    // two axis-aligned coarse centroids; vectors near one or the other.
+    // Components carry full float mantissas (1/3, 2/7 …) so the
+    // snapshot round-trip is a real bit-exactness probe, not just
+    // round numbers surviving a decimal print.
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+    def vec(id: Long): Seq[Float] = {
+      val lead = if (id % 2 == 0) 0 else 1
+      (0 until 4).map(j =>
+        (if (j == lead) 1f else 0f) + (1f / (3f + id + j)))
+    }
+    def ev(op: String, ts: Long, id: Long) =
+      s"""{"database":"d","table":"emb","type":"$op","ts":$ts,"data":{"vec_id":$id,"embedding":[${vec(id).mkString(",")}]}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val views = Seq(
+      CdcStream.NamedTableView.annIvf("ann", "vec_id", "embedding", cents))
+    def run(): Unit = CdcStream.maintainTableViewsToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec, views, root, ckpt,
+      retention = Some((1, 3))).awaitTermination()
+
+    (1 to 7).foreach { i =>
+      append(s"b$i.json", Seq(ev("insert", i * 10L, i.toLong)))
+      run()
+      assert(committedDirs(s"$root/ann").size <= 4,
+        s"ann log grew past the bound: ${committedDirs(s"$root/ann")}")
+    }
+    append("b8.json", Seq(ev("delete", 80, 4)))
+    run()
+    // the retained log contains a snapshot (the policy compacted) and
+    // the fold reconstructs the assignment face with BIT-exact floats
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Seq[Int])] =
+      df.select(col("vec_id"), col("centroid_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Float](2).map(java.lang.Float.floatToRawIntBits)
+            .toSeq)).toSet
+    val face = rows(CdcStream.readMultiView(spark, root, "ann"))
+    val folded = rows(
+      CdcStream.viewAsOfBatch(spark, s"$root/ann", Long.MaxValue))
+    assert(face == folded,
+      "vector-face fold diverged bit-wise from the live assignment")
+    assert(face.map(_._1) == (1L to 7L).toSet - 4L)
+    // odd ids lead on axis 1, even on axis 0 — assignment is semantic
+    assert(face.forall { case (id, c, _) => c == (if (id % 2 == 0) 0 else 1) })
+    refusesBehindHorizon(s"$root/ann")
+  }
 }
