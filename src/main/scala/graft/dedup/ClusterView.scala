@@ -60,15 +60,14 @@ object ClusterView {
     // pin FIRST, probe the pinned frame (DecontamView.capLocal's fix):
     // the probe's partial scan materializes checkpoint blocks the
     // over-cap branch then reuses, instead of recomputing the frame.
+    // Under the cap the LocalRelation replaces the pin; the
+    // ContextCleaner reaps the tiny blocks when the frame drops.
     val pinned = df.localCheckpoint(false)
     val rows = pinned.limit(cap + 1).collect().toSeq
     if (rows.size > cap) (pinned, false)
-    else {
-      org.apache.spark.sql.graft.bridge.unpersistPinned(pinned)
-      (df.sparkSession.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, df.schema),
-        true)
-    }
+    else (df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, df.schema),
+      true)
   }
 
   private def hintIf(df: DataFrame, isLocal: Boolean): DataFrame =

@@ -97,17 +97,16 @@ object DecontamView {
     // pin FIRST, probe the pinned frame: the probe's partial scan then
     // lands in the checkpoint blocks, so the over-cap branch reuses
     // what the probe computed instead of recomputing the derived frame
-    // from scratch. Under the cap the pin is dropped right away — the
-    // LocalRelation replaces it.
+    // from scratch. Under the cap the LocalRelation replaces the pin
+    // and the ContextCleaner reaps its (tiny, <= cap rows) blocks when
+    // the frame goes out of scope — an explicit unpersist here would
+    // only trade that for a can't-recompute WARN per batch.
     val pinned = df.localCheckpoint(false)
     val rows = pinned.limit(cap + 1).collect().toSeq
     if (rows.size > cap) (pinned, false)
-    else {
-      org.apache.spark.sql.graft.bridge.unpersistPinned(pinned)
-      (df.sparkSession.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, df.schema),
-        true)
-    }
+    else (df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, df.schema),
+      true)
   }
 
   /** Scan-side BLOOM prefilter for the over-cap index probe: when the

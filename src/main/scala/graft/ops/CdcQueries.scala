@@ -708,8 +708,11 @@ object CdcQueries {
     // the live corpus, maintained per batch from changed docs' signatures
     // alone (DedupIndexView — |Δ| signature scans, index patched never
     // rebuilt), then Jaccard-verified against the maintained live texts.
-    // rows-only: xxhash64 signatures are Spark-specific; the stepwise
-    // == from-scratch equality is spec'd in DedupIndexViewSpec.
+    // Oracle-exact: the verified pair set equals the exact >= 0.5 pair
+    // set of the live corpus (planted exact dups share every band
+    // bucket structurally; the verify filter kills false candidates),
+    // which DuckDB recomputes the heavy all-pairs way. Stepwise ==
+    // from-scratch equality stays spec'd in DedupIndexViewSpec.
     "cdc_dedup_index" -> ((s, dir) => {
       val r = SharedJoin.docsResult(s, dir)
       val pairs = r(SharedJoin.dedupIdx).pairs
@@ -889,28 +892,36 @@ object CdcQueries {
 
     // INCREMENTAL IVF INDEX: probes served off the maintained inverted
     // lists (AnnIndexView — only changed vectors re-assign per batch;
-    // the coarse quantizer is fixed at index build). rows-only: the
-    // nprobe-bounded candidate set is engine-specific; maintained ==
-    // from-scratch ivfAssign is spec'd in AnnIndexViewSpec.
+    // the coarse quantizer is fixed at index build). Oracle-exact via
+    // the PLANTED probe discipline (PipelineQueries.plantedProbes):
+    // probe sources are live vectors the changelog neither deleted
+    // (% 10) nor re-embedded (% 7), so each probe's true top-1 in the
+    // LIVE corpus is its known source and DuckDB's brute-force top-1
+    // over the folded state hash-matches the index's actual retrieval.
+    // Maintained == from-scratch ivfAssign stays spec'd in
+    // AnnIndexViewSpec.
     "cdc_ann_ivf" -> ((s, dir) => {
       val (r, m, _, _) = SharedJoin.embResult(s, dir)
-      val probes = graft.Tables.load(s, dir, "embeddings")
-        .filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val probes = PipelineQueries.plantedProbes(
+        graft.Tables.load(s, dir, "embeddings"),
+        col("vec_id").between(1, 5))
       graft.similarity.Similarity.ivfTopK(
           r(m), SharedJoin.annCentroids(s, dir), probes,
           k = 3, nprobe = 3)
-        .select(col("q_id"), col("rk"), col("neighbor_id"),
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("neighbor_id"),
                 round(col("cos"), 6).as("cos"))
-        .orderBy(col("q_id"), col("rk"))
+        .orderBy(col("q_id"))
     }),
 
     // SEMANTIC-DEDUP INDEX over CDC: the embedding near-dup pair view
     // (random-hyperplane LSH buckets + exact-cosine rerank) maintained
     // incrementally — only changed vectors re-hash per batch; the same
     // band-index algebra as cdc_dedup_index with the table slot as the
-    // band. rows-only: bucket signatures are engine-specific; maintained
-    // == from-scratch embeddingLshCandidates is spec'd.
+    // band. Oracle-exact: the cosine-verified pair set equals the exact
+    // >= 0.9 pair set of the live corpus (planted identical vectors
+    // share every bucket structurally; rerank kills false candidates).
+    // Maintained == from-scratch embeddingLshCandidates stays spec'd.
     "cdc_semantic_index" -> ((s, dir) => {
       val (r, _, sem, _) = SharedJoin.embResult(s, dir)
       val live = graft.cdc.Materializer.liveView(r.state)
@@ -957,9 +968,12 @@ object CdcQueries {
     // component algebra layered over the maintained random-hyperplane
     // band index — no per-batch corpus probe at all (the index's
     // |Δ|-bounded bucket patch IS the edge upkeep; candidates rerank by
-    // exact cosine at relabel time). rows-only: bucket signatures are
-    // engine-specific; maintained == from-scratch LSH-edge CC is spec'd
-    // in ClusterViewSpec.
+    // exact cosine at relabel time). Oracle-exact — and by the SAME
+    // recursive-CTE oracle as cdc_cluster_view: every >= 0.9 edge in
+    // this corpus is a planted identical pair the LSH index finds
+    // structurally, so the two modalities coincide (see
+    // clusterOracleSql). Maintained == from-scratch LSH-edge CC stays
+    // spec'd in ClusterViewSpec.
     "cdc_semantic_clusters" -> ((s, dir) => {
       val (r, _, sem, _) = SharedJoin.embResult(s, dir)
       graft.dedup.ClusterView.view(r(sem))
@@ -1067,7 +1081,101 @@ object CdcQueries {
   private val SnapT1 = 788918400L
   private val SnapT2 = 852076800L
 
+  /** The live embeddings state after the changelog (shared estate CTE:
+    * vec_id % 7 == 0 re-embedded to its successor's vector, % 10 == 0
+    * deleted). */
+  private val estateSql =
+    """SELECT e.vec_id,
+      |    CASE WHEN e.vec_id % 7 = 0 THEN coalesce(e2.embedding, e.embedding)
+      |         ELSE e.embedding END AS embedding
+      |  FROM embeddings e
+      |  LEFT JOIN embeddings e2 ON e2.vec_id = e.vec_id + 1
+      |  WHERE e.vec_id % 10 <> 0""".stripMargin
+
+  /** Exact-cosine near-dup clusters of the live vector corpus via
+    * recursive min-label reach — the oracle for BOTH maintained cluster
+    * faces: the exact-edge modality (cdc_cluster_view) by definition,
+    * and the LSH-index modality (cdc_semantic_clusters) because every
+    * >= 0.9 pair in this corpus is a planted IDENTICAL vector (the
+    * % 7 re-embed copies the successor's array bit-for-bit), identical
+    * vectors share every LSH bucket structurally, and the exact-cosine
+    * rerank removes all false candidates — so the two modalities'
+    * outputs coincide exactly. */
+  private val clusterOracleSql =
+    s"""WITH RECURSIVE
+      |estate AS (
+      |  $estateSql),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM estate),
+      |edges AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+      |sym AS (
+      |  SELECT src, dst FROM edges
+      |  UNION SELECT dst AS src, src AS dst FROM edges),
+      |reach(id, r) AS (
+      |  SELECT vec_id, vec_id FROM v
+      |  UNION
+      |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id)
+      |SELECT id AS vec_id, min(r) AS cluster, (min(r) = id) AS is_rep
+      |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the maintained MinHash-LSH index's Jaccard-verified pairs equal
+    // the EXACT >= 0.5 pair set of the live corpus: the only such pairs
+    // are the planted exact duplicates (the % 7 re-crawl copies the
+    // successor's text verbatim), identical texts share every band
+    // bucket structurally, and the verify filter removes all false
+    // candidates — recomputed here the heavy all-pairs way
+    "cdc_dedup_index" -> s"""
+      |WITH dstate AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 7 = 0 THEN coalesce(d2.text, d.text)
+      |         ELSE d.text END AS text
+      |  FROM documents d LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+      |  WHERE d.doc_id % 10 <> 0),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(${shingleSql(toksSql)}) AS s FROM dstate),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, jaccard FROM p
+      |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // same argument, embedding modality: the maintained random-
+    // hyperplane index's cosine-verified pairs equal the exact >= 0.9
+    // pair set of the live vector corpus
+    "cdc_semantic_index" -> s"""
+      |WITH estate AS (
+      |  $estateSql),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM estate)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin,
+    "cdc_semantic_clusters" -> clusterOracleSql,
+    // planted-probe ANN (PipelineQueries.plantedProbes discipline) over
+    // the LIVE corpus: brute-force exact top-1 — probe sources are live
+    // vectors the changelog left untouched, so their live embedding is
+    // the original and the probe arithmetic mirrors bit-for-bit
+    "cdc_ann_ivf" -> s"""
+      |WITH estate AS (
+      |  $estateSql),
+      |q AS (SELECT vec_id + 1000000 AS q_id,
+      |        list_transform(embedding::DOUBLE[],
+      |          (x, i) -> x * (1 + 0.005 * (((i - 1) % 7) - 3))) AS qv
+      |      FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM estate),
+      |s AS (SELECT q_id, vec_id AS neighbor_id,
+      |        list_cosine_similarity(qv, v) AS cos,
+      |        row_number() OVER (PARTITION BY q_id
+      |          ORDER BY list_cosine_similarity(qv, v) DESC, vec_id)
+      |          AS rk
+      |      FROM q, c)
+      |SELECT q_id, neighbor_id, round(cos, 6) AS cos
+      |FROM s WHERE rk = 1 ORDER BY q_id""".stripMargin,
     "cdc_materialize" ->
       s"""SELECT * FROM ($expectedStateSql) ORDER BY o_orderkey""",
     // live corpus after the documents changelog (insert all / swap

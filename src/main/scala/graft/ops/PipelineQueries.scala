@@ -134,7 +134,13 @@ object PipelineQueries {
     * IEEE-double and index-driven, so both engines derive bit-identical
     * probes. */
   private def plantedProbes(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") < 5)
+    plantedProbes(e, col("vec_id") < 5)
+
+  /** [[plantedProbes]] with a caller-chosen source-id predicate —
+    * cdc_ann_ivf probes LIVE vectors (ids the changelog neither deleted
+    * nor re-embedded), the batch queries probe ids < 5. */
+  private[ops] def plantedProbes(e: DataFrame, idCond: Column): DataFrame =
+    e.filter(idCond)
       .select((col("vec_id") + 1000000L).as("q_id"),
         transform(col("embedding"),
           (x, i) => x.cast("double") *
