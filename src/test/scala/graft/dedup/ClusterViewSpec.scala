@@ -201,4 +201,34 @@ class ClusterViewSpec extends SparkSpec {
     assert(clustersOf(res(ok)) ==
              direct(Materializer.liveView(res.state)))
   }
+
+  test("amortized bound recounts under churn instead of refusing a live corpus that fits") {
+    // the optimistic tracker only ADDS per-batch changed-key counts, so
+    // delete-heavy churn drives it past the bound while the true live
+    // count stays under — crossing must trigger a RECOUNT (and pass),
+    // never a refusal. Bound 6; batch 1 inserts 6 (live 6); batch 2
+    // touches 4 keys (2 deletes + 2 re-inserts at new angles) pushing
+    // the optimistic count to 10 > 6 while live stays 6.
+    val churn = Seq(
+      ("insert", 1L, 1L, 1L, vec(0)), ("insert", 2L, 2L, 2L, vec(20)),
+      ("insert", 3L, 3L, 3L, vec(40)), ("insert", 4L, 4L, 4L, vec(90)),
+      ("insert", 5L, 5L, 5L, vec(110)), ("insert", 6L, 6L, 6L, vec(180)),
+      ("delete", 11L, 7L, 2L, vec(20)), ("delete", 12L, 8L, 4L, vec(90)),
+      ("insert", 13L, 9L, 8L, vec(30)), ("insert", 14L, 10L, 9L, vec(100)))
+    val m = ClusterView.cosineMaintainer("vec_id", "embedding", Tau,
+                                         ccShufflePartitions = 4,
+                                         maxLiveRows = 6)
+    val res = TableViews.replay(events(churn), Seq(10L), Seq("vec_id"),
+                                Seq(m))
+    assert(clustersOf(res(m)) == direct(Materializer.liveView(res.state)),
+      "post-recount clusters diverged from the direct recompute")
+    // and a corpus that genuinely outgrows the bound still refuses
+    val grow = churn ++ Seq(("insert", 15L, 11L, 10L, vec(60)))
+    val e = intercept[IllegalArgumentException] {
+      TableViews.replay(events(grow), Seq(10L, 14L), Seq("vec_id"),
+        Seq(ClusterView.cosineMaintainer("vec_id", "embedding", Tau,
+          ccShufflePartitions = 4, maxLiveRows = 6)))
+    }
+    assert(e.getMessage.contains("LSH-bucketed path"), e.getMessage)
+  }
 }
