@@ -73,7 +73,15 @@ object Bench {
     // contention they attribute relative weight, not additive wall
     // (state_build_sec is the pool's wall clock).
     locally {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      // pool width 4: measured at sf0.1 on 32 cores — 6 threads ran the
+      // pool wall 66s -> 70s (families contend on the scheduler and the
+      // shared pinned decodes, so more concurrency slows every replay's
+      // latency-bound micro-batches). The env knob lets a different box
+      // re-tune without an edit.
+      val width = scala.util.Try(
+        sys.env.getOrElse("SPARK_GRAFT_BUILD_POOL", "4").toInt)
+        .getOrElse(4).max(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(width)
       val builds = Seq[(String, () => Unit)](
         ("shared ann index", () =>
           ops.CdcQueries.queries("cdc_ann_topk")(spark, sfDir).count()),
