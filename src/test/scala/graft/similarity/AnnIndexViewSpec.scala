@@ -73,4 +73,26 @@ class AnnIndexViewSpec extends SparkSpec {
     assert(served(res(m)) == served(Similarity.ivfAssign(live, centroids)),
       "probe results diverge between maintained and batch-built index")
   }
+
+  test("cdc_ann_ivf serve plan: only filtered probe/centroid scans, index off state") {
+    // the maintained inverted lists are pinned state — a serve that
+    // rescanned the embeddings parquet unfiltered would re-bill the
+    // index build to every probe. The only parquet reads allowed are
+    // the two tiny id-filtered scans (probe sources, fixed centroids),
+    // and the probe side must reach the candidate join as a broadcast.
+    val q = graft.ops.CdcQueries.queries("cdc_ann_ivf")
+    q(spark, sfDir).count() // force the shared state build
+    val plan = q(spark, sfDir).queryExecution.executedPlan
+    val scans = plan.collectLeaves().map(_.toString)
+      .filter(_.contains("Scan parquet"))
+    assert(scans.size <= 2,
+      s"cdc_ann_ivf serve reads ${scans.size} parquet scans:\n" +
+        scans.mkString("\n"))
+    assert(scans.forall(s => s.contains("vec_id")),
+      s"expected every serve scan id-filtered:\n${scans.mkString("\n")}")
+    val planStr = plan.toString
+    assert(planStr.contains("BroadcastExchange") ||
+             planStr.contains("BroadcastNestedLoopJoin"),
+      "probe/centroid sides must broadcast into the candidate join")
+  }
 }
