@@ -157,7 +157,16 @@ object ClusterView {
     * affected vertices, reranked by `rerank(candidatePairs, liveAll, candIsLocal)`
     * (exact-cosine for embeddings; any verifier for other modalities).
     * Seeding from CANDIDATES (a superset of true edges) is correct —
-    * extra seeds only widen the relabel, never change labels. */
+    * extra seeds only widen the relabel, never change labels.
+    *
+    * `ccShufflePartitions` sizes the relabel CC's per-round exchanges
+    * and stays NARROW (8) because the affected subgraph is |Δ|-bounded
+    * — which holds only while batches are bounded: a producer that may
+    * see corpus-sized backlogs (an initial bootstrap, a catch-up after
+    * downtime) must cut them via `maxEventsPerBatch` on its face (the
+    * maintainMultiViewToParquet/maintainTableViewsToParquet option), or
+    * widen this explicitly; an uncut corpus-sized batch would funnel
+    * the whole candidate graph through these few reducers. */
   def overIndex(idCol: String,
                 inner: TableViews.Maintainer[DedupIndexView.IndexState],
                 rerank: (DataFrame, DataFrame, Boolean) => DataFrame,
