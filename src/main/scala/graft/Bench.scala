@@ -10,6 +10,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // LOAD-CALIBRATION SENTINEL: a fixed engine-only workload (no IO,
+    // no state) timed before pass 1 and after pass 2. Box-level
+    // contention that min-of-2 cannot catch (sustained load straddling
+    // both passes — the round-14 official record) shows up as BOTH
+    // sentinel samples drifting above the committed quiet-box reference,
+    // and the record flags itself `contaminated` so readers discount it
+    // instead of reading phantom regressions. The reference is the
+    // quiet-box value committed WITH the official record
+    // (SPARK_GRAFT_SENTINEL_REF overrides for a different box class).
+    def sentinelSec(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L)
+        .selectExpr("sum(id * 2 + 1) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelRef = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_SENTINEL_REF", "0.55").toDouble)
+      .getOrElse(0.55)
     // JVM/codegen warmup: run every query once at the tiny sf. The
     // generated code is identical (literals, not paths, key the codegen
     // cache), so the sf-under-test measurements reflect engine steady
@@ -164,10 +182,26 @@ object Bench {
                  false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // pinned working-set accounting AFTER the one-time builds: the
+    // states, corpora and signature frames pinned above are the blocks
+    // that spill first under memory pressure (the round-14 collapse
+    // mode) — record their size next to the heap so a reader can check
+    // the estate fits the driver-shape heap with headroom
+    val storage = spark.sparkContext.getRDDStorageInfo
+    val pinnedBytes = storage.map(_.memSize).sum
+    val pinnedDiskBytes = storage.map(_.diskSize).sum
+    val heapMaxBytes = Runtime.getRuntime.maxMemory
+    if (pinnedBytes > heapMaxBytes * 6 / 10)
+      System.err.println(f"bench WARNING: pinned estate $pinnedBytes%d B " +
+        f"exceeds 60%% of heap $heapMaxBytes%d B — expect spills")
+    val sentinelBefore = { sentinelSec(); sentinelSec() } // warm once
     val named = SparkEntry.queries.toSeq
     def timedPass(): Map[String, (Double, Boolean)] =
       named.map { case (n, fn) => n -> timedOne(n, fn) }.toMap
     val p1 = timedPass(); val p2 = timedPass()
+    val sentinelAfter = sentinelSec()
+    val contaminated =
+      math.min(sentinelBefore, sentinelAfter) > 1.5 * sentinelRef
     val passes: Map[String, Seq[(Double, Boolean)]] =
       named.map { case (n, fn) =>
         val base = Seq(p1(n), p2(n))
@@ -219,7 +253,7 @@ object Bench {
       // build pool — contended, NON-additive (they can sum to several
       // times the pool wall); the *_concurrent flags say so in-band so
       // JSON consumers don't read them as an additive decomposition
-      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"passes":$passDetail,"state_build_sec":${fmt(stateBuildSec)},"state_build_breakdown":$stateBd,"state_build_breakdown_concurrent":true,"corpus_build_sec":${fmt(corpusBuildSec)},"corpus_build_breakdown":$corpusBd,"corpus_build_breakdown_concurrent":true,"sf":"$sfDir"}"""
+      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"passes":$passDetail,"state_build_sec":${fmt(stateBuildSec)},"state_build_breakdown":$stateBd,"state_build_breakdown_concurrent":true,"corpus_build_sec":${fmt(corpusBuildSec)},"corpus_build_breakdown":$corpusBd,"corpus_build_breakdown_concurrent":true,"sentinel_before_sec":${fmt(sentinelBefore)},"sentinel_after_sec":${fmt(sentinelAfter)},"sentinel_ref_sec":${fmt(sentinelRef)},"contaminated":$contaminated,"pinned_bytes":$pinnedBytes,"pinned_disk_bytes":$pinnedDiskBytes,"heap_max_bytes":$heapMaxBytes,"build_pool":"${sys.env.getOrElse("SPARK_GRAFT_BUILD_POOL", "4")}","sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (txt + "\n").getBytes("UTF-8"))
     }.fold(e => { System.err.println(s"BENCH_FULL.json write failed: $e"); false },
@@ -234,7 +268,7 @@ object Bench {
     val fullKey = if (fullWritten) ""","full":"BENCH_FULL.json"""" else ""
     // state_build_sec: one-time warm build of the shared IVM replay
     // states (cdc_*_view queries are timed serve-only; see warm-up above)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"state_build_sec":${fmt(stateBuildSec)},"corpus_build_sec":${fmt(corpusBuildSec)},"sf":"$sfDir"$fullKey}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"state_build_sec":${fmt(stateBuildSec)},"corpus_build_sec":${fmt(corpusBuildSec)},"sentinel_before_sec":${fmt(sentinelBefore)},"sentinel_after_sec":${fmt(sentinelAfter)},"sentinel_ref_sec":${fmt(sentinelRef)},"contaminated":$contaminated,"pinned_bytes":$pinnedBytes,"heap_max_bytes":$heapMaxBytes,"sf":"$sfDir"$fullKey}""")
     spark.stop()
   }
 }

@@ -56,19 +56,36 @@ object ClusterView {
     * graceful fallback every maintainer uses. The stage-listener stress
     * probe is what caught the unhinted version shuffling the whole
     * candidate state per batch. */
-  private def capLocal(df: DataFrame, cap: Int): (DataFrame, Boolean) = {
+  private def capLocal(df: DataFrame, cap: Int): (DataFrame, Boolean, Long) = {
     // pin FIRST, probe the pinned frame (DecontamView.capLocal's fix):
     // the probe's partial scan materializes checkpoint blocks the
     // over-cap branch then reuses, instead of recomputing the frame.
     // Under the cap the LocalRelation replaces the pin; the
     // ContextCleaner reaps the tiny blocks when the frame drops.
+    // The third slot is the EXACT row count when local (free — the rows
+    // are already collected) and Long.MaxValue when over-cap: the
+    // relabel-width derivation reads it, and MaxValue resolves to the
+    // deployment-width cap (the safe width for an uncut corpus-sized
+    // bootstrap batch).
     val pinned = df.localCheckpoint(false)
     val rows = pinned.limit(cap + 1).collect().toSeq
-    if (rows.size > cap) (pinned, false)
+    if (rows.size > cap) (pinned, false, Long.MaxValue)
     else (df.sparkSession.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, df.schema),
-      true)
+      true, rows.size.toLong)
   }
+
+  /** Per-batch relabel width: explicit `requested > 0` pins it; the 0
+    * sentinel derives the width from the affected subgraph's node count
+    * ([[Dedup.ccWidthCapped]], floor 8) capped at the DEPLOYMENT's
+    * `defaultParallelism` — NOT the replay child session's deliberately
+    * narrow batch width, which would neuter the widening exactly when
+    * it matters (an uncut corpus-sized bootstrap/catch-up batch whose
+    * affected subgraph IS the corpus). */
+  private[graft] def relabelWidth(requested: Int, affectedNodes: Long,
+                                  s: org.apache.spark.sql.SparkSession): Int =
+    if (requested > 0) requested
+    else Dedup.ccWidthCapped(affectedNodes, s.sparkContext.defaultParallelism)
 
   private def hintIf(df: DataFrame, isLocal: Boolean): DataFrame =
     if (isLocal) broadcast(df) else df
@@ -81,9 +98,19 @@ object ClusterView {
     * [[Dedup.requireAllPairsBound]] loudness: a live corpus past
     * `maxLiveRows` fails naming the maintained-LSH swap
     * ([[semanticMaintainer]] / [[overIndex]]) instead of silently
-    * burning n² cosine evaluations per batch. */
+    * burning n² cosine evaluations per batch.
+    *
+    * OWNERSHIP: each returned maintainer instance carries its own
+    * amortized live-count tracker, so one instance must fold exactly
+    * ONE replay/stream at a time — sharing an instance across
+    * concurrently running replays can interleave the tracker's updates
+    * and under-estimate the live count, silently bypassing the
+    * `maxLiveRows` refusal (output correctness is unaffected; the O(n²)
+    * loudness guard is what degrades). Build a fresh instance per
+    * replay — which [[graft.cdc.TableViews.replay]]'s distinct-instance
+    * requirement already pushes callers toward. */
   def cosineMaintainer(idCol: String, vecCol: String, minCosine: Double,
-                       ccShufflePartitions: Int = 8,
+                       ccShufflePartitions: Int = 0,
                        maxLiveRows: Long = 65536)
       : TableViews.Maintainer[ClusterState] = {
     // AMORTIZED loudness bound (no per-batch corpus pass): the live
@@ -146,31 +173,32 @@ object ClusterView {
                        (col("cluster") === col("id")).as("is_rep"))
 
   /** Clusters over a MAINTAINED band index ([[DedupIndexView]]) — the
-    * corpus-scale path: the index's bucket-provenance candidate state IS
-    * the edge set (reranked at use), so edge upkeep is the index's own
-    * |Δ|-bounded patch and no per-batch corpus probe exists at all.
-    * Candidate-graph changes are exactly the TOUCHED buckets (a changed
-    * id's old ∪ new bands — a pair lives only in its endpoints' buckets,
-    * so a vector change can never alter an untouched bucket's pairs):
-    * their old/new pairs' endpoints seed the affected components, and
-    * the relabel runs over the post-patch candidates restricted to the
-    * affected vertices, reranked by `rerank(candidatePairs, liveAll, candIsLocal)`
-    * (exact-cosine for embeddings; any verifier for other modalities).
-    * Seeding from CANDIDATES (a superset of true edges) is correct —
-    * extra seeds only widen the relabel, never change labels.
+    * corpus-scale path: the index's PATCH-TIME-VERIFIED pair scores ARE
+    * the edge set (edges = scores ≥ `minEdgeScore`), so edge upkeep is
+    * the index's own |Δ|-bounded patch + verify and no per-batch corpus
+    * probe exists at all — the relabel reads maintained scores instead
+    * of re-joining live vectors. Candidate-graph changes are exactly
+    * the TOUCHED buckets (a changed id's old ∪ new bands — a pair lives
+    * only in its endpoints' buckets, so a vector change can never alter
+    * an untouched bucket's pairs): their old/new pairs' endpoints seed
+    * the affected components, and the relabel runs over the post-patch
+    * verified edges restricted to the affected vertices. Seeding from
+    * CANDIDATES (a superset of true edges) is correct — extra seeds
+    * only widen the relabel, never change labels.
     *
-    * `ccShufflePartitions` sizes the relabel CC's per-round exchanges
-    * and stays NARROW (8) because the affected subgraph is |Δ|-bounded
-    * — which holds only while batches are bounded: a producer that may
-    * see corpus-sized backlogs (an initial bootstrap, a catch-up after
-    * downtime) must cut them via `maxEventsPerBatch` on its face (the
-    * maintainMultiViewToParquet/maintainTableViewsToParquet option), or
-    * widen this explicitly; an uncut corpus-sized batch would funnel
-    * the whole candidate graph through these few reducers. */
+    * `ccShufflePartitions` sizes the relabel CC's per-round exchanges.
+    * The default 0 DERIVES the width per batch from the affected
+    * subgraph's node count ([[relabelWidth]]): steady |Δ|-bounded
+    * batches resolve to the narrow floor (8 — per-task constants
+    * dominate tiny rounds), while an uncut corpus-sized
+    * bootstrap/catch-up batch (affected subgraph over the collect cap)
+    * fans the relabel out to the deployment's parallelism instead of
+    * funneling the whole candidate graph through a fixed handful of
+    * reducers. An explicit positive value pins the width. */
   def overIndex(idCol: String,
                 inner: TableViews.Maintainer[DedupIndexView.IndexState],
-                rerank: (DataFrame, DataFrame, Boolean) => DataFrame,
-                ccShufflePartitions: Int = 8)
+                minEdgeScore: Double,
+                ccShufflePartitions: Int = 0)
       : TableViews.Maintainer[IndexedClusterState] =
     new TableViews.Maintainer[IndexedClusterState] {
       private val clusterSchema = StructType(Seq(
@@ -212,32 +240,28 @@ object ClusterView {
         // the derived key frames collect-cap to broadcast LocalRelations
         // (capLocal): the candidate state and the cluster assignment are
         // then pruned scan-side, never shuffled whole per batch
-        val (seeds, seedsL) = capLocal(ck
+        val (seeds, seedsL, _) = capLocal(ck
           .unionByName(endpoints(pairsIn(st.index.byBucket)))
           .unionByName(endpoints(pairsIn(idx2.byBucket)))
           .distinct(), ctx.maxLocalKeys)
-        val (affectedComps, acL) = capLocal(
+        val (affectedComps, acL, _) = capLocal(
           st.clusters.join(hintIf(seeds, seedsL), Seq("id"), "left_semi")
             .select(col("cluster")).distinct(), ctx.maxLocalKeys)
-        val (affectedVerts, avL) = capLocal(st.clusters
+        val (affectedVerts, avL, avN) = capLocal(st.clusters
           .join(hintIf(affectedComps, acL), Seq("cluster"), "left_semi")
           .select(col("id"))
           .unionByName(ck).distinct(), ctx.maxLocalKeys)
-        // relabel over the post-patch candidates of the affected verts,
-        // reranked to true edges (component closure: a candidate that
-        // survives rerank never crosses untouched components)
-        // capLocal'd too: a LocalRelation candidate set makes the
-        // rerank's vector joins BROADCAST the candidate side, so the
-        // live corpus is scanned — without this the rerank shuffled the
-        // whole corpus per batch (the stress probe's 427k-record stage)
-        val (subCand, scL) = capLocal(idx2.byBucket
-          .select(col("id_a").cast("long").as("id_a"),
-                  col("id_b").cast("long").as("id_b"))
-          .join(hintIf(affectedVerts.select(col("id").as("id_a")), avL),
-                Seq("id_a"), "left_semi")
-          .distinct(), ctx.maxLocalKeys)
-        val (subEdges, seL) = capLocal(rerank(subCand, postLive, scL),
-                                       ctx.maxLocalKeys)
+        // relabel over the post-patch VERIFIED edges of the affected
+        // verts — a read of the index's maintained pair scores (no
+        // vector re-join; verification already happened at patch time),
+        // pruned scan-side by the (capped) affected-vert set (component
+        // closure: a verified edge never crosses untouched components)
+        val (subEdges, seL, _) = capLocal(idx2.scores
+          .filter(col("score") >= minEdgeScore)
+          .select(col("id_a").cast("long").as("src"),
+                  col("id_b").cast("long").as("dst"))
+          .join(hintIf(affectedVerts.select(col("id").as("src")), avL),
+                Seq("src"), "left_semi"), ctx.maxLocalKeys)
         // log-star CC: a maintained view cannot assume its affected
         // subgraph is shallow (adversarial near-dup ladders chain), and
         // the O(log n)-round variant costs the same per-round shape.
@@ -251,7 +275,8 @@ object ClusterView {
               ctx.delta.sparkSession.sparkContext
                 .emptyRDD[org.apache.spark.sql.Row], clusterSchema)
           else Dedup.connectedComponentsLogStar(subEdges, "src", "dst",
-              shufflePartitions = ccShufflePartitions)
+              shufflePartitions = relabelWidth(ccShufflePartitions, avN,
+                                               ctx.delta.sparkSession))
             .select(col("id"), col("component").as("cluster"))
         val singletons = affectedVerts
           .join(cc.select(col("id")), Seq("id"), "left_anti")
@@ -261,7 +286,7 @@ object ClusterView {
         // possible dead ids are the ones deleted THIS batch — a semi
         // against the corpus-sized live id set would shuffle the corpus
         // per batch (the stress probe's exactly-|live| stage)
-        val (deleted, delL) = capLocal(
+        val (deleted, delL, _) = capLocal(
           ck.join(liveIds.join(hinted(ck), Seq("id"), "left_semi"),
                   Seq("id"), "left_anti"), ctx.maxLocalKeys)
         val relabeled = cc.unionByName(singletons)
@@ -285,33 +310,19 @@ object ClusterView {
 
   /** The embedding (random-hyperplane LSH) instantiation of
     * [[overIndex]]: [[DedupIndexView.embeddingMaintainer]] keeps the
-    * bucket index, exact cosine ≥ `minCosine` is the rerank. One
+    * bucket index and verifies candidates by exact cosine AT PATCH
+    * TIME; edges are the maintained scores ≥ `minCosine`. One
     * maintained state serves BOTH the near-dup pair face (via
-    * `.index.pairs`) and the cluster face. */
+    * `.index.scores`) and the cluster face. */
   def semanticMaintainer(idCol: String, vecCol: String, dim: Int,
                          minCosine: Double, tables: Int = 8,
                          planes: Int = 12, maxBucket: Int = 1000,
-                         ccShufflePartitions: Int = 8)
+                         ccShufflePartitions: Int = 0)
       : TableViews.Maintainer[IndexedClusterState] =
     overIndex(idCol,
       DedupIndexView.embeddingMaintainer(idCol, vecCol, dim, tables,
                                          planes, maxBucket = maxBucket),
-      (cand, live, candLocal) => {
-        val a = live.select(col(idCol).cast("long").as("id_a"),
-                            col(vecCol).cast("array<double>").as("va"))
-        val b = live.select(col(idCol).cast("long").as("id_b"),
-                            col(vecCol).cast("array<double>").as("vb"))
-        // under-cap the candidate side BROADCASTS through BOTH vector
-        // joins (the first join's result is still candidate-bounded),
-        // so the live corpus is scanned, never exchanged — without the
-        // second hint Catalyst loses the size bound after join one and
-        // plans an SMJ that shuffles every live vector per batch
-        def h(df: DataFrame) = if (candLocal) broadcast(df) else df
-        h(h(cand).join(a, "id_a")).join(b, "id_b")
-          .filter(graft.functions.VectorFunctions
-            .cosine(col("va"), col("vb")) >= minCosine)
-          .select(col("id_a").as("src"), col("id_b").as("dst"))
-      }, ccShufflePartitions)
+      minEdgeScore = minCosine, ccShufflePartitions)
 
   /** The generic maintainer. `edgesFor(changedLive, liveAll)` returns
     * the canonical `(src, dst)` LONG edges incident to the changed live
@@ -322,7 +333,7 @@ object ClusterView {
     * integral primary key. */
   def maintainerFromEdges(idCol: String,
                           edgesFor: (DataFrame, DataFrame) => DataFrame,
-                          ccShufflePartitions: Int = 8)
+                          ccShufflePartitions: Int = 0)
       : TableViews.Maintainer[ClusterState] =
     maintainerFromEdgesCounted(idCol,
       (changed, live, _) => edgesFor(changed, live), ccShufflePartitions)
@@ -337,7 +348,7 @@ object ClusterView {
   def maintainerFromEdgesCounted(
       idCol: String,
       edgesFor: (DataFrame, DataFrame, () => Long) => DataFrame,
-      ccShufflePartitions: Int = 8)
+      ccShufflePartitions: Int = 0)
       : TableViews.Maintainer[ClusterState] =
     new TableViews.Maintainer[ClusterState] {
       private val edgeSchema = StructType(Seq(
@@ -394,12 +405,12 @@ object ClusterView {
         // collect-capped to broadcast LocalRelations (capLocal): the
         // edge state and the assignment are pruned scan-side per batch,
         // never shuffled whole
-        val (seeds, seedsL) = capLocal(ck.unionByName(endpoints(dropped))
+        val (seeds, seedsL, _) = capLocal(ck.unionByName(endpoints(dropped))
           .unionByName(endpoints(newEdges)).distinct(), ctx.maxLocalKeys)
-        val (affectedComps, acL) = capLocal(st.clusters
+        val (affectedComps, acL, _) = capLocal(st.clusters
           .join(hintIf(seeds, seedsL), Seq("id"), "left_semi")
           .select(col("cluster")).distinct(), ctx.maxLocalKeys)
-        val (affectedVerts, avL) = capLocal(st.clusters
+        val (affectedVerts, avL, avN) = capLocal(st.clusters
           .join(hintIf(affectedComps, acL), Seq("cluster"), "left_semi")
           .select(col("id"))
           .unionByName(ck).distinct(), ctx.maxLocalKeys)
@@ -407,7 +418,7 @@ object ClusterView {
         // subgraph (src-side restrict suffices — old edges never cross
         // components, new edges' endpoints are both affected), singleton
         // fill, live restrict (deleted ids leave no row).
-        val (subEdges, seL) = capLocal(edges1.join(
+        val (subEdges, seL, _) = capLocal(edges1.join(
           hintIf(affectedVerts.select(col("id").as("src")), avL),
           Seq("src"), "left_semi"), ctx.maxLocalKeys)
         // log-star CC with the edgeless short-circuit (see overIndex)
@@ -417,7 +428,8 @@ object ClusterView {
               ctx.delta.sparkSession.sparkContext
                 .emptyRDD[org.apache.spark.sql.Row], clusterSchema)
           else Dedup.connectedComponentsLogStar(subEdges, "src", "dst",
-              shufflePartitions = ccShufflePartitions)
+              shufflePartitions = relabelWidth(ccShufflePartitions, avN,
+                                               ctx.delta.sparkSession))
             .select(col("id"), col("component").as("cluster"))
         val singletons = affectedVerts
           .join(cc.select(col("id")), Seq("id"), "left_anti")
@@ -425,7 +437,7 @@ object ClusterView {
         // live restrict via the |Δ|-bounded deleted set (see overIndex:
         // the assignment invariantly holds live ids, so a semi against
         // the corpus-sized live id set would shuffle the corpus)
-        val (deleted, delL) = capLocal(
+        val (deleted, delL, _) = capLocal(
           ck.join(liveIds.join(hinted(ck.select(col("id"))), Seq("id"),
                                "left_semi"),
                   Seq("id"), "left_anti"), ctx.maxLocalKeys)

@@ -415,6 +415,28 @@ object Dedup {
     * corpus-sized shuffle width (e.g. dedup over pre-filtered candidate
     * families) should pass a small value, since AQE coalescing is off in
     * the loop by design. */
+  /** Nodes per CC-loop reducer: the loop's per-round frames are
+    * |nodes|-bounded, so one reducer per ~1k nodes keeps tiny graphs on
+    * few tasks (per-task constants dominate |Δ|-bounded work) while a
+    * corpus-sized graph fans out to the cap. */
+  private[graft] val CcRowsPerPartition = 1024L
+
+  /** Shuffle width for a connected-components loop over `nodeCount`
+    * graph nodes: one reducer per ~[[CcRowsPerPartition]] nodes, floored
+    * at 8, capped at `cap` (the caller's statement of available
+    * parallelism — session width for query-side callers, deployment
+    * `defaultParallelism` for per-batch maintainers whose child replay
+    * sessions run deliberately narrow). A `nodeCount` of `Long.MaxValue`
+    * (unknown / over-collect-cap subgraph) therefore resolves to the
+    * full cap — the safe width for an uncut corpus-sized bootstrap
+    * batch. */
+  private[graft] def ccWidthCapped(nodeCount: Long, cap: Int): Int = {
+    val byRows = math.ceil(nodeCount.toDouble / CcRowsPerPartition)
+    val byRowsL = if (byRows >= Long.MaxValue.toDouble) Long.MaxValue
+                  else byRows.toLong
+    math.min(math.max(8L, byRowsL), math.max(8L, cap.toLong)).toInt
+  }
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25,
                           shufflePartitions: Int = 0): DataFrame = {

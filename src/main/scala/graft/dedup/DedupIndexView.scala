@@ -19,12 +19,16 @@ import graft.cdc.{Materializer, TableViews}
   * and the candidate set is updated by regenerating exactly the
   * BUCKETS whose membership changed (the changed ids' old ∪ new bands)
   * from the patched index — every other bucket's pair rows carry over
-  * untouched. The maintained pair view equals a from-scratch
+  * untouched. The regenerated pairs are also VERIFIED in the same
+  * batch step (exact Jaccard/cosine from their live payloads — a pure
+  * function of the pair, so untouched pairs never rescore), making the
+  * verified near-dup view a pinned-frame READ at serve time. The
+  * maintained pair view equals a from-scratch
   * [[Dedup.lshCandidatePairsFromSigs]] over the live corpus after every
   * batch (spec'd stepwise, INCLUDING buckets crossing the hot-bucket
   * cap in either direction), while per-batch cost is O(|Δ| × bands +
-  * touched-bucket self-joins) — a new crawl snapshot indexes against
-  * the existing corpus without recomputing it.
+  * touched-bucket self-joins + touched-pair verifies) — a new crawl
+  * snapshot indexes against the existing corpus without recomputing it.
   *
   * Scale shape: the index is only ever probed/patched through joins
   * keyed by the changed ids or their bands — under `maxLocalKeys` the
@@ -52,24 +56,24 @@ object DedupIndexView {
     * could never be emitted nor a heated bucket's retracted, because a
     * bare (id_a, id_b) view cannot say WHICH bucket justified a pair.
     * State size is Σ_buckets C(pop, 2) over under-cap buckets — the
-    * batch operator's candidate volume, which the cap already bounds. */
-  final case class IndexState(index: DataFrame, byBucket: DataFrame)
-      extends graft.cdc.MultiView.PinnedExtras {
-    @volatile private var pairsForced = false
-    /** The candidate-pair face `(id_a, id_b)` — distinct over the
-      * provenance rows, PINNED ON FIRST SERVE so repeated reads of one
-      * state generation pay the shuffle-distinct once and then scan.
-      * Once forced, the pinned blocks are dropped EXPLICITLY with the
-      * rest of the state (cache eviction / Result.release walks
-      * [[graft.cdc.MultiView.PinnedExtras]]) — the same discipline
-      * BoundedPinnedCache enforces for index and byBucket, instead of
-      * waiting on ContextCleaner GC across evict/rebuild cycles. */
-    lazy val pairs: DataFrame = {
-      pairsForced = true
-      byBucket.select(col("id_a"), col("id_b")).distinct()
-        .localCheckpoint(false)
-    }
-    def pinnedExtras: Seq[DataFrame] = if (pairsForced) Seq(pairs) else Nil
+    * batch operator's candidate volume, which the cap already bounds.
+    *
+    * `scores` is the VERIFIED candidate-pair set: exactly the distinct
+    * `(id_a, id_b)` pairs of `byBucket`, each carrying the modality's
+    * exact verification score (n-gram Jaccard for the MinHash index,
+    * cosine for the embedding index) computed AT PATCH TIME from the
+    * pair's live payloads. Verification is a pure function of the two
+    * payloads, so only pairs touching changed buckets need (re)scoring
+    * per batch — serving the verified near-dup view is then a READ of
+    * this frame (filter + sort), never a corpus scan or a per-serve
+    * Jaccard recompute. */
+  final case class IndexState(index: DataFrame, byBucket: DataFrame,
+                              scores: DataFrame) {
+    /** The candidate-pair face `(id_a, id_b)` — a projection of the
+      * maintained verified set (which is the distinct pair set by
+      * invariant), so serving it is a pinned-frame read: no per-serve
+      * shuffle-distinct over the provenance rows. */
+    def pairs: DataFrame = scores.select(col("id_a"), col("id_b"))
   }
 
   /** The MinHash-LSH dedup index as a [[TableViews.Maintainer]] —
@@ -81,12 +85,15 @@ object DedupIndexView {
                  b: Int = 16, r: Int = 2, nGram: Int = 5,
                  maxBucket: Int = 1000, seed: Long = 42L)
       : TableViews.Maintainer[IndexState] =
-    bandIndexMaintainer(idCol, Seq(textCol), maxBucket, changedLive =>
-      Dedup.minhashSignatures(changedLive, idCol, textCol,
-                              k = b * r, nGram = nGram, seed = seed)
-        .select(col("id"), explode(Dedup.bands(col("sig"), b, r)).as("bb"))
-        .select(col("id"), col("bb.band").as("band"),
-                col("bb.bandHash").as("bandHash")))
+    bandIndexMaintainer(idCol, Seq(textCol), maxBucket,
+      changedLive =>
+        Dedup.minhashSignatures(changedLive, idCol, textCol,
+                                k = b * r, nGram = nGram, seed = seed)
+          .select(col("id"), explode(Dedup.bands(col("sig"), b, r)).as("bb"))
+          .select(col("id"), col("bb.band").as("band"),
+                  col("bb.bandHash").as("bandHash")),
+      (pa, pb) => Dedup.ngramJaccard(pa.getField(textCol),
+                                     pb.getField(textCol), nGram))
 
   /** The EMBEDDING near-dup (random-hyperplane LSH) index as a
     * maintainer — the semantic-dedup modality of the same living index:
@@ -99,20 +106,27 @@ object DedupIndexView {
                           tables: Int = 8, planes: Int = 12,
                           seed: Long = 42L, maxBucket: Int = 1000)
       : TableViews.Maintainer[IndexState] =
-    bandIndexMaintainer(idCol, Seq(vecCol), maxBucket, changedLive =>
-      Dedup.embeddingLshBuckets(changedLive, idCol, vecCol, dim,
-                                tables, planes, seed)
-        .select(col("id"), col("tbl").cast("int").as("band"),
-                col("bucket").cast("long").as("bandHash")))
+    bandIndexMaintainer(idCol, Seq(vecCol), maxBucket,
+      changedLive =>
+        Dedup.embeddingLshBuckets(changedLive, idCol, vecCol, dim,
+                                  tables, planes, seed)
+          .select(col("id"), col("tbl").cast("int").as("band"),
+                  col("bucket").cast("long").as("bandHash")),
+      (pa, pb) => graft.functions.VectorFunctions.cosine(
+        pa.getField(vecCol), pb.getField(vecCol)))
 
   /** The shared skeleton of every banded signature index: `bandsOf`
     * turns the batch's changed LIVE rows (`idCol` + `payloadCols`) into
-    * their `(id, band, bandHash)` rows; everything else — the patch
-    * algebra, the retract/probe pair maintenance, the broadcast
+    * their `(id, band, bandHash)` rows; `scoreOf(pa, pb)` verifies one
+    * candidate pair from its two payload structs (fields =
+    * `payloadCols`) — the exact similarity the modality filters on.
+    * Everything else — the patch algebra, the retract/probe pair
+    * maintenance, the PATCH-TIME verification, the broadcast
     * discipline, the hot-bucket guard — is modality-independent. */
   private def bandIndexMaintainer(idCol: String, payloadCols: Seq[String],
                                   maxBucket: Int,
-                                  bandsOf: DataFrame => DataFrame)
+                                  bandsOf: DataFrame => DataFrame,
+                                  scoreOf: (Column, Column) => Column)
       : TableViews.Maintainer[IndexState] =
     new TableViews.Maintainer[IndexState] {
       def empty(events0: DataFrame, pk: Seq[String]): IndexState = {
@@ -129,7 +143,10 @@ object DedupIndexView {
           emptyDf(StructType(Seq(
             StructField("band", IntegerType),
             StructField("bandHash", LongType),
-            StructField("id_a", idType), StructField("id_b", idType)))))
+            StructField("id_a", idType), StructField("id_b", idType)))),
+          emptyDf(StructType(Seq(
+            StructField("id_a", idType), StructField("id_b", idType),
+            StructField("score", DoubleType)))))
       }
 
       def step(st: IndexState, ctx: TableViews.BatchCtx): IndexState = {
@@ -193,6 +210,9 @@ object DedupIndexView {
           tIdx.join(okBuckets, Seq("band", "bandHash"), "left_semi")
             .localCheckpoint(false),
           ctx.delta.sparkSession)
+        // PINNED: the regenerated bucket rows feed the pair state AND
+        // the patch-time verification below — without the pin the
+        // |touched|-bounded self-join would run once per consumer
         val fresh = okIdx
           .join(okIdx.select(col("id").as("__id2"), col("band"),
                              col("bandHash")),
@@ -200,16 +220,62 @@ object DedupIndexView {
           .filter(col("id") < col("__id2"))
           .select(col("band"), col("bandHash"), col("id").as("id_a"),
                   col("__id2").as("id_b"))
-        IndexState(index1, carried.unionByName(fresh))
+          .localCheckpoint(false)
+        // ---- PATCH-TIME VERIFICATION (|Δ|-bounded, so serve never
+        // scans the corpus): every pair whose verified score may have
+        // changed this batch lives in a touched bucket — a changed
+        // doc's buckets (old and new bands) are all touched, and a
+        // bucket crossing the hot cap regenerates wholesale — so the
+        // pairs to (re)score are exactly distinct(fresh), and the
+        // pairs to retract are the touched buckets' OLD pairs that no
+        // untouched bucket still justifies.
+        val freshP = fresh.select(col("id_a"), col("id_b")).distinct()
+          .localCheckpoint(false)
+        val retractedP = st.byBucket
+          .join(touched, Seq("band", "bandHash"), "left_semi")
+          .select(col("id_a"), col("id_b")).distinct()
+          .localCheckpoint(false)
+        // survivors: retracted pairs an UNTOUCHED bucket still holds —
+        // probe the carried rows with the (bounded) retracted set, so
+        // the pair state is scanned, never shuffled
+        val surv = carried
+          .join(hinted(retractedP), Seq("id_a", "id_b"), "left_semi")
+          .select(col("id_a"), col("id_b")).distinct()
+        val dropSet = retractedP.join(surv, Seq("id_a", "id_b"),
+                                      "left_anti")
+        // score the fresh pairs from their LIVE payloads: one
+        // broadcast-pruned probe of the post-batch state (fresh-pair
+        // ids only — |touched|-bounded, like changedLive above)
+        val freshIds = freshP.select(col("id_a").as(idCol))
+          .unionByName(freshP.select(col("id_b").as(idCol))).distinct()
+        val pay = Materializer.liveView(ctx.postState)
+          .join(hinted(freshIds), Seq(idCol), "left_semi")
+          .select(col(idCol),
+                  struct(payloadCols.map(col): _*).as("__pay"))
+          .localCheckpoint(false)
+        val freshScored = hinted(freshP)
+          .join(pay.select(col(idCol).as("id_a"), col("__pay").as("pa")),
+                Seq("id_a"))
+          .join(pay.select(col(idCol).as("id_b"), col("__pay").as("pb")),
+                Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+                  scoreOf(col("pa"), col("pb")).cast("double").as("score"))
+        val scores1 = st.scores
+          .join(hinted(dropSet), Seq("id_a", "id_b"), "left_anti")
+          .join(hinted(freshP), Seq("id_a", "id_b"), "left_anti")
+          .unionByName(freshScored)
+        IndexState(index1, carried.unionByName(fresh), scores1)
       }
 
       def pin(st: IndexState): IndexState =
         IndexState(st.index.localCheckpoint(false),
-                   st.byBucket.localCheckpoint(false))
+                   st.byBucket.localCheckpoint(false),
+                   st.scores.localCheckpoint(false))
 
       def reRoot(st: IndexState, to: SparkSession): IndexState = {
         val bb = org.apache.spark.sql.graft.bridge
-        IndexState(bb.reRoot(st.index, to), bb.reRoot(st.byBucket, to))
+        IndexState(bb.reRoot(st.index, to), bb.reRoot(st.byBucket, to),
+                   bb.reRoot(st.scores, to))
       }
     }
 

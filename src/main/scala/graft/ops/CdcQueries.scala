@@ -707,25 +707,22 @@ object CdcQueries {
     // INCREMENTAL NEAR-DUP INDEX: the MinHash-LSH candidate-pair view of
     // the live corpus, maintained per batch from changed docs' signatures
     // alone (DedupIndexView — |Δ| signature scans, index patched never
-    // rebuilt), then Jaccard-verified against the maintained live texts.
-    // Oracle-exact: the verified pair set equals the exact >= 0.5 pair
-    // set of the live corpus (planted exact dups share every band
-    // bucket structurally; the verify filter kills false candidates),
-    // which DuckDB recomputes the heavy all-pairs way. Stepwise ==
-    // from-scratch equality stays spec'd in DedupIndexViewSpec.
-    "cdc_dedup_index" -> ((s, dir) => {
-      val r = SharedJoin.docsResult(s, dir)
-      val pairs = r(SharedJoin.dedupIdx).pairs
-      val live = graft.cdc.Materializer.liveView(r.state)
-      val a = live.select(col("doc_id").as("id_a"), col("text").as("ta"))
-      val b = live.select(col("doc_id").as("id_b"), col("text").as("tb"))
-      pairs.join(a, "id_a").join(b, "id_b")
+    // rebuilt), with each candidate Jaccard-VERIFIED AT PATCH TIME (a
+    // pair's score is a pure function of its two texts, so only pairs in
+    // changed buckets rescore per batch). Serving the verified index is
+    // therefore a READ of the maintained scores frame — filter + sort,
+    // no corpus scan, no per-serve Jaccard (plan-asserted in
+    // DedupIndexViewSpec). Oracle-exact: the verified pair set equals
+    // the exact >= 0.5 pair set of the live corpus (planted exact dups
+    // share every band bucket structurally; the verify filter kills
+    // false candidates), which DuckDB recomputes the heavy all-pairs
+    // way. Stepwise == from-scratch equality stays spec'd.
+    "cdc_dedup_index" -> ((s, dir) =>
+      SharedJoin.docsResult(s, dir)(SharedJoin.dedupIdx).scores
         .select(col("id_a"), col("id_b"),
-                round(graft.dedup.Dedup.ngramJaccard(
-                  col("ta"), col("tb"), 5), 4).as("jaccard"))
+                round(col("score"), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+        .orderBy(col("id_a"), col("id_b"))),
 
     // MAINTAINED DECONTAMINATION over TWO topics: which live corpus docs
     // share a 5-gram with the live benchmark registry, kept current from
@@ -915,24 +912,21 @@ object CdcQueries {
     }),
 
     // SEMANTIC-DEDUP INDEX over CDC: the embedding near-dup pair view
-    // (random-hyperplane LSH buckets + exact-cosine rerank) maintained
-    // incrementally — only changed vectors re-hash per batch; the same
+    // (random-hyperplane LSH buckets + exact-cosine verification)
+    // maintained incrementally — only changed vectors re-hash per
+    // batch, and only changed buckets' pairs re-verify (the same
     // band-index algebra as cdc_dedup_index with the table slot as the
-    // band. Oracle-exact: the cosine-verified pair set equals the exact
-    // >= 0.9 pair set of the live corpus (planted identical vectors
-    // share every bucket structurally; rerank kills false candidates).
-    // Maintained == from-scratch embeddingLshCandidates stays spec'd.
+    // band; cosine scores maintained AT PATCH TIME, so the serve is a
+    // read of the scores frame — no corpus scan). Oracle-exact: the
+    // cosine-verified pair set equals the exact >= 0.9 pair set of the
+    // live corpus (planted identical vectors share every bucket
+    // structurally; verification kills false candidates). Maintained ==
+    // from-scratch embeddingLshCandidates stays spec'd.
     "cdc_semantic_index" -> ((s, dir) => {
       val (r, _, sem, _) = SharedJoin.embResult(s, dir)
-      val live = graft.cdc.Materializer.liveView(r.state)
-      val a = live.select(col("vec_id").as("id_a"),
-                          col("embedding").as("va"))
-      val b = live.select(col("vec_id").as("id_b"),
-                          col("embedding").as("vb"))
-      r(sem).index.pairs.join(a, "id_a").join(b, "id_b")
+      r(sem).index.scores
         .select(col("id_a"), col("id_b"),
-                round(graft.functions.VectorFunctions.cosine(
-                  col("va"), col("vb")), 6).as("cos"))
+                round(col("score"), 6).as("cos"))
         .filter(col("cos") >= 0.9)
         .orderBy(col("id_a"), col("id_b"))
     }),

@@ -39,20 +39,21 @@ object PipelineQueries {
                                                   maxIter = 5))
 
   /** Shuffle width for a connected-components loop over `nodeCount`
-    * graph nodes: one reducer per ~[[CcRowsPerPartition]] nodes, floored
-    * at 8 (tiny graphs pay per-task constants, not data volume) and
-    * capped at the SESSION width (the deployment's statement of
-    * available parallelism — the CC loop runs with AQE off, so
+    * graph nodes: one reducer per ~[[graft.dedup.Dedup.CcRowsPerPartition]]
+    * nodes, floored at 8 (tiny graphs pay per-task constants, not data
+    * volume) and capped at the SESSION width (the deployment's statement
+    * of available parallelism — the CC loop runs with AQE off, so
     * overshooting the session width would strand idle reducers every
     * round). At sf0.1 the ~1.5k-node family graph resolves to the old
     * fixed 8; a 10× graph widens past it, and at 100 TB the cap hands
-    * the loop whatever width the cluster was configured with. */
-  private[graft] val CcRowsPerPartition = 1024L
-  private[graft] def ccWidth(nodeCount: Long, s: SparkSession): Int = {
-    val sessionWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val byRows = math.ceil(nodeCount.toDouble / CcRowsPerPartition).toLong
-    math.min(math.max(8L, byRows), math.max(8L, sessionWidth.toLong)).toInt
-  }
+    * the loop whatever width the cluster was configured with. The conf
+    * read is Try-wrapped (resolveBatchWidth discipline): a non-numeric
+    * platform value must not turn the clustering queries into a
+    * query-time NumberFormatException. */
+  private[graft] def ccWidth(nodeCount: Long, s: SparkSession): Int =
+    graft.dedup.Dedup.ccWidthCapped(nodeCount,
+      scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(8))
 
   /** Engine-portable 32-bit hash of a key + seed (md5 hex prefix parsed as
     * an integer). Slower than xxhash64 but bit-identical across engines —
@@ -182,7 +183,13 @@ object PipelineQueries {
     // so the query plants them: every 5th document reappears with its
     // first two tokens dropped (id + 1_000_000). LSH must recover those
     // planted pairs — a real recall check, not an empty result.
-    // (rows-only: xxhash64 signatures are Spark-specific)
+    // ORACLE-EXACT (hybrid): the output is the VERIFIED >= 0.5 subset of
+    // the candidates, and the verified set equals the exact all-pairs
+    // >= 0.5 set iff LSH recall over the true pairs is total — which is
+    // DETERMINISTIC here (fixed xxhash64 signatures of a fixed corpus,
+    // planted pairs' shingle sets nest so their Jaccard sits near 1 and
+    // a band collision is near-certain per pair), so DuckDB recomputes
+    // the exact set the heavy all-pairs way and the hashes must match.
     "q_dedup_minhash" -> ((s, dir) => {
       // shared-corpus path: ONE pinned tokenization feeds the perturbed
       // corpus, the shingle/minhash scan, and both Jaccard-verify sides
@@ -201,12 +208,27 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup candidate pairs (rows-only; signatures from the
-    // shared pinned frame — same values as the text-column path)
+    // SimHash near-dup candidate pairs (rows-only: the hamming-ball
+    // candidate set is the engine-specific face — its false positives
+    // depend on the 64-bit signature values; signatures from the shared
+    // pinned frame — same values as the text-column path)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashCandidatesFromSigs(SharedCorpus.simhashSigs(s, dir),
                                       maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // NOTE a Jaccard-VERIFIED simhash face was prototyped for a hybrid
+    // oracle (verification kills candidate FPs, so verified == exact
+    // iff ball recall is total) and MEASURED NON-TOTAL on this corpus:
+    // hamming-6 missed 11 true pairs at sf0.01, and even radius 12
+    // missed an 18-token near-dup at sf0.001 — SHORT docs are SimHash's
+    // inherent blind spot (dropping two tokens from a handful perturbs
+    // many near-zero bit counters, unboundedly in relative terms), so
+    // no bounded radius makes recall structural the way nested shingle
+    // sets do for MinHash above. The candidate face stays honestly
+    // rows-only; its exactness-within-radius is spec'd (PipelineSpec
+    // brute-force parity both on real and adversarially bit-spread
+    // signatures).
 
     // exact n-gram + token-set Jaccard similarity (the verifier behind the
     // LSH candidates, here oracle-checked end-to-end): every 5th document
@@ -242,13 +264,18 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // embedding near-dup, BUCKETED (the 100 TB path; rows-only — random-
-    // hyperplane signatures are engine-specific; recall vs the exact
-    // all-pairs baseline is asserted in PipelineSpec). The raw corpus has
+    // embedding near-dup, BUCKETED (the 100 TB path). The raw corpus has
     // no high-cosine pairs, so the query plants them: every 10th vector
     // reappears (id + 1_000_000) with its first component zeroed — cosine
     // vs the original ≈ sqrt(1 - v0²/‖v‖²) ≈ 0.99. LSH must recover those
     // pairs through bucket collisions, not an all-pairs join.
+    // ORACLE-EXACT (hybrid): the output is the exact-cosine-verified
+    // >= 0.9 subset of the candidates; recall of the planted pairs is
+    // deterministic (fixed hyperplanes, planted cos ≈ 0.99 across 8
+    // tables — a near-parallel pair lands in the same bucket in at
+    // least one), so the verified set equals DuckDB's exact all-pairs
+    // >= 0.9 set over the same planted corpus. Recall vs the exact
+    // baseline stays asserted in PipelineSpec.
     "q_dedup_embedding_lsh" -> ((s, dir) => {
       // bucket assignments from the shared pinned signature frame; the
       // timed work is pair generation + exact-cosine rerank
@@ -958,7 +985,56 @@ object PipelineQueries {
       |SELECT q_id, neighbor_id, round(cos, 6) AS cos
       |FROM s WHERE rk = 1 ORDER BY q_id""".stripMargin
 
+  /** DuckDB exact all-pairs >= 0.5 near-dup set of the PLANTED text
+    * corpus (base ∪ every 5th doc with its first two tokens dropped,
+    * id + 1e6) — the hybrid oracle for the verified MinHash route
+    * (`q_dedup_minhash`): its verified output equals this exact set
+    * because the output is always a SUBSET (verification is exact) and
+    * recall is deterministic-total (fixed signatures of a fixed
+    * corpus; a planted variant's shingle set NESTS in its source's, so
+    * its Jaccard sits near 1 and band collision is near-certain —
+    * measured total at every SF). Jaccard is rounded to 4 before the
+    * threshold, mirroring the Spark side. */
+  private val plantedNearDupOracle: String =
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, toks[3:] AS toks
+       |  FROM base WHERE doc_id % 5 = 0),
+       |s AS (SELECT doc_id, list_distinct(${shingleSql("toks")}) AS sh
+       |      FROM corpus),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+       |      AS jaccard
+       |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_dedup_minhash" -> plantedNearDupOracle,
+    // exact all-pairs >= 0.9 cosine over the planted embedding corpus
+    // (every 10th vector re-planted with its first component zeroed) —
+    // the hybrid oracle for the verified embedding-LSH route; the raw
+    // cosine gates the threshold (like the Spark side), rounding only
+    // the output
+    "q_dedup_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_concat([0.0], v[2:]) AS v
+        |  FROM e WHERE vec_id % 10 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM corpus a, corpus b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_sim_lsh" -> annPlantedOracle,
     "q_sim_ivf" -> annPlantedOracle,
     "q_sim_ivf_kmeans" -> annPlantedOracle,

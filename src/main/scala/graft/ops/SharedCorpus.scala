@@ -84,21 +84,29 @@ object SharedCorpus {
         .localCheckpoint(false)
     }
 
-  /** MinHash signatures (k = 32, 5-gram) of [[minhashCorpus]], pinned.
-    * Built from [[docsTokHash]]: per-token hashing commutes with the
-    * variant's token slice (hash-then-slice == slice-then-hash), so the
-    * planted variants reuse the base docs' hashes instead of re-hashing
-    * — value-identical to the token-form build (spec'd). */
+  /** Token-hash arrays of the PLANTED near-dup corpus
+    * ([[minhashCorpus]]'s shape in hash space): per-token hashing
+    * commutes with the variant's token slice (hash-then-slice ==
+    * slice-then-hash), so the planted variants reuse the base docs'
+    * hashes instead of re-hashing. Cheap projection over the pinned
+    * [[docsTokHash]]. */
+  private def plantedTokHash(s: SparkSession, dir: String): DataFrame = {
+    val base = docsTokHash(s, dir)
+    base.unionByName(base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+              slice(col("th"), lit(3), size(col("th"))).as("th")))
+  }
+
+  /** MinHash signatures (k = 32, 5-gram) of [[minhashCorpus]], pinned —
+    * built from [[plantedTokHash]], value-identical to the token-form
+    * build (spec'd). */
   def minhashSigs(s: SparkSession, dir: String): DataFrame =
     cached(s, s"minhashSigs:$dir") {
-      val base = docsTokHash(s, dir)
-      val hashed = base.unionByName(base.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-                slice(col("th"), lit(3), size(col("th"))).as("th")))
       graft.dedup.Dedup.minhashSignaturesFromTokenHashes(
-          hashed, "doc_id", "th", k = 32, nGram = 5)
+          plantedTokHash(s, dir), "doc_id", "th", k = 32, nGram = 5)
         .localCheckpoint(false)
     }
+
 
   /** SimHash 64-bit signatures of the documents corpus, pinned (from
     * the shared [[docsTokHash]] pass). */

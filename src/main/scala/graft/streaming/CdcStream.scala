@@ -548,9 +548,12 @@ object CdcStream {
           s"files [${present.mkString(", ")}] but this build expects " +
           s"[${fileNames.mkString(", ")}] — the state format changed " +
           s"(e.g. dedup-index v2 renamed 'pairs' to 'bucket_pairs' and " +
-          s"added bucket provenance). Old generations cannot resume: " +
-          s"delete the state+checkpoint directories and REBUILD the " +
-          s"view from the changelog.")
+          s"added bucket provenance; v3 added patch-time-verified " +
+          s"'pair_scores' AND switched the signature scheme to " +
+          s"token-hash shingles, so v2 band hashes would silently " +
+          s"never collide with v3 signatures). Old generations cannot " +
+          s"resume: delete the state+checkpoint directories and " +
+          s"REBUILD the view from the changelog.")
     }
     fileNames.map(f =>
       f -> spark.read.parquet(s"$genRoot/${viewName}__$f")).toMap
@@ -1488,12 +1491,16 @@ object CdcStream {
     /** Incrementally maintained MinHash-LSH near-dup index
       * ([[graft.dedup.DedupIndexView]]): per batch, signatures for the
       * CHANGED docs only patch the banded index and the candidate-pair
-      * face; changelog keyed by the pair. STATE FORMAT v2: the
-      * persisted `bucket_pairs` file carries bucket provenance
-      * (band, bandHash, id_a, id_b) — generations written by the
-      * pre-provenance layout (`pairs`, bare id pairs) cannot resume;
-      * the restore detects the legacy layout and fails with an
-      * explicit rebuild-from-changelog message ([[readViewFiles]]). */
+      * face; changelog keyed by the pair. STATE FORMAT v3: adds the
+      * patch-time-verified `pair_scores` file (id_a, id_b, score) —
+      * AND the v3 signature scheme hashes token-hash shingle windows
+      * (xxhash64 over token hashes) where earlier layouts hashed the
+      * concatenated n-gram string, so pre-v3 generations' persisted
+      * band hashes would silently never collide with new signatures.
+      * Both changes make old generations non-resumable; the restore
+      * detects any older layout (v1 `pairs`, v2 `index`+`bucket_pairs`
+      * without scores) by its file set and fails with an explicit
+      * rebuild-from-changelog message ([[readViewFiles]]). */
     def dedupIndex(name: String, idCol: String, textCol: String,
                    b: Int = 16, r: Int = 2, nGram: Int = 5,
                    maxBucket: Int = 1000)
@@ -1501,10 +1508,12 @@ object CdcStream {
       NamedTableView(name,
         graft.dedup.DedupIndexView.maintainer(idCol, textCol, b, r,
                                               nGram, maxBucket),
-        Seq("index", "bucket_pairs"),
-        st => Map("index" -> st.index, "bucket_pairs" -> st.byBucket),
+        Seq("index", "bucket_pairs", "pair_scores"),
+        st => Map("index" -> st.index, "bucket_pairs" -> st.byBucket,
+                  "pair_scores" -> st.scores),
         m => graft.dedup.DedupIndexView.IndexState(m("index"),
-                                                   m("bucket_pairs")),
+                                                   m("bucket_pairs"),
+                                                   m("pair_scores")),
         st => st.pairs, Seq("id_a", "id_b"))
     /** Exact-duplicate groups of the live corpus (content-fingerprint
       * pair state, min-id representative promoting on delete);
@@ -1594,10 +1603,12 @@ object CdcStream {
       NamedTableView(name,
         graft.dedup.DedupIndexView.embeddingMaintainer(idCol, vecCol,
           dim, tables, planes, maxBucket = maxBucket),
-        Seq("index", "bucket_pairs"),
-        st => Map("index" -> st.index, "bucket_pairs" -> st.byBucket),
+        Seq("index", "bucket_pairs", "pair_scores"),
+        st => Map("index" -> st.index, "bucket_pairs" -> st.byBucket,
+                  "pair_scores" -> st.scores),
         m => graft.dedup.DedupIndexView.IndexState(m("index"),
-                                                   m("bucket_pairs")),
+                                                   m("bucket_pairs"),
+                                                   m("pair_scores")),
         st => st.pairs, Seq("id_a", "id_b"))
     /** Maintained near-dup clusters over exact-cosine edges
       * ([[graft.dedup.ClusterView]] — component-local relabeling; a
@@ -1615,7 +1626,7 @@ object CdcStream {
         st => graft.dedup.ClusterView.view(st), Seq("id"))
     /** The LSH-bucketed cluster face over the maintained band index
       * ([[graft.dedup.ClusterView.overIndex]]) — one persisted state
-      * (v2 index layout + the assignment) serves the pair face and the
+      * (v3 index layout + the assignment) serves the pair face and the
       * cluster face. */
     def semanticClusters(name: String, idCol: String, vecCol: String,
                          dim: Int, minCosine: Double, tables: Int = 8,
@@ -1624,13 +1635,15 @@ object CdcStream {
       NamedTableView(name,
         graft.dedup.ClusterView.semanticMaintainer(idCol, vecCol, dim,
           minCosine, tables, planes, maxBucket),
-        Seq("index", "bucket_pairs", "clusters"),
+        Seq("index", "bucket_pairs", "pair_scores", "clusters"),
         st => Map("index" -> st.index.index,
                   "bucket_pairs" -> st.index.byBucket,
+                  "pair_scores" -> st.index.scores,
                   "clusters" -> st.clusters),
         m => graft.dedup.ClusterView.IndexedClusterState(
           graft.dedup.DedupIndexView.IndexState(m("index"),
-                                                m("bucket_pairs")),
+                                                m("bucket_pairs"),
+                                                m("pair_scores")),
           m("clusters")),
         st => graft.dedup.ClusterView.view(st), Seq("id"))
     /** Maintained per-user sessionization

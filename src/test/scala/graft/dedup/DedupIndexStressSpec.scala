@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * (b) the same whether the index holds 5k or 50k docs. The full-state
   * scans are pinned scan-side reads (broadcast-pruned, never exchanged),
   * so shuffle records are the scale-sensitive metric: a corpus-sized
-  * stage would show up as ≥ |corpus| records on the 10× run. The `pairs`
-  * face (a serving-time distinct over the pair state) is deliberately
-  * NOT forced in the probe — the boundedness claim is about MAINTENANCE.
+  * stage would show up as ≥ |corpus| records on the 10× run. The probe
+  * forces index, bucket pairs AND the patch-time-verified scores — the
+  * boundedness claim covers maintenance INCLUDING verification (the
+  * round-14 weak item moved verify from serve into this batch step).
   */
 class DedupIndexStressSpec extends SparkSpec with graft.ShuffleProbe {
 
@@ -71,6 +72,7 @@ class DedupIndexStressSpec extends SparkSpec with graft.ShuffleProbe {
     assert(idxRows == live * B,
       s"index must hold $B band rows per live doc ($live live, $idxRows)")
     res(m).byBucket.count()
+    res(m).scores.count()
     val shuffled = shuffleRecordsDuring {
       val (ctx, next) = TableViews.batchCtx(res.state, probeDelta(),
                                             Seq("doc_id"), 100000)
@@ -78,6 +80,9 @@ class DedupIndexStressSpec extends SparkSpec with graft.ShuffleProbe {
       next.count()
       st2.index.count()
       st2.byBucket.count()
+      // patch-time VERIFICATION is part of the batch step now — forcing
+      // the scores frame makes the |Δ|-bound cover the verify joins too
+      st2.scores.count()
     }
     (live, shuffled)
   }

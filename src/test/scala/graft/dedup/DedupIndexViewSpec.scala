@@ -120,6 +120,54 @@ class DedupIndexViewSpec extends SparkSpec {
       "deleted doc's bands must leave the index")
   }
 
+  test("maintained pair scores equal a from-scratch verify after every batch") {
+    // patch-time verification invariant: `scores` holds EXACTLY the
+    // distinct candidate pairs, each with the Jaccard a from-scratch
+    // verify over the live texts would compute — including pairs whose
+    // docs never changed after their bucket cooled/heated
+    val log = Seq(
+      doc("insert", 1, 1, wolf), doc("insert", 2, 2, wolf2),
+      doc("insert", 3, 3, metal),
+      doc("update", 11, 2, metal2, old = Some(wolf2)),
+      doc("insert", 12, 4, wolf2),
+      doc("delete", 21, 3, metal2))
+    val m = DedupIndexView.maintainer("doc_id", "text", b = B, r = R,
+                                      nGram = N)
+    val res = TableViews.replay(events(log), Seq(10L, 20L), Seq("doc_id"),
+                                Seq(m))
+    val live = Materializer.liveView(res.state)
+    val a = live.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = live.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    val scratch = res(m).pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+              Dedup.ngramJaccard(col("ta"), col("tb"), N).as("score"))
+    assert(rowsOf(res(m).scores) == rowsOf(scratch),
+      "maintained scores != from-scratch verify over the live texts")
+  }
+
+  test("index serve is a state read: no join, no corpus scan in the plan") {
+    // the round-14 weak item: the verified-index serve used to re-join
+    // the corpus-sized live state twice and recompute per-pair Jaccard
+    // per serve. With patch-time verification the serve must be a read
+    // of the maintained scores frame — a single pinned-frame leaf,
+    // no join of any kind, no parquet rescans (the cdc_lm_score
+    // discipline).
+    for (q <- Seq("cdc_dedup_index", "cdc_semantic_index")) {
+      val face = graft.ops.CdcQueries.queries(q)(spark, sfDir)
+      face.count() // force the shared replay builds, then replan fresh
+      val again = graft.ops.CdcQueries.queries(q)(spark, sfDir)
+      val plan = again.queryExecution.executedPlan
+      assert(!plan.toString.contains("Join"),
+        s"$q serve plan joins:\n$plan")
+      val leaves = plan.collectLeaves().map(_.toString)
+      assert(leaves.size == 1,
+        s"$q serve reads ${leaves.size} frames (expected the scores " +
+          s"frame alone):\n${leaves.mkString("\n")}")
+      assert(!leaves.head.contains("Scan parquet"),
+        s"$q serve rescans parquet:\n${leaves.head}")
+    }
+  }
+
   test("over-cap (distributed fallback) replay equals the local-keys replay") {
     val ev = ChangelogGen.documentsChangeEvents(spark, sfDir)
     val cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2)

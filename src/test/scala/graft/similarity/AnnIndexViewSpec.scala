@@ -88,8 +88,14 @@ class AnnIndexViewSpec extends SparkSpec {
     assert(scans.size <= 2,
       s"cdc_ann_ivf serve reads ${scans.size} parquet scans:\n" +
         scans.mkString("\n"))
-    assert(scans.forall(s => s.contains("vec_id")),
-      s"expected every serve scan id-filtered:\n${scans.mkString("\n")}")
+    // each scan must carry a PUSHED vec_id predicate — asserting on the
+    // output schema alone is vacuous (a FileSourceScanExec's toString
+    // always names its columns), so look inside PushedFilters
+    assert(scans.forall(s => {
+      val pushed = s.split("PushedFilters: ").lift(1).getOrElse("")
+      pushed.contains("vec_id")
+    }), s"expected a pushed vec_id filter on every serve scan:\n" +
+      scans.mkString("\n"))
     val planStr = plan.toString
     assert(planStr.contains("BroadcastExchange") ||
              planStr.contains("BroadcastNestedLoopJoin"),
