@@ -25,9 +25,13 @@ object Bench {
         .selectExpr("sum(id * 2 + 1) AS s").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // 0.15 = this box's quiet steady state (measured 0.10-0.15 across
+    // warm samples at the default 4-cpu bench shape); the r14-style
+    // ambient 2-2.5x contention lands ~0.3+, comfortably over the
+    // 1.5x flag line, while quiet-box jitter stays under it
     val sentinelRef = scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_SENTINEL_REF", "0.55").toDouble)
-      .getOrElse(0.55)
+      sys.env.getOrElse("SPARK_GRAFT_SENTINEL_REF", "0.15").toDouble)
+      .getOrElse(0.15)
     // JVM/codegen warmup: run every query once at the tiny sf. The
     // generated code is identical (literals, not paths, key the codegen
     // cache), so the sf-under-test measurements reflect engine steady
@@ -258,7 +262,12 @@ object Bench {
         (txt + "\n").getBytes("UTF-8"))
     }.fold(e => { System.err.println(s"BENCH_FULL.json write failed: $e"); false },
            _ => true)
-    val budget = 1600
+    // 1300 (was 1600): the round-15 sentinel/pinned fields add ~250
+    // chars after the queries map — the whole stdout line must stay
+    // under the driver's 2000-char tail capture including sbt's
+    // trailing "[success]" line, or the head of the JSON truncates and
+    // the driver's parse fails
+    val budget = 1300
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 2 // braces
     fullQs.foreach { e =>

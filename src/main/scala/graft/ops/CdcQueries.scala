@@ -92,8 +92,17 @@ object CdcQueries {
     val fpGroups = TableViews.mapDelta(
       IncrementalAgg.distinctMaintainer("fp", "doc_id"))(
       graft.dedup.DedupIndexView.withFingerprint("text"))
-    val dedupIdx = graft.dedup.DedupIndexView.maintainer(
-      "doc_id", "text", b = 16, r = 2, nGram = 5)
+    // ONE maintained state serves the text near-dup pair face
+    // (.index.scores, cdc_dedup_index) AND the text cluster face
+    // (cdc_text_clusters) — the TEXT modality of the embedding-side
+    // semanticMaintainer: ClusterView's component algebra over the
+    // maintained MinHash band index, edges = patch-time-verified
+    // Jaccard scores >= 0.5
+    val dedupIdx = graft.dedup.ClusterView.overIndex(
+      "doc_id",
+      graft.dedup.DedupIndexView.maintainer(
+        "doc_id", "text", b = 16, r = 2, nGram = 5),
+      minEdgeScore = 0.5)
     // corpus-health views riding the SAME documents replay: per-language
     // size moments directly off the carried n_chars column, and
     // per-source TOKEN-BUDGET moments off a DERIVED token count
@@ -718,11 +727,26 @@ object CdcQueries {
     // false candidates), which DuckDB recomputes the heavy all-pairs
     // way. Stepwise == from-scratch equality stays spec'd.
     "cdc_dedup_index" -> ((s, dir) =>
-      SharedJoin.docsResult(s, dir)(SharedJoin.dedupIdx).scores
+      SharedJoin.docsResult(s, dir)(SharedJoin.dedupIdx).index.scores
         .select(col("id_a"), col("id_b"),
                 round(col("score"), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // MAINTAINED TEXT NEAR-DUP CLUSTERS: connected components over the
+    // MinHash index's patch-time-verified pair scores (edges = Jaccard
+    // >= 0.5), relabeled component-locally per batch — the TEXT sibling
+    // of cdc_semantic_clusters, served off the SAME maintained state as
+    // cdc_dedup_index (one replay, two faces). Oracle-exact by
+    // composition: the verified edge set equals the exact >= 0.5 pair
+    // set of the live corpus (cdc_dedup_index's own oracle argument),
+    // so the maintained components equal DuckDB's recursive min-label
+    // reach over the exact edges.
+    "cdc_text_clusters" -> ((s, dir) =>
+      graft.dedup.ClusterView.view(
+          SharedJoin.docsResult(s, dir)(SharedJoin.dedupIdx))
+        .select(col("id").as("doc_id"), col("cluster"), col("is_rep"))
+        .orderBy(col("doc_id"))),
 
     // MAINTAINED DECONTAMINATION over TWO topics: which live corpus docs
     // share a 5-gram with the live benchmark registry, kept current from
@@ -961,8 +985,9 @@ object CdcQueries {
     // The LSH-bucketed sibling (ClusterView.overIndex): the SAME
     // component algebra layered over the maintained random-hyperplane
     // band index — no per-batch corpus probe at all (the index's
-    // |Δ|-bounded bucket patch IS the edge upkeep; candidates rerank by
-    // exact cosine at relabel time). Oracle-exact — and by the SAME
+    // |Δ|-bounded bucket patch + patch-time verification ARE the edge
+    // upkeep; relabel edges are the maintained scores >= threshold,
+    // no vector re-join). Oracle-exact — and by the SAME
     // recursive-CTE oracle as cdc_cluster_view: every >= 0.9 edge in
     // this corpus is a planted identical pair the LSH index finds
     // structurally, so the two modalities coincide (see
@@ -1137,6 +1162,34 @@ object CdcQueries {
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       |SELECT id_a, id_b, jaccard FROM p
       |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // text clusters by composition: the maintained components over the
+    // verified edge set equal recursive min-label reach over the EXACT
+    // >= 0.5 edges of the live corpus (the edge sets coincide — the
+    // cdc_dedup_index argument above)
+    "cdc_text_clusters" -> s"""
+      |WITH RECURSIVE
+      |dstate AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 7 = 0 THEN coalesce(d2.text, d.text)
+      |         ELSE d.text END AS text
+      |  FROM documents d LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+      |  WHERE d.doc_id % 10 <> 0),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(${shingleSql(toksSql)}) AS s FROM dstate),
+      |edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      |sym AS (
+      |  SELECT src, dst FROM edges
+      |  UNION SELECT dst AS src, src AS dst FROM edges),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM dstate
+      |  UNION
+      |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id)
+      |SELECT id AS doc_id, min(r) AS cluster, (min(r) = id) AS is_rep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // same argument, embedding modality: the maintained random-
     // hyperplane index's cosine-verified pairs equal the exact >= 0.9
     // pair set of the live vector corpus

@@ -1646,6 +1646,31 @@ object CdcStream {
                                                 m("pair_scores")),
           m("clusters")),
         st => graft.dedup.ClusterView.view(st), Seq("id"))
+    /** The TEXT modality of [[semanticClusters]]: near-dup clusters
+      * over the maintained MinHash band index's patch-time-verified
+      * Jaccard scores (edges = score ≥ `minJaccard`) — one persisted
+      * state (v3 index layout + the assignment) serves the verified
+      * pair face and the text cluster face. */
+    def textClusters(name: String, idCol: String, textCol: String,
+                     minJaccard: Double, b: Int = 16, r: Int = 2,
+                     nGram: Int = 5, maxBucket: Int = 1000)
+        : NamedTableView[graft.dedup.ClusterView.IndexedClusterState] =
+      NamedTableView(name,
+        graft.dedup.ClusterView.overIndex(idCol,
+          graft.dedup.DedupIndexView.maintainer(idCol, textCol, b, r,
+                                                nGram, maxBucket),
+          minEdgeScore = minJaccard),
+        Seq("index", "bucket_pairs", "pair_scores", "clusters"),
+        st => Map("index" -> st.index.index,
+                  "bucket_pairs" -> st.index.byBucket,
+                  "pair_scores" -> st.index.scores,
+                  "clusters" -> st.clusters),
+        m => graft.dedup.ClusterView.IndexedClusterState(
+          graft.dedup.DedupIndexView.IndexState(m("index"),
+                                                m("bucket_pairs"),
+                                                m("pair_scores")),
+          m("clusters")),
+        st => graft.dedup.ClusterView.view(st), Seq("id"))
     /** Maintained per-user sessionization
       * ([[graft.cdc.SequentialViews]] via GroupViews delta-restricted
       * per-group recompute); changelog keyed by (user, session). */

@@ -270,6 +270,50 @@ class DedupIndexViewSpec extends SparkSpec {
       s"re-heated bucket must retract its pairs: ${rowsOf(p3)}")
   }
 
+  test("text clusters over the index == from-scratch Jaccard-edge CC per prefix") {
+    // the TEXT modality of ClusterView.overIndex (cdc_text_clusters):
+    // components over the maintained index's patch-time-verified scores
+    // must equal CC over the exact >= 0.5 Jaccard edges of the live
+    // corpus after every batching — including the rewrite that moves
+    // doc 2 across neighborhoods and the delete that shrinks one
+    val log = Seq(
+      doc("insert", 1, 1, wolf), doc("insert", 2, 2, wolf2),
+      doc("insert", 3, 3, metal),
+      doc("update", 11, 2, metal2, old = Some(wolf2)),
+      doc("insert", 12, 4, wolf2),
+      doc("delete", 21, 3, metal2))
+    val ev = events(log)
+    for (cuts <- Seq(Seq.empty[Long], Seq(10L), Seq(10L, 20L))) {
+      val m = ClusterView.overIndex("doc_id",
+        DedupIndexView.maintainer("doc_id", "text", b = B, r = R,
+                                  nGram = N),
+        minEdgeScore = 0.5)
+      val res = TableViews.replay(ev, cuts, Seq("doc_id"), Seq(m))
+      val live = Materializer.liveView(res.state)
+      val a = live.select(col("doc_id").cast("long").as("src"),
+                          col("text").as("ta"))
+      val b2 = live.select(col("doc_id").cast("long").as("dst"),
+                           col("text").as("tb"))
+      val edges = a.join(b2, col("src") < col("dst"))
+        .filter(Dedup.ngramJaccard(col("ta"), col("tb"), N) >= 0.5)
+        .select(col("src"), col("dst"))
+      val comps = Dedup.connectedComponents(edges, "src", "dst",
+                                            shufflePartitions = 4)
+      val expect = live
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .join(comps, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("component"), col("doc_id")).as("cluster"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(1) == r.getLong(0)))
+        .toSet
+      val got = ClusterView.view(res(m)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got == expect,
+        s"text clusters diverged from from-scratch CC with cuts=$cuts")
+    }
+  }
+
   test("dup groups: plant, promote representative on delete, dissolve") {
     val same = "identical corpus text planted three times over"
     def grp(lines: Seq[String]): Set[String] = {
