@@ -123,6 +123,13 @@ object CdcQueries {
     // model (cdc_bigram_freq / cdc_lm_score)
     val bigramFreq = TokenFreqView.maintainer("text",
       t => graft.text.TextAnalysis.bigrams(graft.text.TextAnalysis.tokens(t)))
+    // the DOCUMENT-FREQUENCY modality: distinct tokens per doc fold to
+    // (token, number of live docs containing it) — the retrieval-side
+    // sufficient statistic behind the maintained BM25 scorer
+    // (cdc_bm25); an update retracts the before-text's distinct tokens
+    // and applies the after-text's, so df stays exact under rewrites
+    val docFreq = TokenFreqView.maintainer("text",
+      t => array_distinct(graft.text.TextAnalysis.tokens(t)))
     // maintained QUALITY FUNNEL: the filter cascade's deepest-stage-
     // passed is a scan-side derived column (TextAnalysis.qualityStage),
     // so per-stage live doc counts ride the existing moments maintainer
@@ -209,6 +216,26 @@ object CdcQueries {
           .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
           .localCheckpoint(false)
       }
+    // pinned probe unigram term-frequencies + doc lengths for the
+    // maintained BM25 scorer (cdc_bm25) — same fixed-probe discipline
+    // as lmProbes: the probes never change, only the corpus statistics
+    // under them do, so their tokenize/explode/count is one-time work
+    private val bm25ProbeCache =
+      new BoundedPinnedCache[org.apache.spark.sql.DataFrame]()(
+        org.apache.spark.sql.graft.bridge.unpersistPinned)
+    def bm25Probes(s: SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame =
+      bm25ProbeCache.get(s, dir) {
+        graft.Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 10)
+          .select(col("doc_id"),
+                  graft.text.TextAnalysis.tokenCount(col("text")).as("dl"),
+                  explode(graft.text.TextAnalysis.tokens(col("text")))
+                    .as("token"))
+          .groupBy(col("doc_id"), col("dl"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint(false)
+      }
     def tableResult(s: SparkSession, dir: String): TableViews.Result =
       tableCache.get(s, dir) {
         TableViews.replay(ChangelogGen.ordersChangeEvents(s, dir),
@@ -222,7 +249,7 @@ object CdcQueries {
           cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
           pk = Seq("doc_id"),
           maintainers = Seq(fpGroups, dedupIdx, langMoments, tokMoments,
-                            tokenFreq, qualityStages, bigramFreq))
+                            tokenFreq, qualityStages, bigramFreq, docFreq))
       }
     def eventsResult(s: SparkSession, dir: String): TableViews.Result =
       eventsCache.get(s, dir) {
@@ -892,6 +919,48 @@ object CdcQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // MAINTAINED BM25 TERM WEIGHTING: each fixed probe doc's top-5
+    // retrieval terms (Okapi BM25, k1=1.2, b=0.75) scored against the
+    // LIVE corpus — the cdc_lm_score shape for lexical retrieval. The
+    // scorer's sufficient statistics are all maintained: per-token
+    // document frequency (the distinct-token modality of TokenFreqView,
+    // exact under rewrites/deletes) and the corpus size / average doc
+    // length (a |sources|-row aggregate of the token-budget moments).
+    // Serve joins the pinned probe term-frequencies against the
+    // vocabulary-bounded df state — no corpus scan; probe tokens ABSENT
+    // from the live corpus (their docs were rewritten away) take the
+    // max-idf branch via coalesce(df, 0). Ordering is on the ROUNDED
+    // score (token tie-break), so the oracle's ranking is engine-stable.
+    "cdc_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val r = SharedJoin.docsResult(s, dir)
+      val dfTbl = graft.cdc.TokenFreqView.view(r(SharedJoin.docFreq))
+        .select(col("token"), col("n").as("df"))
+      val stats = graft.cdc.IncrementalAgg
+        .momentsView(r(SharedJoin.tokMoments))
+        .agg(sum(col("n_rows")).cast("double").as("n_docs"),
+             sum(col("sum_n_tokens")).cast("double").as("sum_toks"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("bm25").desc, col("token"))
+      SharedJoin.bm25Probes(s, dir)
+        .join(dfTbl, Seq("token"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) +
+            (col("n_docs") - coalesce(col("df"), lit(0L)) + lit(0.5)) /
+              (coalesce(col("df"), lit(0L)) + lit(0.5))))
+        .withColumn("bm25",
+          round(col("idf") * col("tf").cast("double") * (lit(1.2) + lit(1.0)) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(1.0) - lit(0.75) +
+                lit(0.75) * col("dl").cast("double") /
+                  (col("sum_toks") / col("n_docs")))), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("rk"), col("token"), col("bm25"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // ANN over CDC: exact top-k cosine neighbors served off the LIVE
     // vector corpus maintained from the embeddings changelog — probes
     // are fixed original vectors, the corpus churns underneath them
@@ -1423,6 +1492,49 @@ object CdcQueries {
         |LEFT JOIN ctx ON split_part(bg, ' ', 1) = ctx.w1
         |CROSS JOIN vocab
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // BM25 recomputed the heavy way: df/n_docs/avgdl from the folded
+    // live corpus, probe tf/dl from the fixed base docs — the engine
+    // serves the same numbers off maintained statistics alone
+    "cdc_bm25" ->
+      s"""WITH dstate AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 0 THEN coalesce(d2.text, d.text)
+        |         ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <> 0),
+        |ltoks AS (SELECT doc_id, $toksSql AS t FROM dstate),
+        |df AS (
+        |  SELECT token, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, unnest(t) AS token FROM ltoks)
+        |  GROUP BY token),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         CAST(sum(len(t)) AS DOUBLE) AS sum_toks
+        |  FROM ltoks),
+        |ptoks AS (SELECT doc_id, $toksSql AS t FROM documents
+        |          WHERE doc_id < 10),
+        |tf AS (
+        |  SELECT doc_id, dl, token, count(*) AS tf
+        |  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS token
+        |        FROM ptoks)
+        |  GROUP BY doc_id, dl, token),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |    round(ln(1.0 + (n_docs - coalesce(df, 0) + 0.5) /
+        |                   (coalesce(df, 0) + 0.5))
+        |      * CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+        |        (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+        |           0.75 * CAST(dl AS DOUBLE) / (sum_toks / n_docs))),
+        |      4) AS bm25
+        |  FROM tf LEFT JOIN df USING (token) CROSS JOIN stats),
+        |ranked AS (
+        |  SELECT doc_id, token, bm25,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY bm25 DESC, token) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, token, bm25
+        |FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
     "cdc_mix_weights" ->
       """WITH dstate AS (
         |  SELECT d.doc_id, d.source,
