@@ -145,13 +145,19 @@ object ClusterView {
       // by nested-loop pair ENUMERATION, which the split cannot reduce
       // (the predicate is checked per enumerated pair either way), not
       // by cosine evaluations, so it only added two extra joins.
+      // norms hoisted to per-row columns: the enumerated-pair filter
+      // evaluates ONE dot kernel instead of three (bit-identical — see
+      // VectorFunctions.cosineHoisted)
+      val vf = graft.functions.VectorFunctions
       val a = changedLive.select(col(idCol).cast("long").as("id_a"),
                                  col(vecCol).cast("array<double>").as("va"))
+        .withColumn("na", vf.norm2(col("va")))
       val b = liveAll.select(col(idCol).cast("long").as("id_b"),
                              col(vecCol).cast("array<double>").as("vb"))
+        .withColumn("nb", vf.norm2(col("vb")))
       a.join(b, col("id_a") =!= col("id_b"))
-        .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb"))
-                  >= minCosine)
+        .filter(vf.cosineHoisted(col("va"), col("vb"),
+                                 col("na"), col("nb")) >= minCosine)
         .select(least(col("id_a"), col("id_b")).as("src"),
                 greatest(col("id_a"), col("id_b")).as("dst"))
         .distinct()
@@ -393,8 +399,15 @@ object ClusterView {
           .select(col("src"), col("dst"))
         val deltaCount: () => Long =
           () => if (ctx.ckLocal) ck.count() else Long.MaxValue
+        // the changed side is |Δ|-bounded whenever the batch's keys
+        // collected under the cap — say so explicitly: the probe's
+        // pair join must build on the |Δ| side and stream the corpus,
+        // and the planner's size estimates over these unpinned
+        // subtrees are too fuzzy to rely on (a projection as small as
+        // a hoisted norm column has been seen to flip the build side)
         val newEdges =
-          edgesFor(changedLive, postLive, deltaCount).localCheckpoint(false)
+          edgesFor(if (ctx.ckLocal) broadcast(changedLive) else changedLive,
+                   postLive, deltaCount).localCheckpoint(false)
         val edges1 = kept.unionByName(newEdges).localCheckpoint(false)
         // 2. affected components: owners of a changed id or of any
         // endpoint whose incident edge set changed. Everything else

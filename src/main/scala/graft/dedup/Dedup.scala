@@ -660,12 +660,15 @@ object Dedup {
                         seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
     val cand = embeddingLshCandidates(corpus, idCol, vecCol, dim,
                                       tables, planes, seed, maxBucket)
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val vf = graft.functions.VectorFunctions
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+                          vf.norm2(col(vecCol)).as("na"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+                          vf.norm2(col(vecCol)).as("nb"))
     cand.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
-              graft.functions.VectorFunctions.cosine(col("va"), col("vb"))
-                .as("cos"))
+              vf.cosineHoisted(col("va"), col("vb"),
+                               col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= minCosine)
   }
 

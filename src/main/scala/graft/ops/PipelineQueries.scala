@@ -254,12 +254,17 @@ object PipelineQueries {
       val e = graft.dedup.Dedup.requireAllPairsBound(
         SharedCorpus.emb(s, dir), "q_dedup_embedding",
         "q_dedup_embedding_lsh")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      // norms hoisted per row: one dot kernel per enumerated pair
+      // instead of three (bit-identical — VectorFunctions.cosineHoisted)
+      val vf = graft.functions.VectorFunctions
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+                       vf.norm2(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+                       vf.norm2(col("embedding")).as("nb"))
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-                round(graft.functions.VectorFunctions
-                  .cosine(col("va"), col("vb")), 6).as("cos"))
+                round(vf.cosineHoisted(col("va"), col("vb"),
+                                       col("na"), col("nb")), 6).as("cos"))
         .filter(col("cos") > 0.3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -282,12 +287,15 @@ object PipelineQueries {
       val corpus = SharedCorpus.embLshCorpus(s, dir)
       val cand = Dedup.embeddingLshPairsFromBuckets(
         SharedCorpus.embLshBuckets(s, dir))
-      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val vf = graft.functions.VectorFunctions
+      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+                            vf.norm2(col("embedding")).as("na"))
+      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+                            vf.norm2(col("embedding")).as("nb"))
       cand.join(a, "id_a").join(b, "id_b")
         .select(col("id_a"), col("id_b"),
-                graft.functions.VectorFunctions.cosine(col("va"), col("vb"))
-                  .as("cos"))
+                vf.cosineHoisted(col("va"), col("vb"),
+                                 col("na"), col("nb")).as("cos"))
         .filter(col("cos") >= 0.9)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))

@@ -29,11 +29,17 @@ object Similarity {
                      corpusId: String = "vec_id", corpusVec: String = "embedding",
                      queryId: String = "q_id", queryVec: String = "q_vec",
                      excludeSelf: Boolean = true): DataFrame = {
-    val joined = corpus.join(broadcast(queries),
-      if (excludeSelf) col(corpusId) =!= col(queryId) else lit(true))
+    // norms hoisted per ROW (corpus-side once per vector, query-side
+    // once per probe) so the enumerated probe×corpus filter evaluates
+    // one dot kernel per pair instead of three — bit-identical
+    // (VectorFunctions.cosineHoisted)
+    val joined = corpus.withColumn("__cn", norm2(col(corpusVec)))
+      .join(broadcast(queries.withColumn("__qn", norm2(col(queryVec)))),
+        if (excludeSelf) col(corpusId) =!= col(queryId) else lit(true))
     val scored = joined.select(
       col(queryId), col(corpusId).as("neighbor_id"),
-      cosine(col(queryVec), col(corpusVec)).as("cos"))
+      cosineHoisted(col(queryVec), col(corpusVec),
+                    col("__qn"), col("__cn")).as("cos"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -56,11 +62,15 @@ object Similarity {
                   corpusId: String = "vec_id", corpusVec: String = "embedding",
                   queryId: String = "q_id", queryVec: String = "q_vec",
                   excludeSelf: Boolean = true): DataFrame = {
-    val joined = corpus.join(broadcast(queries),
-      if (excludeSelf) col(corpusId) =!= col(queryId) else lit(true))
+    // same per-row norm hoist as bruteForceTopK — the scan-side filter
+    // stays a single dot kernel per (probe, vector) pair
+    val joined = corpus.withColumn("__cn", norm2(col(corpusVec)))
+      .join(broadcast(queries.withColumn("__qn", norm2(col(queryVec)))),
+        if (excludeSelf) col(corpusId) =!= col(queryId) else lit(true))
     joined.select(
         col(queryId), col(corpusId).as("neighbor_id"),
-        cosine(col(queryVec), col(corpusVec)).as("cos"))
+        cosineHoisted(col(queryVec), col(corpusVec),
+                      col("__qn"), col("__cn")).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -85,10 +95,13 @@ object Similarity {
       lshSignature(col("embedding"), dim, planes, seed))
     val sigQ = queries.withColumn("bucket",
       lshSignature(col("q_vec"), dim, planes, seed))
-    val cand = sigC.join(broadcast(sigQ), Seq("bucket"))
+    val cand = sigC.withColumn("__cn", norm2(col("embedding")))
+      .join(broadcast(sigQ.withColumn("__qn", norm2(col("q_vec")))),
+            Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
     val scored = cand.select(col("q_id"), col("vec_id").as("neighbor_id"),
-      cosine(col("q_vec"), col("embedding")).as("cos"))
+      cosineHoisted(col("q_vec"), col("embedding"),
+                    col("__qn"), col("__cn")).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -164,10 +177,13 @@ object Similarity {
     val probes = qProbes.withColumn("rk", row_number().over(wp))
       .filter(col("rk") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("centroid_id"))
-    val cand = assigned.join(broadcast(probes), Seq("centroid_id"))
+    val cand = assigned.withColumn("__cn", norm2(col("embedding")))
+      .join(broadcast(probes.withColumn("__qn", norm2(col("q_vec")))),
+            Seq("centroid_id"))
       .filter(col("vec_id") =!= col("q_id"))
     val scored = cand.select(col("q_id"), col("vec_id").as("neighbor_id"),
-      cosine(col("q_vec"), col("embedding")).as("cos"))
+      cosineHoisted(col("q_vec"), col("embedding"),
+                    col("__qn"), col("__cn")).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
