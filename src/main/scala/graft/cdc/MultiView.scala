@@ -367,18 +367,24 @@ object MultiView {
     var pending = keysFor(0)
     var stL = lSchema
     var stR = rSchema
-    try bounds.indices.foreach { i =>
-      val (lo, hi) = bounds(i)
-      val (ckLF, ckRF) = pending
-      if (i + 1 < bounds.size) pending = keysFor(i + 1)
-      val (ctx, lNext, rNext) = batchCtx(stL, stR,
-        slice(lPinned, lo, hi), slice(rPinned, lo, hi),
-        lPk, rPk, lJoinCols,
-        keys = Some((prefetch.await(ckLF), prefetch.await(ckRF))),
-        maxLocalKeys = maxLocalKeys)
-      states = ms.zip(states).map { case (m, s) => m.pin(m.step(s, ctx)) }
-      stL = lNext
-      stR = rNext
+    // maintainer folds run concurrently per batch (TableViews
+    // .stepConcurrently — independent states, overlapped step latency)
+    try TableViews.stepConcurrently(ms.size) { parSteps =>
+      bounds.indices.foreach { i =>
+        val (lo, hi) = bounds(i)
+        val (ckLF, ckRF) = pending
+        if (i + 1 < bounds.size) pending = keysFor(i + 1)
+        val (ctx, lNext, rNext) = batchCtx(stL, stR,
+          slice(lPinned, lo, hi), slice(rPinned, lo, hi),
+          lPk, rPk, lJoinCols,
+          keys = Some((prefetch.await(ckLF), prefetch.await(ckRF))),
+          maxLocalKeys = maxLocalKeys)
+        states = parSteps(ms.zip(states).map { case (m, s) =>
+          () => m.pin(m.step(s, ctx)): Any
+        })
+        stL = lNext
+        stR = rNext
+      }
     } finally prefetch.shutdown()
     import org.apache.spark.sql.graft.bridge.reRoot
     new Result(reRoot(stL, parent), reRoot(stR, parent),

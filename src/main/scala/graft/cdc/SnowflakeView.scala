@@ -254,16 +254,22 @@ object SnowflakeView {
     var states: Seq[DataFrame] = schemas
     // previous batch's intermediate views V_k, k = 1..n−2
     var vPre: Seq[DataFrame] = (1 to n - 2).map(chain0)
-    try bounds.indices.foreach { i =>
-      val (lo, hi) = bounds(i)
-      val collected = pending.map(prefetch.await)
-      if (i + 1 < bounds.size) pending = keysFor(i + 1)
-      val deltas = pinned.map(slice(_, lo, hi))
-      val (merged, vPost, ctx0) = chainStep(states, vPre, deltas, pks, fks,
-        keys = Some(collected), maxLocalKeys = maxLocalKeys)
-      mStates = ms.zip(mStates).map { case (m, s) => m.pin(m.step(s, ctx0)) }
-      states = merged
-      vPre = vPost
+    // maintainer folds run concurrently per batch (TableViews
+    // .stepConcurrently — independent states, overlapped step latency)
+    try TableViews.stepConcurrently(ms.size) { parSteps =>
+      bounds.indices.foreach { i =>
+        val (lo, hi) = bounds(i)
+        val collected = pending.map(prefetch.await)
+        if (i + 1 < bounds.size) pending = keysFor(i + 1)
+        val deltas = pinned.map(slice(_, lo, hi))
+        val (merged, vPost, ctx0) = chainStep(states, vPre, deltas, pks, fks,
+          keys = Some(collected), maxLocalKeys = maxLocalKeys)
+        mStates = parSteps(ms.zip(mStates).map { case (m, s) =>
+          () => m.pin(m.step(s, ctx0)): Any
+        })
+        states = merged
+        vPre = vPost
+      }
     } finally prefetch.shutdown()
     import org.apache.spark.sql.graft.bridge.reRoot
     new Result(states.map(reRoot(_, parent)),

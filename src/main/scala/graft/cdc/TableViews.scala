@@ -180,15 +180,47 @@ object TableViews {
     val windows = (Long.MinValue +: allCuts) :+ Long.MaxValue
     val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
     var st = stateSchema
-    bounds.foreach { case (lo, hi) =>
-      val (ctx, next) = batchCtx(st, slice(lo, hi), pk, maxLocalKeys)
-      states = ms.zip(states).map { case (m, s) => m.pin(m.step(s, ctx)) }
-      st = next
+    stepConcurrently(ms.size) { parSteps =>
+      bounds.foreach { case (lo, hi) =>
+        val (ctx, next) = batchCtx(st, slice(lo, hi), pk, maxLocalKeys)
+        states = parSteps(ms.zip(states).map { case (m, s) =>
+          () => m.pin(m.step(s, ctx)): Any
+        })
+        st = next
+      }
     }
     import org.apache.spark.sql.graft.bridge.reRoot
     new Result(reRoot(st, parent),
       maintainers.zip(states).map { case (m, s) =>
         (m: Maintainer[_]) -> m.asInstanceOf[Maintainer[Any]].reRoot(s, parent)
       }.toMap)
+  }
+
+  /** Run each replay batch's maintainer folds CONCURRENTLY: registered
+    * maintainers' states are independent (results are keyed by
+    * maintainer identity; no step reads another's state), so the
+    * per-step driver actions — capped collects, pin materializations —
+    * overlap instead of serializing into one long latency chain per
+    * batch. This is also the production shape: independent maintained
+    * views of one topic advance in parallel. Shared ctx frames are lazy
+    * pins; the first step to touch one materializes it and the rest
+    * wait on the block locks, so nothing computes twice. `body`
+    * receives a `parSteps` that preserves input order and rethrows a
+    * failed step's own exception (not the pool wrapper's). */
+  private[cdc] def stepConcurrently(
+      width: Int)(body: (Seq[() => Any] => Seq[Any]) => Unit): Unit = {
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(math.max(1, width))
+    def parSteps(fs: Seq[() => Any]): Seq[Any] =
+      fs.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Any] {
+          def call(): Any = f()
+        })
+      }.map { fut =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    try body(parSteps) finally pool.shutdown()
   }
 }
