@@ -163,9 +163,17 @@ object ChangelogGen {
     if (strictParity)
       RowDecoder.changeEvents(ordersEnvelope(spark, sfDir), ordersSpec,
                               strictParity = true)
-    else envCache.computeIfAbsent((spark, s"orders-ev:$sfDir"), _ =>
-      RowDecoder.changeEvents(ordersEnvelope(spark, sfDir), ordersSpec)
-        .localCheckpoint(false))
+    else {
+      // resolve the envelope memo BEFORE entering this map's
+      // computeIfAbsent: both entries live in envCache, and a nested
+      // computeIfAbsent on the same ConcurrentHashMap throws
+      // "Recursive update" whenever the two keys land in the same bin
+      // — which depends on identity hashes, so it surfaced as a flaky
+      // cold-start crash (PinnedBoundProbe), not a deterministic one
+      val env = ordersEnvelope(spark, sfDir)
+      envCache.computeIfAbsent((spark, s"orders-ev:$sfDir"), _ =>
+        RowDecoder.changeEvents(env, ordersSpec).localCheckpoint(false))
+    }
 
   /** Materialized current state of the synthetic changelog. */
   def ordersState(spark: SparkSession, sfDir: String): DataFrame =
