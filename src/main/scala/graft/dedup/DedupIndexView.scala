@@ -241,19 +241,50 @@ object DedupIndexView {
         val surv = carried
           .join(hinted(retractedP), Seq("id_a", "id_b"), "left_semi")
           .select(col("id_a"), col("id_b")).distinct()
-        val dropSet = retractedP.join(surv, Seq("id_a", "id_b"),
-                                      "left_anti")
-        // score the fresh pairs from their LIVE payloads: one
-        // broadcast-pruned probe of the post-batch state (fresh-pair
+        // dropSet excludes fresh pairs (they stay justified): carried-
+        // score pairs below stay IN PLACE in the scores frame, so a
+        // pair that is both retracted-by-a-touched-bucket and fresh
+        // must not be anti-joined away
+        val dropSet = retractedP
+          .join(surv, Seq("id_a", "id_b"), "left_anti")
+          .join(hinted(freshP), Seq("id_a", "id_b"), "left_anti")
+        // ---- SCORE CARRY (bootstrap/catch-up amortization): a pair's
+        // score is a pure function of its two payloads, so a regenerated
+        // pair whose endpoints BOTH went unchanged this batch and that
+        // already holds a score in the state keeps it in place — only
+        // pairs with a changed endpoint (payload may differ) or with no
+        // prior score (a brand-new candidate, or a cooled bucket
+        // emitting unchanged-doc pairs for the first time) are
+        // (re)scored. During an AvailableNow bootstrap a hot bucket is
+        // touched by nearly every batch; without the carry its
+        // C(pop, 2) pairs re-verified per touch — with it the verify
+        // cost per batch is O(new pairs), the same |Δ|-bound as the
+        // signature work. The prior-score probe is ONE broadcast-pruned
+        // semi pass over the pinned scores frame (scanned, never
+        // shuffled), output bounded by |freshP|.
+        val ckA = hinted(ck.select(col("id").as("id_a")))
+        val ckB = hinted(ck.select(col("id").as("id_b")))
+        val freshUntouched = freshP
+          .join(ckA, Seq("id_a"), "left_anti")
+          .join(ckB, Seq("id_b"), "left_anti")
+        val carriedScoreP = st.scores
+          .join(hinted(freshUntouched), Seq("id_a", "id_b"), "left_semi")
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(false)
+        val needScore = freshP
+          .join(hinted(carriedScoreP), Seq("id_a", "id_b"), "left_anti")
+          .localCheckpoint(false)
+        // score the to-score pairs from their LIVE payloads: one
+        // broadcast-pruned probe of the post-batch state (needScore-pair
         // ids only — |touched|-bounded, like changedLive above)
-        val freshIds = freshP.select(col("id_a").as(idCol))
-          .unionByName(freshP.select(col("id_b").as(idCol))).distinct()
+        val freshIds = needScore.select(col("id_a").as(idCol))
+          .unionByName(needScore.select(col("id_b").as(idCol))).distinct()
         val pay = Materializer.liveView(ctx.postState)
           .join(hinted(freshIds), Seq(idCol), "left_semi")
           .select(col(idCol),
                   struct(payloadCols.map(col): _*).as("__pay"))
           .localCheckpoint(false)
-        val freshScored = hinted(freshP)
+        val freshScored = hinted(needScore)
           .join(pay.select(col(idCol).as("id_a"), col("__pay").as("pa")),
                 Seq("id_a"))
           .join(pay.select(col(idCol).as("id_b"), col("__pay").as("pb")),
@@ -262,7 +293,7 @@ object DedupIndexView {
                   scoreOf(col("pa"), col("pb")).cast("double").as("score"))
         val scores1 = st.scores
           .join(hinted(dropSet), Seq("id_a", "id_b"), "left_anti")
-          .join(hinted(freshP), Seq("id_a", "id_b"), "left_anti")
+          .join(hinted(needScore), Seq("id_a", "id_b"), "left_anti")
           .unionByName(freshScored)
         IndexState(index1, carried.unionByName(fresh), scores1)
       }
