@@ -369,7 +369,7 @@ object MultiView {
     var stR = rSchema
     // maintainer folds run concurrently per batch (TableViews
     // .stepConcurrently — independent states, overlapped step latency)
-    try TableViews.stepConcurrently(ms.size) { parSteps =>
+    try TableViews.stepConcurrently(ms.size, Some(child)) { parSteps =>
       bounds.indices.foreach { i =>
         val (lo, hi) = bounds(i)
         val (ckLF, ckRF) = pending

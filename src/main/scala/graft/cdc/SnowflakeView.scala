@@ -256,7 +256,7 @@ object SnowflakeView {
     var vPre: Seq[DataFrame] = (1 to n - 2).map(chain0)
     // maintainer folds run concurrently per batch (TableViews
     // .stepConcurrently — independent states, overlapped step latency)
-    try TableViews.stepConcurrently(ms.size) { parSteps =>
+    try TableViews.stepConcurrently(ms.size, Some(child)) { parSteps =>
       bounds.indices.foreach { i =>
         val (lo, hi) = bounds(i)
         val collected = pending.map(prefetch.await)

@@ -180,7 +180,7 @@ object TableViews {
     val windows = (Long.MinValue +: allCuts) :+ Long.MaxValue
     val bounds = windows.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
     var st = stateSchema
-    stepConcurrently(ms.size) { parSteps =>
+    stepConcurrently(ms.size, Some(child)) { parSteps =>
       bounds.foreach { case (lo, hi) =>
         val (ctx, next) = batchCtx(st, slice(lo, hi), pk, maxLocalKeys)
         states = parSteps(ms.zip(states).map { case (m, s) =>
@@ -206,21 +206,46 @@ object TableViews {
     * pins; the first step to touch one materializes it and the rest
     * wait on the block locks, so nothing computes twice. `body`
     * receives a `parSteps` that preserves input order and rethrows a
-    * failed step's own exception (not the pool wrapper's). */
+    * failed step's own exception (not the pool wrapper's); on a failed
+    * step the outstanding siblings are CANCELLED (interrupt +
+    * shutdownNow) before the rethrow, so abandoned steps don't race the
+    * caller's finally cleanup (prefetch shutdown, cache release).
+    * States already pinned by completed siblings of the failed batch
+    * stay pinned until the session's ContextCleaner reaps them — the
+    * failure path trades that bounded leak for not blocking on work
+    * whose result is discarded.
+    *
+    * Steps run on POOL threads that do not carry the replay thread's
+    * Spark thread-locals; `active` (the replay's child session, conf'd
+    * AQE-off at batch width) is installed as the thread's active
+    * session inside each callable so a step reaching for
+    * `SparkSession.active`/`SQLConf.get` binds the session its ctx
+    * frames live in, never the parent's conf. Maintainer.step should
+    * still prefer `df.sparkSession` over ambient lookups. */
   private[cdc] def stepConcurrently(
-      width: Int)(body: (Seq[() => Any] => Seq[Any]) => Unit): Unit = {
+      width: Int, active: Option[SparkSession] = None)(
+      body: (Seq[() => Any] => Seq[Any]) => Unit): Unit = {
     val pool =
       java.util.concurrent.Executors.newFixedThreadPool(math.max(1, width))
-    def parSteps(fs: Seq[() => Any]): Seq[Any] =
-      fs.map { f =>
+    def parSteps(fs: Seq[() => Any]): Seq[Any] = {
+      val futs = fs.map { f =>
         pool.submit(new java.util.concurrent.Callable[Any] {
-          def call(): Any = f()
+          def call(): Any = {
+            active.foreach(SparkSession.setActiveSession)
+            f()
+          }
         })
-      }.map { fut =>
+      }
+      try futs.map { fut =>
         try fut.get()
         catch { case e: java.util.concurrent.ExecutionException =>
           throw e.getCause }
+      } catch { case e: Throwable =>
+        futs.foreach(_.cancel(true))
+        pool.shutdownNow()
+        throw e
       }
+    }
     try body(parSteps) finally pool.shutdown()
   }
 }
