@@ -90,6 +90,15 @@ object ClusterView {
   private def hintIf(df: DataFrame, isLocal: Boolean): DataFrame =
     if (isLocal) broadcast(df) else df
 
+  /** Byte budget for the explicit |Δ|-side PAYLOAD broadcast in
+    * [[maintainerFromEdgesCounted]]: 64 MB — well past the planner's
+    * 10 MB default (the explicit hint exists because size estimates
+    * over unpinned subtrees are too fuzzy to trust), far under the
+    * GB-scale that `maxLocalKeys` rows of wide embedding vectors could
+    * route through the driver. Key-only broadcasts (a few dozen bytes
+    * per row) stay gated on `ckLocal` alone. */
+  private[graft] val MaxBroadcastPayloadBytes: Long = 64L << 20
+
   /** The exact-cosine modality: edges between live vectors with
     * `cosine >= minCosine`. Oracle-expressible end-to-end (DuckDB
     * `list_cosine_similarity` + recursive min-label reach), which is the
@@ -362,6 +371,26 @@ object ClusterView {
       private val clusterSchema = StructType(Seq(
         StructField("id", LongType), StructField("cluster", LongType)))
 
+      // Measured-once average payload row bytes (vector/text widths are
+      // schema-stable across a corpus): the explicit |Δ|-side broadcast
+      // below is gated on BYTES, not key count — ckLocal bounds ROWS
+      // (<= maxLocalKeys), but the probe side carries FULL live rows
+      // including embedding vectors, and at the cap with wide vectors a
+      // row-count gate alone pushes GBs through the driver. The sample
+      // is one 4-row collect on the first non-empty batch.
+      private val avgRowBytes =
+        new java.util.concurrent.atomic.AtomicLong(-1L)
+      private def payloadRowBytes(live: DataFrame): Long = {
+        if (avgRowBytes.get < 0) {
+          val sample = live.limit(4).collect()
+          if (sample.nonEmpty)
+            avgRowBytes.compareAndSet(-1L, math.max(64L,
+              org.apache.spark.util.SizeEstimator.estimate(
+                sample.asInstanceOf[AnyRef]) / sample.length))
+        }
+        math.max(64L, avgRowBytes.get)
+      }
+
       def empty(events0: DataFrame, pk: Seq[String]): ClusterState = {
         require(pk == Seq(idCol),
           s"cluster view requires pk == Seq($idCol), got $pk")
@@ -404,9 +433,17 @@ object ClusterView {
         // pair join must build on the |Δ| side and stream the corpus,
         // and the planner's size estimates over these unpinned
         // subtrees are too fuzzy to rely on (a projection as small as
-        // a hoisted norm column has been seen to flip the build side)
+        // a hoisted norm column has been seen to flip the build side).
+        // The hint is additionally gated on an estimated BYTE budget
+        // (|Δ| keys × measured payload row width): a capped key set
+        // carrying wide vectors can still be GB-scale, and an over-
+        // budget batch falls back to the unhinted plan rather than
+        // routing that through the driver.
+        val bcastDelta = ctx.ckLocal &&
+          deltaCount() * payloadRowBytes(postLive) <=
+            MaxBroadcastPayloadBytes
         val newEdges =
-          edgesFor(if (ctx.ckLocal) broadcast(changedLive) else changedLive,
+          edgesFor(if (bcastDelta) broadcast(changedLive) else changedLive,
                    postLive, deltaCount).localCheckpoint(false)
         val edges1 = kept.unionByName(newEdges).localCheckpoint(false)
         // 2. affected components: owners of a changed id or of any
