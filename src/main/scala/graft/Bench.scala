@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Contamination verdict over the run's sentinel samples (taken
+    * before pass 1, between the passes, and after pass 2) vs the
+    * committed quiet-box reference: `contaminated` = EVERY sample
+    * drifted past `factor`× ref — sustained box-level load straddled
+    * the whole run, discount the record. `suspect` = ANY sample
+    * drifted — the round-15 blind spot: load arriving MID-RUN inflates
+    * half the query map while min-of-endpoints stays quiet, so a
+    * one-sided drift must at least mark the record for a re-run even
+    * when it doesn't condemn it. */
+  private[graft] def contamination(sentinels: Seq[Double], ref: Double,
+                                   factor: Double = 1.5)
+      : (Boolean, Boolean) = {
+    val hot = sentinels.map(_ > factor * ref)
+    (hot.nonEmpty && hot.forall(identity), hot.exists(identity))
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -202,10 +217,14 @@ object Bench {
     val named = SparkEntry.queries.toSeq
     def timedPass(): Map[String, (Double, Boolean)] =
       named.map { case (n, fn) => n -> timedOne(n, fn) }.toMap
-    val p1 = timedPass(); val p2 = timedPass()
+    val p1 = timedPass()
+    // a third sample BETWEEN the passes: load that arrives mid-run and
+    // leaves before the end is invisible to the two endpoint samples
+    val sentinelMid = sentinelSec()
+    val p2 = timedPass()
     val sentinelAfter = sentinelSec()
-    val contaminated =
-      math.min(sentinelBefore, sentinelAfter) > 1.5 * sentinelRef
+    val sentinels = Seq(sentinelBefore, sentinelMid, sentinelAfter)
+    val (contaminated, suspect) = contamination(sentinels, sentinelRef)
     val passes: Map[String, Seq[(Double, Boolean)]] =
       named.map { case (n, fn) =>
         val base = Seq(p1(n), p2(n))
@@ -257,17 +276,17 @@ object Bench {
       // build pool — contended, NON-additive (they can sum to several
       // times the pool wall); the *_concurrent flags say so in-band so
       // JSON consumers don't read them as an additive decomposition
-      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"passes":$passDetail,"state_build_sec":${fmt(stateBuildSec)},"state_build_breakdown":$stateBd,"state_build_breakdown_concurrent":true,"corpus_build_sec":${fmt(corpusBuildSec)},"corpus_build_breakdown":$corpusBd,"corpus_build_breakdown_concurrent":true,"sentinel_before_sec":${fmt(sentinelBefore)},"sentinel_after_sec":${fmt(sentinelAfter)},"sentinel_ref_sec":${fmt(sentinelRef)},"contaminated":$contaminated,"pinned_bytes":$pinnedBytes,"pinned_disk_bytes":$pinnedDiskBytes,"heap_max_bytes":$heapMaxBytes,"build_pool":"${sys.env.getOrElse("SPARK_GRAFT_BUILD_POOL", "4")}","sf":"$sfDir"}"""
+      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"passes":$passDetail,"state_build_sec":${fmt(stateBuildSec)},"state_build_breakdown":$stateBd,"state_build_breakdown_concurrent":true,"corpus_build_sec":${fmt(corpusBuildSec)},"corpus_build_breakdown":$corpusBd,"corpus_build_breakdown_concurrent":true,"sentinel_before_sec":${fmt(sentinelBefore)},"sentinel_mid_sec":${fmt(sentinelMid)},"sentinel_after_sec":${fmt(sentinelAfter)},"sentinel_ref_sec":${fmt(sentinelRef)},"contaminated":$contaminated,"suspect":$suspect,"pinned_bytes":$pinnedBytes,"pinned_disk_bytes":$pinnedDiskBytes,"heap_max_bytes":$heapMaxBytes,"build_pool":"${sys.env.getOrElse("SPARK_GRAFT_BUILD_POOL", "4")}","sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (txt + "\n").getBytes("UTF-8"))
     }.fold(e => { System.err.println(s"BENCH_FULL.json write failed: $e"); false },
            _ => true)
-    // 1300 (was 1600): the round-15 sentinel/pinned fields add ~250
-    // chars after the queries map — the whole stdout line must stay
+    // 1250 (was 1300): the round-16 mid-sentinel + suspect fields add
+    // ~50 chars after the queries map — the whole stdout line must stay
     // under the driver's 2000-char tail capture including sbt's
     // trailing "[success]" line, or the head of the JSON truncates and
     // the driver's parse fails
-    val budget = 1300
+    val budget = 1250
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 2 // braces
     fullQs.foreach { e =>
@@ -277,7 +296,7 @@ object Bench {
     val fullKey = if (fullWritten) ""","full":"BENCH_FULL.json"""" else ""
     // state_build_sec: one-time warm build of the shared IVM replay
     // states (cdc_*_view queries are timed serve-only; see warm-up above)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"state_build_sec":${fmt(stateBuildSec)},"corpus_build_sec":${fmt(corpusBuildSec)},"sentinel_before_sec":${fmt(sentinelBefore)},"sentinel_after_sec":${fmt(sentinelAfter)},"sentinel_ref_sec":${fmt(sentinelRef)},"contaminated":$contaminated,"pinned_bytes":$pinnedBytes,"heap_max_bytes":$heapMaxBytes,"sf":"$sfDir"$fullKey}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"state_build_sec":${fmt(stateBuildSec)},"corpus_build_sec":${fmt(corpusBuildSec)},"sentinel_before_sec":${fmt(sentinelBefore)},"sentinel_mid_sec":${fmt(sentinelMid)},"sentinel_after_sec":${fmt(sentinelAfter)},"sentinel_ref_sec":${fmt(sentinelRef)},"contaminated":$contaminated,"suspect":$suspect,"pinned_bytes":$pinnedBytes,"heap_max_bytes":$heapMaxBytes,"sf":"$sfDir"$fullKey}""")
     spark.stop()
   }
 }
