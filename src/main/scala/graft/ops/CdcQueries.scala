@@ -146,6 +146,14 @@ object CdcQueries {
     // contamination set maintained from both sides' deltas; lJoinCols
     // is MultiView's unused fk surface here, the view joins by gram)
     val decontam = graft.dedup.DecontamView.maintainer("text", "text")
+    // the 100 TB swap registered NEXT TO the literal face on the same
+    // two-topic replay (one decode + merge, two gram modalities):
+    // 64-bit hashed grams — fixed-width join keys, ~10x smaller index;
+    // benched and oracle-gated like any other face (the literal-gram
+    // oracle is exact for it under the spec-measured zero-collision
+    // property of the corpus)
+    val decontamHashed =
+      graft.dedup.DecontamView.hashedMaintainer("text", "text")
     private val decontamCache =
       new BoundedPinnedCache[MultiView.Result]()(_.release())
     def decontamResult(s: SparkSession, dir: String): MultiView.Result =
@@ -156,7 +164,7 @@ object CdcQueries {
           cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
           lPk = Seq("doc_id"), rPk = Seq("b_id"),
           lJoinCols = Seq("doc_id"),
-          maintainers = Seq(decontam))
+          maintainers = Seq(decontam, decontamHashed))
       }
     // shared EMBEDDINGS-TOPIC fan-out: one replay of the vector-corpus
     // changelog maintains the live embedding state and the incremental
@@ -167,7 +175,8 @@ object CdcQueries {
       (TableViews.Result,
        TableViews.Maintainer[org.apache.spark.sql.DataFrame],
        TableViews.Maintainer[graft.dedup.ClusterView.IndexedClusterState],
-       TableViews.Maintainer[graft.dedup.ClusterView.ClusterState])]()(
+       TableViews.Maintainer[graft.dedup.ClusterView.ClusterState],
+       TableViews.Maintainer[org.apache.spark.sql.DataFrame])]()(
       _._1.release())
     // shared EVENTS-TOPIC fan-out: one replay of the behavioral-event
     // changelog maintains the SEQUENTIAL-PATTERN views no per-row
@@ -271,11 +280,19 @@ object CdcQueries {
         : (TableViews.Result,
            TableViews.Maintainer[org.apache.spark.sql.DataFrame],
            TableViews.Maintainer[graft.dedup.ClusterView.IndexedClusterState],
-           TableViews.Maintainer[graft.dedup.ClusterView.ClusterState]) =
+           TableViews.Maintainer[graft.dedup.ClusterView.ClusterState],
+           TableViews.Maintainer[org.apache.spark.sql.DataFrame]) =
       embCache.get(s, dir) {
+        val codebook =
+          graft.similarity.AnnIndexView.localCentroids(annCentroids(s, dir))
         val ann = graft.similarity.AnnIndexView.maintainer(
-          "vec_id", "embedding",
-          graft.similarity.AnnIndexView.localCentroids(annCentroids(s, dir)))
+          "vec_id", "embedding", codebook)
+        // QUANTIZER-DRIFT monitor riding the same fan-out: per-centroid
+        // moments of assignment distance (cdc_ann_drift) — the staleness
+        // signal for the frozen codebook above; AnnIndexView.retrain is
+        // the refresh path when it trips
+        val drift = graft.similarity.AnnIndexView.driftMaintainer(
+          "vec_id", "embedding", codebook)
         // ONE maintained state serves the semantic near-dup pair face
         // (.index.pairs, cdc_semantic_index) AND the LSH cluster face
         // (cdc_semantic_clusters): ClusterView's component algebra
@@ -294,8 +311,9 @@ object CdcQueries {
           "vec_id", "embedding", minCosine = 0.9)
         (TableViews.replay(ChangelogGen.embeddingsChangeEvents(s, dir),
            cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
-           pk = Seq("vec_id"), maintainers = Seq(ann, sem, clusters)),
-         ann, sem, clusters)
+           pk = Seq("vec_id"),
+           maintainers = Seq(ann, sem, clusters, drift)),
+         ann, sem, clusters, drift)
       }
     /** The fixed coarse quantizer: a deterministic subset of the BASE
       * corpus (trained once at index build; vectors churn, the codebook
@@ -788,6 +806,18 @@ object CdcQueries {
           SharedJoin.decontamResult(s, dir)(SharedJoin.decontam), "doc_id")
         .orderBy(col("doc_id"))),
 
+    // the HASHED-GRAM modality of the same two-topic replay: identical
+    // face served off DecontamView.hashedMaintainer's state — the
+    // fixed-width xxhash64 index that replaces literal gram strings at
+    // 100 TB. Counts equal the literal face absent a doc-gram x
+    // bench-gram hash collision (spec-measured zero on this corpus),
+    // which is what lets the literal-gram oracle gate it exactly.
+    "cdc_decontam_hashed" -> ((s, dir) =>
+      graft.dedup.DecontamView.contaminated(
+          SharedJoin.decontamResult(s, dir)(SharedJoin.decontamHashed),
+          "doc_id")
+        .orderBy(col("doc_id"))),
+
     // SUITE-IMPACT off the same maintained state: per live eval suite,
     // how many live docs it contaminates — the report a release manager
     // reads when a new suite lands. Pure serve-side derivation (contam
@@ -991,7 +1021,7 @@ object CdcQueries {
     // Maintained == from-scratch ivfAssign stays spec'd in
     // AnnIndexViewSpec.
     "cdc_ann_ivf" -> ((s, dir) => {
-      val (r, m, _, _) = SharedJoin.embResult(s, dir)
+      val (r, m, _, _, _) = SharedJoin.embResult(s, dir)
       val probes = PipelineQueries.plantedProbes(
         graft.Tables.load(s, dir, "embeddings"),
         col("vec_id").between(1, 5))
@@ -1002,6 +1032,26 @@ object CdcQueries {
         .select(col("q_id"), col("neighbor_id"),
                 round(col("cos"), 6).as("cos"))
         .orderBy(col("q_id"))
+    }),
+
+    // QUANTIZER-DRIFT MONITOR for the maintained IVF index: per
+    // centroid, live vector count and mean/variance of the distance to
+    // the assigned (= nearest) centroid, maintained from the
+    // changelog's deltas alone (AnnIndexView.driftMaintainer — the
+    // derived assignment columns are pure functions of the vector, so
+    // the stat rides the ordinary moments algebra and retracts exactly
+    // under re-embeds/deletes). This is the staleness signal for the
+    // frozen coarse quantizer: recall degrades SILENTLY as the corpus
+    // walks away from the codebook, and rising assignment distance is
+    // the observable symptom; AnnIndexView.retrain is the refresh path
+    // (spec'd: planted drift trips a threshold, retrain-swap restores
+    // planted-probe recall). Oracle-exact: DuckDB recomputes each live
+    // vector's nearest base-codebook centroid and the same
+    // decimal-summed moments.
+    "cdc_ann_drift" -> ((s, dir) => {
+      val (r, _, _, _, drift) = SharedJoin.embResult(s, dir)
+      graft.similarity.AnnIndexView.driftView(r(drift))
+        .orderBy(col("centroid_id"))
     }),
 
     // SEMANTIC-DEDUP INDEX over CDC: the embedding near-dup pair view
@@ -1016,7 +1066,7 @@ object CdcQueries {
     // structurally; verification kills false candidates). Maintained ==
     // from-scratch embeddingLshCandidates stays spec'd.
     "cdc_semantic_index" -> ((s, dir) => {
-      val (r, _, sem, _) = SharedJoin.embResult(s, dir)
+      val (r, _, sem, _, _) = SharedJoin.embResult(s, dir)
       r(sem).index.scores
         .select(col("id_a"), col("id_b"),
                 round(col("score"), 6).as("cos"))
@@ -1032,7 +1082,7 @@ object CdcQueries {
     // the same clusters from the closed-form live state via recursive
     // min-label reach (q_dedup_semantic's CC, now as a LIVING view).
     "cdc_cluster_view" -> ((s, dir) => {
-      val (r, _, _, cl) = SharedJoin.embResult(s, dir)
+      val (r, _, _, cl, _) = SharedJoin.embResult(s, dir)
       graft.dedup.ClusterView.view(r(cl))
         .select(col("id").as("vec_id"), col("cluster"), col("is_rep"))
         .orderBy(col("vec_id"))
@@ -1043,7 +1093,7 @@ object CdcQueries {
     // how many k-way near-dup groups). Oracle-exact through the same
     // recursive-reach recompute.
     "cdc_cluster_stats" -> ((s, dir) => {
-      val (r, _, _, cl) = SharedJoin.embResult(s, dir)
+      val (r, _, _, cl, _) = SharedJoin.embResult(s, dir)
       graft.dedup.ClusterView.view(r(cl))
         .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size"))
@@ -1063,7 +1113,7 @@ object CdcQueries {
     // clusterOracleSql). Maintained == from-scratch LSH-edge CC stays
     // spec'd in ClusterViewSpec.
     "cdc_semantic_clusters" -> ((s, dir) => {
-      val (r, _, sem, _) = SharedJoin.embResult(s, dir)
+      val (r, _, sem, _, _) = SharedJoin.embResult(s, dir)
       graft.dedup.ClusterView.view(r(sem))
         .select(col("id").as("vec_id"), col("cluster"), col("is_rep"))
         .orderBy(col("vec_id"))
@@ -1208,7 +1258,7 @@ object CdcQueries {
       |SELECT id AS vec_id, min(r) AS cluster, (min(r) = id) AS is_rep
       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val oracle0: Map[String, String] = Map(
     // the maintained MinHash-LSH index's Jaccard-verified pairs equal
     // the EXACT >= 0.5 pair set of the live corpus: the only such pairs
     // are the planted exact duplicates (the % 7 re-crawl copies the
@@ -1292,6 +1342,31 @@ object CdcQueries {
       |      FROM q, c)
       |SELECT q_id, neighbor_id, round(cos, 6) AS cos
       |FROM s WHERE rk = 1 ORDER BY q_id""".stripMargin,
+    // live state x frozen base codebook (vec_id % 50 = 0 of the BASE
+    // embeddings table — the quantizer is trained once at index build,
+    // the state churns): nearest centroid by (l2, centroid_id), per-row
+    // distance rounded to 6 and summed as DECIMAL(18,6) to mirror the
+    // maintained moments' exact decimal arithmetic
+    "cdc_ann_drift" -> s"""
+      |WITH estate AS (
+      |  $estateSql),
+      |c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      |      FROM embeddings WHERE vec_id % 50 = 0),
+      |d AS (SELECT e.vec_id, c.centroid_id,
+      |        list_distance(e.embedding::DOUBLE[], c.cv) AS dist,
+      |        row_number() OVER (PARTITION BY e.vec_id
+      |          ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
+      |                   c.centroid_id) AS rk
+      |      FROM estate e CROSS JOIN c),
+      |b AS (SELECT centroid_id,
+      |        CAST(round(dist, 6) AS DECIMAL(18,6)) AS d6
+      |      FROM d WHERE rk = 1)
+      |SELECT centroid_id, count(*) AS n_vecs,
+      |  round(CAST(sum(d6) AS DOUBLE) / count(*), 6) AS avg_dist,
+      |  round(CAST(sum(d6 * d6) AS DOUBLE) / count(*)
+      |        - (CAST(sum(d6) AS DOUBLE) / count(*))
+      |          * (CAST(sum(d6) AS DOUBLE) / count(*)), 6) AS var_dist
+      |FROM b GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
     "cdc_materialize" ->
       s"""SELECT * FROM ($expectedStateSql) ORDER BY o_orderkey""",
     // live corpus after the documents changelog (insert all / swap
@@ -2082,4 +2157,13 @@ object CdcQueries {
         |  FROM ($expectedStateSql))
         |WHERE rk <= 3
         |ORDER BY o_orderstatus, rk""".stripMargin)
+
+  /** `cdc_decontam_hashed` serves off the 64-bit HASHED-gram state
+    * (DecontamView.hashedMaintainer — the stated 100 TB swap): its
+    * per-doc counts equal the literal-gram face on any corpus without
+    * an xxhash64 doc-gram x bench-gram collision (DecontamViewSpec
+    * measures ZERO collisions over the test corpus' full gram sets),
+    * so the literal-gram DuckDB oracle gates it exactly. */
+  val oracle: Map[String, String] =
+    oracle0 + ("cdc_decontam_hashed" -> oracle0("cdc_decontam"))
 }

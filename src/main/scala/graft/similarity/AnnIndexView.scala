@@ -25,6 +25,104 @@ import graft.cdc.{Materializer, TableViews}
   * foreign session's plan. */
 object AnnIndexView {
 
+  /** The local codebook as a tiny session-rooted frame (C-bounded;
+    * rebuilt per use so no foreign session's plan is captured). */
+  private[graft] def centroidDf(s: SparkSession,
+                                centroids: Seq[(Long, Seq[Float])])
+      : DataFrame =
+    s.createDataFrame(centroids).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+              col("embedding").cast("array<float>").as("embedding"))
+
+  /** Scan-side nearest-centroid struct `(d, cid)` over a LOCAL codebook
+    * — min L2 distance then centroid id (the same tie-break as
+    * [[Similarity.ivfAssign]]'s min_by ordering), as ONE Column
+    * expression: C l2 kernels folded by struct-ordered `array_min`.
+    * This is what makes assignment a pure function of the vector that
+    * [[TableViews.withDerived]] can plant into change events — the
+    * drift stat then rides the ordinary moments maintainer, |Δ| rows
+    * evaluated per batch, never the corpus. C-bounded expression size:
+    * right for a coarse quantizer (C ~ sqrt(corpus) capped by
+    * [[localCentroids]]), not for a fine codebook. */
+  private[graft] def bestCentroid(vec: org.apache.spark.sql.Column,
+                                  centroids: Seq[(Long, Seq[Float])])
+      : org.apache.spark.sql.Column =
+    array_min(array(centroids.map { case (cid, cv) =>
+      struct(
+        graft.functions.VectorFunctions.l2Distance(
+          vec, typedlit(cv).cast("array<float>")).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+
+  /** QUANTIZER-STALENESS MONITOR: the per-centroid moments
+    * (n, Σd, Σd²) of each live vector's distance to its assigned (=
+    * nearest) centroid, maintained from the changelog's deltas alone —
+    * the drift signal for a frozen coarse quantizer over a churning
+    * corpus. Recall degrades SILENTLY as vectors walk away from the
+    * codebook (probes still return k rows, just from the wrong lists);
+    * rising mean/variance of assignment distance is the observable
+    * symptom, and maintaining it costs |Δ| scan-side kernel
+    * evaluations per batch riding the existing moments algebra.
+    * Distances are rounded to 6 decimals and summed as DECIMAL(18,6),
+    * so the face is exact decimal arithmetic (and DuckDB-checkable);
+    * retraction under re-embeds/deletes is exact because the derived
+    * columns are pure functions of the vector payload
+    * ([[TableViews.withDerived]]'s partial-`old` resolution). When the
+    * face trips a deployment's threshold, [[retrain]] is the refresh
+    * path. */
+  def driftMaintainer(idCol: String, vecCol: String,
+                      centroids: Seq[(Long, Seq[Float])])
+      : TableViews.Maintainer[DataFrame] = {
+    require(centroids.nonEmpty, "at least one centroid")
+    val plant: DataFrame => DataFrame = ev =>
+      TableViews.withDerived(vecCol, "assign_dist")(v =>
+        round(bestCentroid(v, centroids).getField("d"), 6))(
+        TableViews.withDerived(vecCol, "centroid_id")(v =>
+          bestCentroid(v, centroids).getField("cid"))(ev))
+    TableViews.mapDelta(
+      graft.cdc.IncrementalAgg.momentsMaintainer(
+        "centroid_id", "assign_dist", _.cast("decimal(18,6)")))(plant)
+  }
+
+  /** The drift FACE over a maintained [[driftMaintainer]] state: per
+    * centroid, live vector count and the mean/variance of
+    * assignment distance — pure arithmetic over the maintained
+    * moments, |C| rows. */
+  def driftView(moments: DataFrame): DataFrame = {
+    val mean = col("sum_assign_dist").cast("double") / col("n_rows")
+    graft.cdc.IncrementalAgg.momentsView(moments)
+      .select(col("centroid_id"), col("n_rows").as("n_vecs"),
+              round(mean, 6).as("avg_dist"),
+              round(col("sumsq_assign_dist").cast("double") / col("n_rows")
+                      - mean * mean, 6).as("var_dist"))
+  }
+
+  /** RETRAIN-AND-SWAP, the refresh path the drift face calls for:
+    * train a FRESH coarse quantizer on the current live corpus
+    * ([[Similarity.kmeansCentroids]] — one broadcast + one map-side-
+    * partial pass per Lloyd iteration) and rebuild the assignment
+    * table in one corpus pass ([[Similarity.ivfAssign]]). Returns the
+    * new local codebook plus the rebuilt assignment state — the seed
+    * for a fresh [[maintainer]]`(idCol, vecCol, newCodebook)` going
+    * forward. Persisted deployments write the rebuilt (assignment,
+    * face) as ONE new generation through the same atomic-swap seam
+    * every maintained face uses
+    * ([[graft.streaming.CdcStream.swapGeneration]]): readers keep the
+    * old index until the promote, a crash leaves the old generation
+    * live, and the demoted generation stays readable — retraining is
+    * just another state write. */
+  def retrain(live: DataFrame, idCol: String, vecCol: String, k: Int,
+              seed: Long = 42L, maxIter: Int = 10)
+      : (Seq[(Long, Seq[Float])], DataFrame) = {
+    val corpus = live.select(col(idCol).as("vec_id"),
+                             col(vecCol).as("embedding"))
+    val codebook = localCentroids(
+      Similarity.kmeansCentroids(corpus, k, maxIter, seed))
+    val assigned = Similarity.ivfAssign(
+      corpus, centroidDf(live.sparkSession, codebook))
+    (codebook, assigned)
+  }
+
   /** The maintained IVF assignment table
     * `(vec_id, embedding, centroid_id)` as a
     * [[TableViews.Maintainer]]. `idCol`/`vecCol` name the changelog's
@@ -37,9 +135,7 @@ object AnnIndexView {
       require(centroids.nonEmpty, "at least one centroid")
 
       private def centroidDf(s: SparkSession): DataFrame =
-        s.createDataFrame(centroids).toDF("vec_id", "embedding")
-          .select(col("vec_id"),
-                  col("embedding").cast("array<float>").as("embedding"))
+        AnnIndexView.centroidDf(s, centroids)
 
       def empty(events0: DataFrame, pk: Seq[String]): DataFrame = {
         require(pk == Seq(idCol),
