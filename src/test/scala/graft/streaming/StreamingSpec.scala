@@ -1910,4 +1910,68 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(fun() == Set((1, "view", 2L)))
   }
+
+  test("pre-v3 dedup-index generation refuses loudly on restart, then rebuilds") {
+    // The STATE FORMAT v3 guard, driven end-to-end through the streaming
+    // face: v3 both added the patch-time-verified `pair_scores` file AND
+    // changed the signature scheme, so resuming a pre-v3 generation
+    // would not crash — it would SILENTLY lose recall (old band hashes
+    // never collide with new signatures). The readViewFiles file-set
+    // check must therefore fire BEFORE any fold; this case proves the
+    // restart dies with the explicit rebuild message (delete the guard
+    // and the stream happily resumes — the test goes red), and that the
+    // prescribed recovery (drop state+checkpoint, rebuild from the
+    // changelog) lands on the right face.
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("v3log")
+    val root = tmpDir("v3state")
+    val ckpt = tmpDir("v3ckpt")
+    val spec = TableSpec("d", "docs", Seq("doc_id"), StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))))
+    def ev(op: String, ts: Long, id: Long, text: String) =
+      s"""{"database":"d","table":"docs","type":"$op","ts":$ts,"data":{"doc_id":$id,"text":"$text"}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val wolf = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val wolf2 = "a quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    def views = Seq(
+      CdcStream.NamedTableView.dedupIndex("nearidx", "doc_id", "text",
+        b = 4, r = 2, nGram = 3))
+    def run(): Unit = CdcStream.maintainTableViewsToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec, views, root, ckpt)
+      .awaitTermination()
+    append("b1.json", Seq(ev("insert", 1, 1, wolf),
+                          ev("insert", 2, 2, wolf2)))
+    run()
+    // demote the live generation to a v2 SHAPE: drop `pair_scores`, so
+    // the file set reads [bucket_pairs, index] — exactly what a v2
+    // writer left behind
+    val scoresDir =
+      new java.io.File(s"$root/current/nearidx__pair_scores")
+    assert(scoresDir.exists(), s"expected v3 layout under $scoresDir")
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(); ()
+    }
+    rmRf(scoresDir)
+    // restart over a new batch: the guard must fire with the explicit
+    // format message, not an opaque parquet error, and not a silent fold
+    append("b2.json", Seq(ev("insert", 11, 3, wolf2)))
+    val thrown = intercept[Exception] { run() }
+    val msg = Iterator.iterate(thrown: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msg.contains("state format changed") && msg.contains("REBUILD"),
+      s"expected the loud v3 refusal, got: $msg")
+    // prescribed recovery: drop state + checkpoint, rebuild from the
+    // (retained) changelog — the face comes back complete
+    rmRf(new java.io.File(root)); rmRf(new java.io.File(ckpt))
+    run()
+    val pairs = CdcStream.readMultiView(spark, root, "nearidx").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"rebuilt face incomplete: $pairs")
+  }
 }
