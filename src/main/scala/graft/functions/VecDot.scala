@@ -136,6 +136,121 @@ case class VecL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd nearest-centroid scan over a LOCAL codebook: returns the
+  * struct `(d, cid)` of the minimum L2 distance (then centroid-id
+  * tie-break) from the input `array<float>` vector to the `cents` rows.
+  *
+  * Why an expression and not a composition: the composed form
+  * (`array_min(array(struct(l2(v, lit(c_i)), id_i)...))`) inlines one
+  * fused kernel PER CENTROID into the enclosing stage — at a realistic
+  * coarse-quantizer size the generated method crosses Janino's 64 KB
+  * limit ("Code grows beyond 64 KB", observed at C = 100 inside the
+  * drift maintainer's aggregate stage) and the whole stage silently
+  * drops to interpreted evaluation. Here the codebook is a single
+  * codegen REFERENCE OBJECT and the scan is one tiny double loop —
+  * constant code size at any C, and the arithmetic is bit-identical to
+  * the composed form (per-element double promotion, sequential
+  * accumulation, `Math.sqrt`, (d, cid) struct ordering).
+  *
+  * NULL contract: NULL input → NULL; a NULL element or a length
+  * mismatch against the (uniform-dimension) codebook → NULL. */
+case class NearestCentroid(child: Expression, ids: Array[Long],
+                           cents: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(ids.nonEmpty && ids.length == cents.length,
+    "nearest_centroid: ids and cents must be same-length and non-empty")
+  require(cents.forall(_.length == cents(0).length),
+    "nearest_centroid: codebook rows must share one dimension")
+
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("cid", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires array<float> input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != cents(0).length) return null
+    var bestD = Double.PositiveInfinity
+    var bestC = 0L
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var s = 0.0
+      var i = 0
+      while (i < cv.length) {
+        if (a.isNullAt(i)) return null
+        val d = a.getFloat(i).toDouble - cv(i).toDouble
+        s += d * d
+        i += 1
+      }
+      val dist = math.sqrt(s)
+      if (dist < bestD || (dist == bestD && ids(c) < bestC)) {
+        bestD = dist
+        bestC = ids(c)
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", cents, "float[][]")
+    val iRef = ctx.addReferenceObj("ids", ids, "long[]")
+    val rowCls = classOf[
+      org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val cv = ctx.freshName("cv")
+      val dist = ctx.freshName("dist")
+      val bd = ctx.freshName("bestD")
+      val bc = ctx.freshName("bestC")
+      s"""
+         |if ($a.numElements() != $cRef[0].length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $bd = Double.POSITIVE_INFINITY;
+         |  long $bc = 0L;
+         |  for (int $c = 0; $c < $cRef.length && !${ev.isNull}; $c++) {
+         |    float[] $cv = $cRef[$c];
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $cv.length; $i++) {
+         |      if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |      double $d = ((double) $a.getFloat($i)) - ((double) $cv[$i]);
+         |      $s += $d * $d;
+         |    }
+         |    if (!${ev.isNull}) {
+         |      double $dist = java.lang.Math.sqrt($s);
+         |      if ($dist < $bd || ($dist == $bd && $iRef[$c] < $bc)) {
+         |        $bd = $dist;
+         |        $bc = $iRef[$c];
+         |      }
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = new $rowCls(new Object[] {
+         |      java.lang.Double.valueOf($bd), java.lang.Long.valueOf($bc) });
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroid = copy(child = newChild)
+}
+
 object VecDot {
   import org.apache.spark.sql.graft.bridge
   /** Column-level entry points, mirroring `functions._` style (Spark 4
@@ -146,4 +261,9 @@ object VecDot {
 
   def vec_l2sq(a: Column, b: Column): Column =
     bridge.column(VecL2Sq(bridge.expression(a), bridge.expression(b)))
+
+  /** `(d, cid)` of the nearest codebook row — see [[NearestCentroid]]. */
+  def nearest_centroid(v: Column, ids: Array[Long],
+                       cents: Array[Array[Float]]): Column =
+    bridge.column(NearestCentroid(bridge.expression(v), ids, cents))
 }

@@ -37,22 +37,22 @@ object AnnIndexView {
   /** Scan-side nearest-centroid struct `(d, cid)` over a LOCAL codebook
     * — min L2 distance then centroid id (the same tie-break as
     * [[Similarity.ivfAssign]]'s min_by ordering), as ONE Column
-    * expression: C l2 kernels folded by struct-ordered `array_min`.
-    * This is what makes assignment a pure function of the vector that
-    * [[TableViews.withDerived]] can plant into change events — the
-    * drift stat then rides the ordinary moments maintainer, |Δ| rows
-    * evaluated per batch, never the corpus. C-bounded expression size:
-    * right for a coarse quantizer (C ~ sqrt(corpus) capped by
-    * [[localCentroids]]), not for a fine codebook. */
+    * expression. This is what makes assignment a pure function of the
+    * vector that [[TableViews.withDerived]] can plant into change
+    * events — the drift stat then rides the ordinary moments
+    * maintainer, |Δ| rows evaluated per batch, never the corpus.
+    * Implemented as the custom [[graft.functions.NearestCentroid]]
+    * kernel (codebook as a codegen reference object, constant code
+    * size): the composed `array_min(array(struct(l2, id)...))` form
+    * inlines C kernels into the stage and crossed Janino's 64 KB
+    * method limit at C = 100, silently dropping the whole stage to
+    * interpreted evaluation. */
   private[graft] def bestCentroid(vec: org.apache.spark.sql.Column,
                                   centroids: Seq[(Long, Seq[Float])])
       : org.apache.spark.sql.Column =
-    array_min(array(centroids.map { case (cid, cv) =>
-      struct(
-        graft.functions.VectorFunctions.l2Distance(
-          vec, typedlit(cv).cast("array<float>")).as("d"),
-        lit(cid).as("cid"))
-    }: _*))
+    graft.functions.VecDot.nearest_centroid(vec,
+      centroids.map(_._1).toArray,
+      centroids.map(_._2.toArray).toArray)
 
   /** QUANTIZER-STALENESS MONITOR: the per-centroid moments
     * (n, Σd, Σd²) of each live vector's distance to its assigned (=

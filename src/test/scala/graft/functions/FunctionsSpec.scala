@@ -33,6 +33,43 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 29.0)
   }
 
+  test("NearestCentroid matches the composed array_min form at any C") {
+    // the kernel replaced array_min(array(struct(l2, id)...)) because
+    // the composed form blows Janino's 64 KB method limit at realistic
+    // C — the two must stay bit-identical where the composed form still
+    // compiles (C here = 12), including the (d, cid) tie-break
+    val e = graft.Tables.load(spark, sfDir, "embeddings").limit(200)
+      .select(col("vec_id"), col("embedding"))
+    val cents = e.limit(12).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val composed = array_min(array(cents.map { case (cid, cv) =>
+      struct(VectorFunctions.l2Distance(col("embedding"),
+               typedLit(cv.toSeq).cast("array<float>")).as("d"),
+             lit(cid).as("cid"))
+    }: _*))
+    val fast = VecDot.nearest_centroid(col("embedding"),
+      cents.map(_._1), cents.map(_._2))
+    val diff = e.select(
+        fast.getField("d").as("fd"), fast.getField("cid").as("fc"),
+        composed.getField("d").as("cd"), composed.getField("cid").as("cc"))
+      .filter(col("fd") =!= col("cd") || col("fc") =!= col("cc"))
+    assert(diff.count() == 0,
+      "NearestCentroid diverges from the composed array_min form")
+    // tie-break: two identical codebook rows -> the smaller id wins
+    val dup = VecDot.nearest_centroid(col("embedding"),
+      Array(9L, 3L), Array(cents(0)._2, cents(0)._2))
+    val tied = e.limit(5).select(dup.getField("cid").as("c")).collect()
+    assert(tied.forall(_.getLong(0) == 3L), "tie must break to min id")
+    // null contract: null vector and wrong dimension -> null
+    val nulls = spark.sql(
+      "SELECT CAST(NULL AS ARRAY<FLOAT>) AS v, array(CAST(1.0 AS FLOAT)) AS w")
+      .select(VecDot.nearest_centroid(col("v"), Array(1L),
+                Array(cents(0)._2)).as("a"),
+              VecDot.nearest_centroid(col("w"), Array(1L),
+                Array(cents(0)._2)).as("b")).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("VecDot rejects non-array inputs at analysis time") {
     val df = spark.sql("SELECT 1 AS x")
     intercept[org.apache.spark.sql.AnalysisException] {
