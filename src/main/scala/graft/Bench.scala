@@ -97,6 +97,12 @@ object Bench {
     // time is REPORTED SEPARATELY (`state_build_sec` below): the timed
     // cdc_*_view queries therefore measure SERVE-ONLY cost, and readers
     // comparing against runs predating this warm-up must add the two.
+    // bracket the BUILD window too: the pass sentinels below say nothing
+    // about load during the one-time state/corpus builds, and a loaded
+    // build window reads as a phantom state_build regression (observed:
+    // 97.5s and 173.5s for the same tree an hour apart while the
+    // before-pass sentinel stayed flat)
+    val sentinelPreBuild = { sentinelSec(); sentinelSec() } // warm once
     val tStateBuild = System.nanoTime()
     val preStateWarms = warmTimes.size
     // The shared states build CONCURRENTLY: each family is ONE
@@ -276,7 +282,7 @@ object Bench {
       // build pool — contended, NON-additive (they can sum to several
       // times the pool wall); the *_concurrent flags say so in-band so
       // JSON consumers don't read them as an additive decomposition
-      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"passes":$passDetail,"state_build_sec":${fmt(stateBuildSec)},"state_build_breakdown":$stateBd,"state_build_breakdown_concurrent":true,"corpus_build_sec":${fmt(corpusBuildSec)},"corpus_build_breakdown":$corpusBd,"corpus_build_breakdown_concurrent":true,"sentinel_before_sec":${fmt(sentinelBefore)},"sentinel_mid_sec":${fmt(sentinelMid)},"sentinel_after_sec":${fmt(sentinelAfter)},"sentinel_ref_sec":${fmt(sentinelRef)},"contaminated":$contaminated,"suspect":$suspect,"pinned_bytes":$pinnedBytes,"pinned_disk_bytes":$pinnedDiskBytes,"heap_max_bytes":$heapMaxBytes,"build_pool":"${sys.env.getOrElse("SPARK_GRAFT_BUILD_POOL", "4")}","sf":"$sfDir"}"""
+      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"passes":$passDetail,"state_build_sec":${fmt(stateBuildSec)},"state_build_breakdown":$stateBd,"state_build_breakdown_concurrent":true,"corpus_build_sec":${fmt(corpusBuildSec)},"corpus_build_breakdown":$corpusBd,"corpus_build_breakdown_concurrent":true,"sentinel_prebuild_sec":${fmt(sentinelPreBuild)},"sentinel_before_sec":${fmt(sentinelBefore)},"sentinel_mid_sec":${fmt(sentinelMid)},"sentinel_after_sec":${fmt(sentinelAfter)},"sentinel_ref_sec":${fmt(sentinelRef)},"contaminated":$contaminated,"suspect":$suspect,"pinned_bytes":$pinnedBytes,"pinned_disk_bytes":$pinnedDiskBytes,"heap_max_bytes":$heapMaxBytes,"build_pool":"${sys.env.getOrElse("SPARK_GRAFT_BUILD_POOL", "4")}","sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (txt + "\n").getBytes("UTF-8"))
     }.fold(e => { System.err.println(s"BENCH_FULL.json write failed: $e"); false },
@@ -296,7 +302,7 @@ object Bench {
     val fullKey = if (fullWritten) ""","full":"BENCH_FULL.json"""" else ""
     // state_build_sec: one-time warm build of the shared IVM replay
     // states (cdc_*_view queries are timed serve-only; see warm-up above)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"state_build_sec":${fmt(stateBuildSec)},"corpus_build_sec":${fmt(corpusBuildSec)},"sentinel_before_sec":${fmt(sentinelBefore)},"sentinel_mid_sec":${fmt(sentinelMid)},"sentinel_after_sec":${fmt(sentinelAfter)},"sentinel_ref_sec":${fmt(sentinelRef)},"contaminated":$contaminated,"suspect":$suspect,"pinned_bytes":$pinnedBytes,"heap_max_bytes":$heapMaxBytes,"sf":"$sfDir"$fullKey}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"state_build_sec":${fmt(stateBuildSec)},"corpus_build_sec":${fmt(corpusBuildSec)},"sentinel_prebuild_sec":${fmt(sentinelPreBuild)},"sentinel_before_sec":${fmt(sentinelBefore)},"sentinel_mid_sec":${fmt(sentinelMid)},"sentinel_after_sec":${fmt(sentinelAfter)},"sentinel_ref_sec":${fmt(sentinelRef)},"contaminated":$contaminated,"suspect":$suspect,"pinned_bytes":$pinnedBytes,"heap_max_bytes":$heapMaxBytes,"sf":"$sfDir"$fullKey}""")
     spark.stop()
   }
 }
