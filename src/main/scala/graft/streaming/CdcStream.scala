@@ -1585,13 +1585,24 @@ object CdcStream {
     /** Incrementally maintained IVF ANN index
       * ([[graft.similarity.AnnIndexView]]): only changed vectors
       * re-assign per batch; the face IS the assignment table,
-      * changelog keyed by the vector id. */
+      * changelog keyed by the vector id. ANN STATE FORMAT v2: the
+      * CODEBOOK is persisted next to the assignment — the quantizer is
+      * part of the index's identity, and a restart (or a
+      * [[CdcStream.retrainAnnIvf]] swap) must construct the maintainer
+      * from the LIVE codebook ([[CdcStream.readAnnCodebook]]), never a
+      * constructor-captured stale one (assignments would silently mix
+      * epochs). Pre-v2 generations (assigned only) refuse via
+      * [[readViewFiles]]'s format check. */
     def annIvf(name: String, idCol: String, vecCol: String,
                centroids: Seq[(Long, Seq[Float])])
         : NamedTableView[DataFrame] =
       NamedTableView(name,
         graft.similarity.AnnIndexView.maintainer(idCol, vecCol, centroids),
-        Seq("assigned"), st => Map("assigned" -> st), m => m("assigned"),
+        Seq("assigned", "codebook"),
+        st => Map("assigned" -> st,
+                  "codebook" -> graft.similarity.AnnIndexView
+                    .centroidDf(st.sparkSession, centroids)),
+        m => m("assigned"),
         st => st, Seq("vec_id"))
     /** Incrementally maintained embedding near-dup (semantic) index —
       * [[dedupIndex]]'s algebra with random-hyperplane LSH bands
@@ -1826,6 +1837,113 @@ object CdcStream {
         ()
       }
       .start()
+  }
+
+  /** The live codebook of a persisted [[NamedTableView.annIvf]] view —
+    * what a restarting runner passes to `annIvf(...)` so the maintainer
+    * always assigns with the SAME quantizer the persisted index was
+    * built (or last retrained) with. None when no generation exists
+    * yet; a pre-v2 generation (no codebook file) surfaces through
+    * [[maintainTableViewsToParquet]]'s restore as the explicit
+    * format refusal, not here. */
+  def readAnnCodebook(spark: SparkSession, rootPath: String,
+                      name: String): Option[Seq[(Long, Seq[Float])]] =
+    liveGenerationRoot(spark, s"$rootPath/current").flatMap { r =>
+      val p = new org.apache.hadoop.fs.Path(s"$r/${name}__codebook")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else Some(graft.similarity.AnnIndexView.localCentroids(
+        spark.read.parquet(p.toString)))
+    }
+
+  /** RETRAIN-AND-SWAP for a persisted [[NamedTableView.annIvf]] view —
+    * the refresh path the `cdc_ann_drift` monitor calls for, run
+    * between stream drains (the AvailableNow stop/start discipline):
+    * train a fresh coarse quantizer on the generation's LIVE corpus,
+    * rebuild the assignment in one pass
+    * ([[graft.similarity.AnnIndexView.retrain]]), and promote the
+    * rebuilt (assignment, codebook, face) as ONE new generation through
+    * the SAME atomic swap every state write uses — every other file of
+    * the generation (table state, sibling views, the applied-batch
+    * marker) is carried over byte-for-byte, so readers keep the old
+    * index until the promote and a crash leaves the old generation
+    * live. Returns the new codebook; the next
+    * [[maintainTableViewsToParquet]] run must construct its `annIvf`
+    * view from [[readAnnCodebook]] (the returned value) — restarting
+    * with the stale codebook would assign new deltas against the old
+    * quantizer while serving the retrained lists.
+    *
+    * Changelog semantics: a retrain is an INDEX-EPOCH swap, not a
+    * row-level delta — the view's changelog gets the retrained face
+    * installed as a SNAPSHOT batch at the last committed horizon
+    * ([[compactViewChanges]]'s consumer contract), so
+    * [[viewAsOfBatch]] at or past the horizon folds from the retrained
+    * face and later real deltas stack on top; history below the
+    * horizon keeps folding from the surviving prefix. Incremental JDBC
+    * mirrors that already applied the horizon batch must RE-SEED from
+    * the face (the snapshot replaces a batch their progress already
+    * covers — [[applyViewChangesToJdbc]] will not re-apply it). A
+    * crash between the generation swap and the snapshot commit leaves
+    * a torn (uncommitted) batch directory that [[viewAsOfBatch]]'s
+    * contiguity guard refuses loudly; re-running retrainAnnIvf heals
+    * it (same live corpus + seed → same codebook, the snapshot write
+    * is an idempotent overwrite). */
+  def retrainAnnIvf(spark: SparkSession, rootPath: String, name: String,
+                    idCol: String, vecCol: String, k: Int,
+                    seed: Long = 42L): Seq[(Long, Seq[Float])] = {
+    import graft.similarity.AnnIndexView
+    val cur = s"$rootPath/current"
+    val root = liveGenerationRoot(spark, cur).getOrElse(
+      throw new IllegalStateException(s"no generation at $cur to retrain"))
+    val live = Materializer.liveView(spark.read.parquet(s"$root/state"))
+    val (codebook, assigned0) =
+      AnnIndexView.retrain(live, idCol, vecCol, k, seed)
+    // materialize BEFORE the swap demotes the generation the plan reads
+    val assigned = assigned0.localCheckpoint()
+    val conf = spark.sparkContext.hadoopConfiguration
+    swapGeneration(spark, cur) { tmp =>
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(conf)
+      val skip = Set(s"${name}__assigned", s"${name}__codebook",
+                     s"${name}__view")
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      fs.mkdirs(tmpP)
+      fs.listStatus(rootP).foreach { st =>
+        if (!skip(st.getPath.getName))
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+            new org.apache.hadoop.fs.Path(tmpP, st.getPath.getName),
+            false, conf)
+      }
+      assigned.write.mode("overwrite").parquet(s"$tmp/${name}__assigned")
+      AnnIndexView.centroidDf(spark, codebook)
+        .write.mode("overwrite").parquet(s"$tmp/${name}__codebook")
+      assigned.write.mode("overwrite").parquet(s"$tmp/${name}__view")
+    }
+    val vroot = s"$rootPath/$name"
+    committedBatchIds(spark, vroot).lastOption.foreach { horizon =>
+      val sample = readViewChanges(spark, vroot, Seq(horizon))
+      val afterType = sample.schema("after").dataType
+      val keyCols = sample.columns
+        .filterNot(Set("op", "before", "after", "batch")).toSeq
+      val faceCols = assigned.columns.toSeq
+      val snapshot = assigned.select(
+        keyCols.map(col) ++ Seq(
+          lit("insert").as("op"),
+          lit(null).cast(afterType).as("before"),
+          struct(faceCols.map(col): _*).cast(afterType).as("after")): _*)
+      val dst = s"$vroot/changes/batch=$horizon"
+      // writeSnapshotSide's writer shape: key-partitioned (face-sized,
+      // never one task), forced _SUCCESS, plus the _snapshot marker
+      snapshot.repartition(keyCols.map(col): _*).write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        .parquet(dst)
+      def marker(n: String) = new org.apache.hadoop.fs.Path(dst, n)
+      val fs = marker("_snapshot").getFileSystem(conf)
+      fs.create(marker("_snapshot")).close()
+      require(fs.exists(marker("_SUCCESS")),
+        s"retrainAnnIvf: snapshot at $dst lost its _SUCCESS marker")
+    }
+    codebook
   }
 
   /** Maintain an incrementally-updated COUNT(DISTINCT) view from the

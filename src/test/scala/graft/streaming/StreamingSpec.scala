@@ -1974,4 +1974,88 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
       s"rebuilt face incomplete: $pairs")
   }
+
+  test("IVF retrain-and-swap through the generation seam") {
+    // the cdc_ann_drift refresh path END-TO-END on the persisted index:
+    // a stream built on a stale codebook drifts; retrainAnnIvf promotes
+    // a fresh (codebook, assignment, face) as ONE atomic generation;
+    // the changelog folds to the retrained face; and the NEXT stream
+    // run — constructed from readAnnCodebook, the v2 contract — assigns
+    // new vectors with the retrained quantizer.
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    import graft.similarity.{AnnIndexView, Similarity}
+    val logDir = tmpDir("rtalog")
+    val root = tmpDir("rtastate")
+    val ckpt = tmpDir("rtackpt")
+    val spec = TableSpec("d", "vecs", Seq("vec_id"), StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    def ev(op: String, ts: Long, id: Long, v: Seq[Double]) =
+      s"""{"database":"d","table":"vecs","type":"$op","ts":$ts,"data":{"vec_id":$id,"embedding":[${v.mkString(",")}]}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val stale = Seq((0L, Seq(10f, 0f, 0f, 0f)), (1L, Seq(0f, 10f, 0f, 0f)))
+    def run(book: Seq[(Long, Seq[Float])]): Unit =
+      CdcStream.maintainTableViewsToParquet(
+        CdcStream.fileChangelog(spark, logDir), spec,
+        Seq(CdcStream.NamedTableView.annIvf("ivf", "vec_id", "embedding",
+                                            book)),
+        root, ckpt).awaitTermination()
+    def face(): Map[Long, Long] =
+      CdcStream.readMultiView(spark, root, "ivf").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id"))
+        .toMap
+    // b1: two axis clusters, b2: the drifted diagonal cluster — all
+    // under the stale two-centroid codebook
+    append("b1.json", (1L to 4L).map(i =>
+      ev("insert", 1, i, Seq(10 + 0.01 * i, 0, 0, 0))) ++
+      (11L to 14L).map(i => ev("insert", 2, i, Seq(0, 10 + 0.01 * i, 0, 0))))
+    run(stale)
+    append("b2.json", (21L to 26L).map(i =>
+      ev("insert", 11, i, Seq(5 + 0.01 * i, 5 - 0.01 * i, 0, 0))))
+    run(stale)
+    assert(CdcStream.readAnnCodebook(spark, root, "ivf")
+             .map(_.toSet) == Some(stale.map(c => (c._1, c._2)).toSet),
+      "v2 generation must carry the live codebook")
+    // retrain: the swap must promote codebook+assignment+face together
+    val newBook = CdcStream.retrainAnnIvf(spark, root, "ivf",
+      "vec_id", "embedding", k = 3, seed = 7L)
+    assert(newBook.size == 3)
+    assert(CdcStream.readAnnCodebook(spark, root, "ivf")
+             .map(_.toSet) == Some(newBook.toSet),
+      "retrained codebook must be the generation's live codebook")
+    val live = graft.cdc.Materializer.liveView(
+        spark.read.parquet(s"$root/current/state"))
+      .select(col("vec_id"), col("embedding"))
+    val expect = Similarity.ivfAssign(live,
+        AnnIndexView.centroidDf(spark, newBook)).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id"))
+      .toMap
+    assert(face() == expect,
+      "retrained face != one-pass ivfAssign over the live corpus")
+    // the drifted cluster owns a centroid of its own again
+    assert((21L to 26L).map(face()).toSet.size == 1 &&
+             !(1L to 4L).map(face()).toSet.contains(face()(21L)),
+      s"drifted cluster must get its own inverted list: ${face()}")
+    // changelog continuity: the fold equals the retrained face
+    val folded = CdcStream.viewAsOfBatch(spark, s"$root/ivf",
+                                         Long.MaxValue)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+                            r.getAs[Long]("centroid_id")).toMap
+    assert(folded == face(), "changelog fold != retrained face")
+    // next run resumes FROM the retrained codebook (readAnnCodebook):
+    // a fresh diagonal vector must land in the retrained centroid's
+    // list, not a stale axis list
+    append("b3.json", Seq(ev("insert", 21, 30, Seq(5.0, 5.0, 0, 0))))
+    run(CdcStream.readAnnCodebook(spark, root, "ivf").getOrElse(stale))
+    assert(face()(30L) == face()(21L),
+      s"post-retrain stream must assign with the new codebook: ${face()}")
+    val folded2 = CdcStream.viewAsOfBatch(spark, s"$root/ivf",
+                                          Long.MaxValue)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+                            r.getAs[Long]("centroid_id")).toMap
+    assert(folded2 == face(), "fold != face after the post-retrain batch")
+  }
 }
