@@ -231,6 +231,24 @@ object Bench {
     val sentinelAfter = sentinelSec()
     val sentinels = Seq(sentinelBefore, sentinelMid, sentinelAfter)
     val (contaminated, suspect) = contamination(sentinels, sentinelRef)
+    // the BUILD window has its own verdict: it is bracketed by the
+    // prebuild and before-pass samples, which the serve-pass flags above
+    // deliberately exclude (load confined to the one-time state/corpus
+    // build inflates state_build_sec — observed 97.5s vs 173.5s same
+    // tree — while every pass sentinel stays quiet). ANY-sample
+    // semantics, same 1.5x line: build_suspect gates state_build_sec /
+    // corpus_build_sec the way suspect gates the query map.
+    val (_, buildSuspect) =
+      contamination(Seq(sentinelPreBuild, sentinelBefore), sentinelRef)
+    // SUSPECT-RECORD PROTOCOL: a self-marked record is not an official
+    // number — re-run once after a cool-down and record the clean run
+    // (keep the suspect sibling for the load history).
+    if (suspect || buildSuspect)
+      System.err.println(
+        "bench WARNING: record self-marked " +
+          (if (suspect) "suspect " else "") +
+          (if (buildSuspect) "build_suspect " else "") +
+          "— re-run after a cool-down and record the clean run")
     val passes: Map[String, Seq[(Double, Boolean)]] =
       named.map { case (n, fn) =>
         val base = Seq(p1(n), p2(n))
@@ -282,17 +300,17 @@ object Bench {
       // build pool — contended, NON-additive (they can sum to several
       // times the pool wall); the *_concurrent flags say so in-band so
       // JSON consumers don't read them as an additive decomposition
-      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"passes":$passDetail,"state_build_sec":${fmt(stateBuildSec)},"state_build_breakdown":$stateBd,"state_build_breakdown_concurrent":true,"corpus_build_sec":${fmt(corpusBuildSec)},"corpus_build_breakdown":$corpusBd,"corpus_build_breakdown_concurrent":true,"sentinel_prebuild_sec":${fmt(sentinelPreBuild)},"sentinel_before_sec":${fmt(sentinelBefore)},"sentinel_mid_sec":${fmt(sentinelMid)},"sentinel_after_sec":${fmt(sentinelAfter)},"sentinel_ref_sec":${fmt(sentinelRef)},"contaminated":$contaminated,"suspect":$suspect,"pinned_bytes":$pinnedBytes,"pinned_disk_bytes":$pinnedDiskBytes,"heap_max_bytes":$heapMaxBytes,"build_pool":"${sys.env.getOrElse("SPARK_GRAFT_BUILD_POOL", "4")}","sf":"$sfDir"}"""
+      val txt = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"passes":$passDetail,"state_build_sec":${fmt(stateBuildSec)},"state_build_breakdown":$stateBd,"state_build_breakdown_concurrent":true,"corpus_build_sec":${fmt(corpusBuildSec)},"corpus_build_breakdown":$corpusBd,"corpus_build_breakdown_concurrent":true,"sentinel_prebuild_sec":${fmt(sentinelPreBuild)},"sentinel_before_sec":${fmt(sentinelBefore)},"sentinel_mid_sec":${fmt(sentinelMid)},"sentinel_after_sec":${fmt(sentinelAfter)},"sentinel_ref_sec":${fmt(sentinelRef)},"contaminated":$contaminated,"suspect":$suspect,"build_suspect":$buildSuspect,"pinned_bytes":$pinnedBytes,"pinned_disk_bytes":$pinnedDiskBytes,"heap_max_bytes":$heapMaxBytes,"build_pool":"${sys.env.getOrElse("SPARK_GRAFT_BUILD_POOL", "4")}","sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (txt + "\n").getBytes("UTF-8"))
     }.fold(e => { System.err.println(s"BENCH_FULL.json write failed: $e"); false },
            _ => true)
-    // 1250 (was 1300): the round-16 mid-sentinel + suspect fields add
-    // ~50 chars after the queries map — the whole stdout line must stay
-    // under the driver's 2000-char tail capture including sbt's
-    // trailing "[success]" line, or the head of the JSON truncates and
-    // the driver's parse fails
-    val budget = 1250
+    // 1220 (was 1250): the round-17 build_suspect field adds ~25 chars
+    // after the queries map — the whole stdout line must stay under the
+    // driver's 2000-char tail capture including sbt's trailing
+    // "[success]" line, or the head of the JSON truncates and the
+    // driver's parse fails
+    val budget = 1220
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 2 // braces
     fullQs.foreach { e =>
@@ -302,7 +320,7 @@ object Bench {
     val fullKey = if (fullWritten) ""","full":"BENCH_FULL.json"""" else ""
     // state_build_sec: one-time warm build of the shared IVM replay
     // states (cdc_*_view queries are timed serve-only; see warm-up above)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"state_build_sec":${fmt(stateBuildSec)},"corpus_build_sec":${fmt(corpusBuildSec)},"sentinel_prebuild_sec":${fmt(sentinelPreBuild)},"sentinel_before_sec":${fmt(sentinelBefore)},"sentinel_mid_sec":${fmt(sentinelMid)},"sentinel_after_sec":${fmt(sentinelAfter)},"sentinel_ref_sec":${fmt(sentinelRef)},"contaminated":$contaminated,"suspect":$suspect,"pinned_bytes":$pinnedBytes,"heap_max_bytes":$heapMaxBytes,"sf":"$sfDir"$fullKey}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"state_build_sec":${fmt(stateBuildSec)},"corpus_build_sec":${fmt(corpusBuildSec)},"sentinel_prebuild_sec":${fmt(sentinelPreBuild)},"sentinel_before_sec":${fmt(sentinelBefore)},"sentinel_mid_sec":${fmt(sentinelMid)},"sentinel_after_sec":${fmt(sentinelAfter)},"sentinel_ref_sec":${fmt(sentinelRef)},"contaminated":$contaminated,"suspect":$suspect,"build_suspect":$buildSuspect,"pinned_bytes":$pinnedBytes,"heap_max_bytes":$heapMaxBytes,"sf":"$sfDir"$fullKey}""")
     spark.stop()
   }
 }

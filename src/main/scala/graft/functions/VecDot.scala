@@ -177,7 +177,14 @@ case class NearestCentroid(child: Expression, ids: Array[Long],
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     if (a.numElements() != cents(0).length) return null
-    var bestD = Double.PositiveInfinity
+    // non-finite distances must order like Spark's struct min over the
+    // composed form: NaN compares GREATER than every value and EQUAL to
+    // itself (so an all-NaN row yields (NaN, min id), never a phantom
+    // centroid 0), and +Infinity ties break to the min id —
+    // `Double.compare` semantics, seeded from the FIRST centroid
+    // instead of a sentinel no comparison can beat. Distances are
+    // sqrt(Σ d²) ≥ 0, so compare's -0.0 < 0.0 quirk cannot bite.
+    var bestD = 0.0
     var bestC = 0L
     var c = 0
     while (c < cents.length) {
@@ -191,7 +198,8 @@ case class NearestCentroid(child: Expression, ids: Array[Long],
         i += 1
       }
       val dist = math.sqrt(s)
-      if (dist < bestD || (dist == bestD && ids(c) < bestC)) {
+      val cmp = if (c == 0) -1 else java.lang.Double.compare(dist, bestD)
+      if (cmp < 0 || (cmp == 0 && ids(c) < bestC)) {
         bestD = dist
         bestC = ids(c)
       }
@@ -216,11 +224,12 @@ case class NearestCentroid(child: Expression, ids: Array[Long],
       val dist = ctx.freshName("dist")
       val bd = ctx.freshName("bestD")
       val bc = ctx.freshName("bestC")
+      val cmp = ctx.freshName("cmp")
       s"""
          |if ($a.numElements() != $cRef[0].length) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $bd = Double.POSITIVE_INFINITY;
+         |  double $bd = 0.0;
          |  long $bc = 0L;
          |  for (int $c = 0; $c < $cRef.length && !${ev.isNull}; $c++) {
          |    float[] $cv = $cRef[$c];
@@ -232,7 +241,11 @@ case class NearestCentroid(child: Expression, ids: Array[Long],
          |    }
          |    if (!${ev.isNull}) {
          |      double $dist = java.lang.Math.sqrt($s);
-         |      if ($dist < $bd || ($dist == $bd && $iRef[$c] < $bc)) {
+         |      // Double.compare semantics: NaN > everything, NaN == NaN
+         |      // — all-NaN rows keep a real (NaN, min id) result instead
+         |      // of a phantom centroid 0 (see nullSafeEval, identical)
+         |      int $cmp = ($c == 0) ? -1 : java.lang.Double.compare($dist, $bd);
+         |      if ($cmp < 0 || ($cmp == 0 && $iRef[$c] < $bc)) {
          |        $bd = $dist;
          |        $bc = $iRef[$c];
          |      }

@@ -481,9 +481,19 @@ object CdcStream {
     // loudly instead. Checked against committed batch DIRECTORIES (an
     // empty batch still writes a dir).
     val ids = committedBatchIds(spark, rootPath)
-    val start = snapshotIds(spark, rootPath).filter(_ <= upTo)
-      .sorted.lastOption.getOrElse(0L)
-    require(ids.isEmpty || ids.head == 0L || ids.head == start,
+    val snaps = snapshotIds(spark, rootPath)
+    val start = snaps.filter(_ <= upTo).sorted.lastOption.getOrElse(0L)
+    // The surviving head need not be THE covering snapshot: after a
+    // retention compaction pruned the prefix (head = an older snapshot
+    // > 0) a later mid-log snapshot (a [[retrainAnnIvf]] epoch swap)
+    // may be the fold's `start` — any snapshot head is a complete face,
+    // and contiguity from `start` is checked by the gap guard below.
+    // Demanding head == start here refused valid state and, because
+    // [[writeSnapshotSide]] folds through this path, would have broken
+    // retention compaction permanently for such a view. A head that is
+    // neither 0 nor a snapshot ≤ upTo means the needed prefix is gone.
+    require(ids.isEmpty || ids.head == 0L ||
+              (snaps.contains(ids.head) && ids.head <= upTo),
       s"viewAsOfBatch: changelog prefix pruned — earliest surviving " +
         s"batch is ${ids.headOption.getOrElse(-1L)} and no snapshot " +
         s"covers batch $upTo; serve time travel only within the " +
@@ -1602,8 +1612,50 @@ object CdcStream {
         st => Map("assigned" -> st,
                   "codebook" -> graft.similarity.AnnIndexView
                     .centroidDf(st.sparkSession, centroids)),
-        m => m("assigned"),
+        m => {
+          // The v2 contract is ENFORCED here, not documented: the
+          // persisted codebook is the index's identity, and a runner
+          // restarted with constructor centroids that differ from it
+          // (a stale codebook after [[CdcStream.retrainAnnIvf]]) would
+          // silently assign new deltas with the old quantizer — the
+          // exact epoch mixing v2 exists to prevent — and the next
+          // generation write would overwrite the retrained codebook
+          // file with the stale one, erasing the evidence. The check
+          // is one C-bounded collect per restore.
+          val persisted = graft.similarity.AnnIndexView
+            .localCentroids(m("codebook")).sortBy(_._1)
+          val mine = centroids.sortBy(_._1)
+          if (persisted != mine)
+            throw new IllegalStateException(
+              s"view '$name': the persisted generation's codebook " +
+                s"(${persisted.size} centroids) differs from this " +
+                s"maintainer's constructor centroids (${mine.size}) — " +
+                s"the index was retrained (CdcStream.retrainAnnIvf). " +
+                s"Construct the maintainer from the LIVE codebook: " +
+                s"CdcStream.readAnnCodebook(spark, rootPath, \"$name\")")
+          m("assigned")
+        },
         st => st, Seq("vec_id"))
+    /** QUANTIZER-DRIFT monitor for a sibling [[annIvf]] view — the
+      * per-centroid assignment-distance moments maintained from deltas
+      * ([[graft.similarity.AnnIndexView.driftMaintainer]]); the face is
+      * the `(centroid_id, n_vecs, avg_dist, var_dist)` drift report
+      * ([[graft.similarity.AnnIndexView.driftView]]). MUST be
+      * constructed with the SAME codebook as the annIvf view (after a
+      * retrain: [[CdcStream.readAnnCodebook]]) — the moments are
+      * distances to THESE centroids, and
+      * [[CdcStream.retrainAnnIvf]]`(driftName = Some(...))` rebuilds
+      * this view's state against the new codebook in the same epoch
+      * swap so the monitor never reports stale-epoch distances. */
+    def annDrift(name: String, idCol: String, vecCol: String,
+                 centroids: Seq[(Long, Seq[Float])])
+        : NamedTableView[DataFrame] =
+      NamedTableView(name,
+        graft.similarity.AnnIndexView.driftMaintainer(idCol, vecCol,
+                                                      centroids),
+        Seq("moments"), st => Map("moments" -> st), m => m("moments"),
+        st => graft.similarity.AnnIndexView.driftView(st),
+        Seq("centroid_id"))
     /** Incrementally maintained embedding near-dup (semantic) index —
       * [[dedupIndex]]'s algebra with random-hyperplane LSH bands
       * ([[graft.dedup.DedupIndexView.embeddingMaintainer]]). */
@@ -1771,6 +1823,33 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // SINGLE-WRITER GUARD vs [[retrainAnnIvf]] (both are generation
+        // swappers on this root): set our in-progress marker FIRST,
+        // then check the retrain lock — check-after-set on both sides,
+        // so a concurrent retrain is seen by at least one of the two.
+        // The marker is informational ownership (overwrite-create: a
+        // crashed predecessor's marker is ours to reclaim on restart);
+        // the retrain side refuses while it exists.
+        val guardFs = new org.apache.hadoop.fs.Path(rootPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val batchMarker = new org.apache.hadoop.fs.Path(
+          rootPath, "_batch_inprogress")
+        guardFs.create(batchMarker, true).close()
+        try {
+        val retrainLock = new org.apache.hadoop.fs.Path(
+          rootPath, "_retrain_inprogress")
+        if (guardFs.exists(retrainLock))
+          throw new IllegalStateException(
+            s"maintainTableViewsToParquet: $retrainLock exists — a " +
+              s"retrain is swapping generations on this root; the batch " +
+              s"fails loudly instead of racing it (re-run after the " +
+              s"retrain completes; remove the file if its process died)")
+        // a crashed retrain's pending changelog snapshot must be
+        // installed BEFORE anything folds or mirrors this view's
+        // changelog — the one crash window that would otherwise be
+        // consumed silently (generation retrained, horizon batch still
+        // the old-epoch delta)
+        healRetrainPending(spark, rootPath)
         val root = liveGenerationRoot(spark, s"$rootPath/current")
         // fold faces double-count on replay; marker gates the whole body
         if (!root.exists(r => isApplied(spark, r, batchId))) {
@@ -1834,6 +1913,7 @@ object CdcStream {
               compactIfNeeded(spark, s"$rootPath/${v.name}", keep, max))
           }
         }
+        } finally guardFs.delete(batchMarker, false)
         ()
       }
       .start()
@@ -1882,68 +1962,283 @@ object CdcStream {
     * horizon keeps folding from the surviving prefix. Incremental JDBC
     * mirrors that already applied the horizon batch must RE-SEED from
     * the face (the snapshot replaces a batch their progress already
-    * covers — [[applyViewChangesToJdbc]] will not re-apply it). A
-    * crash between the generation swap and the snapshot commit leaves
-    * a torn (uncommitted) batch directory that [[viewAsOfBatch]]'s
-    * contiguity guard refuses loudly; re-running retrainAnnIvf heals
-    * it (same live corpus + seed → same codebook, the snapshot write
-    * is an idempotent overwrite). */
+    * covers — [[applyViewChangesToJdbc]] will not re-apply it).
+    *
+    * Crash safety is the [[compactViewChanges]] side + marker
+    * protocol, ordered so NO window is silent: (1) the snapshot is
+    * written and committed to a SIDE directory first (nothing live
+    * touched); (2) the generation swap carries a
+    * `<name>__retrain_pending_<horizon>` marker file inside the new
+    * generation; (3) the side renames over `batch=<horizon>` and only
+    * then the marker is cleared. A crash before (2) leaves everything
+    * old (a stale side the next retrain sweeps); a crash between (2)
+    * and (3) — the window where the generation serves the retrained
+    * face while the changelog still holds the old-epoch delta, which
+    * folds and mirrors would otherwise consume SILENTLY — is named by
+    * the marker: [[healRetrainPending]] finishes the rename from the
+    * committed side copy, and both re-running retrainAnnIvf and the
+    * next [[maintainTableViewsToParquet]] batch heal it before
+    * touching the view.
+    *
+    * Single-writer: the retrain and the stream writer are both
+    * generation swappers on the same root, so their mutual exclusion
+    * is EXPLICIT — retrainAnnIvf takes `_retrain_inprogress` (atomic
+    * create; refused if present) and then refuses if the stream's
+    * `_batch_inprogress` marker exists; the stream's batch body sets
+    * its marker first and THEN checks the retrain lock (check-after-
+    * set on both sides, so a race is seen by at least one). Drain the
+    * stream (AvailableNow stop/start discipline) before retraining. */
   def retrainAnnIvf(spark: SparkSession, rootPath: String, name: String,
                     idCol: String, vecCol: String, k: Int,
-                    seed: Long = 42L): Seq[(Long, Seq[Float])] = {
+                    seed: Long = 42L,
+                    driftName: Option[String] = None)
+      : Seq[(Long, Seq[Float])] =
+    retrainAnnIvfImpl(spark, rootPath, name, idCol, vecCol, k, seed,
+                      driftName, failBeforeFinish = false)
+
+  /** [[retrainAnnIvf]] with the crash-window test seam:
+    * `failBeforeFinish` dies AFTER the generation swap (step 2) and
+    * BEFORE the snapshot install (step 3) — the exact window the
+    * pending-marker protocol exists for — through the REAL code path,
+    * so the spec reproduces the crash state instead of hand-building
+    * it. */
+  private[streaming] def retrainAnnIvfImpl(
+      spark: SparkSession, rootPath: String, name: String,
+      idCol: String, vecCol: String, k: Int, seed: Long,
+      driftName: Option[String], failBeforeFinish: Boolean)
+      : Seq[(Long, Seq[Float])] = {
     import graft.similarity.AnnIndexView
     val cur = s"$rootPath/current"
-    val root = liveGenerationRoot(spark, cur).getOrElse(
-      throw new IllegalStateException(s"no generation at $cur to retrain"))
-    val live = Materializer.liveView(spark.read.parquet(s"$root/state"))
-    val (codebook, assigned0) =
-      AnnIndexView.retrain(live, idCol, vecCol, k, seed)
-    // materialize BEFORE the swap demotes the generation the plan reads
-    val assigned = assigned0.localCheckpoint()
     val conf = spark.sparkContext.hadoopConfiguration
-    swapGeneration(spark, cur) { tmp =>
-      val rootP = new org.apache.hadoop.fs.Path(root)
-      val fs = rootP.getFileSystem(conf)
-      val skip = Set(s"${name}__assigned", s"${name}__codebook",
-                     s"${name}__view")
-      val tmpP = new org.apache.hadoop.fs.Path(tmp)
-      fs.mkdirs(tmpP)
-      fs.listStatus(rootP).foreach { st =>
-        if (!skip(st.getPath.getName))
-          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-            new org.apache.hadoop.fs.Path(tmpP, st.getPath.getName),
-            false, conf)
+    val fsRoot = new org.apache.hadoop.fs.Path(rootPath)
+      .getFileSystem(conf)
+    val lock = new org.apache.hadoop.fs.Path(rootPath,
+                                             "_retrain_inprogress")
+    // take the retrain lock FIRST (atomic create — a second concurrent
+    // retrain fails here), then check the stream's batch marker
+    try fsRoot.create(lock, false).close()
+    catch { case _: java.io.IOException if fsRoot.exists(lock) =>
+      throw new IllegalStateException(
+        s"retrainAnnIvf: $lock exists — another retrain is in progress " +
+          s"on this root (or a prior one died without cleanup). Verify " +
+          s"none is running, then remove the file to proceed.")
+    }
+    try {
+      val batchMarker = new org.apache.hadoop.fs.Path(rootPath,
+                                                      "_batch_inprogress")
+      if (fsRoot.exists(batchMarker))
+        throw new IllegalStateException(
+          s"retrainAnnIvf: $batchMarker exists — a stream batch is " +
+            s"mid-flight on this root (or a runner crashed mid-batch). " +
+            s"Drain the stream (AvailableNow) before retraining; if the " +
+            s"runner is dead, remove the file to proceed.")
+      // finish any crashed retrain's pending snapshot before starting a
+      // new epoch, and sweep stale (never-promoted) side directories
+      healRetrainPending(spark, rootPath)
+      val vroot = s"$rootPath/$name"
+      (vroot +: driftName.map(d => s"$rootPath/$d").toSeq).foreach { vr =>
+        val chDir = new org.apache.hadoop.fs.Path(s"$vr/changes")
+        if (fsRoot.exists(chDir)) fsRoot.listStatus(chDir).foreach { st =>
+          if (st.getPath.getName.startsWith("retrain_tmp_"))
+            fsRoot.delete(st.getPath, true) // pre-swap crash leftovers
+        }
       }
-      assigned.write.mode("overwrite").parquet(s"$tmp/${name}__assigned")
-      AnnIndexView.centroidDf(spark, codebook)
-        .write.mode("overwrite").parquet(s"$tmp/${name}__codebook")
-      assigned.write.mode("overwrite").parquet(s"$tmp/${name}__view")
-    }
-    val vroot = s"$rootPath/$name"
-    committedBatchIds(spark, vroot).lastOption.foreach { horizon =>
-      val sample = readViewChanges(spark, vroot, Seq(horizon))
-      val afterType = sample.schema("after").dataType
-      val keyCols = sample.columns
-        .filterNot(Set("op", "before", "after", "batch")).toSeq
-      val faceCols = assigned.columns.toSeq
-      val snapshot = assigned.select(
-        keyCols.map(col) ++ Seq(
-          lit("insert").as("op"),
-          lit(null).cast(afterType).as("before"),
-          struct(faceCols.map(col): _*).cast(afterType).as("after")): _*)
-      val dst = s"$vroot/changes/batch=$horizon"
-      // writeSnapshotSide's writer shape: key-partitioned (face-sized,
-      // never one task), forced _SUCCESS, plus the _snapshot marker
-      snapshot.repartition(keyCols.map(col): _*).write.mode("overwrite")
-        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
-        .parquet(dst)
-      def marker(n: String) = new org.apache.hadoop.fs.Path(dst, n)
-      val fs = marker("_snapshot").getFileSystem(conf)
-      fs.create(marker("_snapshot")).close()
-      require(fs.exists(marker("_SUCCESS")),
-        s"retrainAnnIvf: snapshot at $dst lost its _SUCCESS marker")
-    }
-    codebook
+      val root = liveGenerationRoot(spark, cur).getOrElse(
+        throw new IllegalStateException(
+          s"no generation at $cur to retrain"))
+      val live = Materializer.liveView(spark.read.parquet(s"$root/state"))
+      val (codebook, assigned0) =
+        AnnIndexView.retrain(live, idCol, vecCol, k, seed)
+      // materialize BEFORE the swap demotes the generation the plan reads
+      val assigned = assigned0.localCheckpoint()
+      // The sibling DRIFT monitor's moments are distances to the OLD
+      // centroids — carrying them across the epoch swap would leave the
+      // monitor reporting stale-epoch drift against a fresh quantizer
+      // forever. Rebuild them against the NEW codebook through the SAME
+      // maintained algebra (the maintainer's fold over synthesized
+      // insert events of the live corpus == the maintained state a
+      // from-scratch replay would reach — the stepwise==from-scratch
+      // invariant read in reverse), so the next stream run resumes an
+      // epoch-coherent state.
+      val driftRebuilt: Option[(String, DataFrame, DataFrame)] =
+        driftName.map { dn =>
+          val m = AnnIndexView.driftMaintainer(idCol, vecCol, codebook)
+          val afterT = org.apache.spark.sql.functions.struct(
+            col(idCol), col(vecCol))
+          val ev = live.select(
+            lit("insert").as("op"), lit("").as("database"),
+            lit("").as("table"), lit(0L).as("ts"), lit(0L).as("seq"),
+            lit(null).cast(live.select(afterT).schema.head.dataType)
+              .as("before"),
+            afterT.as("after"),
+            lit(null).cast("array<string>").as("changed_cols"))
+          val ctx = graft.cdc.TableViews.BatchCtx(ev, None,
+            ev.limit(0), ev.limit(0), Seq(idCol),
+            graft.cdc.JoinView.DefaultMaxLocalKeys)
+          val st = m.step(m.empty(ev.limit(0), Seq(idCol)), ctx)
+            .localCheckpoint()
+          (dn, st, AnnIndexView.driftView(st).localCheckpoint())
+        }
+      val horizon = committedBatchIds(spark, vroot).lastOption
+      val driftHorizon = driftRebuilt.flatMap { case (dn, _, _) =>
+        committedBatchIds(spark, s"$rootPath/$dn").lastOption
+          .map(h => (dn, h))
+      }
+      // (1) durable sides FIRST — writeSnapshotSide's writer shape:
+      // key-partitioned (face-sized, never one task), forced _SUCCESS,
+      // plus the _snapshot marker; nothing live is touched yet
+      def writeSide(vr: String, face: DataFrame, h: Long): Unit = {
+        val sample = readViewChanges(spark, vr, Seq(h))
+        val afterType = sample.schema("after").dataType
+        val keyCols = sample.columns
+          .filterNot(Set("op", "before", "after", "batch")).toSeq
+        val faceCols = face.columns.toSeq
+        val snapshot = face.select(
+          keyCols.map(col) ++ Seq(
+            lit("insert").as("op"),
+            lit(null).cast(afterType).as("before"),
+            struct(faceCols.map(col): _*).cast(afterType).as("after")): _*)
+        val side = s"$vr/changes/retrain_tmp_$h"
+        snapshot.repartition(keyCols.map(col): _*).write.mode("overwrite")
+          .option("mapreduce.fileoutputcommitter.marksuccessfuljobs",
+                  "true")
+          .parquet(side)
+        def sideP(n: String) = new org.apache.hadoop.fs.Path(side, n)
+        fsRoot.create(sideP("_snapshot")).close()
+        require(fsRoot.exists(sideP("_SUCCESS")),
+          s"retrainAnnIvf: side snapshot at $side lost its _SUCCESS marker")
+      }
+      horizon.foreach(h => writeSide(vroot, assigned, h))
+      driftHorizon.foreach { case (dn, h) =>
+        writeSide(s"$rootPath/$dn", driftRebuilt.get._3, h)
+      }
+      // (2) promote the retrained generation, carrying the pending
+      // markers that name the not-yet-installed snapshots
+      swapGeneration(spark, cur) { tmp =>
+        val rootP = new org.apache.hadoop.fs.Path(root)
+        val fs = rootP.getFileSystem(conf)
+        val skip = Set(s"${name}__assigned", s"${name}__codebook",
+                       s"${name}__view") ++
+          driftRebuilt.map(_._1).toSet
+            .flatMap((d: String) => Set(s"${d}__moments", s"${d}__view"))
+        val tmpP = new org.apache.hadoop.fs.Path(tmp)
+        fs.mkdirs(tmpP)
+        // driver-side O(files) sibling copy: fine for a per-epoch
+        // operation at any plausible generation file count (a handful
+        // of state/view directories + markers); if generations ever
+        // hold thousands of files, batch this through DistCp or a
+        // listing-parallel copy instead
+        fs.listStatus(rootP).foreach { st =>
+          if (!skip(st.getPath.getName))
+            org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+              new org.apache.hadoop.fs.Path(tmpP, st.getPath.getName),
+              false, conf)
+        }
+        assigned.write.mode("overwrite").parquet(s"$tmp/${name}__assigned")
+        AnnIndexView.centroidDf(spark, codebook)
+          .write.mode("overwrite").parquet(s"$tmp/${name}__codebook")
+        assigned.write.mode("overwrite").parquet(s"$tmp/${name}__view")
+        driftRebuilt.foreach { case (dn, st, faceDf) =>
+          st.write.mode("overwrite").parquet(s"$tmp/${dn}__moments")
+          faceDf.write.mode("overwrite").parquet(s"$tmp/${dn}__view")
+        }
+        horizon.foreach { h =>
+          fs.create(new org.apache.hadoop.fs.Path(tmp,
+            s"${name}__retrain_pending_$h")).close()
+        }
+        driftHorizon.foreach { case (dn, h) =>
+          fs.create(new org.apache.hadoop.fs.Path(tmp,
+            s"${dn}__retrain_pending_$h")).close()
+        }
+      }
+      if (failBeforeFinish)
+        throw new IllegalStateException(
+          "retrainAnnIvf test seam: crash between the generation swap " +
+            "and the snapshot install")
+      // (3) finish: install the snapshot from the committed side, then
+      // clear the pending marker — exactly what healRetrainPending does
+      // after a crash in this window
+      healRetrainPending(spark, rootPath)
+      codebook
+    } finally fsRoot.delete(lock, false)
+  }
+
+  /** Finish any [[retrainAnnIvf]] whose crash fell between its
+    * generation swap and its changelog-snapshot install: each
+    * `<view>__retrain_pending_<h>` marker in the live generation names
+    * a committed side snapshot at `<view>/changes/retrain_tmp_<h>` —
+    * rename it over `batch=<h>` (idempotent: a completed rename with a
+    * lost marker delete just clears the marker) and remove the marker.
+    * Returns the number of pending retrains finished. Called by
+    * retrainAnnIvf itself (entry + step 3) and by every
+    * [[maintainTableViewsToParquet]] batch BEFORE it folds, so the
+    * window where the generation serves a retrained face while the
+    * changelog still holds the old-epoch horizon delta can never be
+    * consumed silently. */
+  def healRetrainPending(spark: SparkSession, rootPath: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    liveGenerationRoot(spark, s"$rootPath/current").map { r =>
+      val rootP = new org.apache.hadoop.fs.Path(r)
+      val fs = rootP.getFileSystem(conf)
+      val pending = fs.listStatus(rootP).toSeq
+        .map(_.getPath.getName).filter(_.contains("__retrain_pending_"))
+      pending.foreach { mk =>
+        val Array(viewName, hStr) = mk.split("__retrain_pending_", 2)
+        val h = hStr.toLong
+        val side = new org.apache.hadoop.fs.Path(
+          s"$rootPath/$viewName/changes/retrain_tmp_$h")
+        val dst = new org.apache.hadoop.fs.Path(
+          s"$rootPath/$viewName/changes/batch=$h")
+        def in(p: org.apache.hadoop.fs.Path, n: String) =
+          new org.apache.hadoop.fs.Path(p, n)
+        if (fs.exists(in(side, "_SUCCESS"))) {
+          if (!fs.exists(in(side, "_snapshot")))
+            fs.create(in(side, "_snapshot")).close()
+          if (fs.exists(dst))
+            require(fs.delete(dst, true),
+              s"healRetrainPending: could not remove $dst for the swap")
+          require(fs.rename(side, dst),
+            s"healRetrainPending: rename $side -> $dst failed")
+        } else require(fs.exists(in(dst, "_snapshot")),
+          s"healRetrainPending: marker $mk names horizon $h but neither " +
+            s"a committed side copy nor an installed snapshot exists — " +
+            s"torn state; re-run retrainAnnIvf to rebuild the epoch")
+        fs.delete(in(rootP, mk), false)
+      }
+      pending.size
+    }.getOrElse(0)
+  }
+
+  /** Close the monitor→refresh loop: read the maintained drift face
+    * (a [[NamedTableView.annDrift]] sibling of the [[NamedTableView
+    * .annIvf]] view, persisted as `<driftName>__view`) from the live
+    * generation, and when the corpus-weighted mean assignment distance
+    * Σ(n_vecs · avg_dist)/Σn_vecs exceeds `maxAvgDist`, run
+    * [[retrainAnnIvf]] — which also REBUILDS the drift state against
+    * the new codebook, so the monitor reads epoch-coherent after the
+    * swap — returning the new codebook the next stream run must
+    * construct both views from. A healthy face returns None and
+    * touches nothing. The threshold is the deployment's call (the
+    * spec plants drift an order of magnitude over a healthy corpus's
+    * mean, so any sane line separates them); the read is |C|-bounded.
+    * Inherits retrainAnnIvf's single-writer guard. */
+  def retrainAnnIvfIfDrifted(spark: SparkSession, rootPath: String,
+                             name: String, driftName: String,
+                             idCol: String, vecCol: String, k: Int,
+                             maxAvgDist: Double, seed: Long = 42L)
+      : Option[Seq[(Long, Seq[Float])]] = {
+    val root = liveGenerationRoot(spark, s"$rootPath/current").getOrElse(
+      throw new IllegalStateException(
+        s"retrainAnnIvfIfDrifted: no generation at $rootPath/current"))
+    val row = spark.read.parquet(s"$root/${driftName}__view")
+      .agg((sum(col("n_vecs") * col("avg_dist")) / sum(col("n_vecs")))
+        .as("mean_dist"))
+      .head()
+    val meanDist = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    if (meanDist > maxAvgDist)
+      Some(retrainAnnIvf(spark, rootPath, name, idCol, vecCol, k, seed,
+                         driftName = Some(driftName)))
+    else None
   }
 
   /** Maintain an incrementally-updated COUNT(DISTINCT) view from the

@@ -36,4 +36,19 @@ class BenchGuardSpec extends AnyFunSuite {
     val (c, s) = Bench.contamination(Seq(1.5 * ref, 1.5 * ref), ref)
     assert(!c && !s)
   }
+
+  test("build window bracket: prebuild drift alone marks build_suspect") {
+    // the round-16 blind spot: load confined to the state/corpus build
+    // window (prebuild sample hot, before-pass sample already quiet)
+    // inflates state_build_sec while every PASS sentinel reads clean —
+    // the build bracket is (prebuild, before) under ANY-sample
+    // semantics, exactly Bench's build_suspect computation
+    val (_, hotEntry) = Bench.contamination(Seq(0.40, 0.12), ref)
+    assert(hotEntry, "a hot prebuild sample must mark the build window")
+    // load arriving DURING the build and still present at pass start
+    val (_, hotExit) = Bench.contamination(Seq(0.12, 0.40), ref)
+    assert(hotExit, "a hot before-pass sample must mark the build window")
+    val (_, quiet) = Bench.contamination(Seq(0.12, 0.14), ref)
+    assert(!quiet)
+  }
 }

@@ -70,6 +70,45 @@ class FunctionsSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("NearestCentroid non-finite distances: NaN orders last, Inf ties to min id") {
+    // an all-NaN distance row (NaN element in the vector payload) must
+    // return (NaN, min id) — Spark's composed array_min orders NaN
+    // GREATER than every value and EQUAL to itself — never the phantom
+    // (Infinity, 0) a sentinel-seeded loop produces when no comparison
+    // can beat POSITIVE_INFINITY; ids here deliberately exclude 0
+    val ids = Array(7L, 3L)
+    val cents = Array(Array(1.0f, 2.0f), Array(3.0f, 4.0f))
+    val nan = spark.sql(
+      "SELECT array(CAST('NaN' AS FLOAT), CAST(1.0 AS FLOAT)) AS v")
+      .select(VecDot.nearest_centroid(col("v"), ids, cents).as("nc"))
+      .select(col("nc.d").as("d"), col("nc.cid").as("cid")).head()
+    assert(nan.getDouble(0).isNaN, "all-NaN distances must propagate NaN")
+    assert(nan.getLong(1) == 3L,
+      "all-NaN distances must tie-break to the min id, not centroid 0")
+    // extreme-magnitude floats do NOT overflow the double accumulator
+    // (max element diff 6.8e38, squared 4.6e77 ≪ Double.MaxValue), so
+    // the worst-case finite tie still breaks to the min id
+    val big = Float.MaxValue
+    val ext = spark.sql(
+      s"SELECT array(CAST(-$big AS FLOAT), CAST(-$big AS FLOAT)) AS v")
+      .select(VecDot.nearest_centroid(col("v"), ids,
+        Array(Array(big, big), Array(big, big))).as("nc"))
+      .select(col("nc.d").as("d"), col("nc.cid").as("cid")).head()
+    assert(!ext.getDouble(0).isNaN && ext.getDouble(0) > 0 &&
+             ext.getLong(1) == 3L,
+      "extreme-magnitude ties must stay finite and break to the min id")
+    // interpreted path must agree exactly (the eval/codegen contract)
+    val expr = graft.functions.NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(Float.NaN, 1.0f),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)), ids, cents)
+    val row = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(row.getDouble(0).isNaN && row.getLong(1) == 3L,
+      "nullSafeEval must match the codegen path on non-finite distances")
+  }
+
   test("VecDot rejects non-array inputs at analysis time") {
     val df = spark.sql("SELECT 1 AS x")
     intercept[org.apache.spark.sql.AnalysisException] {

@@ -347,4 +347,67 @@ class CompactionSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](applyJ())
     assert(e.getMessage.contains("snapshot"), e.getMessage)
   }
+
+  test("mid-log snapshot after a pruned prefix: fold accepts, compaction survives") {
+    // the retrainAnnIvf shape: retention compaction already pruned the
+    // prefix (head = an older snapshot > 0), then an epoch swap
+    // installs ANOTHER snapshot mid-log WITHOUT pruning. The old
+    // prefix guard demanded head == the covering snapshot and refused
+    // this valid state — and because compactViewChanges' side write
+    // folds through viewAsOfBatch, retention compaction would then be
+    // permanently broken for the view. Any snapshot head ≤ upTo is a
+    // complete face; contiguity from the covering snapshot is the gap
+    // guard's job.
+    import org.apache.spark.sql.types._
+    val logDir = tmpDir("mslog")
+    val root = tmpDir("msstate")
+    val ckpt = tmpDir("msckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", LongType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Long) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainDistinctCountToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      groupCol = "grp", valueCol = "v", root, ckpt).awaitTermination()
+    def at(b: Long): Map[String, Long] =
+      CdcStream.viewAsOfBatch(spark, root, b).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    append("b1.json", Seq(ev("insert", 1, 1, "a", 1),
+                          ev("insert", 2, 2, "b", 2)))
+    run()
+    append("b2.json", Seq(ev("insert", 4, 3, "c", 3)))
+    run()
+    append("b3.json", Seq(ev("insert", 6, 4, "a", 9)))
+    run()
+    append("b4.json", Seq(ev("delete", 8, 2, "b", 2)))
+    run()
+    val live = at(Long.MaxValue)
+    assert(live == Map("a" -> 2L, "c" -> 1L), s"live: $live")
+    // retention compaction prunes the prefix: head becomes snapshot 1
+    assert(CdcStream.compactViewChanges(spark, root, 1L) == 1)
+    // a retrain-style MID-LOG snapshot at batch 2 (no pruning), built
+    // and installed through the real side-write machinery
+    CdcStream.writeSnapshotSide(spark, root, 2L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    assert(fs.delete(p(s"$root/changes/batch=2"), true))
+    assert(fs.rename(p(s"$root/changes/compact_tmp_2"),
+                     p(s"$root/changes/batch=2")))
+    // head (snapshot 1) != covering snapshot (2) — the fold must accept
+    assert(at(3) == live, "fold past the mid-log snapshot diverged")
+    assert(at(2) == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    // below the mid-log snapshot: still folds from the head snapshot
+    assert(at(1) == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    // and RETENTION COMPACTION still works on this shape (its side
+    // write folds through viewAsOfBatch — the loud false refusal the
+    // old guard caused)
+    assert(CdcStream.compactViewChanges(spark, root, 3L) >= 1)
+    assert(at(3) == live)
+    assert(at(Long.MaxValue) == live)
+  }
 }

@@ -2057,5 +2057,208 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("vec_id") ->
                             r.getAs[Long]("centroid_id")).toMap
     assert(folded2 == face(), "fold != face after the post-retrain batch")
+
+    // STALE-CODEBOOK RESTART REFUSAL (the enforced v2 contract): a
+    // runner restarted with the pre-retrain constructor centroids must
+    // refuse LOUDLY at restore — silently proceeding would assign new
+    // deltas with the old quantizer and overwrite the retrained
+    // codebook file with the stale one on the next generation write
+    append("b4.json", Seq(ev("insert", 31, 31, Seq(0.0, 9.9, 0, 0))))
+    val staleEx = intercept[Exception] { run(stale) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(staleEx).exists(_.contains("readAnnCodebook")),
+      s"stale-codebook restart must name the readAnnCodebook recovery: " +
+        s"${msgs(staleEx)}")
+    // and the prescribed construction succeeds over the same backlog
+    run(CdcStream.readAnnCodebook(spark, root, "ivf").getOrElse(stale))
+    assert(face().contains(31L))
+  }
+
+  test("retrain crash window: pending marker heals before anything folds") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("rtclog")
+    val root = tmpDir("rtcstate")
+    val ckpt = tmpDir("rtcckpt")
+    val spec = TableSpec("d", "vecs", Seq("vec_id"), StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    def ev(op: String, ts: Long, id: Long, v: Seq[Double]) =
+      s"""{"database":"d","table":"vecs","type":"$op","ts":$ts,"data":{"vec_id":$id,"embedding":[${v.mkString(",")}]}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val stale = Seq((0L, Seq(10f, 0f)), (1L, Seq(0f, 10f)))
+    def run(book: Seq[(Long, Seq[Float])]): Unit =
+      CdcStream.maintainTableViewsToParquet(
+        CdcStream.fileChangelog(spark, logDir), spec,
+        Seq(CdcStream.NamedTableView.annIvf("ivf", "vec_id", "embedding",
+                                            book)),
+        root, ckpt).awaitTermination()
+    append("b1.json", (1L to 4L).map(i =>
+      ev("insert", 1, i, Seq(10 + 0.01 * i, 0))) ++
+      (11L to 14L).map(i => ev("insert", 1, i, Seq(5 + 0.01 * i, 5))))
+    run(stale)
+    // die in the EXACT window the protocol exists for: generation
+    // swapped (serving the retrained face) but the changelog horizon
+    // still holds the old-epoch delta — through the real code path
+    intercept[IllegalStateException] {
+      CdcStream.retrainAnnIvfImpl(spark, root, "ivf", "vec_id",
+        "embedding", k = 3, seed = 7L, driftName = None,
+        failBeforeFinish = true)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def pendingMarkers(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/current"))
+        .toSeq.map(_.getPath.getName)
+        .filter(_.contains("__retrain_pending_"))
+    assert(pendingMarkers().nonEmpty,
+      "the crash window must leave the retrain-pending marker behind " +
+        "(red if the marker write is deleted)")
+    // the window is REAL: without the heal, the fold would consume the
+    // old-epoch delta against the retrained generation silently
+    val face0 = CdcStream.readMultiView(spark, root, "ivf").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id"))
+      .toMap
+    val foldedStale = CdcStream.viewAsOfBatch(spark, s"$root/ivf",
+                                              Long.MaxValue)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+                            r.getAs[Long]("centroid_id")).toMap
+    assert(foldedStale != face0,
+      "precondition: the un-healed fold really is the old epoch")
+    // the next stream batch heals BEFORE folding: marker gone, the
+    // snapshot installed from the committed side, fold == face
+    append("b2.json", Seq(ev("insert", 11, 21, Seq(0.0, 9.9))))
+    run(CdcStream.readAnnCodebook(spark, root, "ivf").getOrElse(stale))
+    assert(pendingMarkers().isEmpty,
+      "the stream batch must heal the pending retrain before folding")
+    val face1 = CdcStream.readMultiView(spark, root, "ivf").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id"))
+      .toMap
+    val folded1 = CdcStream.viewAsOfBatch(spark, s"$root/ivf",
+                                          Long.MaxValue)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+                            r.getAs[Long]("centroid_id")).toMap
+    assert(folded1 == face1,
+      "healed changelog fold must equal the retrained face")
+  }
+
+  test("drift-gated retrain policy + single-writer guard") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("rtplog")
+    val root = tmpDir("rtpstate")
+    val ckpt = tmpDir("rtpckpt")
+    val spec = TableSpec("d", "vecs", Seq("vec_id"), StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    def ev(op: String, ts: Long, id: Long, v: Seq[Double]) =
+      s"""{"database":"d","table":"vecs","type":"$op","ts":$ts,"data":{"vec_id":$id,"embedding":[${v.mkString(",")}]}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val stale = Seq((0L, Seq(10f, 0f, 0f, 0f)), (1L, Seq(0f, 10f, 0f, 0f)))
+    def run(book: Seq[(Long, Seq[Float])]): Unit =
+      CdcStream.maintainTableViewsToParquet(
+        CdcStream.fileChangelog(spark, logDir), spec,
+        Seq(CdcStream.NamedTableView.annIvf("ivf", "vec_id", "embedding",
+                                            book),
+            CdcStream.NamedTableView.annDrift("ivf_drift", "vec_id",
+                                              "embedding", book)),
+        root, ckpt).awaitTermination()
+    // two tight axis clusters near the stale centroids (healthy) plus a
+    // PLANTED far diagonal cluster (drift): mean assignment distance
+    // over the corpus is dominated by the drifted vectors
+    append("b1.json", (1L to 4L).map(i =>
+      ev("insert", 1, i, Seq(10 + 0.01 * i, 0, 0, 0))) ++
+      (11L to 14L).map(i => ev("insert", 1, i, Seq(0, 10 + 0.01 * i, 0, 0))) ++
+      (21L to 26L).map(i => ev("insert", 1, i, Seq(5 + 0.01 * i, 5 - 0.01 * i, 0, 0))))
+    run(stale)
+    def driftFace(): Map[Long, (Long, Double)] =
+      CdcStream.readMultiView(spark, root, "ivf_drift").collect()
+        .map(r => r.getAs[Long]("centroid_id") ->
+               (r.getAs[Long]("n_vecs"),
+                r.getAs[Double]("avg_dist"))).toMap
+    assert(driftFace().values.map(_._1).sum == 14,
+      s"drift face must cover the live corpus: ${driftFace()}")
+    // a threshold ABOVE the planted drift: healthy, nothing happens
+    assert(CdcStream.retrainAnnIvfIfDrifted(spark, root, "ivf",
+      "ivf_drift", "vec_id", "embedding", k = 3,
+      maxAvgDist = 100.0).isEmpty,
+      "a healthy monitor must not trigger a retrain")
+    // SINGLE-WRITER GUARD, stream side: a mid-flight batch marker makes
+    // the retrain refuse (red if the guard check is deleted)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val batchMarker = new org.apache.hadoop.fs.Path(
+      root, "_batch_inprogress")
+    fs.create(batchMarker, true).close()
+    val exB = intercept[IllegalStateException] {
+      CdcStream.retrainAnnIvf(spark, root, "ivf", "vec_id", "embedding",
+                              k = 3)
+    }
+    assert(exB.getMessage.contains("_batch_inprogress"))
+    fs.delete(batchMarker, false)
+    // SINGLE-WRITER GUARD, retrain side: while the retrain lock exists
+    // a stream batch must fail loudly instead of racing the swap
+    val retrainLock = new org.apache.hadoop.fs.Path(
+      root, "_retrain_inprogress")
+    fs.create(retrainLock, false).close()
+    append("b2.json", Seq(ev("insert", 2, 31, Seq(9.9, 0.1, 0, 0))))
+    val exS = intercept[Exception] { run(stale) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(exS).exists(_.contains("_retrain_inprogress")),
+      s"stream batch must refuse while a retrain holds the lock: " +
+        s"${msgs(exS)}")
+    // a second retrain also refuses on the held lock
+    val exR = intercept[IllegalStateException] {
+      CdcStream.retrainAnnIvf(spark, root, "ivf", "vec_id", "embedding",
+                              k = 3)
+    }
+    assert(exR.getMessage.contains("_retrain_inprogress"))
+    fs.delete(retrainLock, false)
+    run(stale) // drain the failed batch cleanly before the policy runs
+    // the POLICY: planted drift trips the threshold, the retrain swaps
+    // a fresh epoch AND rebuilds the drift monitor against it
+    val newBook = CdcStream.retrainAnnIvfIfDrifted(spark, root, "ivf",
+      "ivf_drift", "vec_id", "embedding", k = 3, maxAvgDist = 0.5,
+      seed = 7L)
+    assert(newBook.isDefined, "planted drift must trigger the retrain")
+    assert(CdcStream.readAnnCodebook(spark, root, "ivf")
+             .map(_.toSet) == newBook.map(_.toSet))
+    // drifted cluster owns its own list again, and the REBUILT monitor
+    // reads epoch-coherent (small distances under the fresh quantizer)
+    val face = CdcStream.readMultiView(spark, root, "ivf").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id"))
+      .toMap
+    assert((21L to 26L).map(face).toSet.size == 1 &&
+             !(1L to 4L).map(face).toSet.contains(face(21L)))
+    val rebuilt = driftFace()
+    assert(rebuilt.values.map(_._1).sum == 15,
+      s"rebuilt drift face must cover the live corpus: $rebuilt")
+    assert(rebuilt.values.forall(_._2 < 0.5),
+      s"the rebuilt monitor must read the NEW epoch's distances: $rebuilt")
+    // re-read through the policy: healthy now — the loop is closed
+    assert(CdcStream.retrainAnnIvfIfDrifted(spark, root, "ivf",
+      "ivf_drift", "vec_id", "embedding", k = 3,
+      maxAvgDist = 0.5).isEmpty,
+      "post-retrain the monitor must read healthy again")
+    // next stream batch: BOTH views constructed from the live codebook
+    // advance; a fresh diagonal vector lands in the retrained list and
+    // the drift face folds it coherently
+    append("b3.json", Seq(ev("insert", 21, 41, Seq(5.0, 5.0, 0, 0))))
+    run(CdcStream.readAnnCodebook(spark, root, "ivf").getOrElse(stale))
+    val face2 = CdcStream.readMultiView(spark, root, "ivf").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id"))
+      .toMap
+    assert(face2(41L) == face2(21L),
+      s"post-retrain stream must assign with the new codebook: $face2")
+    assert(driftFace().values.map(_._1).sum == 16,
+      "the rebuilt drift monitor must keep folding new deltas")
   }
 }
