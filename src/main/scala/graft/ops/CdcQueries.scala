@@ -156,12 +156,28 @@ object CdcQueries {
       graft.dedup.DecontamView.hashedMaintainer("text", "text")
     private val decontamCache =
       new BoundedPinnedCache[MultiView.Result]()(_.release())
+    // BOOTSTRAP ONE-SHOT (round 17): every shared replay below builds
+    // FROM EMPTY, and a from-empty replay is semantically a one-shot
+    // build — stepwise == from-scratch == one-batch is spec'd for every
+    // maintainer (the dedicated view specs keep exercising the stepwise
+    // cuts) — so the session-serving states fold the whole changelog as
+    // ONE window at SESSION shuffle width (batchShufflePartitions = 0
+    // inherits it) instead of three micro-batches at width 8. The
+    // micro-batch replay pays per-batch driver round-trips (capped
+    // collects, lazy-pin materializations, anti-join patches) that
+    // scale with batch COUNT, not corpus size — the r16 attribution's
+    // latency chain. Measured at sf0.1 (StateBuildProbe, solo): the
+    // documents family 32.5s -> one-shot (recorded in SURVEY §2.3);
+    // identical faces, oracle gate unchanged. Incremental maintenance
+    // itself — the steady-state path — is unchanged and still spec'd
+    // stepwise; this is only the from-empty bootstrap shape, the same
+    // fast path maintainTableViewsToParquet takes on its first batch.
     def decontamResult(s: SparkSession, dir: String): MultiView.Result =
       decontamCache.get(s, dir) {
         MultiView.replay(
           ChangelogGen.documentsChangeEvents(s, dir),
           ChangelogGen.benchChangeEvents(s, dir),
-          cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
+          cuts = Seq.empty, batchShufflePartitions = 0,
           lPk = Seq("doc_id"), rPk = Seq("b_id"),
           lJoinCols = Seq("doc_id"),
           maintainers = Seq(decontam, decontamHashed))
@@ -248,14 +264,15 @@ object CdcQueries {
     def tableResult(s: SparkSession, dir: String): TableViews.Result =
       tableCache.get(s, dir) {
         TableViews.replay(ChangelogGen.ordersChangeEvents(s, dir),
-          cuts = Seq(SnapT1, SnapT2), pk = Seq("o_orderkey"),
+          cuts = Seq.empty, batchShufflePartitions = 0,
+          pk = Seq("o_orderkey"),
           maintainers = Seq(topkStatus, distCust, distPrice, momentsPrice,
                             profiler))
       }
     def docsResult(s: SparkSession, dir: String): TableViews.Result =
       docsCache.get(s, dir) {
         TableViews.replay(ChangelogGen.documentsChangeEvents(s, dir),
-          cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
+          cuts = Seq.empty, batchShufflePartitions = 0,
           pk = Seq("doc_id"),
           maintainers = Seq(fpGroups, dedupIdx, langMoments, tokMoments,
                             tokenFreq, qualityStages, bigramFreq, docFreq))
@@ -263,7 +280,7 @@ object CdcQueries {
     def eventsResult(s: SparkSession, dir: String): TableViews.Result =
       eventsCache.get(s, dir) {
         TableViews.replay(ChangelogGen.eventsChangeEvents(s, dir),
-          cuts = Seq(ChangelogGen.EvT1, ChangelogGen.EvT2),
+          cuts = Seq.empty, batchShufflePartitions = 0,
           pk = Seq("event_id"),
           maintainers = Seq(sessions, funnel, transitions, retention,
                             anomaly, sampler))
@@ -310,7 +327,7 @@ object CdcQueries {
         val clusters = graft.dedup.ClusterView.cosineMaintainer(
           "vec_id", "embedding", minCosine = 0.9)
         (TableViews.replay(ChangelogGen.embeddingsChangeEvents(s, dir),
-           cuts = Seq(ChangelogGen.DocT1, ChangelogGen.DocT2),
+           cuts = Seq.empty, batchShufflePartitions = 0,
            pk = Seq("vec_id"),
            maintainers = Seq(ann, sem, clusters, drift)),
          ann, sem, clusters, drift)
@@ -332,7 +349,7 @@ object CdcQueries {
           pks = Seq(Seq("l_orderkey", "l_linenumber"),
                     Seq("o_orderkey"), Seq("c_custkey")),
           fks = Seq(Seq("l_orderkey"), Seq("o_custkey")),
-          cuts = Seq(SnapT1, SnapT2),
+          cuts = Seq.empty, batchShufflePartitions = 0,
           maintainers = Seq(snowAgg))
       }
     def result(s: SparkSession, dir: String): MultiView.Result =
@@ -340,7 +357,7 @@ object CdcQueries {
         MultiView.replay(
           ChangelogGen.ordersChangeEvents(s, dir),
           ChangelogGen.customerChangeEvents(s, dir),
-          cuts = Seq(SnapT1, SnapT2),
+          cuts = Seq.empty, batchShufflePartitions = 0,
           lPk = Seq("o_orderkey"), rPk = Seq("c_custkey"),
           lJoinCols = Seq("o_custkey"),
           maintainers = Seq(topk, leftJoin, agg, distinctCust,
@@ -357,6 +374,28 @@ object CdcQueries {
       val (pairs, groups) = r(m)
       JoinDistinctView.State(r.left, r.right, pairs, groups)
     }
+  }
+
+  /** SQL CATALOG surface over the SESSION's maintained faces: register
+    * every named `cdc_*` face (or the `names` subset) as a temp view, so
+    * a SQL-first consumer reads the whole maintained surface through
+    * plain `spark.sql("SELECT … FROM cdc_token_freq")` — the view's plan
+    * is the served face (pinned state frames after the shared replay
+    * memo builds), never a per-query rebuild. Constructing a face forces
+    * its family's one-time shared replay build, exactly like serving the
+    * named query does; registration itself is lazy. Returns the
+    * registered names. The persisted-root sibling is
+    * [[graft.streaming.CdcStream.registerFaceViews]]. */
+  def registerSqlFaces(s: SparkSession, dir: String,
+                       names: Seq[String] = Seq.empty): Seq[String] = {
+    val picked =
+      if (names.nonEmpty) names
+      else queries.keys.toSeq.filter(_.startsWith("cdc_")).sorted
+    picked.foreach { n =>
+      require(queries.contains(n), s"registerSqlFaces: unknown face '$n'")
+      queries(n)(s, dir).createOrReplaceTempView(n)
+    }
+    picked
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1048,10 +1087,16 @@ object CdcQueries {
     // planted-probe recall). Oracle-exact: DuckDB recomputes each live
     // vector's nearest base-codebook centroid and the same
     // decimal-summed moments.
+    // Served through the SQL CATALOG path end-to-end (verdict #4's
+    // "one oracle query flipped"): the maintained face registers as a
+    // temp view and the served frame is plain spark.sql over it — same
+    // plan (a read of the maintained moments, no rebuild), now
+    // reachable the way a SQL-first consumer would reach it.
     "cdc_ann_drift" -> ((s, dir) => {
       val (r, _, _, _, drift) = SharedJoin.embResult(s, dir)
       graft.similarity.AnnIndexView.driftView(r(drift))
-        .orderBy(col("centroid_id"))
+        .createOrReplaceTempView("cdc_ann_drift")
+      s.sql("SELECT * FROM cdc_ann_drift ORDER BY centroid_id")
     }),
 
     // SEMANTIC-DEDUP INDEX over CDC: the embedding near-dup pair view

@@ -1238,7 +1238,16 @@ object CdcStream {
           // THE shared work per (sub-)batch: one key derivation, one
           // L/R merge. A backlog batch is auto-cut into ts windows so
           // each sub-batch keeps the broadcast delta path.
+          // BOOTSTRAP FAST PATH: a FROM-EMPTY backlog (no prior
+          // generation) is semantically a one-shot build — stepwise ==
+          // from-scratch == one-batch is the spec'd invariant — so the
+          // auto-cuts' per-sub-batch driver round-trips are pure
+          // overhead there; an over-cap key set degrades to the spec'd
+          // distributed fallback, which IS the right plan for a
+          // corpus-sized first batch. Cuts re-engage from the second
+          // batch on (root exists), the steady-state incremental shape.
           val subCuts = maxEventsPerBatch
+            .filter(_ => root.nonEmpty)
             .map(m => MultiView.autoCuts(dl, dr, m))
             .getOrElse(Seq.empty)
           val subWindows = (Long.MinValue +: subCuts) :+ Long.MaxValue
@@ -1386,7 +1395,10 @@ object CdcStream {
                                               pks(0), pks(1), fks(0))
             }
           }
+          // from-empty bootstrap folds as ONE window (see
+          // maintainMultiViewToParquet's rationale)
           val subCuts = maxEventsPerBatch
+            .filter(_ => root.nonEmpty)
             .map(m => MultiView.autoCuts(
               deltas.map(_.select(col("ts"))).reduce(_ unionByName _), m))
             .getOrElse(Seq.empty)
@@ -1805,7 +1817,13 @@ object CdcStream {
     * ([[graft.cdc.MultiView.autoCuts]]) INSIDE the foreachBatch body, so
     * catch-up keeps the |Δ|-bounded broadcast path per sub-batch; the
     * generation swap, marker, and changelog emission still happen once
-    * per streaming batch, so crash semantics are unchanged. */
+    * per streaming batch, so crash semantics are unchanged. EXCEPTION —
+    * the FROM-EMPTY first batch (no prior generation) folds as ONE
+    * window regardless: a bootstrap is semantically a one-shot build
+    * (stepwise == from-scratch is spec'd per maintainer), so cutting it
+    * only multiplies per-sub-batch driver round-trips; the over-cap
+    * distributed fallback is the correct plan for a corpus-sized first
+    * batch. */
   def maintainTableViewsToParquet(envelope: DataFrame, spec: TableSpec,
                                   views: Seq[NamedTableView[_]],
                                   rootPath: String, checkpointPath: String,
@@ -1873,7 +1891,10 @@ object CdcStream {
           // THE shared work per (sub-)batch: one key derivation, one
           // state merge. A backlog batch is auto-cut into ts windows so
           // each sub-batch keeps the broadcast delta path.
+          // from-empty bootstrap folds as ONE window (see
+          // maintainMultiViewToParquet's rationale)
           val subCuts = maxEventsPerBatch
+            .filter(_ => root.nonEmpty)
             .map(m => graft.cdc.MultiView.autoCuts(delta, m))
             .getOrElse(Seq.empty)
           val subWindows = (Long.MinValue +: subCuts) :+ Long.MaxValue
@@ -1917,6 +1938,31 @@ object CdcStream {
         ()
       }
       .start()
+  }
+
+  /** SQL CATALOG surface over PERSISTED maintained faces: register each
+    * view's current face (`<name>__view` of the live generation) as a
+    * session temp view, so the whole maintained surface is reachable
+    * through plain `spark.sql("SELECT … FROM <name>")` — no engine API
+    * in the read path, and the plan is a read of the face file, never a
+    * rebuild or a changelog fold. Complements the [[graft.plans
+    * .GraftExtensions]] function registry (`vec_dot`, the sketch
+    * families) so SQL-first consumers get both the functions AND the
+    * faces.
+    *
+    * Generations are immutable snapshots and the parquet file listing
+    * is captured at registration — RE-REGISTER after every stream drain
+    * or [[retrainAnnIvf]] (the swap replaces the files under the same
+    * path); a long-lived temp view over a swapped-away generation reads
+    * stale or missing files. */
+  def registerFaceViews(spark: SparkSession, rootPath: String,
+                        viewNames: Seq[String]): Unit = {
+    val root = liveGenerationRoot(spark, s"$rootPath/current").getOrElse(
+      throw new IllegalStateException(
+        s"registerFaceViews: no generation at $rootPath/current"))
+    viewNames.foreach { n =>
+      spark.read.parquet(s"$root/${n}__view").createOrReplaceTempView(n)
+    }
   }
 
   /** The live codebook of a persisted [[NamedTableView.annIvf]] view —

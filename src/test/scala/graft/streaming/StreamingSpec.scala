@@ -2076,6 +2076,71 @@ class StreamingSpec extends SparkSpec {
     assert(face().contains(31L))
   }
 
+  test("from-empty bootstrap folds as one window: faces == stepwise run") {
+    // the bootstrap fast path: a from-empty backlog ignores
+    // maxEventsPerBatch and folds as ONE window (a bootstrap is a
+    // one-shot build); every face must still equal the true stepwise
+    // run's, and the SECOND batch (root exists) must fold
+    // incrementally on top with cuts re-engaged
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", LongType))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Long) =
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v}}"""
+    val chunk1 = Seq(
+      ev("insert", 1, 1, "a", 10), ev("insert", 2, 2, "a", 20),
+      ev("insert", 3, 3, "b", 5))
+    val chunk2 = Seq(
+      ev("insert", 11, 4, "b", 7),
+      """{"database":"d","table":"t","type":"update","ts":12,"data":{"id":2,"grp":"a","v":25},"old":{"v":20}}""",
+      ev("delete", 13, 3, "b", 5))
+    val chunk3 = Seq(
+      ev("insert", 21, 5, "c", 1), ev("delete", 22, 1, "a", 10))
+    def views() = Seq(
+      CdcStream.NamedTableView.topK("v_topk", "grp", "v", k = 2),
+      CdcStream.NamedTableView.distinctCount("v_dist", "grp", "v"))
+    def faces(root: String): Map[String, Set[String]] =
+      Seq("v_topk", "v_dist").map(n =>
+        n -> CdcStream.readMultiView(spark, root, n).collect()
+          .map(_.toString).toSet).toMap
+    // A: the WHOLE backlog from empty, maxEventsPerBatch tiny — the
+    // fast path must fold it as one window (and stay correct)
+    val logA = tmpDir("bfa"); val rootA = tmpDir("bfar")
+    val ckA = tmpDir("bfac")
+    Files.write(java.nio.file.Paths.get(logA, "all.json"),
+      ((chunk1 ++ chunk2 ++ chunk3).mkString("\n") + "\n").getBytes("UTF-8"))
+    CdcStream.maintainTableViewsToParquet(
+      CdcStream.fileChangelog(spark, logA), spec, views(), rootA,
+      ckA, maxEventsPerBatch = Some(2)).awaitTermination()
+    // B: true stepwise — three separate stream batches
+    val logB = tmpDir("bfb"); val rootB = tmpDir("bfbr")
+    val ckB = tmpDir("bfbc")
+    Seq(chunk1, chunk2, chunk3).zipWithIndex.foreach { case (c, i) =>
+      Files.write(java.nio.file.Paths.get(logB, s"b$i.json"),
+        (c.mkString("\n") + "\n").getBytes("UTF-8"))
+      CdcStream.maintainTableViewsToParquet(
+        CdcStream.fileChangelog(spark, logB), spec, views(), rootB,
+        ckB).awaitTermination()
+    }
+    assert(faces(rootA) == faces(rootB),
+      s"bootstrap one-window faces diverge from stepwise:\n" +
+        s"${faces(rootA)}\nvs\n${faces(rootB)}")
+    // second batch on A folds incrementally (cuts re-engage; semantics
+    // unchanged either way)
+    Files.write(java.nio.file.Paths.get(logA, "more.json"),
+      (Seq(ev("insert", 31, 6, "a", 99), ev("delete", 32, 5, "c", 1))
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    CdcStream.maintainTableViewsToParquet(
+      CdcStream.fileChangelog(spark, logA), spec, views(), rootA,
+      ckA, maxEventsPerBatch = Some(2)).awaitTermination()
+    val distA = CdcStream.readMultiView(spark, rootA, "v_dist").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(distA == Map("a" -> 2L, "b" -> 1L),
+      s"post-bootstrap incremental fold wrong: $distA")
+  }
+
   test("retrain crash window: pending marker heals before anything folds") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec
