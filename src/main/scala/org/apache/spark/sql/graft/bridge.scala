@@ -77,6 +77,23 @@ object bridge {
     }.foreach(walk(_, 0))
   }
 
+  /** True when the frame is STATICALLY known empty — an empty
+    * LocalRelation, or a LogicalRDD over a zero-partition RDD (the
+    * `createDataFrame(emptyRDD)` schema seeds every replay's batch-1
+    * states are built from). Fold steps use it to skip the touched-key
+    * collect and the anti/semi patch joins on a FROM-EMPTY (bootstrap)
+    * batch. Purely a plan shortcut: a non-empty or undecidable frame
+    * returns false and the general path runs; a true return never
+    * changes semantics, only the plan. */
+  def staticallyEmpty(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.isEmpty
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.partitions.isEmpty
+      case _ => false
+    }
+
   /** Install graft's SQL functions + optimizer rule into an EXISTING
     * session (extensions only apply at session build time). The
     * function table lives in `graft.plans.GraftFunctions`, shared with
