@@ -263,4 +263,45 @@ class PairStateAggSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 1L), s"got $got")
   }
+
+  test("statically-empty detection and the bootstrap fold shortcut") {
+    import org.apache.spark.sql.graft.bridge
+    val ev = evDf(
+      ins(1, 1, "a", 4.0), ins(2, 2, "a", 7.0), ins(3, 3, "b", 7.0),
+      del(4, 2, "a", 7.0))
+    // the replay's schema seeds ARE statically empty; a filtered-empty
+    // frame is NOT (emptiness only provable by running it); data is not
+    val seedRdd = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ev.schema)
+    assert(bridge.staticallyEmpty(seedRdd),
+      "zero-partition LogicalRDD seed must be statically empty")
+    assert(bridge.staticallyEmpty(spark.createDataFrame(
+             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+             ev.schema)),
+      "empty LocalRelation must be statically empty")
+    assert(!bridge.staticallyEmpty(ev), "data frames are not")
+    assert(!bridge.staticallyEmpty(ev.filter(lit(false))),
+      "runtime-empty plans must NOT be treated as statically empty")
+    // shortcut == general path on the same inputs: fold the same batch
+    // into (a) the statically-empty seed (shortcut fires) and (b) a
+    // runtime-empty but NOT statically-empty state (general path) —
+    // identical pairs, groups, and column order
+    val stSeed = IncrementalAgg.emptyDistinctState(ev, "grp", "v")
+    assert(bridge.staticallyEmpty(stSeed.pairs))
+    val stGeneral = IncrementalAgg.DistinctState(
+      stSeed.pairs.filter(lit(true)).filter(col("net") =!= Long.MinValue),
+      stSeed.groups.filter(lit(true))
+        .filter(col("n_rows") =!= Long.MinValue))
+    assert(!bridge.staticallyEmpty(stGeneral.pairs))
+    val a = IncrementalAgg.distinctCountBatch(stSeed, ev, "grp", "v")
+    val b = IncrementalAgg.distinctCountBatch(stGeneral, ev, "grp", "v")
+    assert(a.pairs.columns.toSeq == b.pairs.columns.toSeq)
+    assert(a.groups.columns.toSeq == b.groups.columns.toSeq)
+    assert(a.pairs.collect().map(_.toString).sorted.toSeq ==
+             b.pairs.collect().map(_.toString).sorted.toSeq,
+      "bootstrap fold shortcut diverges from the general path (pairs)")
+    assert(a.groups.collect().map(_.toString).sorted.toSeq ==
+             b.groups.collect().map(_.toString).sorted.toSeq,
+      "bootstrap fold shortcut diverges from the general path (groups)")
+  }
 }
