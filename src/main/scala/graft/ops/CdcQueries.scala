@@ -391,10 +391,13 @@ object CdcQueries {
     val picked =
       if (names.nonEmpty) names
       else queries.keys.toSeq.filter(_.startsWith("cdc_")).sorted
-    picked.foreach { n =>
-      require(queries.contains(n), s"registerSqlFaces: unknown face '$n'")
-      queries(n)(s, dir).createOrReplaceTempView(n)
-    }
+    // validate EVERY name before registering ANY — a typo mid-list must
+    // not leave the session partially registered (with the earlier
+    // names' replay families already force-built)
+    val unknown = picked.filterNot(queries.contains)
+    require(unknown.isEmpty,
+      s"registerSqlFaces: unknown face(s) ${unknown.mkString(", ")}")
+    picked.foreach(n => queries(n)(s, dir).createOrReplaceTempView(n))
     picked
   }
 

@@ -92,6 +92,13 @@ object CdcStream {
     // a batch whose state was never promoted
     def must(ok: Boolean, what: String): Unit =
       if (!ok) throw new java.io.IOException(s"generation swap failed: $what")
+    // a writer that died MID-writeTmp leaves a partial tmp directory;
+    // the next writer must start from a clean slate — stale files (a
+    // half-written state, an old applied marker, a crashed retrain's
+    // pending marker) would otherwise silently ride into the promoted
+    // generation alongside the fresh writes
+    if (fs.exists(tmp))
+      must(fs.delete(tmp, true), s"clear stale $tmp")
     writeTmp(tmp.toString)
     if (fs.exists(dst)) {
       if (fs.exists(old))
@@ -363,6 +370,11 @@ object CdcStream {
     * directories removed. */
   def compactViewChanges(spark: SparkSession, rootPath: String,
                          upTo: Long): Int = {
+    // a crashed retrain's pending snapshot must install BEFORE anything
+    // folds this log — compacting over the old-epoch horizon delta
+    // would bake it into a snapshot that permanently shadows the
+    // retrained face (see [[healRetrainPendingFor]])
+    healRetrainPendingFor(spark, rootPath)
     val chDir = s"$rootPath/changes"
     val fs = new org.apache.hadoop.fs.Path(chDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -395,13 +407,8 @@ object CdcStream {
       } else if (fs.exists(path(s"$dst/_snapshot"))) {
         fs.delete(path(side), true)
       } else {
-        if (!fs.exists(path(s"$side/_snapshot")))
-          fs.create(path(s"$side/_snapshot")).close()
-        if (fs.exists(path(dst)))
-          require(fs.delete(path(dst), true),
-            s"compactViewChanges: self-heal could not remove $dst")
-        require(fs.rename(path(side), path(dst)),
-          s"compactViewChanges: self-heal rename $side -> $dst failed")
+        installSnapshotSide(fs, path(side), path(dst),
+                            "compactViewChanges: self-heal")
       }
     } else {
       val ids = committedBatchIds(spark, rootPath)
@@ -413,10 +420,8 @@ object CdcStream {
       // the whole swap and died mid-prune — nothing to fold, just prune
       if (!fs.exists(path(s"$dst/_snapshot"))) {
         writeSnapshotSide(spark, rootPath, upTo)
-        require(fs.delete(path(dst), true),
-          s"compactViewChanges: could not remove $dst for the swap")
-        require(fs.rename(path(side), path(dst)),
-          s"compactViewChanges: rename $side -> $dst failed")
+        installSnapshotSide(fs, path(side), path(dst),
+                            "compactViewChanges")
       }
     }
     // drop the folded prefix (idempotent across re-runs)
@@ -436,30 +441,42 @@ object CdcStream {
     * file count is free. */
   private[streaming] def writeSnapshotSide(spark: SparkSession,
                                            rootPath: String,
-                                           upTo: Long): Unit = {
-    val chDir = s"$rootPath/changes"
-    val fs = new org.apache.hadoop.fs.Path(chDir)
+                                           upTo: Long): Unit =
+    // the face as of the horizon, folded BEFORE any file is touched
+    writeFaceSnapshotSide(spark, rootPath,
+      viewAsOfBatch(spark, rootPath, upTo), upTo,
+      s"$rootPath/changes/compact_tmp_$upTo")
+
+  /** Write `face` to `side` as a committed all-insert SNAPSHOT side
+    * directory for horizon batch `h` — key-partitioned across tasks
+    * (face-sized, never one task), forced `_SUCCESS`, plus the
+    * `_snapshot` marker. The ONE snapshot-commit writer shared by
+    * [[writeSnapshotSide]] (face = the changelog fold) and
+    * [[retrainAnnIvf]] (face = the rebuilt index/monitor), so the
+    * commit-marker discipline cannot drift between them;
+    * [[installSnapshotSide]] is the matching finish half. */
+  private def writeFaceSnapshotSide(spark: SparkSession, rootPath: String,
+                                    face: DataFrame, h: Long,
+                                    side: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(side)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
-    val side = s"$chDir/compact_tmp_$upTo"
-    // the face as of the horizon, folded BEFORE any file is touched
-    val face = viewAsOfBatch(spark, rootPath, upTo)
-    val keys = face.columns.toSeq
-    val afterType = readViewChanges(spark, rootPath, Seq(upTo))
-      .schema("after").dataType
-    val keyCols = readViewChanges(spark, rootPath, Seq(upTo))
-      .columns.filterNot(Set("op", "before", "after", "batch")).toSeq
+    val sample = readViewChanges(spark, rootPath, Seq(h))
+    val afterType = sample.schema("after").dataType
+    val keyCols = sample.columns
+      .filterNot(Set("op", "before", "after", "batch")).toSeq
+    val faceCols = face.columns.toSeq
     val snapshot = face.select(
       keyCols.map(col) ++ Seq(
         lit("insert").as("op"),
         lit(null).cast(afterType).as("before"),
-        struct(keys.map(col): _*).cast(afterType).as("after")): _*)
+        struct(faceCols.map(col): _*).cast(afterType).as("after")): _*)
     snapshot.repartition(keyCols.map(col): _*).write.mode("overwrite")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
       .parquet(side)
     fs.create(path(s"$side/_snapshot")).close()
     require(fs.exists(path(s"$side/_SUCCESS")),
-      s"compactViewChanges: side write at $side lost its _SUCCESS marker")
+      s"snapshot side write at $side lost its _SUCCESS marker")
   }
 
   /** TIME TRAVEL over the emitted changelog: reconstruct the maintained
@@ -470,6 +487,11 @@ object CdcStream {
     * rollup (`max_by` partial agg, no window). */
   def viewAsOfBatch(spark: SparkSession, rootPath: String,
                     upTo: Long): DataFrame = {
+    // consumer-side heal: a crashed retrain's pending snapshot installs
+    // before the fold reads the log (see [[healRetrainPendingFor]]) —
+    // without it this fold would silently consume the old-epoch
+    // horizon delta while the generation serves the retrained face
+    healRetrainPendingFor(spark, rootPath)
     // CONTINUITY GUARDS (mirror of [[applyViewChangesToJdbc]]'s): the
     // fold starts from EMPTY — or from the newest SNAPSHOT batch at or
     // before `upTo` ([[compactViewChanges]]), which IS the complete
@@ -1665,7 +1687,30 @@ object CdcStream {
       NamedTableView(name,
         graft.similarity.AnnIndexView.driftMaintainer(idCol, vecCol,
                                                       centroids),
-        Seq("moments"), st => Map("moments" -> st), m => m("moments"),
+        Seq("moments", "codebook"),
+        st => Map("moments" -> st,
+                  "codebook" -> graft.similarity.AnnIndexView
+                    .centroidDf(st.sparkSession, centroids)),
+        m => {
+          // same ENFORCED epoch-coherence contract as [[annIvf]]: the
+          // moments are distances to the persisted codebook's
+          // centroids; folding new deltas measured against different
+          // constructor centroids would silently mix epochs in the
+          // monitor (spurious or missed retrains). One C-bounded
+          // collect per restore.
+          val persisted = graft.similarity.AnnIndexView
+            .localCentroids(m("codebook")).sortBy(_._1)
+          val mine = centroids.sortBy(_._1)
+          if (persisted != mine)
+            throw new IllegalStateException(
+              s"view '$name': the persisted generation's codebook " +
+                s"(${persisted.size} centroids) differs from this drift " +
+                s"monitor's constructor centroids (${mine.size}) — the " +
+                s"index was retrained (CdcStream.retrainAnnIvf). " +
+                s"Construct the monitor from the LIVE codebook: " +
+                s"CdcStream.readAnnCodebook(spark, rootPath, \"$name\")")
+          m("moments")
+        },
         st => graft.similarity.AnnIndexView.driftView(st),
         Seq("centroid_id"))
     /** Incrementally maintained embedding near-dup (semantic) index —
@@ -2130,33 +2175,13 @@ object CdcStream {
         committedBatchIds(spark, s"$rootPath/$dn").lastOption
           .map(h => (dn, h))
       }
-      // (1) durable sides FIRST — writeSnapshotSide's writer shape:
-      // key-partitioned (face-sized, never one task), forced _SUCCESS,
-      // plus the _snapshot marker; nothing live is touched yet
-      def writeSide(vr: String, face: DataFrame, h: Long): Unit = {
-        val sample = readViewChanges(spark, vr, Seq(h))
-        val afterType = sample.schema("after").dataType
-        val keyCols = sample.columns
-          .filterNot(Set("op", "before", "after", "batch")).toSeq
-        val faceCols = face.columns.toSeq
-        val snapshot = face.select(
-          keyCols.map(col) ++ Seq(
-            lit("insert").as("op"),
-            lit(null).cast(afterType).as("before"),
-            struct(faceCols.map(col): _*).cast(afterType).as("after")): _*)
-        val side = s"$vr/changes/retrain_tmp_$h"
-        snapshot.repartition(keyCols.map(col): _*).write.mode("overwrite")
-          .option("mapreduce.fileoutputcommitter.marksuccessfuljobs",
-                  "true")
-          .parquet(side)
-        def sideP(n: String) = new org.apache.hadoop.fs.Path(side, n)
-        fsRoot.create(sideP("_snapshot")).close()
-        require(fsRoot.exists(sideP("_SUCCESS")),
-          s"retrainAnnIvf: side snapshot at $side lost its _SUCCESS marker")
-      }
-      horizon.foreach(h => writeSide(vroot, assigned, h))
+      // (1) durable sides FIRST ([[writeFaceSnapshotSide]] — the shared
+      // snapshot-commit writer); nothing live is touched yet
+      horizon.foreach(h => writeFaceSnapshotSide(spark, vroot, assigned,
+        h, s"$vroot/changes/retrain_tmp_$h"))
       driftHorizon.foreach { case (dn, h) =>
-        writeSide(s"$rootPath/$dn", driftRebuilt.get._3, h)
+        writeFaceSnapshotSide(spark, s"$rootPath/$dn", driftRebuilt.get._3,
+          h, s"$rootPath/$dn/changes/retrain_tmp_$h")
       }
       // (2) promote the retrained generation, carrying the pending
       // markers that name the not-yet-installed snapshots
@@ -2166,7 +2191,8 @@ object CdcStream {
         val skip = Set(s"${name}__assigned", s"${name}__codebook",
                        s"${name}__view") ++
           driftRebuilt.map(_._1).toSet
-            .flatMap((d: String) => Set(s"${d}__moments", s"${d}__view"))
+            .flatMap((d: String) => Set(s"${d}__moments", s"${d}__view",
+                                        s"${d}__codebook"))
         val tmpP = new org.apache.hadoop.fs.Path(tmp)
         fs.mkdirs(tmpP)
         // driver-side O(files) sibling copy: fine for a per-epoch
@@ -2186,6 +2212,8 @@ object CdcStream {
         assigned.write.mode("overwrite").parquet(s"$tmp/${name}__view")
         driftRebuilt.foreach { case (dn, st, faceDf) =>
           st.write.mode("overwrite").parquet(s"$tmp/${dn}__moments")
+          AnnIndexView.centroidDf(spark, codebook)
+            .write.mode("overwrite").parquet(s"$tmp/${dn}__codebook")
           faceDf.write.mode("overwrite").parquet(s"$tmp/${dn}__view")
         }
         horizon.foreach { h =>
@@ -2221,38 +2249,69 @@ object CdcStream {
     * window where the generation serves a retrained face while the
     * changelog still holds the old-epoch horizon delta can never be
     * consumed silently. */
-  def healRetrainPending(spark: SparkSession, rootPath: String): Int = {
+  def healRetrainPending(spark: SparkSession, rootPath: String,
+                         viewName: Option[String] = None): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     liveGenerationRoot(spark, s"$rootPath/current").map { r =>
       val rootP = new org.apache.hadoop.fs.Path(r)
       val fs = rootP.getFileSystem(conf)
       val pending = fs.listStatus(rootP).toSeq
         .map(_.getPath.getName).filter(_.contains("__retrain_pending_"))
+        .filter(mk => viewName.forall(v =>
+          mk.startsWith(s"${v}__retrain_pending_")))
       pending.foreach { mk =>
-        val Array(viewName, hStr) = mk.split("__retrain_pending_", 2)
+        val Array(vn, hStr) = mk.split("__retrain_pending_", 2)
         val h = hStr.toLong
         val side = new org.apache.hadoop.fs.Path(
-          s"$rootPath/$viewName/changes/retrain_tmp_$h")
+          s"$rootPath/$vn/changes/retrain_tmp_$h")
         val dst = new org.apache.hadoop.fs.Path(
-          s"$rootPath/$viewName/changes/batch=$h")
-        def in(p: org.apache.hadoop.fs.Path, n: String) =
-          new org.apache.hadoop.fs.Path(p, n)
-        if (fs.exists(in(side, "_SUCCESS"))) {
-          if (!fs.exists(in(side, "_snapshot")))
-            fs.create(in(side, "_snapshot")).close()
-          if (fs.exists(dst))
-            require(fs.delete(dst, true),
-              s"healRetrainPending: could not remove $dst for the swap")
-          require(fs.rename(side, dst),
-            s"healRetrainPending: rename $side -> $dst failed")
-        } else require(fs.exists(in(dst, "_snapshot")),
+          s"$rootPath/$vn/changes/batch=$h")
+        if (fs.exists(new org.apache.hadoop.fs.Path(side, "_SUCCESS")))
+          installSnapshotSide(fs, side, dst, "healRetrainPending")
+        else require(fs.exists(
+            new org.apache.hadoop.fs.Path(dst, "_snapshot")),
           s"healRetrainPending: marker $mk names horizon $h but neither " +
             s"a committed side copy nor an installed snapshot exists — " +
             s"torn state; re-run retrainAnnIvf to rebuild the epoch")
-        fs.delete(in(rootP, mk), false)
+        fs.delete(new org.apache.hadoop.fs.Path(rootP, mk), false)
       }
       pending.size
     }.getOrElse(0)
+  }
+
+  /** [[healRetrainPending]] scoped to ONE view's changelog root, called
+    * by every changelog CONSUMER surface ([[viewAsOfBatch]],
+    * [[compactViewChanges]], [[applyViewChangesToJdbc]]) before it
+    * touches the log — so a crashed retrain's pending snapshot can
+    * never be consumed in its old-epoch shape no matter which surface
+    * reaches the log first (a compaction would otherwise BAKE the
+    * old-epoch horizon delta into a later snapshot that permanently
+    * shadows the retrained face). Derives the generation root from the
+    * fan-out layout (`<tableRoot>/<view>` beside `<tableRoot>/current`);
+    * a root not under that layout has no marker and no-ops. */
+  private def healRetrainPendingFor(spark: SparkSession,
+                                    viewRoot: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(viewRoot)
+    Option(p.getParent).foreach { parent =>
+      healRetrainPending(spark, parent.toString, Some(p.getName))
+    }
+  }
+
+  /** Finish a snapshot swap: ensure the side's `_snapshot` marker,
+    * clear `dst`, rename the side into place — the ONE install protocol
+    * shared by [[compactViewChanges]]'s normal and self-heal branches
+    * and [[healRetrainPending]], so the commit-marker discipline cannot
+    * drift between them. */
+  private def installSnapshotSide(fs: org.apache.hadoop.fs.FileSystem,
+                                  side: org.apache.hadoop.fs.Path,
+                                  dst: org.apache.hadoop.fs.Path,
+                                  who: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(side, "_snapshot")
+    if (!fs.exists(marker)) fs.create(marker).close()
+    if (fs.exists(dst))
+      require(fs.delete(dst, true),
+        s"$who: could not remove $dst for the swap")
+    require(fs.rename(side, dst), s"$who: rename $side -> $dst failed")
   }
 
   /** Close the monitor→refresh loop: read the maintained drift face
@@ -2612,6 +2671,10 @@ object CdcStream {
       props: java.util.Properties = new java.util.Properties()): Long = {
     import org.apache.spark.sql.types.{StructType, StringType}
     validSqlIdentifier(table)
+    // consumer-side heal (see [[healRetrainPendingFor]]): the mirror
+    // must never apply an old-epoch horizon delta a crashed retrain
+    // left behind
+    healRetrainPendingFor(spark, rootPath)
     val progress = table + "__progress"
     val appliedUpTo: Long =
       if (!jdbcTableExists(url, progress, props)) -1L

@@ -47,6 +47,17 @@ class SqlCatalogSpec extends SparkSpec {
     assert(joined.count() > 0, "cross-face SQL must compose")
   }
 
+  test("registerSqlFaces is all-or-nothing on an unknown name") {
+    // a typo mid-list must not leave the session partially registered
+    // (with the earlier names' replay families already force-built)
+    intercept[IllegalArgumentException] {
+      graft.ops.CdcQueries.registerSqlFaces(
+        spark, sfDir, Seq("cdc_mix_weights", "cdc_nope"))
+    }
+    assert(!spark.catalog.tableExists("cdc_mix_weights"),
+      "a failed registration must register nothing")
+  }
+
   test("persisted faces register as temp views and read the face files") {
     import org.apache.spark.sql.types._
     import graft.cdc.TableSpec

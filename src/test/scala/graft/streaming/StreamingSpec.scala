@@ -2180,35 +2180,95 @@ class StreamingSpec extends SparkSpec {
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/current"))
         .toSeq.map(_.getPath.getName)
         .filter(_.contains("__retrain_pending_"))
+    def face(): Map[Long, Long] =
+      CdcStream.readMultiView(spark, root, "ivf").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id"))
+        .toMap
+    def folded(): Map[Long, Long] =
+      CdcStream.viewAsOfBatch(spark, s"$root/ivf", Long.MaxValue)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+                              r.getAs[Long]("centroid_id")).toMap
     assert(pendingMarkers().nonEmpty,
       "the crash window must leave the retrain-pending marker behind " +
         "(red if the marker write is deleted)")
-    // the window is REAL: without the heal, the fold would consume the
-    // old-epoch delta against the retrained generation silently
-    val face0 = CdcStream.readMultiView(spark, root, "ivf").collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id"))
-      .toMap
-    val foldedStale = CdcStream.viewAsOfBatch(spark, s"$root/ivf",
-                                              Long.MaxValue)
-      .collect().map(r => r.getAs[Long]("vec_id") ->
-                            r.getAs[Long]("centroid_id")).toMap
-    assert(foldedStale != face0,
-      "precondition: the un-healed fold really is the old epoch")
-    // the next stream batch heals BEFORE folding: marker gone, the
-    // snapshot installed from the committed side, fold == face
+    // the window is REAL: the changelog horizon still holds the
+    // old-epoch DELTA (no snapshot marker) while the generation serves
+    // the retrained face
+    val horizon = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/ivf/changes"))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).max
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/ivf/changes/batch=$horizon/_snapshot")),
+      "precondition: the horizon batch is still the old-epoch delta")
+    // COMPACTION is a consumer too — run it straight into the crash
+    // window (the operator-compaction scenario): it must heal FIRST,
+    // never bake the old-epoch delta into a snapshot that would
+    // permanently shadow the retrained face
+    CdcStream.compactViewChanges(spark, s"$root/ivf", horizon)
+    assert(pendingMarkers().isEmpty,
+      "compaction must install the pending retrain snapshot, not fold " +
+        "over it")
+    assert(folded() == face(),
+      "post-compaction fold must equal the retrained face")
+    // second epoch: grow the corpus, crash another retrain in the same
+    // window, and let the FOLD surface heal it (viewAsOfBatch)
     append("b2.json", Seq(ev("insert", 11, 21, Seq(0.0, 9.9))))
     run(CdcStream.readAnnCodebook(spark, root, "ivf").getOrElse(stale))
+    intercept[IllegalStateException] {
+      CdcStream.retrainAnnIvfImpl(spark, root, "ivf", "vec_id",
+        "embedding", k = 3, seed = 8L, driftName = None,
+        failBeforeFinish = true)
+    }
+    assert(pendingMarkers().nonEmpty)
+    val healedFold = folded() // the read self-heals before folding
     assert(pendingMarkers().isEmpty,
-      "the stream batch must heal the pending retrain before folding")
-    val face1 = CdcStream.readMultiView(spark, root, "ivf").collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id"))
-      .toMap
-    val folded1 = CdcStream.viewAsOfBatch(spark, s"$root/ivf",
-                                          Long.MaxValue)
-      .collect().map(r => r.getAs[Long]("vec_id") ->
-                            r.getAs[Long]("centroid_id")).toMap
-    assert(folded1 == face1,
+      "viewAsOfBatch must heal the pending retrain before folding")
+    assert(healedFold == face(),
       "healed changelog fold must equal the retrained face")
+    assert(healedFold.contains(21L))
+    // and the stream continues cleanly on top of the healed log
+    append("b3.json", Seq(ev("insert", 21, 22, Seq(9.9, 0.1))))
+    run(CdcStream.readAnnCodebook(spark, root, "ivf").getOrElse(stale))
+    assert(folded() == face(), "fold != face after the post-heal batch")
+  }
+
+  test("a stale generation tmp never leaks files into the next swap") {
+    // a writer that dies MID-writeTmp leaves current.tmp behind; the
+    // next swap must clear it — stale files (an old applied marker, a
+    // crashed retrain's pending marker) must not ride into the
+    // promoted generation (red if swapGeneration's stale-tmp delete is
+    // removed)
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("stlog")
+    val root = tmpDir("ststate")
+    val ckpt = tmpDir("stckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    def ev(ts: Long, id: Long, v: Long) =
+      s"""{"database":"d","table":"t","type":"insert","ts":$ts,"data":{"id":$id,"v":$v}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(): Unit = CdcStream.maintainTableViewsToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      Seq(CdcStream.NamedTableView.distinctCount("v_d", "id", "v")),
+      root, ckpt).awaitTermination()
+    append("b1.json", Seq(ev(1, 1, 10)))
+    run()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val phantom = new org.apache.hadoop.fs.Path(
+      s"$root/current.tmp/v_d__retrain_pending_99")
+    fs.mkdirs(phantom.getParent)
+    fs.create(phantom, true).close()
+    append("b2.json", Seq(ev(2, 2, 20)))
+    run()
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/current/v_d__retrain_pending_99")),
+      "stale tmp contents leaked into the promoted generation")
+    assert(CdcStream.readMultiView(spark, root, "v_d").count() == 2)
   }
 
   test("drift-gated retrain policy + single-writer guard") {
@@ -2313,10 +2373,24 @@ class StreamingSpec extends SparkSpec {
       "ivf_drift", "vec_id", "embedding", k = 3,
       maxAvgDist = 0.5).isEmpty,
       "post-retrain the monitor must read healthy again")
+    // a restart with the STALE constructor centroids must refuse for
+    // the DRIFT monitor too (it persists its own codebook now): folding
+    // new deltas measured against old centroids into the rebuilt
+    // moments would silently epoch-mix the monitor
+    append("b3.json", Seq(ev("insert", 21, 41, Seq(5.0, 5.0, 0, 0))))
+    val exD = intercept[Exception] {
+      CdcStream.maintainTableViewsToParquet(
+        CdcStream.fileChangelog(spark, logDir), spec,
+        Seq(CdcStream.NamedTableView.annDrift("ivf_drift", "vec_id",
+                                              "embedding", stale)),
+        root, ckpt).awaitTermination()
+    }
+    assert(msgs(exD).exists(m => m.contains("readAnnCodebook") &&
+                                 m.contains("drift")),
+      s"stale-codebook drift restart must refuse: ${msgs(exD)}")
     // next stream batch: BOTH views constructed from the live codebook
     // advance; a fresh diagonal vector lands in the retrained list and
     // the drift face folds it coherently
-    append("b3.json", Seq(ev("insert", 21, 41, Seq(5.0, 5.0, 0, 0))))
     run(CdcStream.readAnnCodebook(spark, root, "ivf").getOrElse(stale))
     val face2 = CdcStream.readMultiView(spark, root, "ivf").collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id"))
