@@ -385,7 +385,18 @@ object CdcQueries {
     * its family's one-time shared replay build, exactly like serving the
     * named query does; registration itself is lazy. Returns the
     * registered names. The persisted-root sibling is
-    * [[graft.streaming.CdcStream.registerFaceViews]]. */
+    * [[graft.streaming.CdcStream.registerFaceViews]].
+    *
+    * STALENESS HAZARD (the registerFaceViews note's session-side twin):
+    * the registered plans read pinned state frames owned by the shared
+    * replay memo's [[BoundedPinnedCache]]. If cache pressure EVICTS a
+    * registered family (release() unpersists its frames), a SQL read
+    * through the still-registered view recomputes from a released
+    * checkpoint — failing or silently repaying the replay cost.
+    * Re-register after any eviction (re-serving the named query
+    * re-pins and re-binds the view), or size the cache bound so
+    * registered families stay resident ([[PinnedBoundProbe]] measures
+    * the estate). */
   def registerSqlFaces(s: SparkSession, dir: String,
                        names: Seq[String] = Seq.empty): Seq[String] = {
     val picked =
@@ -399,6 +410,24 @@ object CdcQueries {
       s"registerSqlFaces: unknown face(s) ${unknown.mkString(", ")}")
     picked.foreach(n => queries(n)(s, dir).createOrReplaceTempView(n))
     picked
+  }
+
+  /** Serve a maintained face through the SQL CATALOG path: register the
+    * face frame under a PRIVATE internal view name, build the served
+    * frame with plain `spark.sql`, and drop the view — so the default
+    * serve shape for simple maintained faces is the same road a
+    * SQL-first consumer takes ([[registerSqlFaces]] binds the public
+    * names), the served plan is still a read of the maintained state
+    * (the registered frame IS the pinned face; SQL adds only the final
+    * projection/aggregation), and serving leaves no catalog footprint
+    * (a consumer's own temp view of the query's name is never
+    * clobbered). */
+  private def serveSql(s: SparkSession, face: DataFrame, name: String)
+                      (sqlFor: String => String): DataFrame = {
+    val internal = s"graft_internal_${name}_serve"
+    face.createOrReplaceTempView(internal)
+    try s.sql(sqlFor(internal))
+    finally s.catalog.dropTempView(internal)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -424,16 +453,17 @@ object CdcQueries {
     // from changelog deltas alone — the base table is never re-read.
     // Deltas cast to decimal so the incremental sum is order-independent
     // and EXACTLY equals a recompute (no float-rounding boundary risk).
+    // Served through the SQL catalog path (serveSql): the maintained
+    // sums register as a view, the final projection is plain SQL.
     "cdc_incr_agg" -> ((s, dir) =>
-      graft.cdc.IncrementalAgg.sumCount(
+      serveSql(s, graft.cdc.IncrementalAgg.sumCount(
           ChangelogGen.ordersChangeEvents(s, dir),
           groupCol = "o_orderstatus", valueCol = "o_totalprice",
-          valueCast = _.cast("decimal(25,10)"))
-        .select(col("o_orderstatus"),
-                round(col("sum_o_totalprice"), 2).cast("double")
-                  .as("total_price"),
-                col("n_rows"))
-        .orderBy(col("o_orderstatus"))),
+          valueCast = _.cast("decimal(25,10)")), "cdc_incr_agg")(v =>
+        s"""SELECT o_orderstatus,
+           |  CAST(round(sum_o_totalprice, 2) AS DOUBLE) AS total_price,
+           |  n_rows
+           |FROM $v ORDER BY o_orderstatus""".stripMargin)),
 
     // Update events expose partial `before` (quirk Q3): the only non-null
     // column of `before` is the changed one. Verify its value relation.
@@ -557,12 +587,15 @@ object CdcQueries {
     // status from changelog deltas alone — the aggregate sketches cannot
     // maintain under deletes (HLL is not subtractable); exact via net
     // per-(group, value) multiplicities (see IncrementalAgg.distinctCount).
+    // SQL catalog serve path (serveSql) — the face view is the
+    // maintained pair-state read; SQL is only the rename + order.
     "cdc_distinct_view" -> ((s, dir) =>
-      graft.cdc.IncrementalAgg.distinctCountView(
+      serveSql(s, graft.cdc.IncrementalAgg.distinctCountView(
           SharedJoin.tableResult(s, dir)(SharedJoin.distCust),
-          groupCol = "o_orderstatus", valueCol = "o_custkey")
-        .withColumnRenamed("n_distinct_o_custkey", "n_cust")
-        .orderBy(col("o_orderstatus"))),
+          groupCol = "o_orderstatus", valueCol = "o_custkey"),
+        "cdc_distinct_view")(v =>
+        s"""SELECT o_orderstatus, n_distinct_o_custkey AS n_cust
+           |FROM $v ORDER BY o_orderstatus""".stripMargin)),
 
     // Incremental AVG/VARIANCE maintenance: moments (sum, sum of
     // squares, count) are SUBTRACTABLE, so mean and population variance
@@ -576,18 +609,21 @@ object CdcQueries {
     // wide enough to force int128; the product then clamps to
     // DECIMAL(38,16) — the same exact rational as Spark's scale-16
     // square of the scale-8 cast.)
-    "cdc_avg_view" -> ((s, dir) => {
-      val m = graft.cdc.IncrementalAgg.momentsView(
-        SharedJoin.tableResult(s, dir)(SharedJoin.momentsPrice))
-      val s1 = col("sum_o_totalprice").cast("double")
-      val s2 = col("sumsq_o_totalprice").cast("double")
-      val n = col("n_rows")
-      m.select(col("o_orderstatus"),
-               round(s1 / n, 4).as("avg_price"),
-               round(s2 / n - (s1 / n) * (s1 / n), 4).as("var_price"),
-               n)
-        .orderBy(col("o_orderstatus"))
-    }),
+    // SQL catalog serve path (serveSql): the term-by-term formula moves
+    // to SQL VERBATIM (same Catalyst expressions, IEEE-identical).
+    "cdc_avg_view" -> ((s, dir) =>
+      serveSql(s, graft.cdc.IncrementalAgg.momentsView(
+          SharedJoin.tableResult(s, dir)(SharedJoin.momentsPrice)),
+        "cdc_avg_view")(v =>
+        s"""SELECT o_orderstatus,
+           |  round(CAST(sum_o_totalprice AS DOUBLE) / n_rows, 4)
+           |    AS avg_price,
+           |  round(CAST(sumsq_o_totalprice AS DOUBLE) / n_rows
+           |        - (CAST(sum_o_totalprice AS DOUBLE) / n_rows)
+           |          * (CAST(sum_o_totalprice AS DOUBLE) / n_rows), 4)
+           |    AS var_price,
+           |  n_rows
+           |FROM $v ORDER BY o_orderstatus""".stripMargin)),
 
     // Incremental MIN/MAX maintenance: price bounds per status from
     // changelog deltas alone. Min/max are non-subtractable (deleting the
@@ -596,14 +632,16 @@ object CdcQueries {
     // count-distinct — a delete drops its pair and the runner-up value is
     // simply the new bound (see IncrementalAgg.minMax). Completes the
     // non-subtractable family: sum/count, distinct, top-k, min/max.
+    // SQL catalog serve path (serveSql).
     "cdc_minmax_view" -> ((s, dir) =>
-      graft.cdc.IncrementalAgg.minMaxView(
+      serveSql(s, graft.cdc.IncrementalAgg.minMaxView(
           SharedJoin.tableResult(s, dir)(SharedJoin.distPrice),
-          groupCol = "o_orderstatus", valueCol = "o_totalprice")
-        .select(col("o_orderstatus"),
-                round(col("min_o_totalprice"), 2).as("min_price"),
-                round(col("max_o_totalprice"), 2).as("max_price"))
-        .orderBy(col("o_orderstatus"))),
+          groupCol = "o_orderstatus", valueCol = "o_totalprice"),
+        "cdc_minmax_view")(v =>
+        s"""SELECT o_orderstatus,
+           |  round(min_o_totalprice, 2) AS min_price,
+           |  round(max_o_totalprice, 2) AS max_price
+           |FROM $v ORDER BY o_orderstatus""".stripMargin)),
 
     // Incremental PERCENTILE maintenance: exact price quartiles + p95 per
     // status from changelog deltas alone. Percentiles are the textbook
@@ -761,10 +799,10 @@ object CdcQueries {
     // recomputed; see IncrementalTopK). The delete events exercise the
     // promote-on-delete case plain incremental top-k cannot handle.
     "cdc_topk_view" -> ((s, dir) =>
-      SharedJoin.tableResult(s, dir)(SharedJoin.topkStatus)
-        .select(col("o_orderstatus"), col("rk"), col("o_orderkey"),
-                col("o_totalprice"))
-        .orderBy(col("o_orderstatus"), col("rk"))),
+      serveSql(s, SharedJoin.tableResult(s, dir)(SharedJoin.topkStatus),
+               "cdc_topk_view")(v =>
+        s"""SELECT o_orderstatus, rk, o_orderkey, o_totalprice
+           |FROM $v ORDER BY o_orderstatus, rk""".stripMargin)),
 
     // INCREMENTAL EXACT-DEDUP groups: the duplicate groups of the LIVE
     // corpus, maintained from the documents changelog's deltas alone —
@@ -879,26 +917,26 @@ object CdcQueries {
     // churning corpus needs, riding the same shared replay as the dedup
     // index.
     "cdc_corpus_stats" -> ((s, dir) =>
-      graft.cdc.IncrementalAgg.momentsView(
-          SharedJoin.docsResult(s, dir)(SharedJoin.langMoments))
-        .select(col("lang"), col("n_rows").as("n_docs"),
-                col("sum_n_chars").cast("long").as("sum_chars"),
-                round(col("sum_n_chars").cast("double") / col("n_rows"), 4)
-                  .as("avg_chars"))
-        .orderBy(col("lang"))),
+      serveSql(s, graft.cdc.IncrementalAgg.momentsView(
+          SharedJoin.docsResult(s, dir)(SharedJoin.langMoments)),
+        "cdc_corpus_stats")(v =>
+        s"""SELECT lang, n_rows AS n_docs,
+           |  CAST(sum_n_chars AS BIGINT) AS sum_chars,
+           |  round(CAST(sum_n_chars AS DOUBLE) / n_rows, 4) AS avg_chars
+           |FROM $v ORDER BY lang""".stripMargin)),
 
     // TOKEN-BUDGET view over CDC: per-source live token totals from a
     // DERIVED token-count column the upstream table never carried
     // (TableViews.withDerived + the moments maintainer) — data-mixture
     // budgets stay current as the corpus churns.
     "cdc_token_budget" -> ((s, dir) =>
-      graft.cdc.IncrementalAgg.momentsView(
-          SharedJoin.docsResult(s, dir)(SharedJoin.tokMoments))
-        .select(col("source"), col("n_rows").as("n_docs"),
-                col("sum_n_tokens").cast("long").as("sum_tokens"),
-                round(col("sum_n_tokens").cast("double") / col("n_rows"), 4)
-                  .as("avg_tokens"))
-        .orderBy(col("source"))),
+      serveSql(s, graft.cdc.IncrementalAgg.momentsView(
+          SharedJoin.docsResult(s, dir)(SharedJoin.tokMoments)),
+        "cdc_token_budget")(v =>
+        s"""SELECT source, n_rows AS n_docs,
+           |  CAST(sum_n_tokens AS BIGINT) AS sum_tokens,
+           |  round(CAST(sum_n_tokens AS DOUBLE) / n_rows, 4) AS avg_tokens
+           |FROM $v ORDER BY source""".stripMargin)),
 
     // MAINTAINED MIXTURE WEIGHTS: temperature-weighted (α = 0.5) source
     // sampling weights served off the SAME maintained token-budget
@@ -906,60 +944,62 @@ object CdcQueries {
     // churns, with no new state: weight_s = √tokens_s / Σ√tokens. The
     // serve aggregates a |sources|-row frame; the broadcast total is the
     // only cross-row step.
-    "cdc_mix_weights" -> ((s, dir) => {
-      val mv = graft.cdc.IncrementalAgg.momentsView(
-          SharedJoin.docsResult(s, dir)(SharedJoin.tokMoments))
-        .select(col("source"), col("n_rows").as("n_docs"),
-                col("sum_n_tokens").cast("double").as("toks"))
-      val tot = mv.agg(sum(col("toks")).as("__tot"),
-                       sum(sqrt(col("toks"))).as("__zsum"))
-      mv.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"),
-                col("toks").cast("long").as("sum_tokens"),
-                round(col("toks") / col("__tot"), 6).as("share"),
-                round(sqrt(col("toks")) / col("__zsum"), 6).as("weight"))
-        .orderBy(col("source"))
-    }),
+    // SQL catalog serve path (serveSql): the |sources|-row cross join
+    // against the 1-row total moves to a SQL scalar subquery — same
+    // broadcast-scalar shape, same arithmetic term by term.
+    "cdc_mix_weights" -> ((s, dir) =>
+      serveSql(s, graft.cdc.IncrementalAgg.momentsView(
+            SharedJoin.docsResult(s, dir)(SharedJoin.tokMoments))
+          .select(col("source"), col("n_rows").as("n_docs"),
+                  col("sum_n_tokens").cast("double").as("toks")),
+        "cdc_mix_weights")(v =>
+        s"""SELECT source, n_docs,
+           |  CAST(toks AS BIGINT) AS sum_tokens,
+           |  round(toks / t.__tot, 6) AS share,
+           |  round(sqrt(toks) / t.__zsum, 6) AS weight
+           |FROM $v CROSS JOIN (
+           |  SELECT sum(toks) AS __tot, sum(sqrt(toks)) AS __zsum
+           |  FROM $v) t
+           |ORDER BY source""".stripMargin)),
 
     // MAINTAINED QUALITY FUNNEL: q_filter_funnel's per-stage attrition
     // over the LIVE corpus, served off maintained per-stage counts — the
     // cascade's deepest-stage-passed is a scan-side derived column, so
     // the funnel is a 5-row aggregate at serve and stays exact as docs
     // arrive, are rewritten across stages, and die.
+    // SQL catalog serve path (serveSql): the 5-row aggregate + stack
+    // pivot move to SQL over the registered per-stage moments face.
     "cdc_quality_funnel" -> ((s, dir) =>
-      graft.cdc.IncrementalAgg.momentsView(
-          SharedJoin.docsResult(s, dir)(SharedJoin.qualityStages))
-        .agg(
-          sum(col("n_rows")).as("n0"),
-          sum(when(col("q_stage") >= 1, col("n_rows")).otherwise(0L))
-            .as("n1"),
-          sum(when(col("q_stage") >= 2, col("n_rows")).otherwise(0L))
-            .as("n2"),
-          sum(when(col("q_stage") >= 3, col("n_rows")).otherwise(0L))
-            .as("n3"),
-          sum(when(col("q_stage") >= 4, col("n_rows")).otherwise(0L))
-            .as("n4"))
-        .selectExpr(
-          """stack(4,
-             1, 'min_tokens',    n0, n1,
-             2, 'avg_tok_len',   n1, n2,
-             3, 'max_tok_ratio', n2, n3,
-             4, 'stopword',      n3, n4) AS (stage, rule, n_in, n_out)""")
-        .select(col("stage"), col("rule"), col("n_in"),
-                (col("n_in") - col("n_out")).as("n_dropped"), col("n_out"))
-        .orderBy(col("stage"))),
+      serveSql(s, graft.cdc.IncrementalAgg.momentsView(
+          SharedJoin.docsResult(s, dir)(SharedJoin.qualityStages)),
+        "cdc_quality_funnel")(v =>
+        s"""SELECT stage, rule, n_in, n_in - n_out AS n_dropped, n_out
+           |FROM (
+           |  SELECT stack(4,
+           |    1, 'min_tokens',    n0, n1,
+           |    2, 'avg_tok_len',   n1, n2,
+           |    3, 'max_tok_ratio', n2, n3,
+           |    4, 'stopword',      n3, n4) AS (stage, rule, n_in, n_out)
+           |  FROM (
+           |    SELECT sum(n_rows) AS n0,
+           |      sum(CASE WHEN q_stage >= 1 THEN n_rows ELSE 0L END) AS n1,
+           |      sum(CASE WHEN q_stage >= 2 THEN n_rows ELSE 0L END) AS n2,
+           |      sum(CASE WHEN q_stage >= 3 THEN n_rows ELSE 0L END) AS n3,
+           |      sum(CASE WHEN q_stage >= 4 THEN n_rows ELSE 0L END) AS n4
+           |    FROM $v))
+           |ORDER BY stage""".stripMargin)),
 
     // MAINTAINED TOKEN FREQUENCIES: the UDTF-shaped view — each change
     // event explodes into per-token-occurrence deltas, map-side collapsed
     // before the shuffle; the vocabulary-bounded (token, n) state is
     // q_token_freq's aggregate kept current as the corpus churns, exact
     // under deletes (a dead doc's tokens retract).
+    // SQL catalog serve path (serveSql).
     "cdc_token_freq" -> ((s, dir) =>
-      graft.cdc.TokenFreqView.view(
-          SharedJoin.docsResult(s, dir)(SharedJoin.tokenFreq))
-        .orderBy(col("n").desc, col("token"))
-        .limit(50)
-        .select(col("token"), col("n"))),
+      serveSql(s, graft.cdc.TokenFreqView.view(
+          SharedJoin.docsResult(s, dir)(SharedJoin.tokenFreq)),
+        "cdc_token_freq")(v =>
+        s"SELECT token, n FROM $v ORDER BY n DESC, token LIMIT 50")),
 
     // MAINTAINED BIGRAM FREQUENCIES: the bigram modality of the
     // UDTF-shaped token view — per-bigram live occurrence counts from
@@ -1097,9 +1137,9 @@ object CdcQueries {
     // reachable the way a SQL-first consumer would reach it.
     "cdc_ann_drift" -> ((s, dir) => {
       val (r, _, _, _, drift) = SharedJoin.embResult(s, dir)
-      graft.similarity.AnnIndexView.driftView(r(drift))
-        .createOrReplaceTempView("cdc_ann_drift")
-      s.sql("SELECT * FROM cdc_ann_drift ORDER BY centroid_id")
+      serveSql(s, graft.similarity.AnnIndexView.driftView(r(drift)),
+               "cdc_ann_drift")(v =>
+        s"SELECT * FROM $v ORDER BY centroid_id")
     }),
 
     // SEMANTIC-DEDUP INDEX over CDC: the embedding near-dup pair view
@@ -1140,13 +1180,16 @@ object CdcQueries {
     // dup-rate dashboard a curation pass watches (how many singletons,
     // how many k-way near-dup groups). Oracle-exact through the same
     // recursive-reach recompute.
+    // SQL catalog serve path (serveSql): both aggregation levels in SQL
+    // over the registered maintained cluster face.
     "cdc_cluster_stats" -> ((s, dir) => {
       val (r, _, _, cl, _) = SharedJoin.embResult(s, dir)
-      graft.dedup.ClusterView.view(r(cl))
-        .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
-        .groupBy(col("cluster_size"))
-        .agg(count(lit(1)).as("n_clusters"))
-        .orderBy(col("cluster_size"))
+      serveSql(s, graft.dedup.ClusterView.view(r(cl)),
+               "cdc_cluster_stats")(v =>
+        s"""SELECT cluster_size, count(1) AS n_clusters
+           |FROM (SELECT cluster, count(1) AS cluster_size
+           |      FROM $v GROUP BY cluster)
+           |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)
     }),
 
     // The LSH-bucketed sibling (ClusterView.overIndex): the SAME
