@@ -105,4 +105,62 @@ class DedupIndexStressSpec extends SparkSpec with graft.ShuffleProbe {
     assert(tot10x <= 3 * math.max(tot1x, 100L),
       s"probe shuffle grew with corpus size: 1x=$tot1x, 10x=$tot10x")
   }
+
+  /** Bootstrap one full replay (the from-empty fast-path shape when
+    * `cuts` is empty and width 0 = session-wide) and measure its total
+    * shuffle volume and peak pinned estate. */
+  private def bootstrapProbe(n: Long, cuts: Seq[Long], width: Int)
+      : ((Long, Long), Long) = {
+    val m = DedupIndexView.maintainer("doc_id", "text", b = B, r = R,
+                                      nGram = N)
+    var res: TableViews.Result = null
+    val shuffled = shuffleRecordsDuring {
+      res = TableViews.replay(changelog(n), cuts, Seq("doc_id"), Seq(m),
+                              batchShufflePartitions = width)
+      Materializer.liveView(res.state).count()
+      res(m).index.count(); res(m).byBucket.count(); res(m).scores.count()
+    }
+    val pinned = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+    res.release()
+    // settle: unpersist is async, and the pinned EVENT LOG (not owned
+    // by Result.release — the documented ContextCleaner-bounded leak)
+    // otherwise bleeds into the next probe's peak reading
+    var waited = 0
+    while (waited < 50 &&
+           spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >
+             pinned / 2) { Thread.sleep(100); waited += 1 }
+    (shuffled, pinned)
+  }
+
+  test("one-window bootstrap scales ~linearly and stays " +
+       "release-bounded; measured vs cut-replay") {
+    // the round-17 fast path builds a from-empty backlog as ONE window
+    // at session width (CdcQueries shared replays; the stream's
+    // from-empty batch) — this pins its 10× scale profile, which the
+    // r17 verdict noted was asserted but unmeasured
+    val ((tot1, _), pinned1) = bootstrapProbe(5000L, Seq.empty, 0)
+    val ((tot10, _), pinned10) = bootstrapProbe(50000L, Seq.empty, 0)
+    // (a) ~linear shuffle in the backlog: a super-linear (pairwise or
+    // state×state) stage would blow the 10×-with-headroom envelope
+    assert(tot10 <= 14 * tot1,
+      s"one-window bootstrap shuffle is super-linear: 1x=$tot1, " +
+        s"10x=$tot10\n${lastTopStages.mkString("\n")}")
+    // (b) peak pinned estate is input-bounded (the PinnedBoundProbe
+    // discipline): 10× the backlog pins at most ~10× the blocks, never
+    // a quadratic intermediate
+    assert(pinned10 <= 14 * math.max(pinned1, 1L << 20),
+      s"bootstrap pinned estate is super-linear: 1x=$pinned1, " +
+        s"10x=$pinned10")
+    // (c) the one-window shape must not shuffle MORE than the stepwise
+    // cut replay it replaced (each cut re-merges and re-folds state, so
+    // stepwise pays ≥ one extra state pass per window) — the measured
+    // basis for preferring one-window on a from-empty backlog. The
+    // cutover guidance (SURVEY §2.3): cut replays re-engage only when a
+    // window's working set must be bounded BELOW the corpus (memory
+    // ceilings), not for speed.
+    val ((totCut, _), _) = bootstrapProbe(50000L, (1L to 13L), 8)
+    assert(tot10 <= totCut,
+      s"one-window bootstrap shuffled more than cut replay: " +
+        s"one-window=$tot10, cut=$totCut")
+  }
 }
