@@ -2,6 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Changelog -> current-state materialization: the analogue of what every
   * real handler does with the reference's `Create/Update/Delete` callbacks
@@ -176,8 +177,8 @@ object Materializer {
     * and small-integral→DOUBLE (exact below 2^53; LONG→DOUBLE is lossy
     * and therefore NOT a widening). VARCHAR(n) widening is invisible
     * here — Spark models all of them as STRING. */
-  private[cdc] def widensTo(from: org.apache.spark.sql.types.DataType,
-                            to: org.apache.spark.sql.types.DataType): Boolean = {
+  private[graft] def widensTo(from: org.apache.spark.sql.types.DataType,
+                              to: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     def intRank(t: DataType): Option[Int] = t match {
       case ByteType => Some(1); case ShortType => Some(2)
@@ -325,5 +326,93 @@ object Materializer {
     if (tombstoneRetentionTs == Long.MinValue) all
     else all.filter(col("__op") =!= "delete" ||
                     col("__ts") >= tombstoneRetentionTs)
+  }
+
+  /** Classified schema drift between a PERSISTED tombstone-aware state
+    * generation and the CURRENT spec's expected state image — the
+    * ALTER-mid-stream detector the maintained-view restore paths share.
+    * `renamed` holds the [[TableSpec.renamedColumns]] entries that still
+    * apply to the persisted generation (old name present, new absent);
+    * `widened`/`narrowed` split type changes by [[widensTo]]. MetaCols
+    * are excluded (they never drift). */
+  final case class StateDrift(
+      added: Seq[StructField], dropped: Seq[StructField],
+      renamed: Map[String, String],
+      widened: Seq[(String, DataType, DataType)],
+      narrowed: Seq[(String, DataType, DataType)]) {
+    def isEmpty: Boolean = added.isEmpty && dropped.isEmpty &&
+      renamed.isEmpty && widened.isEmpty && narrowed.isEmpty
+    /** Column names a maintained view's state could be BUILT OVER and
+      * therefore cannot survive in place: dropped columns and both
+      * sides of a rename (a view's persisted state keys by the OLD
+      * name; nothing can re-key it generically). */
+    def hazardCols: Set[String] =
+      dropped.map(_.name).toSet ++ renamed.keySet ++ renamed.values
+    def describe: String = Seq(
+      if (added.isEmpty) "" else "added " +
+        added.map(f => s"${f.name}:${f.dataType.simpleString}")
+          .mkString(", "),
+      if (dropped.isEmpty) "" else "dropped " +
+        dropped.map(_.name).mkString(", "),
+      if (renamed.isEmpty) "" else "renamed " +
+        renamed.map { case (o, n) => s"$o -> $n" }.mkString(", "),
+      if (widened.isEmpty) "" else "widened " +
+        widened.map { case (c, f, t) =>
+          s"$c: ${f.simpleString} -> ${t.simpleString}" }.mkString(", "),
+      if (narrowed.isEmpty) "" else "NARROWED " +
+        narrowed.map { case (c, f, t) =>
+          s"$c: ${f.simpleString} -> ${t.simpleString}" }.mkString(", ")
+    ).filter(_.nonEmpty).mkString("; ")
+  }
+
+  /** Diff a persisted state schema against the expected one (both carry
+    * MetaCols). Rename entries whose old name is ALREADY gone and new
+    * name present are treated as applied (idempotent across restarts,
+    * the [[merge]] renamedColumns discipline). */
+  def stateDrift(persisted: StructType, expected: StructType,
+                 renamedColumns: Map[String, String] = Map.empty)
+      : StateDrift = {
+    val oldFields = persisted.fields.filterNot(f => MetaCols.contains(f.name))
+    val newFields = expected.fields.filterNot(f => MetaCols.contains(f.name))
+    val oldNames = oldFields.map(_.name).toSet
+    val applicable = renamedColumns.filter { case (o, n) =>
+      oldNames(o) && !oldNames(n) }
+    val oldMap = oldFields
+      .map(f => applicable.getOrElse(f.name, f.name) -> f.dataType).toMap
+    val newMap = newFields.map(f => f.name -> f.dataType).toMap
+    val added = newFields.filterNot(f => oldMap.contains(f.name)).toSeq
+    val dropped = oldFields
+      .filterNot(f => newMap.contains(applicable.getOrElse(f.name, f.name)))
+      .toSeq
+    val changed = newFields.toSeq.flatMap { f =>
+      oldMap.get(f.name).collect {
+        case t if t != f.dataType => (f.name, t, f.dataType) }
+    }
+    val (wide, narrow) = changed.partition { case (_, f, t) => widensTo(f, t) }
+    StateDrift(added, dropped, applicable, wide, narrow)
+  }
+
+  /** Align a persisted state frame to the expected (post-ALTER) image
+    * schema: apply the still-applicable renames, cast widened columns
+    * up, fill added columns with NULL (the source database's own answer
+    * for pre-ALTER rows), and project dropped columns away — the ONE
+    * evolution transform every maintained-face restore applies before
+    * its strict merge, so `preState`/`postState` reach maintainers in
+    * the current generation's shape. Callers must refuse
+    * `drift.narrowed` first (the state may hold values outside the new
+    * type). */
+  def alignState(state: DataFrame, expected: StructType,
+                 drift: StateDrift): DataFrame = {
+    require(drift.narrowed.isEmpty,
+      s"alignState: narrowing drift cannot be absorbed: ${drift.describe}")
+    val renamed =
+      if (drift.renamed.isEmpty) state
+      else state.select(state.columns.toSeq.map(c =>
+        col(c).as(drift.renamed.getOrElse(c, c))): _*)
+    val have = renamed.columns.toSet
+    renamed.select(expected.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
   }
 }

@@ -175,6 +175,61 @@ object AnnIndexView {
         org.apache.spark.sql.graft.bridge.reRoot(st, to)
     }
 
+  /** A codebook-FOLLOWING view state: the maintained frame (`data` —
+    * the IVF assignment table, or the drift moments) plus the codebook
+    * it was built with, carried INSIDE the state so both always ride
+    * the same atomic generation. This is what makes the automated
+    * drift→retrain loop closeable mid-stream: [[graft.streaming
+    * .CdcStream.retrainAnnIvf]] swaps (assignment, codebook, moments)
+    * together, and the NEXT batch's restore reads its quantizer from
+    * the generation — no constructor-captured centroids to go stale,
+    * so the epoch-mixing hazard the fixed-codebook [[maintainer]]'s
+    * restore refusal guards against cannot arise by construction. */
+  final case class FollowState(data: DataFrame, codebook: DataFrame)
+
+  /** Wrap a centroids-parameterized maintainer into its
+    * codebook-following form: `initial` seeds the FIRST generation's
+    * codebook; every later batch re-derives the quantizer from the
+    * state's own codebook frame (one C-bounded collect per batch — the
+    * same cost the fixed-codebook restore check already pays). */
+  private def following(
+      initial: Seq[(Long, Seq[Float])],
+      innerFor: Seq[(Long, Seq[Float])] => TableViews.Maintainer[DataFrame])
+      : TableViews.Maintainer[FollowState] =
+    new TableViews.Maintainer[FollowState] {
+      require(initial.nonEmpty, "at least one centroid")
+      def empty(events0: DataFrame, pk: Seq[String]): FollowState =
+        FollowState(innerFor(initial).empty(events0, pk),
+                    centroidDf(events0.sparkSession, initial))
+      def step(st: FollowState, ctx: TableViews.BatchCtx): FollowState = {
+        val live = localCentroids(st.codebook)
+        FollowState(innerFor(live).step(st.data, ctx), st.codebook)
+      }
+      def pin(st: FollowState): FollowState =
+        FollowState(st.data.localCheckpoint(false),
+                    st.codebook.localCheckpoint(false))
+      def reRoot(st: FollowState, to: SparkSession): FollowState = {
+        val b = org.apache.spark.sql.graft.bridge
+        FollowState(b.reRoot(st.data, to), b.reRoot(st.codebook, to))
+      }
+    }
+
+  /** [[maintainer]] in codebook-following form (state
+    * [[FollowState]]). */
+  def followingMaintainer(idCol: String, vecCol: String,
+                          initial: Seq[(Long, Seq[Float])])
+      : TableViews.Maintainer[FollowState] =
+    following(initial, cs => maintainer(idCol, vecCol, cs))
+
+  /** [[driftMaintainer]] in codebook-following form — the monitor
+    * measures against the SAME generation-carried codebook the
+    * assignment view assigns with, so the pair stays epoch-coherent
+    * across an automated retrain with no restart. */
+  def followingDriftMaintainer(idCol: String, vecCol: String,
+                               initial: Seq[(Long, Seq[Float])])
+      : TableViews.Maintainer[FollowState] =
+    following(initial, cs => driftMaintainer(idCol, vecCol, cs))
+
   /** Collect a centroid DataFrame (e.g. [[Similarity.kmeansCentroids]]'s
     * output, or a deterministic corpus subset) into the local rows the
     * maintainer carries — CAPPED: a coarse quantizer is O(sqrt(corpus))

@@ -1483,6 +1483,17 @@ object CdcStream {
     * [[NamedView]]: a named [[graft.cdc.TableViews.Maintainer]] plus its
     * parquet state layout, queryable face, and changelog keys. Build
     * instances with the [[NamedTableView]] factories. */
+  /** @param sourceCols the table columns this view's persisted state is
+    *        built over (declared by the factories via [[NamedTableView
+    *        .reads]]) — the ALTER-mid-stream absorb gate reads it: a
+    *        dropped/renamed column that intersects a view's sourceCols
+    *        means the persisted state cannot survive in place and the
+    *        restore refuses loudly with the rebuild recipe; `None`
+    *        (undeclared) is treated as "could read anything" and
+    *        refuses conservatively on any drop/rename. ADD COLUMN and
+    *        lossless WIDENING never consult it (both absorb: no
+    *        existing state mentions a brand-new column, and widened
+    *        values coerce up through every union/join the folds run). */
   final case class NamedTableView[S](
       name: String,
       maintainer: graft.cdc.TableViews.Maintainer[S],
@@ -1490,9 +1501,13 @@ object CdcStream {
       files: S => Map[String, DataFrame],
       load: Map[String, DataFrame] => S,
       face: S => DataFrame,
-      faceKeys: Seq[String]) {
+      faceKeys: Seq[String],
+      sourceCols: Option[Seq[String]] = None) {
     require(name.matches("[A-Za-z0-9_-]+"),
       s"NamedTableView name '$name' must be a plain path segment")
+    /** Declare the table columns the view reads (see [[sourceCols]]). */
+    def reads(cols: String*): NamedTableView[S] =
+      copy(sourceCols = Some(cols))
   }
 
   object NamedTableView {
@@ -1500,38 +1515,39 @@ object CdcStream {
     /** Per-group top-k; changelog keyed by (group, rk). */
     def topK(name: String, groupCol: String, orderCol: String,
              k: Int): NamedTableView[DataFrame] =
-      NamedTableView(name, IncrementalTopK.maintainer(groupCol, orderCol, k),
+      NamedTableView[DataFrame](name, IncrementalTopK.maintainer(groupCol, orderCol, k),
         Seq("ranked"), v => Map("ranked" -> v), m => m("ranked"),
-        v => v, Seq(groupCol, "rk"))
+        v => v, Seq(groupCol, "rk")).reads(groupCol, orderCol)
     /** COUNT(DISTINCT valueCol) per group; changelog keyed by the group. */
     def distinctCount(name: String, groupCol: String, valueCol: String)
         : NamedTableView[IncrementalAgg.DistinctState] =
-      NamedTableView(name,
+      NamedTableView[IncrementalAgg.DistinctState](name,
         IncrementalAgg.distinctMaintainer(groupCol, valueCol),
         Seq("pairs", "groups"),
         st => Map("pairs" -> st.pairs, "groups" -> st.groups),
         m => IncrementalAgg.DistinctState(m("pairs"), m("groups")),
         st => IncrementalAgg.distinctCountView(st, groupCol, valueCol),
-        Seq(groupCol))
+        Seq(groupCol)).reads(groupCol, valueCol)
     /** MIN/MAX(valueCol) per group off the same pair-state family. */
     def minMax(name: String, groupCol: String, valueCol: String)
         : NamedTableView[IncrementalAgg.DistinctState] =
-      NamedTableView(name,
+      NamedTableView[IncrementalAgg.DistinctState](name,
         IncrementalAgg.distinctMaintainer(groupCol, valueCol),
         Seq("pairs", "groups"),
         st => Map("pairs" -> st.pairs, "groups" -> st.groups),
         m => IncrementalAgg.DistinctState(m("pairs"), m("groups")),
         st => IncrementalAgg.minMaxView(st, groupCol, valueCol),
-        Seq(groupCol))
+        Seq(groupCol)).reads(groupCol, valueCol)
     /** Moments (sum, sum², n) per group — AVG/VARIANCE state. */
     def moments(name: String, groupCol: String, valueCol: String,
                 valueCast: org.apache.spark.sql.Column =>
                   org.apache.spark.sql.Column = identity)
         : NamedTableView[DataFrame] =
-      NamedTableView(name,
+      NamedTableView[DataFrame](name,
         IncrementalAgg.momentsMaintainer(groupCol, valueCol, valueCast),
         Seq("moments"), st => Map("moments" -> st), m => m("moments"),
         st => IncrementalAgg.momentsView(st), Seq(groupCol))
+        .reads(groupCol, valueCol)
     /** Incrementally maintained MinHash-LSH near-dup index
       * ([[graft.dedup.DedupIndexView]]): per batch, signatures for the
       * CHANGED docs only patch the banded index and the candidate-pair
@@ -1549,7 +1565,7 @@ object CdcStream {
                    b: Int = 16, r: Int = 2, nGram: Int = 5,
                    maxBucket: Int = 1000)
         : NamedTableView[graft.dedup.DedupIndexView.IndexState] =
-      NamedTableView(name,
+      NamedTableView[graft.dedup.DedupIndexView.IndexState](name,
         graft.dedup.DedupIndexView.maintainer(idCol, textCol, b, r,
                                               nGram, maxBucket),
         Seq("index", "bucket_pairs", "pair_scores"),
@@ -1558,13 +1574,13 @@ object CdcStream {
         m => graft.dedup.DedupIndexView.IndexState(m("index"),
                                                    m("bucket_pairs"),
                                                    m("pair_scores")),
-        st => st.pairs, Seq("id_a", "id_b"))
+        st => st.pairs, Seq("id_a", "id_b")).reads(idCol, textCol)
     /** Exact-duplicate groups of the live corpus (content-fingerprint
       * pair state, min-id representative promoting on delete);
       * changelog keyed by the fingerprint. */
     def dupGroups(name: String, idCol: String, textCol: String)
         : NamedTableView[IncrementalAgg.DistinctState] =
-      NamedTableView(name,
+      NamedTableView[IncrementalAgg.DistinctState](name,
         graft.cdc.TableViews.mapDelta(
           IncrementalAgg.distinctMaintainer("fp", idCol))(
           graft.dedup.DedupIndexView.withFingerprint(textCol)),
@@ -1572,25 +1588,28 @@ object CdcStream {
         st => Map("pairs" -> st.pairs, "groups" -> st.groups),
         m => IncrementalAgg.DistinctState(m("pairs"), m("groups")),
         st => graft.dedup.DedupIndexView.dupGroups(st), Seq("fp"))
+        .reads(idCol, textCol)
     /** Maintained token-frequency table
       * ([[graft.cdc.TokenFreqView]] — UDTF-shaped exploded deltas);
       * changelog keyed by the token. */
     def tokenFreq(name: String, textCol: String)
         : NamedTableView[DataFrame] =
-      NamedTableView(name, graft.cdc.TokenFreqView.maintainer(textCol),
+      NamedTableView[DataFrame](name, graft.cdc.TokenFreqView.maintainer(textCol),
         Seq("freq"), st => Map("freq" -> st), m => m("freq"),
         st => graft.cdc.TokenFreqView.view(st), Seq("token"))
+        .reads(textCol)
     /** [[tokenFreq]] in its BIGRAM modality — the live count table
       * behind the maintained corpus language model
       * ([[graft.cdc.LmView]]); changelog keyed by the bigram. */
     def bigramFreq(name: String, textCol: String)
         : NamedTableView[DataFrame] =
-      NamedTableView(name,
+      NamedTableView[DataFrame](name,
         graft.cdc.TokenFreqView.maintainer(textCol,
           t => graft.text.TextAnalysis.bigrams(
             graft.text.TextAnalysis.tokens(t))),
         Seq("freq"), st => Map("freq" -> st), m => m("freq"),
         st => graft.cdc.TokenFreqView.view(st), Seq("token"))
+        .reads(textCol)
     /** Maintained QUALITY-FILTER FUNNEL: per-stage live doc counts off
       * the scan-side deepest-stage-passed column
       * ([[graft.text.TextAnalysis.qualityStage]] planted via
@@ -1598,7 +1617,7 @@ object CdcStream {
       * changelog keyed by the stage row. */
     def qualityFunnel(name: String, textCol: String, valueCol: String)
         : NamedTableView[DataFrame] =
-      NamedTableView(name,
+      NamedTableView[DataFrame](name,
         graft.cdc.TableViews.mapDelta(
           IncrementalAgg.momentsMaintainer("q_stage", valueCol,
                                            _.cast("decimal(18,4)")))(
@@ -1625,7 +1644,7 @@ object CdcStream {
           .select(col("stage"), col("rule"), col("n_in"),
                   (col("n_in") - col("n_out")).as("n_dropped"),
                   col("n_out")),
-        Seq("stage"))
+        Seq("stage")).reads(textCol, valueCol)
     /** Incrementally maintained IVF ANN index
       * ([[graft.similarity.AnnIndexView]]): only changed vectors
       * re-assign per batch; the face IS the assignment table,
@@ -1640,7 +1659,7 @@ object CdcStream {
     def annIvf(name: String, idCol: String, vecCol: String,
                centroids: Seq[(Long, Seq[Float])])
         : NamedTableView[DataFrame] =
-      NamedTableView(name,
+      NamedTableView[DataFrame](name,
         graft.similarity.AnnIndexView.maintainer(idCol, vecCol, centroids),
         Seq("assigned", "codebook"),
         st => Map("assigned" -> st,
@@ -1669,7 +1688,7 @@ object CdcStream {
                 s"CdcStream.readAnnCodebook(spark, rootPath, \"$name\")")
           m("assigned")
         },
-        st => st, Seq("vec_id"))
+        st => st, Seq("vec_id")).reads(idCol, vecCol)
     /** QUANTIZER-DRIFT monitor for a sibling [[annIvf]] view — the
       * per-centroid assignment-distance moments maintained from deltas
       * ([[graft.similarity.AnnIndexView.driftMaintainer]]); the face is
@@ -1684,7 +1703,7 @@ object CdcStream {
     def annDrift(name: String, idCol: String, vecCol: String,
                  centroids: Seq[(Long, Seq[Float])])
         : NamedTableView[DataFrame] =
-      NamedTableView(name,
+      NamedTableView[DataFrame](name,
         graft.similarity.AnnIndexView.driftMaintainer(idCol, vecCol,
                                                       centroids),
         Seq("moments", "codebook"),
@@ -1712,7 +1731,43 @@ object CdcStream {
           m("moments")
         },
         st => graft.similarity.AnnIndexView.driftView(st),
-        Seq("centroid_id"))
+        Seq("centroid_id")).reads(idCol, vecCol)
+    /** [[annIvf]] in CODEBOOK-FOLLOWING form
+      * ([[graft.similarity.AnnIndexView.FollowState]]): the quantizer
+      * rides the state (persisted beside the assignment in the same
+      * generation), `initial` only seeds the first generation, and a
+      * [[CdcStream.retrainAnnIvf]] swap — including one triggered
+      * MID-RUN by [[CdcStream.AnnDriftPolicy]] — is picked up by the
+      * next batch's restore automatically. The fixed-codebook
+      * [[annIvf]]'s stale-constructor refusal is unnecessary here by
+      * construction (there is no constructor codebook to go stale). */
+    def annIvfFollowing(name: String, idCol: String, vecCol: String,
+                        initial: Seq[(Long, Seq[Float])])
+        : NamedTableView[graft.similarity.AnnIndexView.FollowState] =
+      NamedTableView[graft.similarity.AnnIndexView.FollowState](name,
+        graft.similarity.AnnIndexView.followingMaintainer(idCol, vecCol,
+                                                          initial),
+        Seq("assigned", "codebook"),
+        st => Map("assigned" -> st.data, "codebook" -> st.codebook),
+        m => graft.similarity.AnnIndexView.FollowState(m("assigned"),
+                                                       m("codebook")),
+        st => st.data, Seq("vec_id")).reads(idCol, vecCol)
+    /** [[annDrift]] in codebook-following form — pair it with
+      * [[annIvfFollowing]] under one [[CdcStream.AnnDriftPolicy]] so
+      * monitor and index stay epoch-coherent across automated
+      * retrains. */
+    def annDriftFollowing(name: String, idCol: String, vecCol: String,
+                          initial: Seq[(Long, Seq[Float])])
+        : NamedTableView[graft.similarity.AnnIndexView.FollowState] =
+      NamedTableView[graft.similarity.AnnIndexView.FollowState](name,
+        graft.similarity.AnnIndexView.followingDriftMaintainer(
+          idCol, vecCol, initial),
+        Seq("moments", "codebook"),
+        st => Map("moments" -> st.data, "codebook" -> st.codebook),
+        m => graft.similarity.AnnIndexView.FollowState(m("moments"),
+                                                       m("codebook")),
+        st => graft.similarity.AnnIndexView.driftView(st.data),
+        Seq("centroid_id")).reads(idCol, vecCol)
     /** Incrementally maintained embedding near-dup (semantic) index —
       * [[dedupIndex]]'s algebra with random-hyperplane LSH bands
       * ([[graft.dedup.DedupIndexView.embeddingMaintainer]]). */
@@ -1720,7 +1775,7 @@ object CdcStream {
                       dim: Int, tables: Int = 8, planes: Int = 12,
                       maxBucket: Int = 1000)
         : NamedTableView[graft.dedup.DedupIndexView.IndexState] =
-      NamedTableView(name,
+      NamedTableView[graft.dedup.DedupIndexView.IndexState](name,
         graft.dedup.DedupIndexView.embeddingMaintainer(idCol, vecCol,
           dim, tables, planes, maxBucket = maxBucket),
         Seq("index", "bucket_pairs", "pair_scores"),
@@ -1729,7 +1784,7 @@ object CdcStream {
         m => graft.dedup.DedupIndexView.IndexState(m("index"),
                                                    m("bucket_pairs"),
                                                    m("pair_scores")),
-        st => st.pairs, Seq("id_a", "id_b"))
+        st => st.pairs, Seq("id_a", "id_b")).reads(idCol, vecCol)
     /** Maintained near-dup clusters over exact-cosine edges
       * ([[graft.dedup.ClusterView]] — component-local relabeling; a
       * deleted bridge splits its cluster); face `(id, cluster,
@@ -1737,13 +1792,14 @@ object CdcStream {
     def clusters(name: String, idCol: String, vecCol: String,
                  minCosine: Double)
         : NamedTableView[graft.dedup.ClusterView.ClusterState] =
-      NamedTableView(name,
+      NamedTableView[graft.dedup.ClusterView.ClusterState](name,
         graft.dedup.ClusterView.cosineMaintainer(idCol, vecCol, minCosine),
         Seq("edges", "clusters"),
         st => Map("edges" -> st.edges, "clusters" -> st.clusters),
         m => graft.dedup.ClusterView.ClusterState(m("edges"),
                                                   m("clusters")),
         st => graft.dedup.ClusterView.view(st), Seq("id"))
+        .reads(idCol, vecCol)
     /** The LSH-bucketed cluster face over the maintained band index
       * ([[graft.dedup.ClusterView.overIndex]]) — one persisted state
       * (v3 index layout + the assignment) serves the pair face and the
@@ -1752,7 +1808,7 @@ object CdcStream {
                          dim: Int, minCosine: Double, tables: Int = 8,
                          planes: Int = 12, maxBucket: Int = 1000)
         : NamedTableView[graft.dedup.ClusterView.IndexedClusterState] =
-      NamedTableView(name,
+      NamedTableView[graft.dedup.ClusterView.IndexedClusterState](name,
         graft.dedup.ClusterView.semanticMaintainer(idCol, vecCol, dim,
           minCosine, tables, planes, maxBucket),
         Seq("index", "bucket_pairs", "pair_scores", "clusters"),
@@ -1766,6 +1822,7 @@ object CdcStream {
                                                 m("pair_scores")),
           m("clusters")),
         st => graft.dedup.ClusterView.view(st), Seq("id"))
+        .reads(idCol, vecCol)
     /** The TEXT modality of [[semanticClusters]]: near-dup clusters
       * over the maintained MinHash band index's patch-time-verified
       * Jaccard scores (edges = score ≥ `minJaccard`) — one persisted
@@ -1775,7 +1832,7 @@ object CdcStream {
                      minJaccard: Double, b: Int = 16, r: Int = 2,
                      nGram: Int = 5, maxBucket: Int = 1000)
         : NamedTableView[graft.dedup.ClusterView.IndexedClusterState] =
-      NamedTableView(name,
+      NamedTableView[graft.dedup.ClusterView.IndexedClusterState](name,
         graft.dedup.ClusterView.overIndex(idCol,
           graft.dedup.DedupIndexView.maintainer(idCol, textCol, b, r,
                                                 nGram, maxBucket),
@@ -1791,61 +1848,68 @@ object CdcStream {
                                                 m("pair_scores")),
           m("clusters")),
         st => graft.dedup.ClusterView.view(st), Seq("id"))
+        .reads(idCol, textCol)
     /** Maintained per-user sessionization
       * ([[graft.cdc.SequentialViews]] via GroupViews delta-restricted
       * per-group recompute); changelog keyed by (user, session). */
     def sessions(name: String, gapUs: Long = 1800L * 1000000L)
         : NamedTableView[DataFrame] =
-      NamedTableView(name,
+      NamedTableView[DataFrame](name,
         graft.cdc.SequentialViews.sessionMaintainer(gapUs),
         Seq("sessions"), st => Map("sessions" -> st), m => m("sessions"),
         st => st, Seq("user_id", "sess_id"))
+        .reads("user_id", "ts_us", "event_id")
     /** Maintained strictly-ordered funnel: per-user stage rows plus the
       * additively-maintained stage counts; the face is the counts,
       * changelog keyed by (stage, step). */
     def funnel(name: String, steps: Seq[String])
         : NamedTableView[graft.cdc.GroupViews.RollupState] =
-      NamedTableView(name,
+      NamedTableView[graft.cdc.GroupViews.RollupState](name,
         graft.cdc.SequentialViews.funnelMaintainer(steps),
         Seq("stages", "totals"),
         st => Map("stages" -> st.rows, "totals" -> st.totals),
         m => graft.cdc.GroupViews.RollupState(m("stages"), m("totals")),
         st => st.totals, Seq("stage", "step"))
+        .reads("user_id", "event_type", "ts_us")
     /** Maintained transition matrix: per-user consecutive-pair rows
       * plus global (from, to) totals; the face is the totals. */
     def transitions(name: String)
         : NamedTableView[graft.cdc.GroupViews.RollupState] =
-      NamedTableView(name,
+      NamedTableView[graft.cdc.GroupViews.RollupState](name,
         graft.cdc.SequentialViews.transitionMaintainer(),
         Seq("pairs", "totals"),
         st => Map("pairs" -> st.rows, "totals" -> st.totals),
         m => graft.cdc.GroupViews.RollupState(m("pairs"), m("totals")),
         st => st.totals, Seq("from_type", "to_type"))
+        .reads("user_id", "event_type", "ts_us", "event_id")
     /** Maintained cohort retention: per-user cells + additive (cohort,
       * k) active counts; the face is the counts. */
     def retention(name: String, maxWeeks: Int = 3)
         : NamedTableView[graft.cdc.GroupViews.RollupState] =
-      NamedTableView(name,
+      NamedTableView[graft.cdc.GroupViews.RollupState](name,
         graft.cdc.SequentialViews.retentionMaintainer(maxWeeks),
         Seq("cells", "totals"),
         st => Map("cells" -> st.rows, "totals" -> st.totals),
         m => graft.cdc.GroupViews.RollupState(m("cells"), m("totals")),
         st => st.totals, Seq("cohort", "k"))
+        .reads("user_id", "ts_us")
     /** Maintained per-type daily anomaly z-scores; changelog keyed by
       * (day, type). */
     def anomaly(name: String): NamedTableView[DataFrame] =
-      NamedTableView(name,
+      NamedTableView[DataFrame](name,
         graft.cdc.SequentialViews.anomalyMaintainer(),
         Seq("scores"), st => Map("scores" -> st), m => m("scores"),
         st => st, Seq("day", "event_type"))
+        .reads("event_type", "ts_us")
     /** Maintained data profile ([[graft.cdc.ProfileView]]): the stacked
       * (column, value, n) multiplicity state; the face is the per-column
       * rollup, changelog keyed by the column name. */
     def profile(name: String, cols: Seq[String])
         : NamedTableView[DataFrame] =
-      NamedTableView(name, graft.cdc.ProfileView.maintainer(cols),
+      NamedTableView[DataFrame](name, graft.cdc.ProfileView.maintainer(cols),
         Seq("values"), st => Map("values" -> st), m => m("values"),
         st => graft.cdc.ProfileView.view(st), Seq("col_name"))
+        .reads(cols: _*)
   }
 
   /** Maintain N views of ONE table from its changelog stream — the
@@ -1868,17 +1932,68 @@ object CdcStream {
     * (stepwise == from-scratch is spec'd per maintainer), so cutting it
     * only multiplies per-sub-batch driver round-trips; the over-cap
     * distributed fallback is the correct plan for a corpus-sized first
-    * batch. */
+    * batch.
+    *
+    * ALTER-MID-STREAM CONTRACT (`allowEvolution`): when the restored
+    * generation's table state was written under a different spec —
+    * the reference's deployment reality, since TiDB ALTERs land while
+    * consumers keep running and its decoder silently tolerates them
+    * (absent keys → zero values, extra keys ignored,
+    * `cdc_utils.go:64-67`) — the restore classifies the drift
+    * ([[graft.cdc.Materializer.stateDrift]]) and:
+    *  - ADD COLUMN absorbs (with `allowEvolution`): the state gains
+    *    the column as NULL for pre-ALTER rows — exactly what the
+    *    source database says about them; every view absorbs (no
+    *    persisted view state mentions a column that did not exist).
+    *  - WIDENING MODIFY absorbs (with `allowEvolution`): the state
+    *    casts up ([[graft.cdc.Materializer.widensTo]] gates
+    *    losslessness); view states holding the old narrow type coerce
+    *    up through their fold unions and persist widened.
+    *  - RENAME absorbs for the TABLE state via
+    *    [[graft.cdc.TableSpec.renamedColumns]]; a view whose
+    *    [[NamedTableView.sourceCols]] touch the renamed column
+    *    REFUSES loudly (its state keys by the old name; nothing can
+    *    re-key a band index or pair state generically) naming the
+    *    rebuild recipe. Unaffected sibling views absorb.
+    *  - DROP COLUMN: same split — the table state narrows, views over
+    *    the dropped column refuse loudly with the rebuild recipe.
+    *  - NARROWING/incompatible MODIFY always refuses (the state may
+    *    hold values outside the new type), evolution or not.
+    * Without `allowEvolution` any drift refuses loudly naming it —
+    * an unexpected shape change should never be absorbed silently.
+    *
+    * `driftPolicy` closes the quantizer drift→retrain loop INSIDE the
+    * run: after each batch COMMITS (generation swapped, applied marker
+    * written, `_batch_inprogress` released), the policy reads the
+    * drift face and, when the corpus-weighted mean assignment distance
+    * exceeds its threshold, runs [[retrainAnnIvf]] between batches —
+    * under the full `_retrain_inprogress`/`_batch_inprogress` mutual
+    * exclusion, so the existing lock refusals hold unchanged. The ANN
+    * pair MUST be registered in codebook-following form
+    * ([[NamedTableView.annIvfFollowing]]/[[NamedTableView
+    * .annDriftFollowing]]): the next batch restores its quantizer from
+    * the retrained generation automatically; the fixed-codebook
+    * [[NamedTableView.annIvf]] would (correctly) refuse its stale
+    * constructor centroids at the next restore. */
   def maintainTableViewsToParquet(envelope: DataFrame, spec: TableSpec,
                                   views: Seq[NamedTableView[_]],
                                   rootPath: String, checkpointPath: String,
                                   maxEventsPerBatch: Option[Int] = None,
-                                  retention: Option[(Int, Int)] = None)
+                                  retention: Option[(Int, Int)] = None,
+                                  allowEvolution: Boolean = false,
+                                  driftPolicy: Option[AnnDriftPolicy] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.cdc.TableViews
     require(views.nonEmpty, "at least one view")
     require(views.map(_.name).distinct.size == views.size,
       s"view names must be distinct: ${views.map(_.name).mkString(", ")}")
+    driftPolicy.foreach { p =>
+      val names = views.map(_.name).toSet
+      require(names(p.name) && names(p.driftName),
+        s"driftPolicy names views '${p.name}'/'${p.driftName}' but the " +
+          s"registration has ${names.mkString(", ")} — the policy can " +
+          s"only retrain an ANN pair maintained by THIS run")
+    }
     val pk = spec.primaryKey
     envelope.writeStream
       .outputMode(OutputMode.Append)
@@ -1914,16 +2029,90 @@ object CdcStream {
         // the old-epoch delta)
         healRetrainPending(spark, rootPath)
         val root = liveGenerationRoot(spark, s"$rootPath/current")
+        // snapshot-seeded roots ([[seedTableViewsToParquet]]): events at
+        // or before the seed horizon are already reflected in the
+        // seeded state — fold only the binlog SUFFIX (the fold
+        // maintainers are not LWW-idempotent, so the overlap must be
+        // dropped, not replayed); a marker without a generation is a
+        // torn seed and refuses loudly
+        val seedTs = seedHorizon(spark, rootPath)
+        require(seedTs.isEmpty || root.nonEmpty,
+          s"maintainTableViewsToParquet: $rootPath carries a seed " +
+            s"horizon marker but no generation — seedTableViewsToParquet " +
+            s"crashed between its marker and its swap; re-run the seed " +
+            s"before streaming (folding now would silently build from " +
+            s"the binlog suffix alone)")
         // fold faces double-count on replay; marker gates the whole body
         if (!root.exists(r => isApplied(spark, r, batchId))) {
           // lazy pin — the autoCuts count (or the first fold action)
           // materializes it; see maintainMultiViewToParquet's rationale
-          val delta = changeEvents(batch, spec).localCheckpoint(false)
+          val deltaAll = changeEvents(batch, spec)
+          val delta = seedTs.map(t => deltaAll.filter(col("ts") > t))
+            .getOrElse(deltaAll).localCheckpoint(false)
           def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], df.schema)
-          val st0 = root.map(r => spark.read.parquet(s"$r/state"))
-            .getOrElse(
-              emptyLike(Materializer.compact(delta.limit(0), pk)))
+          val expectedState = Materializer.compact(delta.limit(0), pk)
+          // ALTER-MID-STREAM GATE: the persisted generation was built
+          // under a prior spec; classify the drift and either ABSORB
+          // (align the table state to the new shape — ADD fills NULL,
+          // widening casts up, renames re-key) or REFUSE loudly. The
+          // reference silently survives upstream ALTERs (absent JSON
+          // keys decode to zero values, extra keys are ignored,
+          // cdc_utils.go:64-67) — our materialized tables match it via
+          // Materializer.merge(allowEvolution); the maintained faces
+          // get the same contract here, EXCEPT where a view's persisted
+          // state is built over a dropped/renamed column, which nothing
+          // can evolve in place: that refuses naming the rebuild recipe.
+          val st0 = root.map { r =>
+            val persisted = spark.read.parquet(s"$r/state")
+            val drift = Materializer.stateDrift(
+              persisted.schema, expectedState.schema, spec.renamedColumns)
+            if (drift.isEmpty) persisted
+            else {
+              require(drift.narrowed.isEmpty,
+                s"maintainTableViewsToParquet: upstream ALTER narrowed " +
+                  s"column type(s) [${drift.describe}] — the persisted " +
+                  s"state may hold values outside the new type; this " +
+                  s"cannot be absorbed. Rebuild: stop the stream, delete " +
+                  s"$rootPath and the checkpoint, and replay the " +
+                  s"changelog (or Materializer.seed from a fresh extract)")
+              require(allowEvolution,
+                s"maintainTableViewsToParquet: the persisted state at " +
+                  s"$rootPath was built under a different table schema " +
+                  s"[${drift.describe}] — pass allowEvolution=true to " +
+                  s"absorb an upstream ALTER (ADD COLUMN fills NULL for " +
+                  s"pre-ALTER rows, widening casts the state up, " +
+                  s"renamedColumns re-keys), or rebuild from the " +
+                  s"changelog if the schema change was unintended")
+              val hazard = drift.hazardCols
+              if (hazard.nonEmpty) views.foreach { v =>
+                v.sourceCols match {
+                  case Some(cols) =>
+                    val hit = cols.filter(hazard)
+                    require(hit.isEmpty,
+                      s"view '${v.name}': its persisted state is built " +
+                        s"over dropped/renamed column(s) " +
+                        s"${hit.mkString(", ")} and cannot evolve in " +
+                        s"place. Rebuild the face: stop the stream, " +
+                        s"delete $rootPath and the checkpoint, and " +
+                        s"replay the changelog under the new spec " +
+                        s"(unaffected sibling views absorb; only this " +
+                        s"registration blocks)")
+                  case None =>
+                    throw new IllegalStateException(
+                      s"view '${v.name}': declares no sourceCols, so " +
+                        s"the restore cannot prove its persisted state " +
+                        s"survives dropped/renamed column(s) " +
+                        s"${hazard.mkString(", ")} — declare " +
+                        s".reads(<cols>) on the view (see " +
+                        s"NamedTableView.reads) or rebuild from the " +
+                        s"changelog")
+                }
+              }
+              Materializer.alignState(persisted, expectedState.schema,
+                                      drift)
+            }
+          }.getOrElse(emptyLike(expectedState))
           val events0 = emptyLike(delta.limit(0))
           val vs = views.map(_.asInstanceOf[NamedTableView[Any]])
           val vst0s: Seq[Any] = vs.map { v =>
@@ -1980,10 +2169,163 @@ object CdcStream {
           }
         }
         } finally guardFs.delete(batchMarker, false)
+        // POST-COMMIT drift policy: the batch marker is released, the
+        // generation (including this batch's drift-face fold) is live —
+        // the one moment a retrain can take its lock without racing the
+        // stream. A triggered retrain swaps before the next batch sets
+        // its marker; following views pick the new codebook up at their
+        // next restore. Policy failures propagate and fail the query
+        // loudly (a half-evaluated policy must never be skipped
+        // silently).
+        driftPolicy.foreach { p =>
+          retrainAnnIvfIfDrifted(spark, rootPath, p.name, p.driftName,
+                                 p.idCol, p.vecCol, p.k, p.maxAvgDist,
+                                 p.seed)
+        }
         ()
       }
       .start()
   }
+
+  /** The changelog batch id the seed snapshot installs at — BELOW every
+    * real stream batch (foreachBatch ids start at 0), so
+    * [[viewAsOfBatch]]'s snapshot-start fold and the contiguity guards
+    * treat the seeded face exactly like a compaction snapshot. */
+  private val SeedSnapshotId = -1L
+
+  private def seedHorizonMarker(ts0: Long) = s"_seed_horizon_$ts0"
+
+  /** The seed horizon of a seeded root (None for replay-bootstrapped
+    * roots). Fails loudly on a torn seed (marker without a generation:
+    * [[seedTableViewsToParquet]] crashed between its marker and its
+    * swap — folding would silently build from the binlog SUFFIX alone,
+    * missing the snapshot's contents) and on conflicting markers. */
+  private[streaming] def seedHorizon(spark: SparkSession,
+                                     rootPath: String): Option[Long] = {
+    val rootP = new org.apache.hadoop.fs.Path(rootPath)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) None
+    else {
+      val markers = fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_seed_horizon_"))
+      require(markers.size <= 1,
+        s"seedHorizon: conflicting seed markers ${markers.mkString(", ")} " +
+          s"at $rootPath — a re-seed at a different horizon left both; " +
+          s"remove the stale one")
+      markers.headOption.map { m =>
+        val ts = m.stripPrefix("_seed_horizon_")
+        require(ts.nonEmpty && ts.forall(_.isDigit),
+          s"seedHorizon: malformed marker $m at $rootPath")
+        ts.toLong
+      }
+    }
+  }
+
+  /** SNAPSHOT-PLUS-BINLOG bootstrap for the maintained view faces — the
+    * 100 TB onboarding shape (nobody replays 100 TB of Maxwell JSON):
+    * build every registered view's initial state FROM a batch snapshot
+    * (a parquet extract, a JDBC dump) in ONE from-empty fold — the same
+    * one-window bootstrap plan the stream's from-empty batch uses — and
+    * stamp it as the generation at the snapshot's consistent-read
+    * timestamp `ts0`; the subsequent
+    * [[maintainTableViewsToParquet]] run then folds ONLY the binlog
+    * suffix (`ts > ts0` — events at or before the horizon are already
+    * reflected in the snapshot, and the fold maintainers are not
+    * LWW-idempotent the way [[graft.cdc.Materializer.seed]]'s table
+    * merge is, so the overlap is dropped rather than replayed). Each
+    * view's changelog starts from the seeded face installed as a
+    * SNAPSHOT batch at id [[SeedSnapshotId]], so [[viewAsOfBatch]],
+    * compaction, and the JDBC mirror treat a seeded root exactly like
+    * a compacted one.
+    *
+    * Crash discipline: the `_seed_horizon_<ts0>` marker is written
+    * BEFORE the generation swap; a crash in between leaves marker-
+    * without-generation, which every stream fold refuses loudly naming
+    * the re-run ([[seedHorizon]]) — the torn window can never fold a
+    * suffix-only state silently. Re-running the seed overwrites
+    * everything (it refuses only once a generation exists). */
+  def seedTableViewsToParquet(spark: SparkSession, snapshot: DataFrame,
+                              spec: TableSpec,
+                              views: Seq[NamedTableView[_]],
+                              rootPath: String, ts0: Long): Unit = {
+    import graft.cdc.TableViews
+    require(views.nonEmpty, "at least one view")
+    require(views.map(_.name).distinct.size == views.size,
+      s"view names must be distinct: ${views.map(_.name).mkString(", ")}")
+    require(liveGenerationRoot(spark, s"$rootPath/current").isEmpty,
+      s"seedTableViewsToParquet: a generation already exists at " +
+        s"$rootPath — seeding is a BOOTSTRAP; to re-onboard, rebuild " +
+        s"the root (delete it and the stream checkpoint) first")
+    val pk = spec.primaryKey
+    val decodedType = org.apache.spark.sql.types.StructType(
+      spec.schema.fields.filterNot(f => spec.dropped.contains(f.name)))
+    val events = snapshot.select(
+        lit("insert").as("op"), lit(spec.database).as("database"),
+        lit(spec.table).as("table"), lit(ts0).as("ts"), lit(0L).as("seq"),
+        lit(null).cast(decodedType).as("before"),
+        struct(decodedType.fieldNames.toSeq.map(col): _*)
+          .cast(decodedType).as("after"),
+        lit(null).cast("array<string>").as("changed_cols"))
+      .localCheckpoint(false)
+    def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], df.schema)
+    val st0 = emptyLike(Materializer.compact(events.limit(0), pk))
+    val events0 = emptyLike(events.limit(0))
+    val vs = views.map(_.asInstanceOf[NamedTableView[Any]])
+    val (ctx, stNext) = TableViews.batchCtx(st0, events, pk,
+      graft.cdc.JoinView.DefaultMaxLocalKeys)
+    val nexts = vs.map(v =>
+      v.maintainer.pin(v.maintainer.step(v.maintainer.empty(events0, pk),
+                                         ctx)))
+    val faces = vs.zip(nexts).map { case (v, s) =>
+      v.face(s).localCheckpoint() }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(rootPath).getFileSystem(conf)
+    // the face changelogs' base: the seeded face as a snapshot batch
+    // (all-insert change rows keyed by the view's faceKeys, `_snapshot`
+    // marked) — written before anything is live, so a re-run overwrites
+    vs.zip(faces).foreach { case (v, f) =>
+      val dir = s"$rootPath/${v.name}/changes/batch=$SeedSnapshotId"
+      val faceType = org.apache.spark.sql.types.StructType(f.schema.fields)
+      val rows = f.select(
+        v.faceKeys.map(col) ++ Seq(
+          lit("insert").as("op"),
+          lit(null).cast(faceType).as("before"),
+          struct(f.columns.toSeq.map(col): _*).cast(faceType)
+            .as("after")): _*)
+      rows.repartition(v.faceKeys.map(col): _*).write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        .parquet(dir)
+      require(fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")),
+        s"seed snapshot at $dir lost its _SUCCESS marker")
+      fs.create(new org.apache.hadoop.fs.Path(dir, "_snapshot"), true)
+        .close()
+    }
+    // marker BEFORE the swap (see crash discipline above)
+    fs.create(new org.apache.hadoop.fs.Path(
+      rootPath, seedHorizonMarker(ts0)), true).close()
+    swapGeneration(spark, s"$rootPath/current") { tmp =>
+      stNext.write.mode("overwrite").parquet(s"$tmp/state")
+      vs.zip(nexts).foreach { case (v, s) =>
+        v.files(s).foreach { case (fn, df) =>
+          df.write.mode("overwrite").parquet(s"$tmp/${v.name}__$fn") }
+      }
+      vs.zip(faces).foreach { case (v, f) =>
+        f.write.mode("overwrite").parquet(s"$tmp/${v.name}__view") }
+    }
+  }
+
+  /** Post-batch drift policy for [[maintainTableViewsToParquet]]:
+    * after every committed batch, read the `driftName` face and run
+    * [[retrainAnnIvf]]`(name, idCol, vecCol, k, seed)` when the
+    * corpus-weighted mean assignment distance exceeds `maxAvgDist`
+    * (the [[retrainAnnIvfIfDrifted]] predicate). Register the pair in
+    * codebook-following form ([[NamedTableView.annIvfFollowing]] /
+    * [[NamedTableView.annDriftFollowing]]). */
+  final case class AnnDriftPolicy(name: String, driftName: String,
+                                  idCol: String, vecCol: String,
+                                  k: Int, maxAvgDist: Double,
+                                  seed: Long = 42L)
 
   /** SQL CATALOG surface over PERSISTED maintained faces: register each
     * view's current face (`<name>__view` of the live generation) as a
@@ -2244,38 +2586,94 @@ object CdcStream {
     * rename it over `batch=<h>` (idempotent: a completed rename with a
     * lost marker delete just clears the marker) and remove the marker.
     * Returns the number of pending retrains finished. Called by
-    * retrainAnnIvf itself (entry + step 3) and by every
-    * [[maintainTableViewsToParquet]] batch BEFORE it folds, so the
-    * window where the generation serves a retrained face while the
-    * changelog still holds the old-epoch horizon delta can never be
-    * consumed silently. */
+    * retrainAnnIvf itself (entry + step 3), by every
+    * [[maintainTableViewsToParquet]] batch BEFORE it folds, and by the
+    * uncoordinated changelog CONSUMER surfaces
+    * ([[healRetrainPendingFor]]) — so concurrent heals are serialized
+    * under a `_heal_inprogress` lock in the live generation: without
+    * it, two healers could interleave inside the install (A renames
+    * side→batch and deletes the marker; B, past its side check, then
+    * deletes the freshly installed batch and its rename fails because
+    * side is gone — destroying the horizon batch the heal exists to
+    * protect). The lock is taken ONLY when a pending marker exists, so
+    * the no-marker hot path stays one listing. A healer that finds the
+    * lock held waits briefly (heals are one rename) and then fails
+    * loudly naming the file, matching the other locks' discipline. */
+  /** Same-JVM heal serialization, keyed by generation root (see
+    * [[healRetrainPending]]'s lock rationale). */
+  private val healMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def healRetrainPending(spark: SparkSession, rootPath: String,
-                         viewName: Option[String] = None): Int = {
+                         viewName: Option[String] = None,
+                         lockWaitMs: Long = 30000): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     liveGenerationRoot(spark, s"$rootPath/current").map { r =>
       val rootP = new org.apache.hadoop.fs.Path(r)
       val fs = rootP.getFileSystem(conf)
-      val pending = fs.listStatus(rootP).toSeq
+      def listPending(): Seq[String] = fs.listStatus(rootP).toSeq
         .map(_.getPath.getName).filter(_.contains("__retrain_pending_"))
         .filter(mk => viewName.forall(v =>
           mk.startsWith(s"${v}__retrain_pending_")))
-      pending.foreach { mk =>
-        val Array(vn, hStr) = mk.split("__retrain_pending_", 2)
-        val h = hStr.toLong
-        val side = new org.apache.hadoop.fs.Path(
-          s"$rootPath/$vn/changes/retrain_tmp_$h")
-        val dst = new org.apache.hadoop.fs.Path(
-          s"$rootPath/$vn/changes/batch=$h")
-        if (fs.exists(new org.apache.hadoop.fs.Path(side, "_SUCCESS")))
-          installSnapshotSide(fs, side, dst, "healRetrainPending")
-        else require(fs.exists(
-            new org.apache.hadoop.fs.Path(dst, "_snapshot")),
-          s"healRetrainPending: marker $mk names horizon $h but neither " +
-            s"a committed side copy nor an installed snapshot exists — " +
-            s"torn state; re-run retrainAnnIvf to rebuild the epoch")
-        fs.delete(new org.apache.hadoop.fs.Path(rootP, mk), false)
+      if (listPending().isEmpty) 0
+      // SAME-JVM serialization first (local[*] consumers share the
+      // driver JVM — and RawLocalFileSystem's create-exclusive is
+      // check-then-act, NOT atomic, so the file lock alone cannot
+      // arbitrate same-JVM healers); the FILE lock below arbitrates
+      // cross-process healers on filesystems where create-exclusive is
+      // atomic (HDFS), best-effort elsewhere.
+      else healMonitors.computeIfAbsent(rootP.toString, _ => new Object)
+          .synchronized {
+        val healLock = new org.apache.hadoop.fs.Path(
+          rootP, "_heal_inprogress")
+        val deadline = System.nanoTime() + lockWaitMs * 1000 * 1000
+        var locked = false
+        while (!locked) {
+          try { fs.create(healLock, false).close(); locked = true }
+          catch { case e: java.io.IOException =>
+            if (System.nanoTime() > deadline)
+              throw new IllegalStateException(
+                s"healRetrainPending: could not take $healLock within " +
+                  s"${lockWaitMs}ms — another heal is stuck or its " +
+                  s"process died mid-install. Verify none is running, " +
+                  s"then remove the file.", e)
+            // held: wait-and-retry. NOT held: the holder released it
+            // between our create and this check — retry immediately
+            // (treating that as contention would throw the holder's
+            // own exception path at the poor loser of a benign race).
+            if (fs.exists(healLock)) Thread.sleep(100)
+          }
+        }
+        try {
+          // re-list under the lock — the healer we waited on may have
+          // finished some (or all) of the markers we saw
+          val pending = listPending()
+          pending.foreach { mk =>
+            val parts = mk.split("__retrain_pending_", 2)
+            require(parts.length == 2 && parts(0).nonEmpty &&
+                parts(1).nonEmpty && parts(1).forall(_.isDigit),
+              s"healRetrainPending: malformed retrain-pending marker " +
+                s"'$mk' in $rootP — expected <view>__retrain_pending_<h> " +
+                s"with a numeric horizon; remove or rename the foreign " +
+                s"file to proceed")
+            val (vn, h) = (parts(0), parts(1).toLong)
+            val side = new org.apache.hadoop.fs.Path(
+              s"$rootPath/$vn/changes/retrain_tmp_$h")
+            val dst = new org.apache.hadoop.fs.Path(
+              s"$rootPath/$vn/changes/batch=$h")
+            if (fs.exists(new org.apache.hadoop.fs.Path(side, "_SUCCESS")))
+              installSnapshotSide(fs, side, dst, "healRetrainPending")
+            else require(fs.exists(
+                new org.apache.hadoop.fs.Path(dst, "_snapshot")),
+              s"healRetrainPending: marker $mk names horizon $h but " +
+                s"neither a committed side copy nor an installed " +
+                s"snapshot exists — torn state; re-run retrainAnnIvf " +
+                s"to rebuild the epoch")
+            fs.delete(new org.apache.hadoop.fs.Path(rootP, mk), false)
+          }
+          pending.size
+        } finally fs.delete(healLock, false)
       }
-      pending.size
     }.getOrElse(0)
   }
 
@@ -2306,12 +2704,17 @@ object CdcStream {
                                   side: org.apache.hadoop.fs.Path,
                                   dst: org.apache.hadoop.fs.Path,
                                   who: String): Unit = {
+    def installedByOther(): Boolean = // side consumed AND dst committed
+      !fs.exists(side) &&
+        fs.exists(new org.apache.hadoop.fs.Path(dst, "_snapshot"))
+    if (installedByOther()) return // a concurrent installer won — done
     val marker = new org.apache.hadoop.fs.Path(side, "_snapshot")
     if (!fs.exists(marker)) fs.create(marker).close()
     if (fs.exists(dst))
       require(fs.delete(dst, true),
         s"$who: could not remove $dst for the swap")
-    require(fs.rename(side, dst), s"$who: rename $side -> $dst failed")
+    require(fs.rename(side, dst) || installedByOther(),
+      s"$who: rename $side -> $dst failed")
   }
 
   /** Close the monitor→refresh loop: read the maintained drift face

@@ -2400,4 +2400,394 @@ class StreamingSpec extends SparkSpec {
     assert(driftFace().values.map(_._1).sum == 16,
       "the rebuilt drift monitor must keep folding new deltas")
   }
+
+  test("snapshot-seeded bootstrap: seed + overlapping binlog suffix " +
+       "== full replay, for aggregate AND index faces") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", LongType), StructField("txt", StringType),
+      StructField("emb", ArrayType(FloatType)))))
+    def ev(op: String, ts: Long, id: Long, grp: String, v: Long,
+           txt: String, emb: Seq[Double], old: String = "") = {
+      val oldPart = if (old.isEmpty) "" else s""","old":$old"""
+      s"""{"database":"d","table":"t","type":"$op","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v,"txt":"$txt","emb":[${emb.mkString(",")}]}$oldPart}"""
+    }
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "one two three four five six seven"
+    val t3 = "red green blue cyan magenta yellow"
+    // prefix (reflected in the snapshot, ts <= 5) + suffix (ts > 5);
+    // id5's text duplicates id3's -> a planted near-dup pair that spans
+    // the seed boundary (snapshot-era doc + binlog-era doc)
+    val prefix = Seq(
+      ev("insert", 1, 1, "a", 10, t1, Seq(10, 0)),
+      ev("insert", 2, 2, "a", 20, t2, Seq(0, 10)),
+      ev("insert", 3, 3, "b", 5, t3, Seq(10, 0.1)),
+      ev("update", 4, 1, "a", 11, t1 + " eta", Seq(9.9, 0),
+         s"""{"v":10,"txt":"$t1","emb":[10,0]}"""),
+      ev("delete", 5, 2, "a", 20, t2, Seq(0, 10)))
+    val suffix = Seq(
+      ev("insert", 6, 4, "b", 7, t2, Seq(0, 9.9)),
+      ev("update", 7, 3, "b", 6, t3, Seq(10, 0.2),
+         """{"v":5,"emb":[10,0.1]}"""),
+      ev("insert", 8, 5, "a", 9, t3, Seq(9.8, 0.1)),
+      ev("delete", 9, 1, "a", 11, t1 + " eta", Seq(9.9, 0)))
+    val initial = Seq((0L, Seq(10f, 0f)), (1L, Seq(0f, 10f)))
+    def views() = Seq(
+      CdcStream.NamedTableView.distinctCount("dc", "grp", "v"),
+      CdcStream.NamedTableView.moments("mm", "grp", "v"),
+      CdcStream.NamedTableView.dedupIndex("di", "id", "txt", nGram = 3),
+      CdcStream.NamedTableView.annIvfFollowing("ivf", "id", "emb",
+                                               initial))
+    def runLog(root: String, ckpt: String, logDir: String): Unit =
+      CdcStream.maintainTableViewsToParquet(
+        CdcStream.fileChangelog(spark, logDir), spec, views(), root,
+        ckpt).awaitTermination()
+    def faces(root: String): Map[String, Set[String]] =
+      Seq("dc", "mm", "di", "ivf").map(n =>
+        n -> CdcStream.readMultiView(spark, root, n).collect()
+          .map(_.toString).toSet).toMap
+    // FULL replay: the whole changelog from empty
+    val logF = tmpDir("sdfl"); val rootF = tmpDir("sdfr")
+    Files.write(java.nio.file.Paths.get(logF, "all.json"),
+      ((prefix ++ suffix).mkString("\n") + "\n").getBytes("UTF-8"))
+    runLog(rootF, tmpDir("sdfc"), logF)
+    // SEEDED: snapshot (= live state as of ts0 = 5) + the OVERLAPPING
+    // log (prefix included — the fold must drop it, not re-count it)
+    val rootS = tmpDir("sdsr")
+    val snapshot = spark.createDataFrame(Seq(
+        (1L, "a", 11L, t1 + " eta", Seq(9.9f, 0f)),
+        (3L, "b", 5L, t3, Seq(10f, 0.1f))))
+      .toDF("id", "grp", "v", "txt", "emb")
+    CdcStream.seedTableViewsToParquet(spark, snapshot, spec, views(),
+                                      rootS, ts0 = 5L)
+    // seeded faces BEFORE the suffix == the snapshot's own state
+    assert(CdcStream.readMultiView(spark, rootS, "dc").collect()
+             .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+           Map("a" -> 1L, "b" -> 1L))
+    val logS = tmpDir("sdsl")
+    Files.write(java.nio.file.Paths.get(logS, "all.json"),
+      ((prefix ++ suffix).mkString("\n") + "\n").getBytes("UTF-8"))
+    runLog(rootS, tmpDir("sdsc"), logS)
+    assert(faces(rootS) == faces(rootF),
+      s"seeded faces diverge from full replay:\n${faces(rootS)}\nvs\n" +
+        s"${faces(rootF)}")
+    // the planted cross-boundary dup pair survived the handoff
+    assert(faces(rootS)("di").exists(r => r.contains("3") &&
+                                          r.contains("5")),
+      s"cross-boundary dup pair missing: ${faces(rootS)("di")}")
+    // live table state equal (modulo meta cols: seed stamps ts0)
+    def live(root: String): Set[String] =
+      graft.cdc.Materializer.liveView(
+        spark.read.parquet(s"$root/current/state"))
+        .collect().map(_.toString).toSet
+    assert(live(rootS) == live(rootF))
+    // the changelog fold works from the seed snapshot (batch = -1)
+    // through the suffix batches — time travel on a seeded root
+    val folded = CdcStream.viewAsOfBatch(spark, s"$rootS/dc",
+                                         Long.MaxValue)
+      .collect().map(_.toString).toSet
+    assert(folded == CdcStream.readMultiView(spark, rootS, "dc")
+             .collect().map(_.toString).toSet,
+      "seeded changelog fold must equal the face")
+    // a torn seed (marker without generation) refuses loudly
+    val rootT = tmpDir("sdtr")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(rootT))
+    fs.create(new org.apache.hadoop.fs.Path(rootT, "_seed_horizon_5"),
+              true).close()
+    val exTorn = intercept[Exception] {
+      runLog(rootT, tmpDir("sdtc"), logS) }
+    def rootMsg(e: Throwable): String = {
+      var c: Throwable = e
+      while (c.getCause != null) c = c.getCause
+      c.getMessage
+    }
+    assert(rootMsg(exTorn).contains("torn") ||
+             rootMsg(exTorn).contains("re-run the seed"),
+      s"torn seed must refuse loudly: ${rootMsg(exTorn)}")
+  }
+
+  test("drift policy retrains MID-RUN; following views pick up the " +
+       "new codebook at the next batch with no external call") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("dplog"); val root = tmpDir("dpstate")
+    val ckpt = tmpDir("dpckpt")
+    val spec = TableSpec("d", "vecs", Seq("vec_id"), StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    def ev(ts: Long, id: Long, v: Seq[Double]) =
+      s"""{"database":"d","table":"vecs","type":"insert","ts":$ts,"data":{"vec_id":$id,"embedding":[${v.mkString(",")}]}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val initial = Seq((0L, Seq(10f, 0f)), (1L, Seq(0f, 10f)))
+    def views() = Seq(
+      CdcStream.NamedTableView.annIvfFollowing(
+        "ivf", "vec_id", "embedding", initial),
+      CdcStream.NamedTableView.annDriftFollowing(
+        "ivfd", "vec_id", "embedding", initial))
+    val policy = CdcStream.AnnDriftPolicy(
+      "ivf", "ivfd", "vec_id", "embedding", k = 3, maxAvgDist = 1.0,
+      seed = 7L)
+    def run(maxFilesPerTrigger: Option[Int]): Unit = {
+      val lines = maxFilesPerTrigger
+        .foldLeft(spark.readStream.schema("value STRING").format("text")) {
+          (r, m) => r.option("maxFilesPerTrigger", m.toString) }
+        .load(logDir)
+      val env = graft.cdc.Maxwell.parseEnvelopeCol(lines, col("value"))
+      CdcStream.maintainTableViewsToParquet(env, spec, views(), root,
+        ckpt, driftPolicy = Some(policy)).awaitTermination()
+    }
+    def codebook(): Seq[(Long, Seq[Float])] =
+      CdcStream.readAnnCodebook(spark, root, "ivf").get.sortBy(_._1)
+    def face(): Map[Long, Long] =
+      CdcStream.readMultiView(spark, root, "ivf").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id"))
+        .toMap
+    def meanDrift(): Double =
+      CdcStream.readMultiView(spark, root, "ivfd")
+        .agg((sum(col("n_vecs") * col("avg_dist")) / sum(col("n_vecs")))
+          .as("m")).head().getDouble(0)
+    // run 1: healthy corpus near the seeded centroids — the policy
+    // evaluates after the batch and must NOT retrain
+    append("b1.json", (1L to 4L).map(i =>
+      ev(1, i, Seq(10 + 0.01 * i, 0))) ++
+      (11L to 14L).map(i => ev(1, i, Seq(0, 10 + 0.01 * i))))
+    run(None)
+    assert(codebook() == initial.map { case (i, v) => (i, v.toSeq) },
+      "a healthy face must not trigger the policy")
+    assert(meanDrift() < 0.1)
+    // run 2, ONE run, two batches (maxFilesPerTrigger=1): batch A
+    // plants drift far from every centroid; the post-commit policy
+    // must retrain BETWEEN batches, and batch B (same run, no external
+    // call, no restart) must fold with the NEW codebook
+    append("b2.json", (21L to 32L).map(i =>
+      ev(2, i, Seq(5 + 0.01 * (i - 21), 5))))
+    append("b3.json", Seq(ev(3, 41, Seq(5.05, 5.0))))
+    run(Some(1))
+    val book2 = codebook()
+    assert(book2.size == 3 &&
+             book2 != initial.map { case (i, v) => (i, v.toSeq) },
+      s"the policy must have retrained mid-run: $book2")
+    assert(meanDrift() < 1.0,
+      s"the retrain must rebuild the drift face in-epoch: ${meanDrift()}")
+    val f = face()
+    assert(f.contains(41L), "batch B must fold after the mid-run retrain")
+    // batch B's vector sits in the planted-drift cloud: it must assign
+    // to the same (new) centroid as the cloud, which no initial
+    // centroid could produce
+    assert(f(41L) == f(21L),
+      s"post-retrain batch must assign with the NEW codebook: $f")
+    assert(CdcStream.viewAsOfBatch(spark, s"$root/ivf", Long.MaxValue)
+             .count() == face().size,
+      "changelog fold must track the face across the mid-run retrain")
+  }
+
+  test("ALTER mid-stream: maintained faces absorb ADD + widening, " +
+       "refuse narrowing and drops/renames of read columns") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("evlog"); val root = tmpDir("evstate")
+    val ckpt = tmpDir("evckpt")
+    def spec(vType: DataType, withW: Boolean, txtName: Option[String],
+             renamed: Map[String, String] = Map.empty) =
+      TableSpec("d", "t", Seq("id"), StructType(
+        Seq(StructField("id", LongType), StructField("grp", StringType),
+            StructField("v", vType)) ++
+          (if (withW) Seq(StructField("w", LongType)) else Nil) ++
+          txtName.map(n => StructField(n, StringType)).toSeq),
+        renamedColumns = renamed)
+    val v1 = spec(IntegerType, withW = false, Some("txt"))
+    def ev(ts: Long, id: Long, grp: String, v: Long, extra: String = "") =
+      s"""{"database":"d","table":"t","type":"insert","ts":$ts,"data":{"id":$id,"grp":"$grp","v":$v$extra}}"""
+    def append(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(logDir, name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def views() = Seq(
+      CdcStream.NamedTableView.moments("m", "grp", "v"),
+      CdcStream.NamedTableView.distinctCount("dc", "grp", "v"),
+      CdcStream.NamedTableView.tokenFreq("tf", "txt"))
+    def run(s: TableSpec, vs: Seq[CdcStream.NamedTableView[_]],
+            evolve: Boolean) =
+      CdcStream.maintainTableViewsToParquet(
+        CdcStream.fileChangelog(spark, logDir), s, vs, root, ckpt,
+        allowEvolution = evolve).awaitTermination()
+    def rootMsg(e: Throwable): String = {
+      var c: Throwable = e
+      while (c.getCause != null) c = c.getCause
+      c.getMessage
+    }
+    append("b1.json", Seq(ev(1, 1, "a", 10, ""","txt":"x y""""),
+                          ev(2, 2, "a", 20, ""","txt":"y z"""")))
+    run(v1, views(), evolve = false)
+    // 1. ADD COLUMN without allowEvolution: loud refusal naming the
+    // drift and the flag — never a silent absorb
+    val v2 = spec(IntegerType, withW = true, Some("txt"))
+    append("b2.json", Seq(
+      ev(3, 3, "b", 5, ""","w":7,"txt":"x q""""),
+      ev(4, 4, "b", 6, ""","w":8,"txt":"q q"""")))
+    val exAdd = intercept[Exception] { run(v2, views(), evolve = false) }
+    assert(rootMsg(exAdd).contains("allowEvolution") &&
+             rootMsg(exAdd).contains("added w"),
+      s"ADD refusal must name the drift: ${rootMsg(exAdd)}")
+    // 2. ADD COLUMN with allowEvolution: absorbs — pre-ALTER rows
+    // report NULL for w (the source database's own answer), faces keep
+    // folding
+    run(v2, views(), evolve = true)
+    val st2 = spark.read.parquet(s"$root/current/state")
+    assert(st2.columns.contains("w"))
+    val wById = st2.collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("w"))).toMap
+    assert(wById(1L).isEmpty && wById(2L).isEmpty &&
+             wById(3L).contains(7L) && wById(4L).contains(8L),
+      s"pre-ALTER rows must read NULL for the added column: $wById")
+    def momentsFace(): Map[String, (Long, Double)] =
+      CdcStream.readMultiView(spark, root, "m")
+        .select(col("grp"), col("n_rows"),
+                (col("sum_v").cast("double") / col("n_rows")).as("avg"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(momentsFace() == Map("a" -> (2L, 15.0), "b" -> (2L, 5.5)),
+      s"faces must keep folding across the ADD: ${momentsFace()}")
+    // 3. WIDENING MODIFY (v INT -> BIGINT) with allowEvolution: the
+    // moments-backed face absorbs; the state reads back widened
+    val v3 = spec(LongType, withW = true, Some("txt"))
+    append("b3.json", Seq(
+      ev(5, 5, "a", 3000000000L, ""","w":9,"txt":"z z"""")))
+    run(v3, views(), evolve = true)
+    assert(spark.read.parquet(s"$root/current/state")
+             .schema("v").dataType == LongType,
+      "state must read back in the widened type")
+    assert(momentsFace()("a") == (3L, 1000000010.0),
+      s"moments must absorb the widened column: ${momentsFace()}")
+    // 4. RENAME of a column a view reads: the AFFECTED view refuses
+    // loudly with the rebuild recipe; unaffected siblings absorb and
+    // renamed history is preserved (pre-ALTER values non-NULL)
+    val v4 = spec(LongType, withW = true, Some("body"),
+                  renamed = Map("txt" -> "body"))
+    append("b4.json", Seq(
+      ev(6, 6, "b", 7, ""","w":1,"body":"m n"""")))
+    val tfRenamed = CdcStream.NamedTableView.tokenFreq("tf", "body")
+    val exRen = intercept[Exception] {
+      run(v4, views().init :+ tfRenamed, evolve = true) }
+    assert(rootMsg(exRen).contains("'tf'") &&
+             rootMsg(exRen).contains("Rebuild"),
+      s"rename refusal must name the view and recipe: ${rootMsg(exRen)}")
+    run(v4, views().init, evolve = true) // without the affected view
+    val body = spark.read.parquet(s"$root/current/state").collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("body"))).toMap
+    assert(body(1L).contains("x y") && body(6L).contains("m n"),
+      s"renamed history must be preserved, not NULLed: $body")
+    // 5. an UNDECLARED-sourceCols view cannot prove it survives a
+    // drop/rename: conservative loud refusal
+    val v5 = spec(LongType, withW = false, Some("body"))
+    append("b5.json", Seq(ev(7, 7, "c", 1, ""","body":"k"""")))
+    val undeclared = CdcStream.NamedTableView.moments("m", "grp", "v")
+      .copy(sourceCols = None)
+    val exUndecl = intercept[Exception] {
+      run(v5, Seq(undeclared,
+                  CdcStream.NamedTableView.distinctCount("dc", "grp", "v")),
+          evolve = true) }
+    assert(rootMsg(exUndecl).contains("sourceCols"),
+      s"undeclared view must refuse on drop: ${rootMsg(exUndecl)}")
+    // 6. DROP COLUMN (w): views not reading it absorb; the state
+    // narrows with the source
+    run(v5, views().init, evolve = true)
+    assert(!spark.read.parquet(s"$root/current/state")
+              .columns.contains("w"),
+      "the merged generation must narrow with the source")
+    assert(momentsFace()("c") == (1L, 1.0))
+    // 7. NARROWING MODIFY always refuses, evolution or not
+    val v6 = spec(IntegerType, withW = false, Some("body"))
+    append("b6.json", Seq(ev(8, 8, "c", 2, ""","body":"k"""")))
+    val exNarrow = intercept[Exception] {
+      run(v6, views().init, evolve = true) }
+    assert(rootMsg(exNarrow).toLowerCase.contains("narrow"),
+      s"narrowing must refuse: ${rootMsg(exNarrow)}")
+  }
+
+  test("concurrent heals serialize under the heal lock; malformed " +
+       "markers fail loudly") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("hllog"); val root = tmpDir("hlstate")
+    val ckpt = tmpDir("hlckpt")
+    val spec = TableSpec("d", "t", Seq("id"), StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    Files.write(java.nio.file.Paths.get(logDir, "b1.json"),
+      ("""{"database":"d","table":"t","type":"insert","ts":1,"data":{"id":1,"v":10}}""" +
+        "\n").getBytes("UTF-8"))
+    CdcStream.maintainTableViewsToParquet(
+      CdcStream.fileChangelog(spark, logDir), spec,
+      Seq(CdcStream.NamedTableView.distinctCount("v_d", "id", "v")),
+      root, ckpt).awaitTermination()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(s"$root/current")
+    val lock = new org.apache.hadoop.fs.Path(cur, "_heal_inprogress")
+    def marker(n: String) = new org.apache.hadoop.fs.Path(cur, n)
+    // 1. no pending markers: the hot path takes NO lock — a stale
+    // heal lock left by a dead process does not block consumers that
+    // have nothing to heal
+    fs.create(lock, true).close()
+    assert(CdcStream.healRetrainPending(spark, root) == 0)
+    assert(fs.exists(lock), "no-marker path must not touch the lock")
+    // 2. pending marker + held lock: bounded wait, then a loud
+    // failure naming the lock file (red if the serialization is
+    // deleted)
+    fs.create(marker("v_d__retrain_pending_7"), true).close()
+    val exLock = intercept[IllegalStateException] {
+      CdcStream.healRetrainPending(spark, root, lockWaitMs = 300)
+    }
+    assert(exLock.getMessage.contains("_heal_inprogress"),
+      s"lock timeout must name the file: ${exLock.getMessage}")
+    fs.delete(lock, false)
+    fs.delete(marker("v_d__retrain_pending_7"), false)
+    // 3. a foreign/malformed marker-looking file fails loudly NAMING
+    // it instead of an opaque MatchError (empty horizon suffix)
+    fs.create(marker("junk__retrain_pending_"), true).close()
+    val exBad = intercept[IllegalArgumentException] {
+      CdcStream.healRetrainPending(spark, root)
+    }
+    assert(exBad.getMessage.contains("junk__retrain_pending_") &&
+             exBad.getMessage.contains("malformed"),
+      s"malformed marker must be named: ${exBad.getMessage}")
+    assert(!fs.exists(lock), "heal must release its lock on failure")
+    fs.delete(marker("junk__retrain_pending_"), false)
+    // 4. two CONCURRENT healers on the same committed side copy: the
+    // lock serializes them — exactly one installs, the other re-lists
+    // under the lock and finds nothing; the installed horizon batch
+    // SURVIVES (the destroyed-batch interleave this lock exists for)
+    val side = new org.apache.hadoop.fs.Path(
+      s"$root/v_d/changes/retrain_tmp_42")
+    fs.mkdirs(side)
+    fs.create(new org.apache.hadoop.fs.Path(side, "_SUCCESS"), true)
+      .close()
+    fs.create(new org.apache.hadoop.fs.Path(side, "part-0"), true).close()
+    fs.create(marker("v_d__retrain_pending_42"), true).close()
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val healed = (0 until 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = CdcStream.healRetrainPending(spark, root)
+      })
+    }
+    pool.shutdown(); pool.awaitTermination(60, TimeUnit.SECONDS)
+    assert(healed.map(_.get()).sum == 1,
+      "exactly one concurrent healer must install the snapshot")
+    val dst = new org.apache.hadoop.fs.Path(
+      s"$root/v_d/changes/batch=42")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dst, "_snapshot")) &&
+             fs.exists(new org.apache.hadoop.fs.Path(dst, "part-0")),
+      "the installed horizon batch must survive concurrent heals")
+    assert(!fs.exists(side) && !fs.exists(lock) &&
+             !fs.exists(marker("v_d__retrain_pending_42")))
+    fs.delete(dst, true) // leave the maintained root as the stream left it
+  }
 }
