@@ -108,6 +108,30 @@ object CdcStream {
     must(fs.rename(tmp, dst), s"rename $tmp -> $dst")
   }
 
+  /** LOUD refusal for the NON-EVOLVABLE restore paths (join family,
+    * snowflake, the dedicated pair-state/moments/top-k sinks): their
+    * maintained states key by the decoded columns and cannot evolve in
+    * place, so any schema drift between a persisted table state and
+    * the current spec refuses naming the drift and the rebuild recipe
+    * instead of surfacing as an opaque mid-plan union/analysis error.
+    * The single-topic [[maintainTableViewsToParquet]] path is the one
+    * with an ABSORB contract (`allowEvolution`). */
+  private def refuseStateDrift(persisted: DataFrame, delta: DataFrame,
+                               spec: TableSpec, surface: String,
+                               rootPath: String): Unit = {
+    val expected = Materializer.compact(delta.limit(0), spec.primaryKey)
+    val drift = Materializer.stateDrift(persisted.schema, expected.schema,
+                                        spec.renamedColumns)
+    require(drift.isEmpty,
+      s"$surface: the persisted state for ${spec.database}.${spec.table} " +
+        s"at $rootPath was built under a different table schema " +
+        s"[${drift.describe}] — schema evolution is not supported on " +
+        s"this path (its states cannot evolve in place). Rebuild: stop " +
+        s"the stream, delete $rootPath and the checkpoint, and replay " +
+        s"the changelog under the new spec (maintainTableViewsToParquet " +
+        s"is the surface with an allowEvolution absorb contract)")
+  }
+
   /** Name of the per-generation applied-batch marker. foreachBatch
     * commits the checkpoint AFTER the batch body returns, so a crash in
     * the window [generation swapped, checkpoint committed] replays the
@@ -695,9 +719,16 @@ object CdcStream {
           def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], df.schema)
           val st0 = root
-            .map(r => JoinView.State(spark.read.parquet(s"$r/left"),
-                                     spark.read.parquet(s"$r/right"),
-                                     spark.read.parquet(s"$r/view")))
+            .map { r =>
+              val st = JoinView.State(spark.read.parquet(s"$r/left"),
+                                      spark.read.parquet(s"$r/right"),
+                                      spark.read.parquet(s"$r/view"))
+              refuseStateDrift(st.left, dl, lSpec,
+                               "maintainJoinViewToParquet", rootPath)
+              refuseStateDrift(st.right, dr, rSpec,
+                               "maintainJoinViewToParquet", rootPath)
+              st
+            }
             .getOrElse {
               val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
               val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
@@ -759,9 +790,16 @@ object CdcStream {
           def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], df.schema)
           val st0 = root
-            .map(r => LeftJoinView.State(spark.read.parquet(s"$r/left"),
-                                         spark.read.parquet(s"$r/right"),
-                                         spark.read.parquet(s"$r/view")))
+            .map { r =>
+              val st = LeftJoinView.State(spark.read.parquet(s"$r/left"),
+                                          spark.read.parquet(s"$r/right"),
+                                          spark.read.parquet(s"$r/view"))
+              refuseStateDrift(st.left, dl, lSpec,
+                               "maintainLeftJoinViewToParquet", rootPath)
+              refuseStateDrift(st.right, dr, rSpec,
+                               "maintainLeftJoinViewToParquet", rootPath)
+              st
+            }
             .getOrElse {
               val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
               val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
@@ -826,9 +864,16 @@ object CdcStream {
           def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], df.schema)
           val st0 = root
-            .map(r => JoinAggView.State(spark.read.parquet(s"$r/left"),
-                                        spark.read.parquet(s"$r/right"),
-                                        spark.read.parquet(s"$r/agg")))
+            .map { r =>
+              val st = JoinAggView.State(spark.read.parquet(s"$r/left"),
+                                         spark.read.parquet(s"$r/right"),
+                                         spark.read.parquet(s"$r/agg"))
+              refuseStateDrift(st.left, dl, lSpec,
+                               "maintainJoinAggToParquet", rootPath)
+              refuseStateDrift(st.right, dr, rSpec,
+                               "maintainJoinAggToParquet", rootPath)
+              st
+            }
             .getOrElse {
               val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
               val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
@@ -886,10 +931,18 @@ object CdcStream {
           def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], df.schema)
           val st0 = root
-            .map(r => JoinDistinctView.State(
-              spark.read.parquet(s"$r/left"), spark.read.parquet(s"$r/right"),
-              spark.read.parquet(s"$r/pairs"),
-              spark.read.parquet(s"$r/groups")))
+            .map { r =>
+              val st = JoinDistinctView.State(
+                spark.read.parquet(s"$r/left"),
+                spark.read.parquet(s"$r/right"),
+                spark.read.parquet(s"$r/pairs"),
+                spark.read.parquet(s"$r/groups"))
+              refuseStateDrift(st.left, dl, lSpec,
+                               "maintainJoinDistinctToParquet", rootPath)
+              refuseStateDrift(st.right, dr, rSpec,
+                               "maintainJoinDistinctToParquet", rootPath)
+              st
+            }
             .getOrElse {
               val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
               val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
@@ -982,8 +1035,14 @@ object CdcStream {
           def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], df.schema)
           val st0 = root
-            .map(r => IncrementalTopK.State(spark.read.parquet(s"$r/state"),
-                                            spark.read.parquet(s"$r/view")))
+            .map { r =>
+              val st = IncrementalTopK.State(
+                spark.read.parquet(s"$r/state"),
+                spark.read.parquet(s"$r/view"))
+              refuseStateDrift(st.state, delta, spec,
+                               "maintainTopKToParquet", rootPath)
+              st
+            }
             .getOrElse {
               val sS = emptyLike(
                 Materializer.compact(delta.limit(0), spec.primaryKey))
@@ -1058,11 +1117,18 @@ object CdcStream {
           def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], df.schema)
           val st0 = root
-            .map(r => JoinTopKView.State(
-              JoinView.State(spark.read.parquet(s"$r/left"),
-                             spark.read.parquet(s"$r/right"),
-                             spark.read.parquet(s"$r/view")),
-              spark.read.parquet(s"$r/ranked")))
+            .map { r =>
+              val st = JoinTopKView.State(
+                JoinView.State(spark.read.parquet(s"$r/left"),
+                               spark.read.parquet(s"$r/right"),
+                               spark.read.parquet(s"$r/view")),
+                spark.read.parquet(s"$r/ranked"))
+              refuseStateDrift(st.join.left, dl, lSpec,
+                               "maintainJoinTopKToParquet", rootPath)
+              refuseStateDrift(st.join.right, dr, rSpec,
+                               "maintainJoinTopKToParquet", rootPath)
+              st
+            }
             .getOrElse {
               val lS = emptyLike(Materializer.compact(dl.limit(0), lSpec.primaryKey))
               val rS = emptyLike(Materializer.compact(dr.limit(0), rSpec.primaryKey))
@@ -1241,8 +1307,15 @@ object CdcStream {
           def emptyLike(df: DataFrame): DataFrame = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], df.schema)
           val (stL, stR) = root
-            .map(r => (spark.read.parquet(s"$r/left"),
-                       spark.read.parquet(s"$r/right")))
+            .map { r =>
+              val pair = (spark.read.parquet(s"$r/left"),
+                          spark.read.parquet(s"$r/right"))
+              refuseStateDrift(pair._1, dl, lSpec,
+                               "maintainMultiViewToParquet", rootPath)
+              refuseStateDrift(pair._2, dr, rSpec,
+                               "maintainMultiViewToParquet", rootPath)
+              pair
+            }
             .getOrElse(
               (emptyLike(Materializer.compact(dl.limit(0), lPk)),
                emptyLike(Materializer.compact(dr.limit(0), rPk))))
@@ -1390,7 +1463,13 @@ object CdcStream {
             spark.sparkContext.emptyRDD[Row], df.schema)
           val states0: Seq[DataFrame] = root match {
             case Some(r) =>
-              (0 until n).map(t => spark.read.parquet(s"$r/table_$t"))
+              (0 until n).map { t =>
+                val st = spark.read.parquet(s"$r/table_$t")
+                refuseStateDrift(st, deltas(t), specs(t),
+                                 "maintainSnowflakeViewToParquet",
+                                 rootPath)
+                st
+              }
             case None => deltas.zip(pks).map { case (d, pk) =>
               emptyLike(Materializer.compact(d.limit(0), pk)) }
           }
@@ -2256,9 +2335,18 @@ object CdcStream {
       s"seedTableViewsToParquet: a generation already exists at " +
         s"$rootPath — seeding is a BOOTSTRAP; to re-onboard, rebuild " +
         s"the root (delete it and the stream checkpoint) first")
+    require(ts0 >= 0, s"seedTableViewsToParquet: ts0 must be a " +
+      s"non-negative epoch timestamp (got $ts0) — the horizon marker " +
+      s"encodes it in its name")
     val pk = spec.primaryKey
     val decodedType = org.apache.spark.sql.types.StructType(
       spec.schema.fields.filterNot(f => spec.dropped.contains(f.name)))
+    val missing = decodedType.fieldNames.filterNot(
+      snapshot.columns.toSet)
+    require(missing.isEmpty,
+      s"seedTableViewsToParquet: snapshot is missing declared " +
+        s"column(s) ${missing.mkString(", ")} — the extract must carry " +
+        s"every column of the registered spec")
     val events = snapshot.select(
         lit("insert").as("op"), lit(spec.database).as("database"),
         lit(spec.table).as("table"), lit(ts0).as("ts"), lit(0L).as("seq"),

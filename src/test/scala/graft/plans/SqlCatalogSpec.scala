@@ -107,4 +107,24 @@ class SqlCatalogSpec extends SparkSpec {
     assert(!plan.contains("changes"),
       s"persisted face read must not fold the changelog:\n$plan")
   }
+
+  test("serving a SQL-path query leaves no catalog footprint") {
+    // a consumer's own temp view sharing a query's name must survive a
+    // serve (the serveSql round-trip uses a PRIVATE internal name and
+    // drops it; registerSqlFaces is the surface that binds public
+    // names deliberately)
+    spark.sql("SELECT 1 AS x").createOrReplaceTempView("cdc_ann_drift")
+    try {
+      graft.ops.CdcQueries.queries("cdc_ann_drift")(spark, sfDir).collect()
+      assert(spark.sql("SELECT * FROM cdc_ann_drift").columns.toSeq ==
+               Seq("x"),
+        "serving must not clobber a consumer's own temp view")
+      graft.ops.CdcQueries.queries("cdc_distinct_view")(spark, sfDir)
+        .collect()
+      assert(!spark.catalog.tableExists(
+          "graft_internal_cdc_distinct_view_serve") &&
+        !spark.catalog.tableExists("graft_internal_cdc_ann_drift_serve"),
+        "the internal serve views must be dropped after the round-trip")
+    } finally spark.catalog.dropTempView("cdc_ann_drift")
+  }
 }

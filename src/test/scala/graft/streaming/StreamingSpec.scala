@@ -2401,6 +2401,46 @@ class StreamingSpec extends SparkSpec {
       "the rebuilt drift monitor must keep folding new deltas")
   }
 
+  test("join-family paths refuse an upstream ALTER loudly with the " +
+       "rebuild recipe") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.TableSpec
+    val logDir = tmpDir("jalog"); val root = tmpDir("jastate")
+    val ckpt = tmpDir("jackpt")
+    def lSpec(extra: Boolean) = TableSpec("d", "fact", Seq("k"),
+      StructType(Seq(StructField("k", LongType),
+                     StructField("fk", LongType),
+                     StructField("price", DoubleType)) ++
+        (if (extra) Seq(StructField("qty", LongType)) else Nil)))
+    val rSpec = TableSpec("d", "dim", Seq("ck"), StructType(Seq(
+      StructField("ck", LongType), StructField("name", StringType))))
+    Files.write(java.nio.file.Paths.get(logDir, "b1.json"),
+      (Seq(
+        """{"database":"d","table":"fact","type":"insert","ts":1,"data":{"k":1,"fk":10,"price":5.0}}""",
+        """{"database":"d","table":"dim","type":"insert","ts":2,"data":{"ck":10,"name":"c10"}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    def run(ls: TableSpec): Unit = CdcStream.maintainJoinViewToParquet(
+      CdcStream.fileChangelog(spark, logDir), ls, rSpec,
+      lJoinCols = Seq("fk"),
+      viewCols = Seq("k", "fk", "price", "ck", "name"),
+      root, ckpt).awaitTermination()
+    run(lSpec(extra = false))
+    Files.write(java.nio.file.Paths.get(logDir, "b2.json"),
+      ("""{"database":"d","table":"fact","type":"insert","ts":3,"data":{"k":2,"fk":10,"price":6.0,"qty":4}}""" +
+        "\n").getBytes("UTF-8"))
+    val ex = intercept[Exception] { run(lSpec(extra = true)) }
+    def rootMsg(e: Throwable): String = {
+      var c: Throwable = e
+      while (c.getCause != null) c = c.getCause
+      c.getMessage
+    }
+    assert(rootMsg(ex).contains("maintainJoinViewToParquet") &&
+             rootMsg(ex).contains("added qty") &&
+             rootMsg(ex).contains("Rebuild"),
+      s"join path must refuse an ALTER loudly naming the recipe: " +
+        s"${rootMsg(ex)}")
+  }
+
   test("snapshot-seeded bootstrap: seed + overlapping binlog suffix " +
        "== full replay, for aggregate AND index faces") {
     import org.apache.spark.sql.types._
@@ -2533,6 +2573,16 @@ class StreamingSpec extends SparkSpec {
     val policy = CdcStream.AnnDriftPolicy(
       "ivf", "ivfd", "vec_id", "embedding", k = 3, maxAvgDist = 1.0,
       seed = 7L)
+    // a policy naming views this run does not maintain is a
+    // registration bug and refuses at start, not at first trigger
+    val exReg = intercept[IllegalArgumentException] {
+      CdcStream.maintainTableViewsToParquet(
+        CdcStream.fileChangelog(spark, logDir), spec,
+        Seq(CdcStream.NamedTableView.distinctCount("other", "vec_id",
+                                                   "vec_id")),
+        root, ckpt, driftPolicy = Some(policy))
+    }
+    assert(exReg.getMessage.contains("driftPolicy"))
     def run(maxFilesPerTrigger: Option[Int]): Unit = {
       val lines = maxFilesPerTrigger
         .foldLeft(spark.readStream.schema("value STRING").format("text")) {
@@ -2665,6 +2715,12 @@ class StreamingSpec extends SparkSpec {
       "state must read back in the widened type")
     assert(momentsFace()("a") == (3L, 1000000010.0),
       s"moments must absorb the widened column: ${momentsFace()}")
+    // the PAIR-STATE family absorbs too: its persisted value column
+    // (old narrow type) coerces up through the fold union
+    val dc3 = CdcStream.readMultiView(spark, root, "dc").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dc3 == Map("a" -> 3L, "b" -> 2L),
+      s"pair state must absorb the widened column: $dc3")
     // 4. RENAME of a column a view reads: the AFFECTED view refuses
     // loudly with the rebuild recipe; unaffected siblings absorb and
     // renamed history is preserved (pre-ALTER values non-NULL)
