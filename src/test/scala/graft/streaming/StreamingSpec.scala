@@ -2506,10 +2506,10 @@ class StreamingSpec extends SparkSpec {
     assert(CdcStream.readMultiView(spark, rootS, "dc").collect()
              .map(r => r.getString(0) -> r.getLong(1)).toMap ==
            Map("a" -> 1L, "b" -> 1L))
-    val logS = tmpDir("sdsl")
+    val logS = tmpDir("sdsl"); val ckS = tmpDir("sdsc")
     Files.write(java.nio.file.Paths.get(logS, "all.json"),
       ((prefix ++ suffix).mkString("\n") + "\n").getBytes("UTF-8"))
-    runLog(rootS, tmpDir("sdsc"), logS)
+    runLog(rootS, ckS, logS)
     assert(faces(rootS) == faces(rootF),
       s"seeded faces diverge from full replay:\n${faces(rootS)}\nvs\n" +
         s"${faces(rootF)}")
@@ -2531,6 +2531,21 @@ class StreamingSpec extends SparkSpec {
     assert(folded == CdcStream.readMultiView(spark, rootS, "dc")
              .collect().map(_.toString).toSet,
       "seeded changelog fold must equal the face")
+    // COMPOSITION with the ALTER contract: a seeded root is an ordinary
+    // generation — an upstream ADD COLUMN after the handoff absorbs
+    // under allowEvolution exactly like a replay-bootstrapped root
+    val specW = TableSpec("d", "t", Seq("id"), StructType(
+      spec.schema.fields.toSeq :+ StructField("w", LongType)))
+    Files.write(java.nio.file.Paths.get(logS, "b2.json"),
+      (s"""{"database":"d","table":"t","type":"insert","ts":10,"data":{"id":6,"grp":"c","v":2,"txt":"$t1","emb":[10,0],"w":5}}""" +
+        "\n").getBytes("UTF-8"))
+    CdcStream.maintainTableViewsToParquet(
+      CdcStream.fileChangelog(spark, logS), specW, views(), rootS,
+      ckS, allowEvolution = true).awaitTermination()
+    val stW = spark.read.parquet(s"$rootS/current/state")
+    assert(stW.columns.contains("w") &&
+             stW.filter(col("id") === 6).head().getAs[Long]("w") == 5L,
+      "a seeded root must absorb a post-handoff ADD COLUMN")
     // a torn seed (marker without generation) refuses loudly
     val rootT = tmpDir("sdtr")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
