@@ -64,6 +64,12 @@ object GroupViews {
         emptyLike(events0.sparkSession, perGroup(live0).schema)
       }
       def step(view: DataFrame, ctx: TableViews.BatchCtx): DataFrame = {
+        // FROM-EMPTY (bootstrap) fold: every live group came from this
+        // batch — the view is perGroup over the whole post-merge live
+        // state; the touched-group collect and the anti/semi pair are
+        // pure overhead (bridge.staticallyEmpty contract: plan-only)
+        if (org.apache.spark.sql.graft.bridge.staticallyEmpty(view))
+          return perGroup(Materializer.liveView(ctx.postState))
         val (tg, tgLocal) = IncrementalTopK.touchedGroups(
           ctx.delta, groupCol, ctx.maxLocalKeys)
         val untouched = byGroup(view, tg, tgLocal, groupCol, "left_anti")
@@ -140,6 +146,19 @@ object GroupViews {
         RollupState(rows0, totals0)
       }
       def step(st: RollupState, ctx: TableViews.BatchCtx): RollupState = {
+        // FROM-EMPTY (bootstrap) fold: no prior rows/totals — the view
+        // is perGroup over the whole live state, the totals fold is the
+        // fresh rows' rollup alone (same fold, empty retraction side);
+        // the touched-group collect and the three group joins are pure
+        // overhead (bridge.staticallyEmpty contract: plan-only)
+        if (org.apache.spark.sql.graft.bridge.staticallyEmpty(st.rows) &&
+            org.apache.spark.sql.graft.bridge.staticallyEmpty(st.totals)) {
+          val newPart = perGroup(Materializer.liveView(ctx.postState))
+            .localCheckpoint(false)
+          return RollupState(newPart,
+            fold(st.totals, rollup(newPart), rollup(emptyLike(
+              ctx.delta.sparkSession, newPart.schema))))
+        }
         val (tg, tgLocal) = IncrementalTopK.touchedGroups(
           ctx.delta, groupCol, ctx.maxLocalKeys)
         val oldPart = byGroup(st.rows, tg, tgLocal, groupCol, "left_semi")

@@ -143,6 +143,13 @@ object IncrementalTopK {
                             groupCol: String, orderCol: String, k: Int,
                             preTg: Option[(DataFrame, Boolean)] = None)
       : DataFrame = {
+    // FROM-EMPTY (bootstrap) fold: every live group came from this
+    // batch, so the touched-group collect and the anti/semi pair are
+    // pure overhead — the view is a straight re-rank of the post-merge
+    // live state (bridge.staticallyEmpty contract: plan-only).
+    if (org.apache.spark.sql.graft.bridge.staticallyEmpty(view))
+      return topK(Materializer.liveView(ctx.postState), ctx.pk, groupCol,
+                  orderCol, k)
     val (tg, tgLocal) = preTg.getOrElse(
       touchedGroups(ctx.delta, groupCol, ctx.maxLocalKeys))
     // null-safe group joins (mirroring Materializer.merge's key joins):

@@ -279,6 +279,37 @@ object Materializer {
         st0.select(st0.columns.toSeq.map(c =>
           widen.get(c).map(col(c).cast(_).as(c)).getOrElse(col(c))): _*)
       }
+    // FROM-EMPTY (bootstrap) fold: against a statically-empty state the
+    // anti/semi key joins and the state-side union below are pure plan
+    // overhead — state' = compact(Δ), identical semantics and column
+    // order (the general path's union aligns to the state's columns).
+    // Guarded on exact schema compatibility so a shape mismatch still
+    // falls through to the general path and fails as loudly as before
+    // (bridge.staticallyEmpty contract: plan-only, never semantics).
+    if (org.apache.spark.sql.graft.bridge.staticallyEmpty(state)) {
+      val m = compact(evts, primaryKey)
+      val outCols =
+        if (allowEvolution)
+          evts.schema("after").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.toSeq ++ MetaCols
+        else st1.columns.toSeq
+      val mFields = m.schema.fields.map(f => f.name -> f.dataType).toMap
+      val aligned =
+        if (outCols.forall(c => mFields.contains(c)) &&
+            (allowEvolution || st1.schema.fields.forall(f =>
+              mFields.get(f.name).contains(f.dataType))) &&
+            outCols.size == m.columns.length)
+          Some(m.select(outCols.map(col): _*))
+        else None // shape mismatch: general path below fails loudly
+      aligned match {
+        case Some(res) =>
+          return if (tombstoneRetentionTs == Long.MinValue) res
+                 else res.filter(col("__op") =!= "delete" ||
+                                 col("__ts") >= tombstoneRetentionTs)
+        case None => ()
+      }
+    }
     // callers that already hold the batch's changed-key set (e.g.
     // JoinView.applyBatch collects it once as a LocalRelation, making the
     // two key joins below driver-local broadcasts — no build job) pass it

@@ -90,6 +90,22 @@ object ClusterView {
   private def hintIf(df: DataFrame, isLocal: Boolean): DataFrame =
     if (isLocal) broadcast(df) else df
 
+  /** Row count of a projection over a LocalRelation, read off the plan —
+    * zero jobs (the bootstrap branches derive the relabel width from the
+    * batch's already-collected key set). None when the plan is not a
+    * pure projection chain over a LocalRelation. */
+  private def localPlanSize(df: DataFrame): Option[Long] = {
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Option[Long] = p match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(l.data.size.toLong)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        walk(pr.child)
+      case _ => None
+    }
+    walk(df.queryExecution.analyzed)
+  }
+
   /** Byte budget for the explicit |Δ|-side PAYLOAD broadcast in
     * [[maintainerFromEdgesCounted]]: 64 MB — well past the planner's
     * 10 MB default (the explicit hint exists because size estimates
@@ -120,7 +136,8 @@ object ClusterView {
     * requirement already pushes callers toward. */
   def cosineMaintainer(idCol: String, vecCol: String, minCosine: Double,
                        ccShufflePartitions: Int = 0,
-                       maxLiveRows: Long = 65536)
+                       maxLiveRows: Long = 65536,
+                       ccLocalEdgeCap: Int = Dedup.LocalCcMaxEdges)
       : TableViews.Maintainer[ClusterState] = {
     // AMORTIZED loudness bound (no per-batch corpus pass): the live
     // corpus is counted once on the maintainer's first batch; the bound
@@ -170,7 +187,7 @@ object ClusterView {
         .select(least(col("id_a"), col("id_b")).as("src"),
                 greatest(col("id_a"), col("id_b")).as("dst"))
         .distinct()
-    }, ccShufflePartitions)
+    }, ccShufflePartitions, ccLocalEdgeCap)
   }
 
   /** [[overIndex]] state: the inner band index plus the cluster
@@ -213,7 +230,8 @@ object ClusterView {
   def overIndex(idCol: String,
                 inner: TableViews.Maintainer[DedupIndexView.IndexState],
                 minEdgeScore: Double,
-                ccShufflePartitions: Int = 0)
+                ccShufflePartitions: Int = 0,
+                ccLocalEdgeCap: Int = Dedup.LocalCcMaxEdges)
       : TableViews.Maintainer[IndexedClusterState] =
     new TableViews.Maintainer[IndexedClusterState] {
       private val clusterSchema = StructType(Seq(
@@ -235,6 +253,44 @@ object ClusterView {
           if (ctx.ckLocal) broadcast(df) else df
         val postLive = Materializer.liveView(ctx.postState)
         val liveIds = postLive.select(col(idCol).cast("long").as("id"))
+        // FROM-EMPTY (bootstrap) fold: the post-state was built from this
+        // batch alone, so every pair endpoint IS a changed id — seeds =
+        // ck, no component exists to carry over, and the affected verts
+        // are exactly ck. The three seed/affected capLocal pin+collect
+        // pairs and the touched-bucket pin are no-ops from empty;
+        // skipping them removes ~7 driver jobs from the one-shot batch
+        // (bridge.staticallyEmpty contract: plan-only, never semantics).
+        val bbr = org.apache.spark.sql.graft.bridge
+        if (bbr.staticallyEmpty(st.clusters) &&
+            bbr.staticallyEmpty(st.index.index) &&
+            bbr.staticallyEmpty(st.index.byBucket)) {
+          val avN =
+            if (ctx.ckLocal) localPlanSize(ck).getOrElse(Long.MaxValue)
+            else Long.MaxValue
+          val (subEdges, seL, _) = capLocal(idx2.scores
+            .filter(col("score") >= minEdgeScore)
+            .select(col("id_a").cast("long").as("src"),
+                    col("id_b").cast("long").as("dst")), ctx.maxLocalKeys)
+          val cc =
+            if (seL && subEdges.isEmpty)
+              ctx.delta.sparkSession.createDataFrame(
+                ctx.delta.sparkSession.sparkContext
+                  .emptyRDD[org.apache.spark.sql.Row], clusterSchema)
+            else Dedup.connectedComponentsLogStar(subEdges, "src", "dst",
+                shufflePartitions = relabelWidth(ccShufflePartitions, avN,
+                                                 ctx.delta.sparkSession),
+                localEdgeCap = ccLocalEdgeCap)
+              .select(col("id"), col("component").as("cluster"))
+          val singletons = ck
+            .join(cc.select(col("id")), Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("cluster"))
+          val (deleted, delL, _) = capLocal(
+            ck.join(liveIds.join(hinted(ck), Seq("id"), "left_semi"),
+                    Seq("id"), "left_anti"), ctx.maxLocalKeys)
+          return IndexedClusterState(idx2,
+            cc.unionByName(singletons)
+              .join(hintIf(deleted, delL), Seq("id"), "left_anti"))
+        }
         // touched buckets = changed ids' old ∪ new bands; their old/new
         // pairs bound every candidate-graph change this batch
         def bandsOf(index: DataFrame): DataFrame = index
@@ -291,7 +347,8 @@ object ClusterView {
                 .emptyRDD[org.apache.spark.sql.Row], clusterSchema)
           else Dedup.connectedComponentsLogStar(subEdges, "src", "dst",
               shufflePartitions = relabelWidth(ccShufflePartitions, avN,
-                                               ctx.delta.sparkSession))
+                                               ctx.delta.sparkSession),
+              localEdgeCap = ccLocalEdgeCap)
             .select(col("id"), col("component").as("cluster"))
         val singletons = affectedVerts
           .join(cc.select(col("id")), Seq("id"), "left_anti")
@@ -332,12 +389,13 @@ object ClusterView {
   def semanticMaintainer(idCol: String, vecCol: String, dim: Int,
                          minCosine: Double, tables: Int = 8,
                          planes: Int = 12, maxBucket: Int = 1000,
-                         ccShufflePartitions: Int = 0)
+                         ccShufflePartitions: Int = 0,
+                         ccLocalEdgeCap: Int = Dedup.LocalCcMaxEdges)
       : TableViews.Maintainer[IndexedClusterState] =
     overIndex(idCol,
       DedupIndexView.embeddingMaintainer(idCol, vecCol, dim, tables,
                                          planes, maxBucket = maxBucket),
-      minEdgeScore = minCosine, ccShufflePartitions)
+      minEdgeScore = minCosine, ccShufflePartitions, ccLocalEdgeCap)
 
   /** The generic maintainer. `edgesFor(changedLive, liveAll)` returns
     * the canonical `(src, dst)` LONG edges incident to the changed live
@@ -348,10 +406,12 @@ object ClusterView {
     * integral primary key. */
   def maintainerFromEdges(idCol: String,
                           edgesFor: (DataFrame, DataFrame) => DataFrame,
-                          ccShufflePartitions: Int = 0)
+                          ccShufflePartitions: Int = 0,
+                          ccLocalEdgeCap: Int = Dedup.LocalCcMaxEdges)
       : TableViews.Maintainer[ClusterState] =
     maintainerFromEdgesCounted(idCol,
-      (changed, live, _) => edgesFor(changed, live), ccShufflePartitions)
+      (changed, live, _) => edgesFor(changed, live), ccShufflePartitions,
+      ccLocalEdgeCap)
 
   /** [[maintainerFromEdges]] whose prober also receives a CHEAP
     * changed-key-count thunk: when the batch's changed keys stayed
@@ -363,7 +423,8 @@ object ClusterView {
   def maintainerFromEdgesCounted(
       idCol: String,
       edgesFor: (DataFrame, DataFrame, () => Long) => DataFrame,
-      ccShufflePartitions: Int = 0)
+      ccShufflePartitions: Int = 0,
+      ccLocalEdgeCap: Int = Dedup.LocalCcMaxEdges)
       : TableViews.Maintainer[ClusterState] =
     new TableViews.Maintainer[ClusterState] {
       private val edgeSchema = StructType(Seq(
@@ -426,8 +487,12 @@ object ClusterView {
         val kept = st.edges.join(ckSrc, Seq("src"), "left_anti")
           .join(ckDst, Seq("dst"), "left_anti")
           .select(col("src"), col("dst"))
+        // under the cap ck is a projection over the collected
+        // LocalRelation, so its size reads off the plan — zero jobs
         val deltaCount: () => Long =
-          () => if (ctx.ckLocal) ck.count() else Long.MaxValue
+          () => if (ctx.ckLocal)
+                  localPlanSize(ck).getOrElse(ck.count())
+                else Long.MaxValue
         // the changed side is |Δ|-bounded whenever the batch's keys
         // collected under the cap — say so explicitly: the probe's
         // pair join must build on the |Δ| side and stream the corpus,
@@ -442,6 +507,41 @@ object ClusterView {
         val bcastDelta = ctx.ckLocal &&
           deltaCount() * payloadRowBytes(postLive) <=
             MaxBroadcastPayloadBytes
+        // FROM-EMPTY (bootstrap) fold: no prior edge or cluster exists,
+        // so kept/dropped are empty, the edge state IS the fresh probe's
+        // output, every endpoint is a changed id (seeds = ck, affected
+        // verts = ck) and nothing carries over. One capLocal pin+probe
+        // replaces the two eager edge pins and the three seed/affected
+        // capLocal chains (bridge.staticallyEmpty contract: plan-only).
+        val bbr = org.apache.spark.sql.graft.bridge
+        if (bbr.staticallyEmpty(st.edges) && bbr.staticallyEmpty(st.clusters)) {
+          val avN0 =
+            if (ctx.ckLocal) localPlanSize(ck).getOrElse(Long.MaxValue)
+            else Long.MaxValue
+          val (subEdges, seL, _) = capLocal(
+            edgesFor(if (bcastDelta) broadcast(changedLive) else changedLive,
+                     postLive, deltaCount), ctx.maxLocalKeys)
+          val cc =
+            if (seL && subEdges.isEmpty)
+              ctx.delta.sparkSession.createDataFrame(
+                ctx.delta.sparkSession.sparkContext
+                  .emptyRDD[org.apache.spark.sql.Row], clusterSchema)
+            else Dedup.connectedComponentsLogStar(subEdges, "src", "dst",
+                shufflePartitions = relabelWidth(ccShufflePartitions, avN0,
+                                                 ctx.delta.sparkSession),
+                localEdgeCap = ccLocalEdgeCap)
+              .select(col("id"), col("component").as("cluster"))
+          val singletons = ck
+            .join(cc.select(col("id")), Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("cluster"))
+          val (deleted, delL, _) = capLocal(
+            ck.join(liveIds.join(hinted(ck.select(col("id"))), Seq("id"),
+                                 "left_semi"),
+                    Seq("id"), "left_anti"), ctx.maxLocalKeys)
+          return ClusterState(subEdges,
+            cc.unionByName(singletons)
+              .join(hintIf(deleted, delL), Seq("id"), "left_anti"))
+        }
         val newEdges =
           edgesFor(if (bcastDelta) broadcast(changedLive) else changedLive,
                    postLive, deltaCount).localCheckpoint(false)
@@ -479,7 +579,8 @@ object ClusterView {
                 .emptyRDD[org.apache.spark.sql.Row], clusterSchema)
           else Dedup.connectedComponentsLogStar(subEdges, "src", "dst",
               shufflePartitions = relabelWidth(ccShufflePartitions, avN,
-                                               ctx.delta.sparkSession))
+                                               ctx.delta.sparkSession),
+              localEdgeCap = ccLocalEdgeCap)
             .select(col("id"), col("component").as("cluster"))
         val singletons = affectedVerts
           .join(cc.select(col("id")), Seq("id"), "left_anti")

@@ -437,9 +437,75 @@ object Dedup {
     math.min(math.max(8L, byRowsL), math.max(8L, cap.toLong)).toInt
   }
 
+  /** Collect cap for the DRIVER-LOCAL connected-components fast path:
+    * an edge set at or under this many rows (16 B/row — ≤ ~1.6 MB at
+    * the cap) is collected once and labeled with a driver-side
+    * union-find, replacing the distributed propagation loop's per-round
+    * driver chain (child session + checkpoint job + label-sum collect
+    * per round) with ONE collect job. Same capped-with-distributed-
+    * fallback discipline as JoinView.localKeys: over the cap the loops
+    * below run unchanged, so the scale story is untouched — only graphs
+    * that already fit the driver comfortably take the shortcut. */
+  private[graft] val LocalCcMaxEdges: Int = 100000
+
+  /** Driver-local min-label connected components over a collected edge
+    * list — union-find whose set root is always the MINIMUM member id
+    * (merging keeps the smaller root), so the result is bit-identical
+    * to the distributed variants' fixpoint: `(id, component-min)` for
+    * every node appearing in an edge, independent of edge order. */
+  private[graft] def connectedComponentsLocal(
+      edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.toSeq.map(id => (id.toLong, find(id)))
+  }
+
+  /** The shared front door of both CC variants: canonicalize to long
+    * `(a, b)` self-loop-free edges, pin lazily, probe under
+    * [[LocalCcMaxEdges]]. Returns either the driver-labeled result
+    * (Left) or the pinned edge frame for the distributed loop (Right).
+    * The probe's partial scan materializes checkpoint blocks the
+    * over-cap branch then reuses (DecontamView.capLocal discipline). */
+  private def ccLocalOrPinned(edges: DataFrame, srcCol: String,
+                              dstCol: String, localEdgeCap: Int)
+      : Either[DataFrame, DataFrame] = {
+    val parent = edges.sparkSession
+    val canon = edges
+      .select(col(srcCol).cast("long").as("a"),
+              col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint(false)
+    val probe = canon.limit(localEdgeCap + 1).collect()
+    if (probe.length <= localEdgeCap)
+      Left(parent.createDataFrame(connectedComponentsLocal(
+          probe.map(r => (r.getLong(0), r.getLong(1)))))
+        .toDF("id", "component"))
+    else Right(canon)
+  }
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25,
-                          shufflePartitions: Int = 0): DataFrame = {
+                          shufflePartitions: Int = 0,
+                          localEdgeCap: Int = LocalCcMaxEdges): DataFrame = {
+    val canon = ccLocalOrPinned(edges, srcCol, dstCol, localEdgeCap) match {
+      case Left(labels) => return labels
+      case Right(pinned) => pinned
+    }
     // AQE off for the propagation loop (same rationale as JoinView.replay:
     // small known-shape per-round plans over pinned inputs; Structured
     // Streaming-style micro-batches gain nothing from adaptive re-planning
@@ -460,11 +526,10 @@ object Dedup {
     // one extra shuffle at pin time and pays for itself by round 2.
     val p = if (shufflePartitions > 0) shufflePartitions
             else parent.conf.get("spark.sql.shuffle.partitions").toInt
-    val symPinned = edges.select(col(srcCol).cast("long").as("a"),
-                                 col(dstCol).cast("long").as("b"))
-      .union(edges.select(col(dstCol).cast("long").as("a"),
-                          col(srcCol).cast("long").as("b")))
-      .filter(col("a") =!= col("b"))
+    // built from the front door's pinned canonical edges: the (possibly
+    // expensive) edge subtree is computed once, shared with the probe
+    val symPinned = canon
+      .union(canon.select(col("b").as("a"), col("a").as("b")))
       .repartition(p, col("a"))
       .localCheckpoint()
     // Re-root the pinned edges in the child KEEPING the hash
@@ -538,16 +603,18 @@ object Dedup {
     * in `edges`; isolated nodes are the caller's to add. */
   def connectedComponentsLogStar(edges: DataFrame, srcCol: String,
                                  dstCol: String, maxIter: Int = 20,
-                                 shufflePartitions: Int = 0): DataFrame = {
+                                 shufflePartitions: Int = 0,
+                                 localEdgeCap: Int = LocalCcMaxEdges)
+      : DataFrame = {
     val parent = edges.sparkSession
+    val ePinned = ccLocalOrPinned(edges, srcCol, dstCol, localEdgeCap) match {
+      case Left(labels) => return labels
+      case Right(pinned) => pinned
+    }
     val child = parent.newSession()
     child.conf.set("spark.sql.adaptive.enabled", "false")
     if (shufflePartitions > 0)
       child.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
-    val ePinned = edges
-      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .localCheckpoint()
     var e = org.apache.spark.sql.graft.bridge.reRoot(ePinned, child)
     if (shufflePartitions > 0) e = e.coalesce(shufflePartitions)
     // Σ min(Γ(u) ∪ {u}) over all nodes — monotone non-increasing across

@@ -168,6 +168,59 @@ object DedupIndexView {
                 "left_semi")
           .select((idCol +: payloadCols).map(col): _*)
         val newBands = bandsOf(changedLive).localCheckpoint(false)
+        // score `pairs` (id_a, id_b) from their live payloads — ONE
+        // broadcast-pruned probe of the post-batch state (shared by the
+        // bootstrap and general branches below)
+        def scorePairs(pairs: DataFrame): DataFrame = {
+          val freshIds = pairs.select(col("id_a").as(idCol))
+            .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
+          val pay = Materializer.liveView(ctx.postState)
+            .join(hinted(freshIds), Seq(idCol), "left_semi")
+            .select(col(idCol),
+                    struct(payloadCols.map(col): _*).as("__pay"))
+            .localCheckpoint(false)
+          hinted(pairs)
+            .join(pay.select(col(idCol).as("id_a"), col("__pay").as("pa")),
+                  Seq("id_a"))
+            .join(pay.select(col(idCol).as("id_b"), col("__pay").as("pb")),
+                  Seq("id_b"))
+            .select(col("id_a"), col("id_b"),
+                    scoreOf(col("pa"), col("pb")).cast("double").as("score"))
+        }
+        // FROM-EMPTY (bootstrap) fold: with a statically-empty prior
+        // state every patch input is empty — the post-patch index is
+        // exactly the new bands, EVERY bucket is touched, nothing can be
+        // retracted, and no pair can carry a prior score. Skipping the
+        // no-op patch algebra removes three eager driver pins
+        // (retractedP / carriedScoreP / the needScore re-pin) and the
+        // anti/semi patch joins from every remaining plan
+        // (bridge.staticallyEmpty contract: plan-only, never semantics;
+        // the stepwise == one-shot specs cover both shapes).
+        val bb = org.apache.spark.sql.graft.bridge
+        if (bb.staticallyEmpty(st.index) && bb.staticallyEmpty(st.byBucket)
+            && bb.staticallyEmpty(st.scores)) {
+          val okBuckets = newBands.groupBy(col("band"), col("bandHash"))
+            .agg(count(lit(1)).as("__n"))
+            .filter(col("__n") <= maxBucket)
+            .select(col("band"), col("bandHash"))
+          // pin + partitioning strip before the self-join — same
+          // rationale as the general path's okIdx below
+          val okIdx = bb.reRoot(
+            newBands.join(okBuckets, Seq("band", "bandHash"), "left_semi")
+              .localCheckpoint(false),
+            ctx.delta.sparkSession)
+          val fresh = okIdx
+            .join(okIdx.select(col("id").as("__id2"), col("band"),
+                               col("bandHash")),
+                  Seq("band", "bandHash"))
+            .filter(col("id") < col("__id2"))
+            .select(col("band"), col("bandHash"), col("id").as("id_a"),
+                    col("__id2").as("id_b"))
+            .localCheckpoint(false)
+          val needScore = fresh.select(col("id_a"), col("id_b")).distinct()
+            .localCheckpoint(false)
+          return IndexState(newBands, fresh, scorePairs(needScore))
+        }
         // patch the index: drop every changed id's old bands (deleted
         // docs contribute no new ones), append the new bands
         val index1 = st.index.join(hinted(ck), Seq("id"), "left_anti")
@@ -274,23 +327,9 @@ object DedupIndexView {
         val needScore = freshP
           .join(hinted(carriedScoreP), Seq("id_a", "id_b"), "left_anti")
           .localCheckpoint(false)
-        // score the to-score pairs from their LIVE payloads: one
-        // broadcast-pruned probe of the post-batch state (needScore-pair
-        // ids only — |touched|-bounded, like changedLive above)
-        val freshIds = needScore.select(col("id_a").as(idCol))
-          .unionByName(needScore.select(col("id_b").as(idCol))).distinct()
-        val pay = Materializer.liveView(ctx.postState)
-          .join(hinted(freshIds), Seq(idCol), "left_semi")
-          .select(col(idCol),
-                  struct(payloadCols.map(col): _*).as("__pay"))
-          .localCheckpoint(false)
-        val freshScored = hinted(needScore)
-          .join(pay.select(col(idCol).as("id_a"), col("__pay").as("pa")),
-                Seq("id_a"))
-          .join(pay.select(col(idCol).as("id_b"), col("__pay").as("pb")),
-                Seq("id_b"))
-          .select(col("id_a"), col("id_b"),
-                  scoreOf(col("pa"), col("pb")).cast("double").as("score"))
+        // score the to-score pairs from their LIVE payloads (see
+        // scorePairs above — needScore-pair ids only, |touched|-bounded)
+        val freshScored = scorePairs(needScore)
         val scores1 = st.scores
           .join(hinted(dropSet), Seq("id_a", "id_b"), "left_anti")
           .join(hinted(needScore), Seq("id_a", "id_b"), "left_anti")

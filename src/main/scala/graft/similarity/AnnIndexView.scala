@@ -164,10 +164,16 @@ object AnnIndexView {
           .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
         val assigned = Similarity.ivfAssign(
           changedLive, centroidDf(ctx.delta.sparkSession))
-        st.join(hinted(ck), Seq("vec_id"), "left_anti")
-          .select(col("vec_id"), col("embedding"), col("centroid_id"))
-          .unionByName(assigned
-            .select(col("vec_id"), col("embedding"), col("centroid_id")))
+        // FROM-EMPTY (bootstrap) fold: nothing to patch — the assignment
+        // IS the delta's (bridge.staticallyEmpty contract: plan-only)
+        if (org.apache.spark.sql.graft.bridge.staticallyEmpty(st))
+          assigned.select(col("vec_id"), col("embedding"),
+                          col("centroid_id"))
+        else
+          st.join(hinted(ck), Seq("vec_id"), "left_anti")
+            .select(col("vec_id"), col("embedding"), col("centroid_id"))
+            .unionByName(assigned
+              .select(col("vec_id"), col("embedding"), col("centroid_id")))
       }
 
       def pin(st: DataFrame): DataFrame = st.localCheckpoint(false)

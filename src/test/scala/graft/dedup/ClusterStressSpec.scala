@@ -118,9 +118,13 @@ class ClusterStressSpec extends SparkSpec with graft.ShuffleProbe {
     // The resolver probe above covers the wide-deployment derivation
     // this box cannot host.
     val n = 20000L
+    // ccLocalEdgeCap = 0: this case pins the DISTRIBUTED relabel's width
+    // discipline; the round-18 driver-local CC fast path (which has no
+    // loop and no width — LocalCcSpec owns its contract) is bypassed so
+    // the 12-wide stage is observable
     val m = ClusterView.semanticMaintainer("vec_id", "embedding",
       dim = Dim, minCosine = 0.95, tables = 4, planes = 16,
-      ccShufflePartitions = 12)
+      ccShufflePartitions = 12, ccLocalEdgeCap = 0)
     val widths = scala.collection.mutable.ArrayBuffer.empty[Int]
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onStageSubmitted(

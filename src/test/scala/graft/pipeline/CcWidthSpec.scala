@@ -58,8 +58,11 @@ class CcWidthSpec extends SparkSpec {
       val w = PipelineQueries.ccWidth(nFamilies * 3, wide)
       var parts = 0
       val tasks = maxTasksDuring {
+        // localEdgeCap = 0: this case pins the DISTRIBUTED loop's width
+        // discipline, so the driver-local fast path (which has no loop
+        // and no width — LocalCcSpec owns its contract) is bypassed
         val labels = Dedup.connectedComponents(familyEdges(nFamilies),
-          "src", "dst", shufflePartitions = w)
+          "src", "dst", shufflePartitions = w, localEdgeCap = 0)
         parts = labels.rdd.getNumPartitions
         // every family collapses to one component labeled by min
         val nComp = labels.select(countDistinct(col("component")))

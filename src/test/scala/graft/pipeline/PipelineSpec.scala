@@ -200,9 +200,12 @@ class PipelineSpec extends SparkSpec {
     assert(Seq(10L, 11L).forall(comps(_) == 10L))
     assert(Seq(20L, 21L, 22L).forall(comps(_) == 20L))
     assert(comps.size == 9)
-    // unconverged loops must raise, not return garbage
+    // unconverged loops must raise, not return garbage (localEdgeCap = 0:
+    // the convergence guard lives on the distributed loop; the driver-
+    // local fast path has no rounds — LocalCcSpec owns its contract)
     intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(edges, "src", "dst", maxIter = 1).collect()
+      Dedup.connectedComponents(edges, "src", "dst", maxIter = 1,
+                                localEdgeCap = 0).collect()
     }
   }
 
@@ -227,10 +230,12 @@ class PipelineSpec extends SparkSpec {
     val chain = (0L until 300L).map(i => (i, i + 1))
     val edges = spark.createDataFrame(chain).toDF("src", "dst")
     intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(edges, "src", "dst", maxIter = 10).collect()
+      // localEdgeCap = 0: pin the DISTRIBUTED loop's diameter guard
+      Dedup.connectedComponents(edges, "src", "dst", maxIter = 10,
+                                localEdgeCap = 0).collect()
     }
     val labels = Dedup.connectedComponentsLogStar(edges, "src", "dst",
-        maxIter = 20, shufflePartitions = 8)
+        maxIter = 20, shufflePartitions = 8, localEdgeCap = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(labels.length == 301)
     assert(labels.forall(_._2 == 0L),
