@@ -142,6 +142,28 @@ object JoinAggView {
     def touchedRows(liveL: DataFrame, liveR: DataFrame, w: Int): DataFrame =
       touchedJoinRows(liveL, liveR, changedL, lLocal, changedR, rLocal,
                       lPk, rPk, lJoinCols, groupCols, measures, w)
+    // FROM-EMPTY (bootstrap) fold: an empty aggregate state means the
+    // pre-merge join is empty (state invariant: agg == aggregate over
+    // L ⋈ R with n_rows > 0), so the retract branch, the touched-group
+    // collect, and the carry-over full-outer merge are pure overhead —
+    // the state is the insert deltas renamed, and the changed-key pins
+    // are never scanned (bridge.staticallyEmpty contract: plan-only).
+    if (org.apache.spark.sql.graft.bridge.staticallyEmpty(agg)) {
+      val fkJ = MultiView.FkJoin(lPk, rPk, lJoinCols)
+      val insert = fkJ.joinBoundedL(ctx.liveL, ctx.liveR, lLocal)
+        .select(groupCols.map(col) ++
+          measures.map { case (c, src, cast) =>
+            cast(col(src)).as(s"__v_$c") } ++
+          Seq(lit(1).as("__w")): _*)
+      val measureAggs0 = measures.flatMap { case (c, _, _) => Seq(
+        sum(when(col(s"__v_$c").isNotNull, col("__w").cast("long"))
+              .otherwise(lit(0L))).as(s"n_vals_$c"),
+        sum(when(col("__w") === 1, col(s"__v_$c"))
+              .otherwise(-col(s"__v_$c"))).as(s"sum_$c")) }
+      return insert.groupBy(groupCols.map(col): _*)
+        .agg(sum(col("__w").cast("long")).as("n_rows"), measureAggs0: _*)
+        .filter(col("n_rows") > 0)
+    }
     // retract from the PRE-merge states, insert from the POST-merge ones
     // — both lazy, and the pre-merge states are pinned by the previous
     // batch, so evaluation order cannot see the merged state in the

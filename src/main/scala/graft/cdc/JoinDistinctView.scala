@@ -76,6 +76,30 @@ object JoinDistinctView {
         Seq(groupCol),
         Seq((valueCol, valueCol,
              scala.Predef.identity[org.apache.spark.sql.Column] _)), w)
+    // FROM-EMPTY (bootstrap) fold: empty pair/group states mean the
+    // pre-merge join is empty (state invariant), so the retract branch
+    // and the changed-key restrictions are pure overhead — the delta is
+    // the full post-merge join weighted +1, and mergeAdditive below
+    // takes its own from-empty shortcut (bridge.staticallyEmpty
+    // contract: plan-only).
+    val bbr = org.apache.spark.sql.graft.bridge
+    if (bbr.staticallyEmpty(pairs) && bbr.staticallyEmpty(groups)) {
+      val fkJ = MultiView.FkJoin(ctx.lPk, ctx.rPk, ctx.lJoinCols)
+      val insert0 = fkJ.joinBoundedL(ctx.liveL, ctx.liveR, ctx.lLocal)
+        .select(col(groupCol).as("g"), col(valueCol).as("v"),
+                lit(1L).as("w"))
+      val pairsAll0 = insert0.groupBy(col("g"), col("v"))
+        .agg(sum(col("w")).as("net"))
+        .localCheckpoint(false)
+      val dPairs0 = pairsAll0.filter(col("v").isNotNull && col("net") =!= 0)
+      val dGroups0 = pairsAll0.groupBy(col("g"))
+        .agg(sum(col("net")).as("n_rows"))
+        .filter(col("n_rows") =!= 0)
+      return (IncrementalAgg.mergeAdditive(pairs, dPairs0, Seq("g", "v"),
+                                           Seq("net"), ctx.maxLocalKeys),
+              IncrementalAgg.mergeAdditive(groups, dGroups0, Seq("g"),
+                                           Seq("n_rows"), ctx.maxLocalKeys))
+    }
     val retract = touched(ctx.preLiveL, ctx.preLiveR, -1)
     val insert = touched(ctx.liveL, ctx.liveR, +1)
     // ONE shuffle over the weighted delta-join rows: aggregate to (g, v)

@@ -54,6 +54,15 @@ object JoinTopKView {
     val spark = ctx.liveL.sparkSession
     val viewNext = JoinView.stepView(view, ctx, viewCols)
       .localCheckpoint(false)
+    // FROM-EMPTY (bootstrap) fold: every group of the fresh view is
+    // touched and no rank row carries over — the ranked state is a
+    // straight top-k of the new view; the touched-group pin + collect
+    // and the group anti/semi pair drop out (bridge.staticallyEmpty
+    // contract: plan-only).
+    val bbr = org.apache.spark.sql.graft.bridge
+    if (bbr.staticallyEmpty(view) && bbr.staticallyEmpty(ranked))
+      return (viewNext,
+              IncrementalTopK.topK(viewNext, lPk, groupCol, orderCol, k))
     // Touched groups, derived from the MATERIALIZED views rather than by
     // re-joining the table states: every view row the batch changes has
     // pk ∈ keys(ΔL) ∨ fk ∈ keys(ΔR) — its PRE-merge version sits in the

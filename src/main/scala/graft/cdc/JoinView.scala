@@ -147,6 +147,16 @@ object JoinView {
                             viewCols: Seq[String]): DataFrame = {
     import ctx.{changedL, changedR, lLocal, rLocal, lPk, rPk, liveL, liveR,
                 hinted}
+    // FROM-EMPTY (bootstrap) fold: no view row exists and every live row
+    // is a changed row, so keep = ∅, the changed-key restrictions are
+    // identities and the R-side rebuild branch is empty — the view is
+    // ONE bounded-L join of the post-merge lives. Skipping the keep/
+    // restrict joins also never scans the changed-key pins, so a shared
+    // chain's key-propagation checkpoints stay unmaterialized on the
+    // bootstrap batch (bridge.staticallyEmpty contract: plan-only).
+    if (org.apache.spark.sql.graft.bridge.staticallyEmpty(view))
+      return ctx.fk.joinBoundedL(liveL, liveR, lLocal)
+        .select(viewCols.map(col): _*)
     // pk-side joins stay plain over-cap (both sides pk-unique — no skew);
     // every fk-side join goes through ctx.fk, which salts the over-cap
     // path so a hot dimension key cannot straggle the AQE-off loop

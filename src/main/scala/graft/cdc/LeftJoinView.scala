@@ -77,6 +77,25 @@ object LeftJoinView {
   private[cdc] def stepView(view: DataFrame, ctx: MultiView.BatchCtx,
                             viewCols: Seq[String]): DataFrame = {
     import ctx.{changedL, lLocal, rLocal, lPk, liveL, liveR, hinted}
+    val bothLocal0 = lLocal && rLocal
+    // FROM-EMPTY (bootstrap) fold: keep = ∅ and every live fact is
+    // touched, so the view is matched(liveL ⋈ liveR) ∪ pad(the rest) —
+    // the keep joins and changed-key restrictions drop out and the
+    // changed-key pins are never scanned (bridge.staticallyEmpty
+    // contract: plan-only).
+    if (org.apache.spark.sql.graft.bridge.staticallyEmpty(view)) {
+      val matched0 = ctx.fk.joinBoundedL(liveL, liveR, bothLocal0)
+      val matchedKeys0 = matched0.select(lPk.map(col): _*)
+      val pad0 = liveL.join(hinted(matchedKeys0, bothLocal0), lPk,
+                            "left_anti")
+      val lCols0 = liveL.columns.toSet
+      val padProj0 = viewCols.map { c =>
+        if (lCols0(c)) col(c)
+        else lit(null).cast(liveR.schema(c).dataType).as(c)
+      }
+      return matched0.select(viewCols.map(col): _*)
+        .unionByName(pad0.select(padProj0: _*))
+    }
     // keep: view rows owned by untouched facts. A pad row carries its
     // fact's fk value in lJoinCols, so the anti join on changedR-as-fk
     // retracts the pad exactly when its dimension (finally) arrives.

@@ -168,6 +168,23 @@ object DecontamView {
         // unique per (id, gram), so that pair is the salt key
         def byGram(rowKey: String) =
           MultiView.FkJoin(Seq(rowKey, "gram"), Seq("gram"), Seq("gram"))
+        // FROM-EMPTY (bootstrap) fold: both indexes ARE the batch's gram
+        // derivations, nothing carries or retracts, and the index probe
+        // is empty (every doc is changed) — the contamination set is one
+        // salted semi of the fresh doc grams against the fresh bench
+        // gram set; the touched-gram capLocal chains and patch joins
+        // drop out (bridge.staticallyEmpty contract: plan-only).
+        val bbr = org.apache.spark.sql.graft.bridge
+        if (bbr.staticallyEmpty(st.docGrams) &&
+            bbr.staticallyEmpty(st.benchGrams) &&
+            bbr.staticallyEmpty(st.contam)) {
+          val docGrams1 = gramsL(ctx.liveL, dId).localCheckpoint(false)
+          val benchGrams1 = gramsR(ctx.liveR, bId).localCheckpoint(false)
+          return DecontamState(docGrams1, benchGrams1,
+            byGram(dId).filterByRKeys(
+              docGrams1, benchGrams1.select(col("gram")).distinct(),
+              rIsLocal = false, "left_semi"))
+        }
         // |Δ|-bounded gram derivations, PINNED — the expensive per-batch
         // work (tokenize + shingle the changed rows) runs once per batch,
         // not once per consuming subtree
